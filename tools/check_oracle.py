@@ -1,0 +1,104 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same parquet tables, then compares row count, schema (column
+names), and an order-insensitive value hash. Use while iterating:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+
+def cell(v) -> str:
+    if v is None or (isinstance(v, float) and v != v):
+        return "\\N"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def norm_rows(cols: list[str], rows: list[tuple]) -> list[str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = ["\x1f".join(cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def norm_hash(cols: list[str], rows: list[tuple]) -> str:
+    return hashlib.md5("\x1e".join(norm_rows(cols, rows)).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from us_dot_flights_lakehouse_spark.session import get_spark
+
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {ex}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(s_rows)} rows (no oracle) [{dt:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            o_cols = [d[0] for d in res.description]
+            o_rows = res.fetchall()
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            failures += 1
+            continue
+        problems = []
+        if len(s_rows) != len(o_rows):
+            problems.append(f"rows {len(s_rows)} != {len(o_rows)}")
+        if sorted(s_cols) != sorted(o_cols):
+            problems.append(f"cols {sorted(s_cols)} != {sorted(o_cols)}")
+        if not problems:
+            a, b = norm_rows(s_cols, s_rows), norm_rows(o_cols, o_rows)
+            if a != b:
+                problems.append("value-hash mismatch")
+                for x, y in zip(a, b):
+                    if x != y:
+                        print(f"      spark: {x}\n      duck : {y}")
+                        break
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)} [{dt:.1f}s]")
+            failures += 1
+        else:
+            print(f"OK    {name}: {len(s_rows)} rows [{dt:.1f}s]")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

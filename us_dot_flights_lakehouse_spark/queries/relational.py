@@ -1,0 +1,603 @@
+"""Relational operator queries (SURVEY.md §2.2-§2.7) on the driver testdata.
+
+Each query re-expresses a reference pipeline pattern (cited per function)
+against the TPC-H-ish test tables: orders≈flight feed, customer/supplier/
+part/nation≈dims, lineitem≈fact grain. The flagship mirrors the reference's
+marquee mart ``daily_airline_performance.py`` semantics.
+
+See package __init__ for the cross-engine determinism contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from us_dot_flights_lakehouse_spark.operators.aggregates import (
+    MONEY,
+    conditional_avg,
+    conditional_count,
+    dec_sum,
+)
+from us_dot_flights_lakehouse_spark.operators.generators import date_range_df
+from us_dot_flights_lakehouse_spark.operators.joins import (
+    broadcast_star_join,
+    enrich_join,
+    outer_merge_coalesce,
+)
+from us_dot_flights_lakehouse_spark.operators.setops import union_distinct
+from us_dot_flights_lakehouse_spark.sources.readers import lookup_scan, read_table
+
+
+def _div(num, den):
+    """NULL-on-zero-denominator division, identical in Spark and DuckDB
+    (reference KPI ratios emit null when all rows cancelled —
+    daily_airline_performance.py:47-72)."""
+    return F.when(den != 0, num / den)
+
+
+# ---------------------------------------------------------------------------
+# Flagship — daily segment performance mart
+# ---------------------------------------------------------------------------
+
+def daily_segment_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (A1+A2+A6+J2/J3): daily per-segment KPI mart.
+
+    Re-derives ``daily_airline_performance.py:9-74``: fact ⋈ broadcast dims,
+    wide groupBy with plain + conditional aggregates, then post-agg KPI
+    ratios with divide-by-zero→NULL semantics. Here: orders enriched with
+    the customer dim (broadcast — dim is KBs, fact is TBs at scale),
+    grouped by (order day, market segment).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    fact = broadcast_star_join(
+        orders, [(customer, orders.o_custkey == customer.c_custkey)], how="left"
+    )
+    agg = (
+        fact.groupBy(
+            F.to_date("o_orderdate").alias("order_date"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(
+            F.count("*").alias("total_orders"),
+            dec_sum("o_totalprice", "total_revenue"),
+            conditional_count(F.col("o_orderstatus") == "F", "fulfilled_orders"),
+            conditional_count(F.col("o_orderstatus") == "O", "open_orders"),
+            conditional_count(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "urgent_orders"
+            ),
+            conditional_avg(
+                F.col("o_orderstatus") == "F", F.col("o_totalprice"), "avg_fulfilled_price"
+            ),
+            F.max("o_totalprice").alias("max_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+    return agg.select(
+        "*",
+        _div(F.col("fulfilled_orders") * 100.0, F.col("total_orders")).alias(
+            "fulfillment_rate"
+        ),
+        _div(F.col("urgent_orders") * 100.0, F.col("total_orders")).alias("urgent_rate"),
+        _div(F.col("total_revenue"), F.col("total_orders")).alias("avg_order_value"),
+    )
+
+
+FLAGSHIP_ORACLE = """
+WITH fact AS (
+  SELECT o.*, c.c_mktsegment
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+), agg AS (
+  SELECT
+    CAST(o_orderdate AS DATE) AS order_date,
+    c_mktsegment AS mktsegment,
+    COUNT(*) AS total_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_revenue,
+    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_orders,
+    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_orders,
+    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS urgent_orders,
+    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(28,2)) END) AS DOUBLE)
+      / NULLIF(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE), 0) AS avg_fulfilled_price,
+    MAX(o_totalprice) AS max_price,
+    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+  FROM fact
+  GROUP BY 1, 2
+)
+SELECT *,
+  fulfilled_orders * 100.0 / NULLIF(total_orders, 0) AS fulfillment_rate,
+  urgent_orders * 100.0 / NULLIF(total_orders, 0) AS urgent_rate,
+  total_revenue / NULLIF(total_orders, 0) AS avg_order_value
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+def j1_enrich_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J6/S3: left join against a trimmed lookup with cast-to-string join
+    keys (reference download_and_ingest.py:83-97,134-155), then a grouped
+    rollup to make the enrichment observable."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    lookup = lookup_scan(
+        read_table(spark, sf_dir, "supplier"), "s_suppkey", "s_name"
+    )
+    enriched = enrich_join(
+        lineitem,
+        lookup,
+        on=lineitem.l_suppkey.cast("string") == lookup.Code,
+        how="left",
+    )
+    return enriched.groupBy(F.col("Description").alias("supplier_name")).agg(
+        F.count("*").alias("n_items"),
+        dec_sum("l_extendedprice", "gross_revenue"),
+    )
+
+
+J1_ORACLE = """
+SELECT
+  s.supplier_name,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS gross_revenue
+FROM lineitem l
+LEFT JOIN (
+  SELECT TRIM(CAST(s_suppkey AS VARCHAR)) AS code, TRIM(s_name) AS supplier_name
+  FROM supplier
+) s ON CAST(l.l_suppkey AS VARCHAR) = s.code
+GROUP BY 1
+"""
+
+
+def j2_star_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J5 + the manual join-elimination trick: fact build with chained
+    broadcast left joins (reference fact_flights.py:36-61) and the date FK
+    computed *arithmetically* instead of joining a date dim (reference
+    fact_flights.py:11-32 precomputes 4 time FKs to skip 4 joins)."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supplier = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+    fact = broadcast_star_join(
+        lineitem,
+        [
+            (orders, lineitem.l_orderkey == orders.o_orderkey),
+            (part, lineitem.l_partkey == part.p_partkey),
+            (supplier, lineitem.l_suppkey == supplier.s_suppkey),
+        ],
+        how="left",
+    )
+    return fact.select(
+        "l_orderkey",
+        "l_linenumber",
+        # join-elimination: DATE_KEY derived by expression, not a dim join
+        (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+        ).cast("int").alias("date_key"),
+        "o_custkey",
+        "p_brand",
+        F.col("s_name").alias("supplier_name"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "net_revenue"
+        ),
+    )
+
+
+J2_ORACLE = """
+SELECT
+  l.l_orderkey,
+  l.l_linenumber,
+  CAST(year(o.o_orderdate) * 10000 + month(o.o_orderdate) * 100 + day(o.o_orderdate) AS INTEGER) AS date_key,
+  o.o_custkey,
+  p.p_brand,
+  s.s_name AS supplier_name,
+  l.l_quantity,
+  l.l_extendedprice,
+  l.l_discount,
+  l.l_extendedprice * (1.0 - l.l_discount) AS net_revenue
+FROM lineitem l
+LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN part p ON l.l_partkey = p.p_partkey
+LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+"""
+
+
+def j4_outer_merge_daily_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: full-outer merge of two keyed daily aggregates with COALESCE'd
+    keys (reference daily_airport_performance.py:44-59 merges the
+    departure-side and arrival-side aggregates per (date, airport))."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+
+    placed = orders.groupBy(F.to_date("o_orderdate").alias("o_date")).agg(
+        F.count("*").alias("n_orders"), dec_sum("o_totalprice", "order_revenue")
+    )
+    shipped = lineitem.groupBy(F.to_date("l_shipdate").alias("s_date")).agg(
+        F.count("*").alias("n_shipments"), dec_sum("l_extendedprice", "ship_revenue")
+    )
+    return outer_merge_coalesce(placed, shipped, [("o_date", "s_date", "flow_date")])
+
+
+J4_ORACLE = """
+WITH placed AS (
+  SELECT CAST(o_orderdate AS DATE) AS o_date, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS order_revenue
+  FROM orders GROUP BY 1
+), shipped AS (
+  SELECT CAST(l_shipdate AS DATE) AS s_date, COUNT(*) AS n_shipments,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS ship_revenue
+  FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(p.o_date, s.s_date) AS flow_date,
+       p.n_orders, p.order_revenue, s.n_shipments, s.ship_revenue
+FROM placed p FULL OUTER JOIN shipped s ON p.o_date = s.s_date
+"""
+
+
+def j7_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — not exercised by the reference but free
+    in Catalyst (SURVEY.md §2.3 note); needed for incremental-dedup flows."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+J7_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregates / set ops / generators
+# ---------------------------------------------------------------------------
+
+def a3_global_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: global (no-key) aggregate — min/max dates + volume stats
+    (reference download_and_ingest.py:313-317, notebook cells 16/19)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("n_orders"),
+        F.min(F.to_date("o_orderdate")).alias("first_date"),
+        F.max(F.to_date("o_orderdate")).alias("last_date"),
+        dec_sum("o_totalprice", "total_revenue"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    ).select(
+        "*", _div(F.col("total_revenue"), F.col("n_orders")).alias("avg_price")
+    )
+
+
+A3_ORACLE = """
+WITH agg AS (
+  SELECT COUNT(*) AS n_orders,
+         MIN(CAST(o_orderdate AS DATE)) AS first_date,
+         MAX(CAST(o_orderdate AS DATE)) AS last_date,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_revenue,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+  FROM orders
+)
+SELECT *, total_revenue / NULLIF(n_orders, 0) AS avg_price FROM agg
+"""
+
+
+def a4_distinct_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: distinct() as dimension extraction
+    (reference dim_airline.py:8-12 distincts carrier code/name pairs)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+A4_ORACLE = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+def a5_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/O1/O2: grouped count → global desc sort → limit k
+    (reference notebook cells 11-13; top-10 busiest routes pattern).
+    Tie-broken on the key for determinism; executes as TakeOrderedAndProject."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    counts = lineitem.groupBy("l_partkey").agg(
+        F.count("*").alias("n_items"), dec_sum("l_quantity", "total_qty")
+    )
+    return counts.orderBy(F.desc("n_items"), F.asc("l_partkey")).limit(10)
+
+
+A5_ORACLE = """
+SELECT l_partkey, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+FROM lineitem GROUP BY 1
+ORDER BY n_items DESC, l_partkey ASC LIMIT 10
+"""
+
+
+def a7_grouped_dim_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: grouped aggregate feeding a dimension, with decimal casts and
+    CASE-WHEN bucketing (reference dim_route.py:9-41 builds the route dim
+    from a 6-key groupBy + avg distance + distance-band bucketing)."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    dim = lineitem.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_items"),
+        # exact decimal accumulation, surfaced as double (decimal Python
+        # objects stringify inconsistently across engines)
+        F.sum(F.col("l_quantity").cast(MONEY)).cast("double").alias("total_qty"),
+    )
+    return dim.select(
+        "*",
+        F.when(F.col("n_items") >= 700, "HIGH")
+        .when(F.col("n_items") >= 400, "MEDIUM")
+        .otherwise("LOW")
+        .alias("volume_band"),
+    )
+
+
+A7_ORACLE = """
+SELECT l_suppkey, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty,
+       CASE WHEN COUNT(*) >= 700 THEN 'HIGH'
+            WHEN COUNT(*) >= 400 THEN 'MEDIUM'
+            ELSE 'LOW' END AS volume_band
+FROM lineitem GROUP BY 1
+"""
+
+
+def u1_union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union of two projections + distinct, then dim join
+    (reference dim_airport.py:7-18 unions origin∪dest airport codes)."""
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    keys = union_distinct(
+        customer.select(F.col("c_nationkey").alias("nationkey")),
+        supplier.select(F.col("s_nationkey").alias("nationkey")),
+    )
+    return enrich_join(
+        keys, nation, on=keys.nationkey == nation.n_nationkey, how="inner"
+    ).select("nationkey", "n_name")
+
+
+U1_ORACLE = """
+SELECT u.nationkey, n.n_name
+FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION
+  SELECT s_nationkey AS nationkey FROM supplier
+) u JOIN nation n ON u.nationkey = n.n_nationkey
+"""
+
+
+def o3_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: date-dimension generator — sequence(interval 1 day) + explode +
+    calendar attributes (reference dim_date.py:10-30). sf_dir unused: the
+    spine is synthesized, as in the reference."""
+    spine = date_range_df(spark, "1995-01-01", "1996-12-31")
+    return spine.select(
+        F.date_format("full_date", "yyyyMMdd").cast("int").alias("date_key"),
+        F.col("full_date"),
+        F.year("full_date").alias("year"),
+        F.quarter("full_date").alias("quarter"),
+        F.month("full_date").alias("month"),
+        F.dayofmonth("full_date").alias("day_of_month"),
+        F.weekofyear("full_date").alias("week_of_year"),
+        F.dayofweek("full_date").alias("day_of_week"),
+        F.dayofweek("full_date").isin(1, 7).alias("is_weekend"),
+    )
+
+
+O3_ORACLE = """
+SELECT
+  CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_key,
+  CAST(d AS DATE) AS full_date,
+  CAST(year(d) AS INTEGER) AS year,
+  CAST(quarter(d) AS INTEGER) AS quarter,
+  CAST(month(d) AS INTEGER) AS month,
+  CAST(day(d) AS INTEGER) AS day_of_month,
+  CAST(weekofyear(d) AS INTEGER) AS week_of_year,
+  CAST(dayofweek(d) + 1 AS INTEGER) AS day_of_week,
+  dayofweek(d) IN (0, 6) AS is_weekend
+FROM (SELECT UNNEST(generate_series(DATE '1995-01-01', DATE '1996-12-31', INTERVAL 1 DAY)) AS d)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Row-level conditional logic / scalar functions
+# ---------------------------------------------------------------------------
+
+def p4_conditional_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P7/P8/P9: the silver-cleaning pattern — null-out measures on a
+    status flag, multi-branch categorization, boolean flags, and a 0-5
+    quality score (reference flight_data_cleaner.py:15-42,93-124 and
+    flight_data_enricher.py:13-31)."""
+    orders = read_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    quality = (
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+        + F.when(price > 0, 1).otherwise(0)
+        + F.when(F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        + F.when(F.col("o_orderdate").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("o_orderpriority").isNotNull(), 1).otherwise(0)
+    )
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None).cast("double"))
+        .otherwise(price)
+        .alias("effective_price"),
+        F.when(price < 50000, "LOW")
+        .when(price < 150000, "MEDIUM")
+        .when(price < 300000, "HIGH")
+        .otherwise("PREMIUM")
+        .alias("price_band"),
+        (F.col("o_orderstatus") == "F").alias("is_fulfilled"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_urgent"),
+        (quality.cast("double") / F.lit(5.0)).alias("quality_score"),
+    )
+
+
+P4_ORACLE = """
+SELECT
+  o_orderkey,
+  CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS effective_price,
+  CASE WHEN o_totalprice < 50000 THEN 'LOW'
+       WHEN o_totalprice < 150000 THEN 'MEDIUM'
+       WHEN o_totalprice < 300000 THEN 'HIGH'
+       ELSE 'PREMIUM' END AS price_band,
+  o_orderstatus = 'F' AS is_fulfilled,
+  o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_urgent,
+  CAST(
+    (CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+    + (CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END)
+    + (CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END)
+    + (CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END)
+  AS DOUBLE) / CAST(5 AS DOUBLE) AS quality_score
+FROM orders
+"""
+
+
+def f_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 string functions: trim/upper/concat/lit/lpad/regexp_replace
+    (reference flight_data_cleaner.py:127-150, dim_time.py:17-39,
+    fact_flights.py:16-32)."""
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.trim("p_brand")).alias("brand_u"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("part_code"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowel"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+    )
+
+
+F_STRING_ORACLE = """
+SELECT
+  p_partkey,
+  UPPER(TRIM(p_brand)) AS brand_u,
+  p_brand || '#' || p_type AS brand_type,
+  LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS part_code,
+  REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowel,
+  CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+  SUBSTRING(p_name, 1, 5) AS name_prefix
+FROM part
+"""
+
+
+def f_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 date/time functions: to_date/date_format/year/quarter/month/
+    weekofyear/dayofweek/datediff (reference dim_date.py:18-30,
+    fact_flights.py:39, flight_data_enricher.py:63-66)."""
+    orders = read_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.date_format(d, "yyyyMMdd").alias("date_str"),
+        F.year(d).alias("year"),
+        F.quarter(d).alias("quarter"),
+        F.month(d).alias("month"),
+        F.weekofyear(d).alias("week_of_year"),
+        F.dayofweek(d).alias("day_of_week"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+    )
+
+
+F_DATETIME_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(o_orderdate AS DATE) AS order_date,
+  strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS date_str,
+  CAST(year(o_orderdate) AS INTEGER) AS year,
+  CAST(quarter(o_orderdate) AS INTEGER) AS quarter,
+  CAST(month(o_orderdate) AS INTEGER) AS month,
+  CAST(weekofyear(o_orderdate) AS INTEGER) AS week_of_year,
+  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS day_of_week,
+  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions (beyond-reference; SURVEY.md §2.4 "not present" extensions)
+# ---------------------------------------------------------------------------
+
+def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number window — the canonical Spark top-k
+    pattern (not in the reference, which only does global top-k; required
+    for per-key sampling in training-data pipelines). Deterministic
+    tie-break on the full key."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        lineitem.withColumn("rank_in_flag", F.row_number().over(w))
+        .filter(F.col("rank_in_flag") <= 3)
+        .select(
+            "l_returnflag", "rank_in_flag", "l_orderkey", "l_linenumber",
+            "l_extendedprice",
+        )
+    )
+
+
+W1_ORACLE = """
+SELECT l_returnflag, rank_in_flag, l_orderkey, l_linenumber, l_extendedprice
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+         ) AS INTEGER) AS rank_in_flag
+  FROM lineitem
+)
+WHERE rank_in_flag <= 3
+"""
+
+
+QUERIES = {
+    "daily_segment_performance": daily_segment_performance,
+    "j1_enrich_lookup_join": j1_enrich_lookup_join,
+    "j2_star_fact_build": j2_star_fact_build,
+    "j4_outer_merge_daily_flow": j4_outer_merge_daily_flow,
+    "j7_anti_customers_without_orders": j7_anti_customers_without_orders,
+    "a3_global_summary": a3_global_summary,
+    "a4_distinct_dim": a4_distinct_dim,
+    "a5_topk_parts": a5_topk_parts,
+    "a7_grouped_dim_supplier": a7_grouped_dim_supplier,
+    "u1_union_distinct_nations": u1_union_distinct_nations,
+    "o3_date_dim": o3_date_dim,
+    "p4_conditional_cleaning": p4_conditional_cleaning,
+    "f_string_suite": f_string_suite,
+    "f_datetime_suite": f_datetime_suite,
+    "w1_topk_per_group": w1_topk_per_group,
+}
+
+ORACLES = {
+    "daily_segment_performance": FLAGSHIP_ORACLE,
+    "j1_enrich_lookup_join": J1_ORACLE,
+    "j2_star_fact_build": J2_ORACLE,
+    "j4_outer_merge_daily_flow": J4_ORACLE,
+    "j7_anti_customers_without_orders": J7_ORACLE,
+    "a3_global_summary": A3_ORACLE,
+    "a4_distinct_dim": A4_ORACLE,
+    "a5_topk_parts": A5_ORACLE,
+    "a7_grouped_dim_supplier": A7_ORACLE,
+    "u1_union_distinct_nations": U1_ORACLE,
+    "o3_date_dim": O3_ORACLE,
+    "p4_conditional_cleaning": P4_ORACLE,
+    "f_string_suite": F_STRING_ORACLE,
+    "f_datetime_suite": F_DATETIME_ORACLE,
+    "w1_topk_per_group": W1_ORACLE,
+}

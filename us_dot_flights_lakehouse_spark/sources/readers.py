@@ -1,0 +1,91 @@
+"""Batch sources (SURVEY.md §2.1 S1-S4, S10).
+
+The reference reads monthly CSV drops and Delta tables
+(``spark_jobs/bronze_ingest/download_and_ingest.py:54-58``,
+``flights_silver_transform.py:190``). Locally the engine reads the driver
+parquet testdata; on a cluster the same helpers take any hadoop-visible
+path (s3a://, abfss://, hdfs://) — object-store auth is session conf,
+not reader logic.
+
+Scale notes (100 TB):
+- Parquet scans get predicate pushdown + column pruning from Catalyst for
+  free *if* callers express filters/selects on the returned DataFrame —
+  readers here never force materialization.
+- ``inferSchema`` CSV reads (S1) require an extra pass over the data; at
+  scale always pass an explicit schema (S2) — infer is only for drifted
+  ad-hoc drops, mirroring the reference's drift-reconciliation use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Every table the local test harness knows about (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S4: columnar table scan (reference loads Delta; locally parquet)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    infer: bool = False,
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """S1/S2: CSV scan, inferred (reference download_and_ingest.py:54-58) or
+    schema-enforced (notebook cell 1)."""
+    reader = spark.read.option("header", "true")
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    if infer:
+        return reader.option("inferSchema", "true").csv(path)
+    return reader.csv(path)
+
+
+def lookup_scan(
+    df: DataFrame,
+    code_col: str,
+    desc_col: str,
+    code_alias: str = "Code",
+    desc_alias: str = "Description",
+) -> DataFrame:
+    """S3: lookup projection — trim + alias the (code, description) pair
+    (reference download_and_ingest.py:83-97). Caller broadcasts on join."""
+    return df.select(
+        F.trim(F.col(code_col).cast("string")).alias(code_alias),
+        F.trim(F.col(desc_col).cast("string")).alias(desc_alias),
+    )
+
+
+def with_lineage(df: DataFrame, partition_date_col: str | None = None) -> DataFrame:
+    """S10: audit columns — source file + ingestion timestamp
+    (reference download_and_ingest.py:104-110,195-197)."""
+    out = df.withColumn("source_file", F.input_file_name()).withColumn(
+        "ingestion_timestamp", F.current_timestamp()
+    )
+    if partition_date_col is not None:
+        out = out.withColumn("partition_date", F.to_date(F.col(partition_date_col)))
+    return out

@@ -1,0 +1,54 @@
+"""Batch sinks (SURVEY.md §2.1 S5-S6, §2.9 X2-X3).
+
+Scale notes (100 TB):
+- The reference's ``mode("overwrite")``-everywhere is its biggest scale
+  anti-pattern; ``write_partitioned`` supports dynamic partition overwrite
+  so an incremental run only rewrites touched partitions.
+- Pre-write keyed repartition (reference build_fact_flights.py:82-85)
+  controls file count/size; the ``rows_per_partition`` heuristic mirrors
+  its ~100K-rows floor-200 sizing and prevents the small-files problem
+  that kills object-store listings at scale.
+- ``coalesce(1)`` single-file export is for small marts ONLY — it
+  serializes the whole write through one task by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    repartition_rows: int | None = None,
+    rows_per_partition: int = 100_000,
+    min_partitions: int = 200,
+    dynamic: bool = False,
+) -> None:
+    """S5: partitioned columnar sink (reference download_and_ingest.py:204-209,
+    build_fact_flights.py:82-90).
+
+    ``repartition_rows``: pass a (possibly estimated) row count to apply the
+    reference's file-sizing heuristic ``max(min_partitions, rows // rows_per_partition)``
+    keyed on the partition columns so each output partition-dir gets few,
+    large files.
+    """
+    out = df
+    if repartition_rows is not None and partition_by:
+        n = max(min_partitions, repartition_rows // rows_per_partition)
+        out = out.repartition(n, *partition_by)
+    writer = out.write.format(fmt).mode(mode)
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def export_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6/X3: coalesce(1) + header CSV export for small marts/samples
+    (reference export_aggregates.py:66-69)."""
+    df.coalesce(1).write.format("csv").option("header", "true").mode(mode).save(path)
