@@ -1,0 +1,69 @@
+"""Benchmark harness — times every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect), timed as the median of BENCH_REPS runs (default 3) after a
+JVM/codegen warmup pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from us_dot_flights_lakehouse_spark import queries as registry
+from us_dot_flights_lakehouse_spark.session import get_spark
+
+
+def force(df) -> None:
+    """Execute the full plan without moving rows to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    qs = registry.queries()
+
+    # warmup: spin up JVM, codegen, parquet footer caches
+    first = next(iter(qs.values()))
+    force(first(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "sum_median_sec_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

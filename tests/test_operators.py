@@ -1,0 +1,94 @@
+"""Unit tests for the relational operator library on tiny in-memory frames
+(SURVEY.md §5 implication: per-operator tests the reference never had)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from us_dot_flights_lakehouse_spark.operators.aggregates import (
+    conditional_avg,
+    conditional_count,
+    dec_sum,
+)
+from us_dot_flights_lakehouse_spark.operators.generators import (
+    date_range_df,
+    minute_of_day_df,
+)
+from us_dot_flights_lakehouse_spark.operators.joins import (
+    enrich_join,
+    outer_merge_coalesce,
+)
+from us_dot_flights_lakehouse_spark.operators.setops import union_distinct
+
+
+def test_conditional_count_and_avg_ignore_nonmatching(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 0, 99.0), ("b", 1, 20.0), ("b", 1, 30.0)],
+        "k string, flag int, v double",
+    )
+    out = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(
+            conditional_count(F.col("flag") == 1, "n_flagged"),
+            conditional_avg(F.col("flag") == 1, F.col("v"), "avg_flagged"),
+        )
+        .collect()
+    }
+    assert out["a"]["n_flagged"] == 1
+    assert out["a"]["avg_flagged"] == 10.0  # the 99.0 row is ignored, not zeroed
+    assert out["b"]["avg_flagged"] == 25.0
+
+
+def test_conditional_avg_null_when_no_match(spark):
+    df = spark.createDataFrame([("a", 0, 5.0)], "k string, flag int, v double")
+    row = (
+        df.groupBy("k")
+        .agg(conditional_avg(F.col("flag") == 1, F.col("v"), "avg_flagged"))
+        .collect()[0]
+    )
+    assert row["avg_flagged"] is None  # divide-by-zero -> NULL, reference semantics
+
+
+def test_dec_sum_exact(spark):
+    # 0.1 + 0.2 in binary float is 0.30000000000000004; decimal path is exact
+    df = spark.createDataFrame([(0.1,), (0.2,)], "v double")
+    assert df.agg(dec_sum("v", "s")).collect()[0]["s"] == 0.3
+
+
+def test_outer_merge_coalesce_keeps_unmatched_sides(spark):
+    left = spark.createDataFrame([("d1", 1), ("d2", 2)], "ld string, n_l int")
+    right = spark.createDataFrame([("d2", 20), ("d3", 30)], "rd string, n_r int")
+    rows = {
+        r["d"]: (r["n_l"], r["n_r"])
+        for r in outer_merge_coalesce(left, right, [("ld", "rd", "d")]).collect()
+    }
+    assert rows == {"d1": (1, None), "d2": (2, 20), "d3": (None, 30)}
+
+
+def test_union_distinct(spark):
+    a = spark.createDataFrame([(1,), (2,)], "k int")
+    b = spark.createDataFrame([(2,), (3,)], "k int")
+    assert sorted(r["k"] for r in union_distinct(a, b).collect()) == [1, 2, 3]
+
+
+def test_enrich_join_left_keeps_unmatched(spark):
+    base = spark.createDataFrame([(1, "x"), (9, "y")], "fk int, payload string")
+    lookup = spark.createDataFrame([(1, "one")], "code int, name string")
+    rows = {
+        r["fk"]: r["name"]
+        for r in enrich_join(base, lookup, base.fk == lookup.code).collect()
+    }
+    assert rows == {1: "one", 9: None}
+
+
+def test_date_range_generator(spark):
+    df = date_range_df(spark, "2024-02-27", "2024-03-02")
+    days = sorted(str(r["full_date"]) for r in df.collect())
+    assert days == ["2024-02-27", "2024-02-28", "2024-02-29", "2024-03-01", "2024-03-02"]
+
+
+def test_minute_of_day_generator(spark):
+    df = minute_of_day_df(spark)
+    assert df.count() == 1440
+    assert df.agg(F.min("time_key"), F.max("time_key")).collect()[0] == (0, 1439)
