@@ -1,0 +1,156 @@
+"""Unit tests for dedup / similarity / text / multimodal operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from us_dot_flights_lakehouse_spark.llm import multimodal
+from us_dot_flights_lakehouse_spark.llm.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from us_dot_flights_lakehouse_spark.llm.similarity import cosine_topk, lsh_cosine_topk
+from us_dot_flights_lakehouse_spark.llm.textstats import lang_id, text_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_whitespace_and_case_insensitive(spark):
+    docs = _docs(
+        spark,
+        [(1, "Hello  World"), (2, "hello world"), (3, "different doc entirely")],
+    )
+    groups = {r["keeper_doc_id"]: r["n_copies"] for r in exact_dedup_groups(docs).collect()}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_finds_planted_neardup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    docs = _docs(spark, [(1, base), (2, near), (3, "completely unrelated words here that share nothing at all")])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert [(r["doc_id_a"], r["doc_id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.7
+
+
+def test_minhash_lsh_finds_planted_neardup(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    near = base.replace("w59", "zz")  # jaccard ~ (58-2)/(58+2) high
+    docs = _docs(spark, [(1, base), (2, near), (3, " ".join(f"x{i}" for i in range(60)))])
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    assert [(r["doc_id_a"], r["doc_id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_simhash_near_for_similar_docs(spark):
+    base = " ".join(f"w{i}" for i in range(50))
+    docs = _docs(
+        spark,
+        [(1, base), (2, base + " extra"), (3, " ".join(f"q{i}" for i in range(50)))],
+    )
+    pairs = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] <= 3
+
+
+def test_cosine_topk_exact_ranks(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [0.7, 0.7]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    qs = emb.filter(F.col("vec_id") == 0)
+    got = [
+        r["neighbor_id"]
+        for r in cosine_topk(emb, qs, k=3).orderBy("rank").collect()
+    ]
+    assert got == [1, 3, 2]  # by cosine to (1,0)
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 4)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, qs, k=3).collect()
+    }
+    # 4 planes -> 16 buckets: right granularity for a 500-vector corpus
+    # (n_planes scales with corpus size; 8+ for millions of vectors)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_cosine_topk(emb, qs, k=3, dim=64, n_planes=4).collect()
+    }
+    # approximate search must return *something* per query and overlap exact
+    assert len(approx) > 0
+    assert len(exact & approx) > 0
+
+
+def test_text_stats_counts(spark):
+    docs = _docs(spark, [(1, "The cat and the dog!")])
+    r = text_stats(docs).collect()[0]
+    assert r["n_tokens"] == 5
+    assert r["n_unique_tokens"] == 4  # 'the' twice after lowering
+    assert r["n_punct"] == 1
+    assert r["n_stopwords"] == 3  # the, and, the
+    assert math.isclose(r["token_diversity"], 4 / 5)
+
+
+def test_lang_id_priority_and_und(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the cat is in the house"),
+            (2, "el gato que se fue no es de la casa"),
+            (3, "zzz qqq www"),
+        ],
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert got == {1: "en", 2: "es", 3: "und"}
+
+
+PNG = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
+JPG = b"\xff\xd8\xff\xe0" + b"\x01\x02" * 10
+
+
+def _media_df(spark):
+    return spark.createDataFrame(
+        [(1, bytearray(PNG)), (2, bytearray(JPG)), (3, bytearray(b"plainbytes"))],
+        "id long, payload binary",
+    )
+
+
+def test_media_type_detection(spark):
+    df = _media_df(spark).select("id", multimodal.detect_media_type("payload").alias("mt"))
+    got = {r["id"]: r["mt"] for r in df.collect()}
+    assert got == {1: "image/png", 2: "image/jpeg", 3: "application/octet-stream"}
+
+
+def test_byte_features_mapinpandas(spark):
+    feats = {r["id"]: r for r in multimodal.byte_features(_media_df(spark)).collect()}
+    assert feats[1]["n_bytes"] == len(PNG)
+    # all-same-bytes tail -> low entropy; exact value deterministic
+    assert feats[3]["n_bytes"] == 10
+    assert feats[2]["mean_byte"] == pytest.approx(sum(JPG) / len(JPG))
+
+
+def test_media_metadata_struct(spark):
+    df = multimodal.with_media_metadata(_media_df(spark))
+    r = {x["id"]: x["media_meta"] for x in df.collect()}
+    assert r[1]["media_type"] == "image/png"
+    assert r[1]["n_bytes"] == len(PNG)
+    assert r[1]["width"] is None  # decoder-dependent fields stay NULL
+
+
+def test_decode_image_is_explicit_stub(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(_media_df(spark))

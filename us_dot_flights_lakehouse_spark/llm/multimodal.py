@@ -1,0 +1,149 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+What is REAL here (and tested): the schema convention, JVM-side magic-byte
+media-type detection, and Arrow-batched per-partition feature extraction
+via ``mapInPandas`` (byte-length / byte-entropy / mean-byte are genuine,
+deterministic binary features needing no codec).
+
+What is STUBBED: actual pixel/sample decoding (``decode_image``,
+``sample_frames``) — the container ships no PIL/ffmpeg; the functions are
+import-gated and raise ``NotImplementedError`` with the intended contract
+documented, while their Spark-side plumbing (schemas, batch iteration,
+UDF signatures) is the real production shape.
+
+Scale notes (100 TB):
+- Binary payloads ride the normal columnar path; keep payload columns OUT
+  of shuffles — derive features early, then drop/reference the blob.
+- ``mapInPandas`` streams Arrow batches; memory is bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of blob size
+  skew. Feature extraction is scan-local (zero shuffle).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: canonical metadata struct for a media column
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+#: magic-byte prefixes (hex) -> media type; pure Column logic, JVM-side
+_MAGIC = {
+    "89504E47": "image/png",
+    "FFD8FF": "image/jpeg",
+    "47494638": "image/gif",
+    "52494646": "audio/wav",  # RIFF container (WAV/AVI; WAV by convention here)
+    "1A45DFA3": "video/webm",
+}
+
+
+def detect_media_type(bin_col: str | Column) -> Column:
+    """Magic-byte sniffing as a CASE over hex prefixes — no UDF."""
+    c = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    prefix = F.hex(F.substring(c, 1, 4))
+    expr = F.lit("application/octet-stream")
+    for magic, mtype in _MAGIC.items():
+        expr = F.when(prefix.startswith(magic), mtype).otherwise(expr)
+    return expr
+
+
+BYTE_FEATURES_SCHEMA = "id long, n_bytes long, byte_entropy double, mean_byte double"
+
+
+def byte_features(df: DataFrame, id_col: str = "id", bin_col: str = "payload") -> DataFrame:
+    """Arrow-batched binary feature extraction (mapInPandas): payload length,
+    Shannon byte entropy, mean byte value. Deterministic, codec-free."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[bin_col]):
+                if blob is None:
+                    rows.append((i, None, None, None))
+                    continue
+                b = bytes(blob)
+                n = len(b)
+                if n == 0:
+                    rows.append((i, 0, 0.0, 0.0))
+                    continue
+                counts: dict[int, int] = {}
+                total = 0
+                for byte in b:
+                    counts[byte] = counts.get(byte, 0) + 1
+                    total += byte
+                ent = -sum(
+                    (c / n) * math.log2(c / n) for c in counts.values()
+                )
+                rows.append((i, n, ent, total / n))
+            yield pd.DataFrame(
+                rows, columns=["id", "n_bytes", "byte_entropy", "mean_byte"]
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(bin_col)).mapInPandas(
+        extract, schema=BYTE_FEATURES_SCHEMA
+    )
+
+
+def with_media_metadata(
+    df: DataFrame, bin_col: str = "payload", out_col: str = "media_meta"
+) -> DataFrame:
+    """Attach the canonical metadata struct. Type + size are computed for
+    real; width/height/duration need a decoder and are NULL until
+    ``decode_image``/``probe_media`` are backed by a codec."""
+    c = F.col(bin_col)
+    return df.withColumn(
+        out_col,
+        F.struct(
+            detect_media_type(c).alias("media_type"),
+            F.length(c).cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+DECODED_IMAGE_SCHEMA = "id long, width int, height int, mode string, pixels binary"
+
+
+def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "payload") -> DataFrame:
+    """STUB — image decode to raw pixels.
+
+    Production shape: mapInPandas over Arrow batches, PIL/torchvision
+    decode per blob, yielding ``DECODED_IMAGE_SCHEMA`` rows. The container
+    has no imaging library, so this raises until one is present.
+    """
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "decode_image requires an imaging library (PIL) not present in "
+            "this environment; plumbing is defined by DECODED_IMAGE_SCHEMA "
+            "and follows the byte_features mapInPandas pattern"
+        ) from exc
+    raise NotImplementedError("PIL present but decode not wired yet")
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int, id_col: str = "id", bin_col: str = "payload"
+) -> DataFrame:
+    """STUB — video frame sampling (needs ffmpeg; see decode_image)."""
+    raise NotImplementedError(
+        "sample_frames requires ffmpeg bindings not present in this "
+        "environment; intended output: one row per sampled frame "
+        "(id, frame_idx, ts_ms, frame binary)"
+    )

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns.
+
+- ``cosine_topk``: brute-force exact baseline. Query set broadcasts against
+  the corpus; per-row dot products run scan-local in whole-stage codegen,
+  the only shuffle is the top-k window keyed by query id.
+- ``lsh_cosine_topk``: random-hyperplane LSH scale path. Corpus vectors
+  bucket by sign-bit signature; queries probe only their own bucket, so
+  the candidate set (and the distance math) shrinks by ~2^n_planes. At
+  100 TB this is the difference between a full-corpus scan per query and
+  a bucket lookup; recall is tunable via n_planes / multi-probe.
+
+Hyperplanes are derived deterministically from md5 (functions/text.hash28
+contract) so runs — and the SQL oracle, if one is wired — reproduce
+exactly without shipping a side file of random floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from us_dot_flights_lakehouse_spark.functions.text import hash28
+from us_dot_flights_lakehouse_spark.functions.vectors import norm, to_double_array
+
+#: number of signed hyperplane projections = bits in the LSH bucket key
+LSH_PLANES = 8
+
+
+def _prep(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (self-matches excluded).
+    Returns (query_id, rank, neighbor_id) — rank deterministic via
+    (cosine desc, neighbor id asc)."""
+    corpus = _prep(emb, id_col, vec_col)
+    qs = _prep(queries, id_col, vec_col).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    scored = F.broadcast(qs).crossJoin(corpus).filter(F.col("qid") != F.col("id"))
+    scored = scored.select(
+        "qid",
+        "id",
+        (_dot("qv", "v") / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("id").alias("neighbor_id"),
+        )
+    )
+
+
+def _plane(j: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane j over `dim` dims, components
+    in [-1, 1), derived from the shared md5 hash contract."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"plane{j}_{d}".encode()).hexdigest()[:7], 16)
+        out.append(((h % 2001) - 1000) / 1000.0)
+    return out
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = LSH_PLANES) -> Column:
+    """Sign-bit bucket id of a double-array column under the deterministic
+    hyperplane family (expression-only: literal plane arrays + zip_with)."""
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(w) for w in _plane(j, dim)])
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    then exact cosine rank within candidates. Returns
+    (query_id, rank, neighbor_id, bucket)."""
+    corpus = _prep(emb, id_col, vec_col).withColumn(
+        "bucket", lsh_bucket(F.col("v"), dim, n_planes)
+    )
+    qs = (
+        _prep(queries, id_col, vec_col)
+        .withColumn("bucket", lsh_bucket(F.col("v"), dim, n_planes))
+        .select(
+            F.col("id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            "bucket",
+        )
+    )
+    cand = F.broadcast(qs).join(corpus, "bucket").filter(F.col("qid") != F.col("id"))
+    scored = cand.select(
+        "qid",
+        "id",
+        "bucket",
+        (_dot("qv", "v") / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("id").alias("neighbor_id"),
+            "bucket",
+        )
+    )

@@ -1,0 +1,94 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting — all built-in Column expressions over the
+``documents`` table (no UDFs; array lambdas run in codegen).
+
+Scale note: every operator here is embarrassingly parallel (per-row, no
+shuffle). At 100 TB these run at parquet-scan speed; the only care is
+column pruning — select (id, text) before applying them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from us_dot_flights_lakehouse_spark.functions.text import (
+    bpe_ish_tokens,
+    normalized_fingerprint,
+    tokenize,
+)
+
+#: tiny per-language stopword lexicons for the n-gram/stopword language-ID
+#: heuristic; priority order breaks ties deterministically
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "you", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de": ("der", "die", "und", "das", "den", "von", "zu", "mit", "sich", "auf"),
+}
+
+
+def _stopword_count(tokens: Column, lexicon: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in lexicon])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats: char/token counts, BPE-ish token count, lexical
+    diversity, punctuation/whitespace shape, English stopword count, a
+    0..1 quality score, and the normalized md5 fingerprint."""
+    toks = tokenize(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size(bpe_ish_tokens(text_col)).alias("n_bpe_tokens"),
+        F.length(F.regexp_replace(F.col(text_col), r"\s", "")).alias("n_nonspace_chars"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^a-zA-Z0-9\s]"), 0)).alias(
+            "n_punct"
+        ),
+        _stopword_count(toks, LANG_LEXICONS["en"]).alias("n_stopwords"),
+        normalized_fingerprint(text_col).alias("fingerprint"),
+    )
+    diversity = F.col("n_unique_tokens").cast("double") / F.col("n_tokens").cast("double")
+    avg_tok = F.col("n_nonspace_chars").cast("double") / F.col("n_tokens").cast("double")
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars").cast("double")
+    quality = (
+        F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 80), 0.4).otherwise(0.0)
+        + F.when(diversity >= 0.3, 0.3).otherwise(0.0)
+        + F.when(punct_ratio < 0.1, 0.3).otherwise(0.0)
+    )
+    return base.select(
+        "*",
+        diversity.alias("token_diversity"),
+        avg_tok.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-lexicon language ID: count lexicon hits per language, pick
+    the max with deterministic priority (en > es > fr > de), 'und' when no
+    lexicon matches at all."""
+    toks = tokenize(text_col)
+    scored = docs.select(
+        F.col(id_col),
+        *[
+            _stopword_count(toks, lex).alias(f"c_{lang}")
+            for lang, lex in LANG_LEXICONS.items()
+        ],
+    )
+    c = {lang: F.col(f"c_{lang}") for lang in LANG_LEXICONS}
+    pred = (
+        F.when(
+            (c["en"] >= c["es"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["de"]) & (c["en"] > 0),
+            "en",
+        )
+        .when((c["es"] >= c["fr"]) & (c["es"] >= c["de"]) & (c["es"] > 0), "es")
+        .when((c["fr"] >= c["de"]) & (c["fr"] > 0), "fr")
+        .when(c["de"] > 0, "de")
+        .otherwise("und")
+    )
+    return scored.select("*", pred.alias("lang_pred"))

@@ -1,9 +1,340 @@
-"""Training-data pipeline queries (dedup / similarity / text analysis).
+"""Training-data pipeline queries: dedup / similarity / text analysis over
+the ``documents`` and ``embeddings`` tables.
 
-Populated as the llm/ operator modules land.
+Oracles for MinHash/SimHash are *generated from the same constants* the
+Spark operators use (llm/dedup.py), so the two sides cannot drift. The
+shared 28-bit md5 hash contract is described in functions/text.py.
+
+Thresholds are calibrated to the synthetic corpus (all-unique docs, max
+3-gram Jaccard ≈ 0.037, max pairwise cosine ≈ 0.51) so results are
+non-empty and the full candidate-generation + verification machinery is
+exercised.
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_dot_flights_lakehouse_spark.llm import dedup, similarity, textstats
+from us_dot_flights_lakehouse_spark.llm.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_BANDS,
+    MINHASH_K,
+    MINHASH_PRIME,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+)
+from us_dot_flights_lakehouse_spark.sources.readers import read_table
+
+# corpus-calibrated thresholds (see module docstring)
+JACCARD_THRESHOLD = 0.02
+COSINE_THRESHOLD = 0.45
+SIMHASH_MAX_HAMMING = 4
+TOPK_K = 5
+N_QUERY_VECS = 8
+
+# shared SQL fragments ------------------------------------------------------
+
+_TOKENS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+#: distinct 3-token shingles of the token array t (1-based list indexing)
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+_HASH28 = "('0x' || substr(md5({x}), 1, 7))::BIGINT"
+
+
+def _sig_mins_sql() -> str:
+    return ",\n    ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+
+
+def _band_keys_sql() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    keys = []
+    for band in range(MINHASH_BANDS):
+        cols = ", ".join(f"mh{band * rows + r}" for r in range(rows))
+        keys.append(f"({band}, concat_ws('|', {cols}))")
+    return ", ".join(keys)
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs)
+
+
+DD_EXACT_ORACLE = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 20% deterministic sample bounds the inverted-index join at bench scale
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+
+
+DD_NGRAM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES} AS shs
+  FROM (SELECT doc_id, {_TOKENS} AS t FROM documents WHERE doc_id % 5 = 0)
+), s AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY 1),
+com AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT ia AS doc_id_a, ib AS doc_id_b,
+       CAST(c AS DOUBLE) / CAST(x.n_sh + y.n_sh - c AS DOUBLE) AS jaccard
+FROM com JOIN cnt x ON ia = x.doc_id JOIN cnt y ON ib = y.doc_id
+WHERE CAST(c AS DOUBLE) / CAST(x.n_sh + y.n_sh - c AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+
+
+DD_MINHASH_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES} AS shs
+  FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+), s AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+hashed AS (SELECT doc_id, {_HASH28.format(x='sh')} AS h FROM s),
+sig AS (
+  SELECT doc_id,
+    {_sig_mins_sql()}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b.band_id, b.band_key
+  FROM sig, (VALUES {_band_keys_sql()}) AS b(band_id, band_key)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT ia AS doc_id_a, ib AS doc_id_b,
+       CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+         / CAST(len(da.shs) + len(db.shs) - len(list_intersect(da.shs, db.shs)) AS DOUBLE) AS jaccard
+FROM cand JOIN d da ON cand.ia = da.doc_id JOIN d db ON cand.ib = db.doc_id
+WHERE CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+        / CAST(len(da.shs) + len(db.shs) - len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+def dd_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_values(docs).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    value = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+), hashed AS (SELECT doc_id, {_HASH28.format(x='tok')} AS h FROM toks),
+sig AS (
+  SELECT doc_id,
+    {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {value} AS simhash FROM sig
+"""
+
+
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def _simhash_pairs_oracle() -> str:
+    bits_per_band = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << bits_per_band) - 1
+    bands = ", ".join(
+        f"({b}, (simhash >> {b * bits_per_band}) & {mask})" for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH sig AS ({_simhash_oracle().strip()}),
+bands AS (
+  SELECT doc_id, simhash, b.band_id, b.band_val
+  FROM sig, LATERAL (SELECT * FROM (VALUES {bands}) v(band_id, band_val)) b
+), cand AS (
+  SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib,
+         CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+)
+SELECT ia AS doc_id_a, ib AS doc_id_b, hamming
+FROM cand WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=COSINE_THRESHOLD)
+
+
+_VEC_NORM = "sqrt(list_sum(list_transform(v, x -> x * x)))"
+
+DD_EMB_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (SELECT vec_id, v, {_VEC_NORM} AS nrm FROM e)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)
+      >= {COSINE_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.cosine_topk(emb, qs, k=TOPK_K)
+
+
+SIM_TOPK_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (SELECT vec_id, v, {_VEC_NORM} AS nrm FROM e),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+  FROM n q JOIN n c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERY_VECS}
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOPK_K}
+"""
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (LSH-bucketed) variant — registered without an oracle:
+    bucket membership depends on sign(projection), which is not stable
+    enough across engines to hash-compare; recall-vs-bruteforce is covered
+    by unit tests instead."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.lsh_cosine_topk(emb, qs, k=TOPK_K, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def ts_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return textstats.text_stats(docs)
+
+
+TS_STATS_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(length(text) AS INTEGER) AS n_chars,
+    CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
+    CAST(len(list_distinct({_TOKENS})) AS INTEGER) AS n_unique_tokens,
+    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INTEGER) AS n_nonspace_chars,
+    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_punct,
+    CAST(len(list_filter({_TOKENS}, t -> t IN ('the','and','of','to','in','is','it','you','that','for'))) AS INTEGER) AS n_stopwords,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT *,
+  CAST(n_unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS token_diversity,
+  CAST(n_nonspace_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+  CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+  (CASE WHEN n_tokens >= 20 AND n_tokens <= 80 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+   + CASE WHEN CAST(n_unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+   + CASE WHEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) < 0.1 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+  ) AS quality_score
+FROM base
+"""
+
+
+def ts_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return textstats.lang_id(docs)
+
+
+def _lang_oracle() -> str:
+    from us_dot_flights_lakehouse_spark.llm.textstats import LANG_LEXICONS
+
+    counts = ",\n    ".join(
+        "CAST(len(list_filter({t}, t -> t IN ({ws}))) AS INTEGER) AS c_{lang}".format(
+            t=_TOKENS, ws=", ".join(f"'{w}'" for w in lex), lang=lang
+        )
+        for lang, lex in LANG_LEXICONS.items()
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+    {counts}
+  FROM documents
+)
+SELECT *,
+  CASE
+    WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de AND c_en > 0 THEN 'en'
+    WHEN c_es >= c_fr AND c_es >= c_de AND c_es > 0 THEN 'es'
+    WHEN c_fr >= c_de AND c_fr > 0 THEN 'fr'
+    WHEN c_de > 0 THEN 'de'
+    ELSE 'und'
+  END AS lang_pred
+FROM scored
+"""
+
+
+QUERIES = {
+    "dd_exact_dedup": dd_exact_dedup,
+    "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_minhash_lsh": dd_minhash_lsh,
+    "dd_simhash_values": dd_simhash_values,
+    "dd_simhash_pairs": dd_simhash_pairs,
+    "dd_embedding_neardup": dd_embedding_neardup,
+    "sim_topk_cosine": sim_topk_cosine,
+    "sim_lsh_topk": sim_lsh_topk,
+    "ts_text_stats": ts_text_stats,
+    "ts_lang_id": ts_lang_id,
+}
+
+ORACLES = {
+    "dd_exact_dedup": DD_EXACT_ORACLE,
+    "dd_ngram_jaccard": DD_NGRAM_ORACLE,
+    "dd_minhash_lsh": DD_MINHASH_ORACLE,
+    "dd_simhash_values": _simhash_oracle(),
+    "dd_simhash_pairs": _simhash_pairs_oracle(),
+    "dd_embedding_neardup": DD_EMB_ORACLE,
+    "sim_topk_cosine": SIM_TOPK_ORACLE,
+    "ts_text_stats": TS_STATS_ORACLE,
+    "ts_lang_id": _lang_oracle(),
+}
