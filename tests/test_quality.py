@@ -1,0 +1,61 @@
+"""Quality-gate semantics: pass/fail behavior and the fail-closed vs
+warn-only modes mirroring the reference's silver vs bronze gates."""
+
+from __future__ import annotations
+
+import pytest
+
+from us_dot_flights_lakehouse_spark.quality.checks import (
+    QualityGateError,
+    QualitySuite,
+)
+
+
+@pytest.fixture()
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, "AA", 100.0),
+            (2, "BB", 200.0),
+            (3, None, 250.0),
+            (3, "CC", 5000.0),  # dup id + out-of-range value
+        ],
+        "id long, code string, amount double",
+    )
+
+
+def test_suite_runs_single_pass_and_flags_failures(frame):
+    suite = (
+        QualitySuite("t")
+        .expect_row_count_at_least(10)  # fails: 4 rows
+        .expect_column_exists("code")
+        .expect_column_exists("missing_col")  # fails
+        .expect_null_rate_at_most("code", 0.30)  # passes: 1/4 = 0.25
+        .expect_unique("id")  # fails: dup 3
+        .expect_values_between("amount", 0, 1000, mostly=0.5)  # passes: 3/4
+        .expect_values_in_set("code", ("AA", "BB", "CC"))
+        .expect_length_between("code", 2, 2)
+    )
+    by_key = {(r.check, r.column): r for r in suite.run(frame)}
+    assert not by_key[("row_count_at_least", "*")].passed
+    assert by_key[("column_exists", "code")].passed
+    assert not by_key[("column_exists", "missing_col")].passed
+    assert by_key[("null_rate_at_most", "code")].passed
+    assert by_key[("null_rate_at_most", "code")].observed == 0.25
+    assert not by_key[("unique", "id")].passed
+    assert by_key[("values_between", "amount")].passed
+    assert by_key[("values_in_set", "code")].passed  # nulls don't fail set checks
+    assert by_key[("length_between", "code")].passed
+
+
+def test_fail_closed_raises_like_silver_gate(frame):
+    suite = QualitySuite("silver").expect_unique("id")
+    with pytest.raises(QualityGateError) as exc:
+        suite.validate(frame, fail_closed=True)
+    assert exc.value.failures[0].check == "unique"
+
+
+def test_warn_only_returns_like_bronze_gate(frame):
+    suite = QualitySuite("bronze").expect_unique("id")
+    results = suite.validate(frame, fail_closed=False)
+    assert any(not r.passed for r in results)

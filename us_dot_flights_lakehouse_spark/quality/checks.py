@@ -1,0 +1,145 @@
+"""Native data-quality gates (SURVEY.md §5): the reference validates every
+layer with Great Expectations suites run in-pipeline
+(``expectations/bronze_expectations.py:50-76``,
+``silver_expectations.py:54-187``, ``gold_expectations.py`` PK-uniqueness);
+this module re-derives the same check vocabulary as plain Spark
+aggregations with no external dependency.
+
+Design: a suite COMPILES to one wide aggregation — every null-rate /
+range / set / length / uniqueness check becomes a conditional-count
+column, so validating a 100 TB table costs exactly one scan + one
+single-row aggregate, not one job per expectation (which is how GE on
+Spark degrades at scale).
+
+Gate semantics mirror the reference: ``fail_closed=True`` raises on any
+failure (silver, ``flights_silver_transform.py:157-162``);
+``fail_closed=False`` logs and continues (bronze,
+``download_and_ingest.py:308-311``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CheckResult:
+    check: str
+    column: str
+    passed: bool
+    observed: float | None
+
+
+class QualityGateError(RuntimeError):
+    """Raised by a fail-closed gate; carries the failing results."""
+
+    def __init__(self, failures: list[CheckResult]):
+        self.failures = failures
+        super().__init__(
+            "quality gate failed: "
+            + "; ".join(f"{r.check}({r.column}) observed={r.observed}" for r in failures)
+        )
+
+
+class QualitySuite:
+    """Accumulates expectations, compiles them into one aggregation pass."""
+
+    def __init__(self, name: str):
+        self.name = name
+        # (check_name, column, agg Column producing observed, pass predicate)
+        self._checks: list[tuple[str, str, Column | None, object]] = []
+
+    # -- expectation vocabulary (GE-suite equivalents) ----------------------
+
+    def expect_row_count_at_least(self, n: int) -> "QualitySuite":
+        self._checks.append(
+            ("row_count_at_least", "*", F.count("*").cast("double"), lambda v: v >= n)
+        )
+        return self
+
+    def expect_column_exists(self, col: str) -> "QualitySuite":
+        self._checks.append(("column_exists", col, None, None))
+        return self
+
+    def expect_null_rate_at_most(self, col: str, rate: float) -> "QualitySuite":
+        observed = (
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+        )
+        self._checks.append(
+            ("null_rate_at_most", col, observed, lambda v, r=rate: v <= r)
+        )
+        return self
+
+    def expect_unique(self, col: str) -> "QualitySuite":
+        observed = (F.count(col) - F.countDistinct(col)).cast("double")
+        self._checks.append(("unique", col, observed, lambda v: v == 0))
+        return self
+
+    def expect_values_between(
+        self, col: str, lo: float, hi: float, mostly: float = 1.0
+    ) -> "QualitySuite":
+        in_range = F.when(
+            F.col(col).isNull() | F.col(col).between(lo, hi), 1
+        ).otherwise(0)
+        observed = F.sum(in_range).cast("double") / F.count("*").cast("double")
+        self._checks.append(
+            ("values_between", col, observed, lambda v, m=mostly: v >= m)
+        )
+        return self
+
+    def expect_values_in_set(
+        self, col: str, values: tuple, mostly: float = 1.0
+    ) -> "QualitySuite":
+        ok = F.when(F.col(col).isNull() | F.col(col).isin(*values), 1).otherwise(0)
+        observed = F.sum(ok).cast("double") / F.count("*").cast("double")
+        self._checks.append(
+            ("values_in_set", col, observed, lambda v, m=mostly: v >= m)
+        )
+        return self
+
+    def expect_length_between(self, col: str, lo: int, hi: int) -> "QualitySuite":
+        ok = F.when(
+            F.col(col).isNull() | F.length(col).between(lo, hi), 1
+        ).otherwise(0)
+        observed = F.sum(ok).cast("double") / F.count("*").cast("double")
+        self._checks.append(("length_between", col, observed, lambda v: v >= 1.0))
+        return self
+
+    # -- execution ----------------------------------------------------------
+
+    def run(self, df: DataFrame) -> list[CheckResult]:
+        """Single-pass evaluation: one agg over all compiled observations."""
+        results: list[CheckResult] = []
+        aggs, slots = [], []
+        for check, col, observed, pred in self._checks:
+            if check == "column_exists":
+                results.append(CheckResult(check, col, col in df.columns, None))
+                continue
+            aggs.append(observed.alias(f"obs_{len(aggs)}"))
+            slots.append((check, col, pred))
+        if aggs:
+            row = df.agg(*aggs).collect()[0]
+            for i, (check, col, pred) in enumerate(slots):
+                v = row[f"obs_{i}"]
+                results.append(CheckResult(check, col, bool(pred(v)), v))
+        return results
+
+    def validate(self, df: DataFrame, fail_closed: bool = True) -> list[CheckResult]:
+        results = self.run(df)
+        failures = [r for r in results if not r.passed]
+        if failures and fail_closed:
+            raise QualityGateError(failures)
+        return results
+
+    def report_df(self, spark, df: DataFrame) -> DataFrame:
+        """Results as a DataFrame (for persistence next to the table)."""
+        rows = [
+            (self.name, r.check, r.column, r.passed, r.observed) for r in self.run(df)
+        ]
+        return spark.createDataFrame(
+            rows, "suite string, check string, column string, passed boolean, observed double"
+        )

@@ -1,0 +1,61 @@
+"""Quality-gate query: the orders suite report, oracle-checked so the
+check arithmetic itself (rates, uniqueness deltas, range fractions) is
+verified against an independent engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from us_dot_flights_lakehouse_spark.quality.checks import QualitySuite
+from us_dot_flights_lakehouse_spark.sources.readers import read_table
+
+
+def orders_suite() -> QualitySuite:
+    """Mirrors the reference's bronze/gold expectation shapes
+    (bronze_expectations.py:50-76: row-count, null bounds, ranges;
+    gold_expectations.py: PK uniqueness; silver_expectations.py:54-187:
+    set membership + code lengths) against the orders table."""
+    return (
+        QualitySuite("orders")
+        .expect_row_count_at_least(1)
+        .expect_column_exists("o_orderkey")
+        .expect_null_rate_at_most("o_custkey", 0.05)
+        .expect_unique("o_orderkey")
+        .expect_values_between("o_totalprice", 0.0, 1_000_000.0, mostly=0.99)
+        .expect_values_in_set("o_orderstatus", ("F", "O", "P"))
+        .expect_length_between("o_orderpriority", 5, 15)
+    )
+
+
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders_suite().report_df(spark, orders)
+
+
+QUALITY_ORACLE = """
+WITH agg AS (
+  SELECT
+    CAST(COUNT(*) AS DOUBLE) AS n_rows,
+    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE) AS null_rate,
+    CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS dup_delta,
+    CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice BETWEEN 0.0 AND 1000000.0 THEN 1 ELSE 0 END) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE) AS in_range,
+    CAST(SUM(CASE WHEN o_orderstatus IS NULL OR o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE) AS in_set,
+    CAST(SUM(CASE WHEN o_orderpriority IS NULL OR length(o_orderpriority) BETWEEN 5 AND 15 THEN 1 ELSE 0 END) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE) AS len_ok
+  FROM orders
+)
+SELECT 'orders' AS suite, 'row_count_at_least' AS check, '*' AS "column",
+       n_rows >= 1 AS passed, n_rows AS observed FROM agg
+UNION ALL SELECT 'orders', 'column_exists', 'o_orderkey', TRUE, NULL FROM agg
+UNION ALL SELECT 'orders', 'null_rate_at_most', 'o_custkey', null_rate <= 0.05, null_rate FROM agg
+UNION ALL SELECT 'orders', 'unique', 'o_orderkey', dup_delta = 0, dup_delta FROM agg
+UNION ALL SELECT 'orders', 'values_between', 'o_totalprice', in_range >= 0.99, in_range FROM agg
+UNION ALL SELECT 'orders', 'values_in_set', 'o_orderstatus', in_set >= 1.0, in_set FROM agg
+UNION ALL SELECT 'orders', 'length_between', 'o_orderpriority', len_ok >= 1.0, len_ok FROM agg
+"""
+
+QUERIES = {"q_quality_report": q_quality_report}
+ORACLES = {"q_quality_report": QUALITY_ORACLE}

@@ -1,9 +1,73 @@
-"""Streaming-derived queries (incremental ingest parity checks).
+"""Event-time queries over the ``events`` table.
 
-Populated as the streaming/ modules land.
+These exercise the streaming/events.py operators in BATCH mode — the same
+DataFrame logic a readStream caller uses (tests/test_streaming.py proves
+batch/stream parity) — which is what makes a DuckDB oracle possible for
+streaming aggregation semantics.
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+
+from us_dot_flights_lakehouse_spark.sources.readers import read_table
+from us_dot_flights_lakehouse_spark.streaming.events import (
+    sessionize,
+    windowed_event_stats,
+)
+
+SESSION_GAP_MINUTES = 30
+
+
+def st_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return windowed_event_stats(events, "1 hour")
+
+
+ST_WINDOW_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return sessionize(events, gap_minutes=SESSION_GAP_MINUTES)
+
+
+ST_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_MINUTES * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), numbered AS (
+  SELECT *,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+FROM numbered GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "st_windowed_events": st_windowed_events,
+    "st_sessionize": st_sessionize,
+}
+
+ORACLES = {
+    "st_windowed_events": ST_WINDOW_ORACLE,
+    "st_sessionize": ST_SESSION_ORACLE,
+}

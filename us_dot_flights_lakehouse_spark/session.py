@@ -37,6 +37,10 @@ ENGINE_CONFS: dict[str, str] = {
     # Small dims should broadcast aggressively (reference: build_fact_flights.py:113
     # raises it to 100MB for the fact build).
     "spark.sql.autoBroadcastJoinThreshold": str(100 * 1024 * 1024),
+    # read TIMESTAMP(NANOS) parquet (unsupported natively) as long nanos;
+    # sources.readers converts to microsecond timestamps, matching the
+    # truncation external engines (DuckDB) apply on the same files
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
 }
 

@@ -37,9 +37,23 @@ TABLES = (
 )
 
 
+#: columns stored as TIMESTAMP(NANOS) in the testdata; arrive as long
+#: nanos under the nanosAsLong conf and are normalized to µs timestamps
+NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def normalize_nano_ts(df: DataFrame, table: str) -> DataFrame:
+    """Convert nanosAsLong-read columns to microsecond timestamps (floor
+    division — the same truncation DuckDB applies reading the same file)."""
+    for c in NANO_TS_COLS.get(table, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S4: columnar table scan (reference loads Delta; locally parquet)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return normalize_nano_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
 
 
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -1,0 +1,83 @@
+"""Event-time operators, usable in BOTH batch and streaming plans
+(SURVEY.md §2.8 extension note: the reference has no event-time windowing;
+Spark gives it built-in via F.window / withWatermark / session windows).
+
+``windowed_event_stats`` and ``sessionize`` take any events DataFrame —
+batch (parquet scan) or streaming (readStream). The streaming caller adds
+``withWatermark`` before the call (see tests/test_streaming.py); semantics
+are identical, which is what makes the batch DuckDB oracle a valid check
+of the streaming aggregation logic.
+
+Scale notes (100 TB):
+- Window aggregation shuffles on (window, key) — group cardinality, not
+  event cardinality; partial aggregation applies as usual.
+- Batch sessionization is two window functions over (user, ts) — one
+  shuffle on user_id. Skewed users (bots) are the classic hazard: AQE
+  skew handling plus a per-user event cap upstream is the mitigation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from us_dot_flights_lakehouse_spark.operators.aggregates import dec_sum
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time window stats per event type: count + exact-decimal
+    value sum. Works unchanged under readStream (append mode once the
+    caller adds a watermark on ``ts_col``)."""
+    return (
+        events.groupBy(F.window(ts_col, window_duration).alias("win"), F.col(type_col))
+        .agg(F.count("*").alias("n_events"), dec_sum(value_col, "total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            type_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch sessionization: lag-gap flag + running sum = session index,
+    then per-session rollup (the lag/cumsum idiom; streaming equivalent is
+    ``session_window`` which needs no pre-assigned ids). Deterministic
+    ordering via (ts, event_id) tie-break."""
+    order = [F.col(ts_col).asc(), F.col(id_col).asc()]
+    w = W.partitionBy(user_col).orderBy(*order)
+    # integer microseconds: exact gap comparison at any timestamp precision
+    gap_us = gap_minutes * 60 * 1_000_000
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w)))
+            > gap_us,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy(user_col, "session_idx").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        dec_sum("value", "total_value"),
+    )
