@@ -48,7 +48,9 @@ def conditional_avg(cond: Column, value: Column, alias: str) -> Column:
     """
     s = F.sum(F.when(cond, value).cast(MONEY)).cast("double")
     n = F.sum(F.when(cond, 1).otherwise(0))
-    return (s / n).alias(alias)
+    # explicit zero-denominator guard: NULL when no row matches, even
+    # under ANSI mode
+    return F.when(n != 0, s / n).alias(alias)
 
 
 def grouped_agg(

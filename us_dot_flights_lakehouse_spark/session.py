@@ -32,6 +32,10 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic timestamps against external oracles (reference: azure_config.py:104-106)
     "spark.sql.session.timeZone": "UTC",
+    # Spark 3.x / reference semantics: x/0 -> NULL, invalid casts -> NULL
+    # (Spark 4 flipped the default to ANSI; the KPI-ratio NULL-on-zero
+    # contract and permissive ingest of dirty feeds rely on legacy mode)
+    "spark.sql.ansi.enabled": "false",
     # Kryo for shuffle/broadcast serde (reference: spark_config.py:40)
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     # Small dims should broadcast aggressively (reference: build_fact_flights.py:113
