@@ -154,3 +154,13 @@ def test_media_metadata_struct(spark):
 def test_decode_image_is_explicit_stub(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(_media_df(spark))
+
+
+def test_byte_features_custom_id_column(spark):
+    # regression: the Arrow extractor must read the aliased "id" column,
+    # not the caller's id_col name
+    df = spark.createDataFrame([(7, bytearray(b"ab"))], "doc_id long, payload binary")
+    row = multimodal.byte_features(df, id_col="doc_id").collect()[0]
+    assert row["id"] == 7
+    assert row["n_bytes"] == 2
+    assert row["mean_byte"] == (97 + 98) / 2

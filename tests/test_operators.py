@@ -92,3 +92,45 @@ def test_minute_of_day_generator(spark):
     df = minute_of_day_df(spark)
     assert df.count() == 1440
     assert df.agg(F.min("time_key"), F.max("time_key")).collect()[0] == (0, 1439)
+
+
+def test_semi_and_anti_join_partition_rows(spark):
+    from us_dot_flights_lakehouse_spark.operators.joins import anti_join, semi_join
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    keys = spark.createDataFrame([(1,), (1,), (3,)], "k int")  # dup key: no fan-out
+    semi = semi_join(df, keys, "k").collect()
+    anti = anti_join(df, keys, "k").collect()
+    assert sorted(r["k"] for r in semi) == [1, 3]  # no duplication from dup probe
+    assert [r["k"] for r in anti] == [2]
+
+
+def test_intersect_and_except_distinct(spark):
+    from us_dot_flights_lakehouse_spark.operators.setops import (
+        except_distinct,
+        intersect_distinct,
+    )
+
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k int")
+    b = spark.createDataFrame([(1,), (3,), (3,), (4,)], "k int")
+    assert sorted(r["k"] for r in intersect_distinct(a, b).collect()) == [1, 3]
+    # set difference, not multiset: the surplus (1,) occurrence must NOT survive
+    assert sorted(r["k"] for r in except_distinct(a, b).collect()) == [2]
+
+
+def test_rollup_and_cube_levels(spark):
+    from us_dot_flights_lakehouse_spark.operators.aggregates import cube_agg, rollup_agg
+
+    df = spark.createDataFrame(
+        [("x", "p", 1), ("x", "q", 2), ("y", "p", 4)], "a string, b string, n int"
+    )
+    aggs = [F.sum("n").alias("s"), F.grouping_id().alias("gid")]
+    roll = rollup_agg(df, ["a", "b"], aggs).collect()
+    # 3 leaf rows + 2 per-a subtotals + 1 grand total
+    assert len(roll) == 6
+    assert {r["s"] for r in roll if r["gid"] == 3} == {7}
+    cube = cube_agg(df, ["a", "b"], aggs).collect()
+    # cube adds the 2 per-b subtotals
+    assert len(cube) == 8
+    b_subs = {r["b"]: r["s"] for r in cube if r["gid"] == 2}
+    assert b_subs == {"p": 5, "q": 2}

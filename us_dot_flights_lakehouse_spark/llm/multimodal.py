@@ -71,7 +71,7 @@ def byte_features(df: DataFrame, id_col: str = "id", bin_col: str = "payload") -
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, blob in zip(pdf[id_col], pdf[bin_col]):
+            for i, blob in zip(pdf["id"], pdf[bin_col]):
                 if blob is None:
                     rows.append((i, None, None, None))
                     continue

@@ -74,3 +74,23 @@ def topk(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
     (reference notebook cells 11-13: groupBy().count().orderBy(desc).show(10)).
     Runs as TakeOrderedAndProject (no full sort)."""
     return df.orderBy(*order).limit(k)
+
+
+def rollup_agg(
+    df: DataFrame, keys: Sequence[str | Column], aggs: Sequence[Column]
+) -> DataFrame:
+    """Hierarchical subtotals: GROUP BY ROLLUP(keys) — per-group rows plus
+    one subtotal level per key prefix plus a grand total. Not exercised by
+    the reference (SURVEY.md §2.4 'not present'); exposed because marts
+    like daily_airline_performance are naturally served by one rollup pass
+    instead of N separate groupBys at 100 TB (one shuffle, partial aggs
+    shared across levels)."""
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(
+    df: DataFrame, keys: Sequence[str | Column], aggs: Sequence[Column]
+) -> DataFrame:
+    """All-subsets subtotals: GROUP BY CUBE(keys). Same single-shuffle
+    property as rollup_agg; grouping_id() disambiguates levels."""
+    return df.cube(*keys).agg(*aggs)

@@ -85,3 +85,18 @@ def outer_merge_coalesce(
         right[c] for c in right.columns if c not in right_keys
     ]
     return joined.select(*key_cols, *rest)
+
+
+def semi_join(df: DataFrame, keys: DataFrame, on: Column | Sequence[str]) -> DataFrame:
+    """Left-semi join: keep rows of ``df`` that have a match in ``keys``,
+    never duplicating on multi-matches (≡ WHERE EXISTS). The probe side
+    carries only its join columns, so at 100 TB this is the cheap way to
+    apply a membership filter — broadcast when small, shuffled-hash
+    otherwise; AQE picks per-partition."""
+    return df.join(keys, on, "left_semi")
+
+
+def anti_join(df: DataFrame, keys: DataFrame, on: Column | Sequence[str]) -> DataFrame:
+    """J7: left-anti join (≡ WHERE NOT EXISTS) — the dual of semi_join
+    (used for orphan detection, e.g. customers without orders)."""
+    return df.join(keys, on, "left_anti")

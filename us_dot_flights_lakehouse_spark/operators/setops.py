@@ -20,3 +20,17 @@ def union_distinct(*dfs: DataFrame) -> DataFrame:
     for df in it:
         out = out.union(df)
     return out.distinct()
+
+
+def intersect_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """INTERSECT (distinct) — rows present in both inputs. Spark plans this
+    as a left-semi hash join over distinct keys; project to the minimal
+    columns first for the same shuffle-width reason as union_distinct."""
+    return a.intersect(b)
+
+
+def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """EXCEPT (distinct) — distinct rows of ``a`` absent from ``b``
+    (left-anti under the hood; NOT exceptAll, which is per-occurrence
+    multiset difference). Complements U1/intersect for the set-op surface."""
+    return a.subtract(b)

@@ -22,9 +22,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from us_dot_flights_lakehouse_spark.queries import llm, quality, relational, streaming
+from us_dot_flights_lakehouse_spark.queries import (
+    flights,
+    llm,
+    quality,
+    relational,
+    streaming,
+)
 
-_MODULES = (relational, llm, streaming, quality)
+_MODULES = (relational, llm, streaming, quality, flights)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from us_dot_flights_lakehouse_spark.llm import dedup, similarity, textstats
+from us_dot_flights_lakehouse_spark.llm import dedup, multimodal, similarity, textstats
 from us_dot_flights_lakehouse_spark.llm.dedup import (
     MINHASH_A,
     MINHASH_B,
@@ -314,6 +314,82 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+#: doc_id % 5 -> synthetic magic prefix (hex) and the media type it decodes to
+_MM_MAGIC = (
+    ("89504E47", "image/png"),
+    ("FFD8FFE0", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("52494646", "audio/wav"),
+    ("1A45DFA3", "video/webm"),
+)
+
+
+def _synthetic_payload() -> "F.Column":
+    """Deterministic binary payload: a real media magic prefix (by
+    doc_id % 5) followed by the UTF-8 text bytes — exercises the binary
+    column path without shipping codecs."""
+    magic = F.lit(_MM_MAGIC[-1][0])
+    for i, (hexmagic, _) in enumerate(_MM_MAGIC[:-1]):
+        magic = F.when(F.col("doc_id") % 5 == i, hexmagic).otherwise(magic)
+    return F.concat(F.unhex(magic), F.encode(F.col("text"), "UTF-8"))
+
+
+def mm_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: typed-metadata manifest over an opaque binary media column —
+    magic-byte type sniffing (pure Column CASE, JVM-side) + payload size.
+    The oracle recomputes the type from the same hex prefix in SQL."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", _synthetic_payload().alias("payload")
+    )
+    manifest = multimodal.with_media_metadata(docs)
+    return manifest.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+    )
+
+
+def _mm_manifest_oracle() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{mtype}'" for i, (_, mtype) in enumerate(_MM_MAGIC)
+    )
+    return f"""
+SELECT doc_id,
+       CASE doc_id % 5 {cases} END AS media_type,
+       CAST(4 + octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: Arrow-batched per-partition binary feature extraction
+    (mapInPandas) — the real multimodal plumbing path. Oracle-checked on
+    the exact integer features (byte count, mean byte — the corpus is
+    ASCII so SQL can recompute them character-wise); byte_entropy is
+    covered by unit tests (float log2 summation order is not
+    cross-engine-stable)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    feats = multimodal.byte_features(docs, id_col="doc_id", bin_col="payload")
+    return feats.select(
+        F.col("id").alias("doc_id"), "n_bytes", "mean_byte"
+    )
+
+
+MM_BYTES_ORACLE = """
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bytes,
+       CAST(SUM(ord(ch)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_byte
+FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dd_exact_dedup": dd_exact_dedup,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -325,6 +401,8 @@ QUERIES = {
     "sim_lsh_topk": sim_lsh_topk,
     "ts_text_stats": ts_text_stats,
     "ts_lang_id": ts_lang_id,
+    "mm_media_manifest": mm_media_manifest,
+    "mm_byte_features": mm_byte_features,
 }
 
 ORACLES = {
@@ -337,4 +415,6 @@ ORACLES = {
     "sim_topk_cosine": SIM_TOPK_ORACLE,
     "ts_text_stats": TS_STATS_ORACLE,
     "ts_lang_id": _lang_oracle(),
+    "mm_media_manifest": _mm_manifest_oracle(),
+    "mm_byte_features": MM_BYTES_ORACLE,
 }

@@ -18,15 +18,22 @@ from us_dot_flights_lakehouse_spark.operators.aggregates import (
     MONEY,
     conditional_avg,
     conditional_count,
+    cube_agg,
     dec_sum,
+    rollup_agg,
 )
 from us_dot_flights_lakehouse_spark.operators.generators import date_range_df
 from us_dot_flights_lakehouse_spark.operators.joins import (
     broadcast_star_join,
     enrich_join,
     outer_merge_coalesce,
+    semi_join,
 )
-from us_dot_flights_lakehouse_spark.operators.setops import union_distinct
+from us_dot_flights_lakehouse_spark.operators.setops import (
+    except_distinct,
+    intersect_distinct,
+    union_distinct,
+)
 from us_dot_flights_lakehouse_spark.sources.readers import lookup_scan, read_table
 
 
@@ -566,6 +573,173 @@ WHERE rank_in_flag <= 3
 """
 
 
+def j6_semi_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-semi: membership filter as left-semi join (≡ WHERE EXISTS) —
+    customers with at least one high-value order. The probe side is
+    projected to its key column only before the join."""
+    customer = read_table(spark, sf_dir, "customer")
+    big = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select("o_custkey")
+    )
+    return semi_join(
+        customer, big, customer["c_custkey"] == big["o_custkey"]
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+J6_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+)
+"""
+
+
+def u2_intersect_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: INTERSECT / EXCEPT over minimal key projections — nations having
+    both customers and suppliers vs customer-only nations, tagged and
+    re-unioned (complements U1's union-distinct)."""
+    cn = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    sn = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = intersect_distinct(cn, sn).withColumn("membership", F.lit("both"))
+    cust_only = except_distinct(cn, sn).withColumn(
+        "membership", F.lit("customer_only")
+    )
+    return both.unionByName(cust_only)
+
+
+U2_ORACLE = """
+SELECT nationkey, 'both' AS membership FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT nationkey, 'customer_only' AS membership FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey FROM supplier
+)
+"""
+
+
+def a8_describe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: summary statistics via df.describe() (reference notebook cell 5,
+    export_aggregates.py:75). Registered rows-only: describe() formats
+    doubles as strings with engine-specific repr, so no value-hash oracle."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select("o_totalprice", "o_custkey").describe()
+
+
+def a9_rollup_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: hierarchical subtotals — one ROLLUP pass produces per-(segment,
+    status) rows, per-segment subtotals, and the grand total in a single
+    shuffle (the scale-path replacement for N separate mart groupBys)."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = orders.join(
+        F.broadcast(customer),
+        orders["o_custkey"] == customer["c_custkey"],
+    )
+    return rollup_agg(
+        joined,
+        ["c_mktsegment", "o_orderstatus"],
+        [
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice", "revenue"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        ],
+    )
+
+
+A9_ORACLE = """
+SELECT c_mktsegment, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+       CAST(GROUPING(c_mktsegment, o_orderstatus) AS BIGINT) AS gid
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
+"""
+
+
+def a10_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: CUBE — all grouping subsets of (returnflag, linestatus) with
+    exact-decimal measures, one shuffle (TPC-H Q1-shaped with subtotals)."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return cube_agg(
+        lineitem,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.count("*").alias("n_items"),
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_price"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        ],
+    )
+
+
+A10_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def a11_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: exact percentile aggregates — linear-interpolation quartiles and
+    median per return flag (bit-identical to SQL QUANTILE_CONT/MEDIAN; both
+    engines compute lo + (hi-lo)*frac on doubles)."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])).alias(
+            "price_quartiles"
+        ),
+        F.median("l_discount").alias("median_discount"),
+        F.count("*").alias("n_items"),
+    )
+
+
+A11_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS price_quartiles,
+       median(l_discount) AS median_discount,
+       COUNT(*) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def a12_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: approximate sketch aggregates — HyperLogLog++ distinct counts and
+    GK-sketch percentiles. Registered rows-only: sketch outputs are
+    deterministic within Spark but implementation-defined, so no
+    cross-engine value oracle (DuckDB's approx functions use different
+    sketches). These are the 100 TB path: memory-bounded, single-pass,
+    mergeable — exact distinct over 10^12 keys is a full shuffle; HLL is a
+    fixed 1.5 KB per group."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+        F.percentile_approx(
+            "l_extendedprice", F.lit([0.5, 0.9, 0.99]), 10000
+        ).alias("approx_price_pcts"),
+        F.count("*").alias("n_items"),
+    )
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -582,6 +756,13 @@ QUERIES = {
     "f_string_suite": f_string_suite,
     "f_datetime_suite": f_datetime_suite,
     "w1_topk_per_group": w1_topk_per_group,
+    "j6_semi_high_value_customers": j6_semi_high_value_customers,
+    "u2_intersect_except_nations": u2_intersect_except_nations,
+    "a8_describe_orders": a8_describe_orders,
+    "a9_rollup_segment_status": a9_rollup_segment_status,
+    "a10_cube_returnflag_status": a10_cube_returnflag_status,
+    "a11_exact_quantiles": a11_exact_quantiles,
+    "a12_approx_sketches": a12_approx_sketches,
 }
 
 ORACLES = {
@@ -600,4 +781,9 @@ ORACLES = {
     "f_string_suite": F_STRING_ORACLE,
     "f_datetime_suite": F_DATETIME_ORACLE,
     "w1_topk_per_group": W1_ORACLE,
+    "j6_semi_high_value_customers": J6_ORACLE,
+    "u2_intersect_except_nations": U2_ORACLE,
+    "a9_rollup_segment_status": A9_ORACLE,
+    "a10_cube_returnflag_status": A10_ORACLE,
+    "a11_exact_quantiles": A11_ORACLE,
 }
