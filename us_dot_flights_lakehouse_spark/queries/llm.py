@@ -26,7 +26,7 @@ from us_dot_flights_lakehouse_spark.llm.dedup import (
     SIMHASH_BANDS,
     SIMHASH_BITS,
 )
-from us_dot_flights_lakehouse_spark.sources.readers import read_table
+from us_dot_flights_lakehouse_spark.sources.readers import read_corpus
 
 # corpus-calibrated thresholds (see module docstring)
 JACCARD_THRESHOLD = 0.02
@@ -67,7 +67,7 @@ def _band_keys_sql() -> str:
 # ---------------------------------------------------------------------------
 
 def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_corpus(spark, sf_dir, "documents")
     return dedup.exact_dedup_groups(docs)
 
 
@@ -80,7 +80,7 @@ FROM documents GROUP BY 1
 
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 20% deterministic sample bounds the inverted-index join at bench scale
-    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    docs = read_corpus(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     return dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
 
 
@@ -102,7 +102,7 @@ WHERE CAST(c AS DOUBLE) / CAST(x.n_sh + y.n_sh - c AS DOUBLE) >= {JACCARD_THRESH
 
 
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_corpus(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
 
 
@@ -135,7 +135,7 @@ WHERE CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
 
 
 def dd_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_corpus(spark, sf_dir, "documents")
     return dedup.simhash_values(docs).select(
         F.col("id").alias("doc_id"), "simhash"
     )
@@ -164,7 +164,7 @@ SELECT doc_id, {value} AS simhash FROM sig
 
 
 def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_corpus(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
 
 
@@ -191,7 +191,7 @@ FROM cand WHERE hamming <= {SIMHASH_MAX_HAMMING}
 
 
 def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_corpus(spark, sf_dir, "embeddings")
     return dedup.embedding_neardup_pairs(emb, threshold=COSINE_THRESHOLD)
 
 
@@ -214,7 +214,7 @@ WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.
 # ---------------------------------------------------------------------------
 
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_corpus(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return similarity.cosine_topk(emb, qs, k=TOPK_K)
 
@@ -243,7 +243,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket membership depends on sign(projection), which is not stable
     enough across engines to hash-compare; recall-vs-bruteforce is covered
     by unit tests instead."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_corpus(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return similarity.lsh_cosine_topk(emb, qs, k=TOPK_K, dim=64)
 
@@ -253,7 +253,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def ts_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_corpus(spark, sf_dir, "documents")
     return textstats.text_stats(docs)
 
 
@@ -283,7 +283,7 @@ FROM base
 
 
 def ts_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_corpus(spark, sf_dir, "documents")
     return textstats.lang_id(docs)
 
 
@@ -342,7 +342,7 @@ def mm_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM: typed-metadata manifest over an opaque binary media column —
     magic-byte type sniffing (pure Column CASE, JVM-side) + payload size.
     The oracle recomputes the type from the same hex prefix in SQL."""
-    docs = read_table(spark, sf_dir, "documents").select(
+    docs = read_corpus(spark, sf_dir, "documents").select(
         "doc_id", _synthetic_payload().alias("payload")
     )
     manifest = multimodal.with_media_metadata(docs)
@@ -372,7 +372,7 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII so SQL can recompute them character-wise); byte_entropy is
     covered by unit tests (float log2 summation order is not
     cross-engine-stable)."""
-    docs = read_table(spark, sf_dir, "documents").select(
+    docs = read_corpus(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     feats = multimodal.byte_features(docs, id_col="doc_id", bin_col="payload")

@@ -34,7 +34,11 @@ from us_dot_flights_lakehouse_spark.operators.setops import (
     intersect_distinct,
     union_distinct,
 )
-from us_dot_flights_lakehouse_spark.sources.readers import lookup_scan, read_table
+from us_dot_flights_lakehouse_spark.sources.readers import (
+    lookup_scan,
+    read_corpus,
+    read_table,
+)
 
 
 def _div(num, den):
@@ -673,8 +677,12 @@ GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
 
 def a10_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10: CUBE — all grouping subsets of (returnflag, linestatus) with
-    exact-decimal measures, one shuffle (TPC-H Q1-shaped with subtotals)."""
-    lineitem = read_table(spark, sf_dir, "lineitem")
+    exact-decimal measures, one shuffle (TPC-H Q1-shaped with subtotals).
+    read_corpus: the Expand operator multiplies every input row by the
+    number of grouping sets BEFORE the partial aggregate, so scan
+    parallelism matters here (measured 3× on a single-split file) unlike
+    the plain aggs above."""
+    lineitem = read_corpus(spark, sf_dir, "lineitem")
     return cube_agg(
         lineitem,
         ["l_returnflag", "l_linestatus"],

@@ -60,6 +60,22 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+def read_corpus(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan for CPU-heavy per-row work (shingling, hashing, Arrow kernels):
+    read_table + repartition to the session's core count.
+
+    Why: a small single-row-group parquet file arrives as ONE input split,
+    serializing downstream regex/hash/numpy work on one core — measured 3×+
+    on the dedup family locally. The repartition shuffles only the raw
+    corpus bytes (trivial next to the per-row compute it unlocks). On a
+    real cluster a 100 TB corpus already arrives in thousands of splits, so
+    the repartition is a no-op cost-wise (N→N-ish exchange) — callers doing
+    plain columnar scans/aggs should keep using read_table, where an extra
+    exchange measurably loses (simple aggs are faster single-pass)."""
+    df = read_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
