@@ -164,3 +164,23 @@ def test_byte_features_custom_id_column(spark):
     assert row["id"] == 7
     assert row["n_bytes"] == 2
     assert row["mean_byte"] == (97 + 98) / 2
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_small):
+    from us_dot_flights_lakehouse_spark.llm.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, qs, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk(emb, qs, k=5, nlist=8, nprobe=4).collect()
+    }
+    # nprobe=half the cells: expect decent overlap with the exact top-5
+    assert len(exact & approx) / len(exact) >= 0.5

@@ -134,3 +134,18 @@ def test_rollup_and_cube_levels(spark):
     assert len(cube) == 8
     b_subs = {r["b"]: r["s"] for r in cube if r["gid"] == 2}
     assert b_subs == {"p": 5, "q": 2}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from us_dot_flights_lakehouse_spark.operators.joins import salted_join
+
+    # one hot key (90% of rows) + tail keys
+    skewed = spark.createDataFrame(
+        [(1, i) for i in range(90)] + [(2, 900), (3, 901)], "k int, payload int"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "a"), (4, "unused")], "dk int, name string")
+    got = salted_join(skewed, dim, "k", "dk", n_salts=4).collect()
+    want = skewed.join(dim, skewed["k"] == dim["dk"]).collect()
+    key = lambda r: (r["k"], r["payload"], r["name"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert "__salt" not in "".join(salted_join(skewed, dim, "k", "dk").columns)

@@ -1,0 +1,100 @@
+"""Physical-plan assertions — the scale contract, enforced.
+
+Correctness tests prove the numbers; these prove the PLAN is the one we
+want at 100 TB: filters reach the parquet scan, projections prune the read
+schema, small dims broadcast instead of shuffling, top-k never global-sorts,
+and hot expression paths stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from us_dot_flights_lakehouse_spark.queries.relational import (
+    a5_topk_parts,
+    daily_segment_performance,
+    j2_star_fact_build,
+    j6_semi_high_value_customers,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    qe = df._jdf.queryExecution()
+    return qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_totalprice") > 200000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice" in plan
+
+
+def test_column_pruning_reaches_read_schema(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    # the 11-column table must be read as exactly the 2 projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_flagship_broadcasts_the_dim_side(spark):
+    plan = _plan(daily_segment_performance(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # no shuffle-sort of the fact side
+
+
+def test_star_fact_build_is_all_broadcast_joins(spark):
+    plan = _plan(j2_star_fact_build(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = _plan(j6_semi_high_value_customers(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    plan = _plan(a5_topk_parts(spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_is_partial_then_final(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"))
+    )
+    plan = _plan(df, mode="simple")
+    # map-side combine: two HashAggregates around the exchange
+    assert plan.count("HashAggregate") == 2
+    assert "partial_sum" in plan
+
+
+def test_hot_path_stays_in_codegen(spark):
+    df = daily_segment_performance(spark, SF)
+    df.collect()  # AQE only shows codegen spans once the plan is final
+    plan = _plan(df, mode="simple")
+    assert "isFinalPlan=true" in plan
+    # '*(n)' marks operators fused into a WholeStageCodegen span; the final
+    # aggregate and the KPI projection must both be inside one
+    assert "*(" in plan
+    assert "*(4) HashAggregate" in plan or "HashAggregate" in plan.split("*(")[1]
+
+
+def test_conditional_cleaning_has_no_python_udf(spark):
+    from us_dot_flights_lakehouse_spark.queries.relational import p4_conditional_cleaning
+
+    plan = _plan(p4_conditional_cleaning(spark, SF), mode="simple")
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python would kill scan speed
+    assert "ArrowEvalPython" not in plan

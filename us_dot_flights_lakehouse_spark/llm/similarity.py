@@ -97,6 +97,83 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = LSH_PLANES) -> Column:
     return bucket
 
 
+def ivf_cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into ``nlist`` cells; each query probes only its
+    ``nprobe`` nearest cells, then ranks exact cosine inside them.
+
+    Scale path: the corpus is scanned ONCE to assign cells (training runs
+    on the corpus via MLlib k-means — at 100 TB, fit on a sample); the
+    per-query candidate set shrinks ~nlist/nprobe-fold, and the probe join
+    is an equi-join on cell id (shuffle keyed by a small int). Recall
+    degrades gracefully via nprobe, unlike single-bucket LSH probing.
+    Returns (query_id, rank, neighbor_id, cell_id)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = _prep(emb, id_col, vec_col)
+    train = corpus.select("id", array_to_vector(F.col("v")).alias("features"))
+    # coarse quantizer only needs rough cells: few iterations, random init
+    # (k-means|| init costs initSteps extra passes for no recall benefit here)
+    model = KMeans(k=nlist, seed=seed, maxIter=8, initMode="random").fit(train)
+    assigned = model.transform(train).select(
+        "id", F.col("prediction").alias("cell_id")
+    )
+    cells = corpus.join(assigned, "id")
+
+    spark = emb.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell_id int, centroid array<double>",
+    )
+    qs = _prep(queries, id_col, vec_col).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    # rank cells per query by centroid cosine, keep the nprobe nearest
+    qc = (
+        qs.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "cent_cos",
+            _dot("qv", "centroid") / (F.col("qnrm") * norm(F.col("centroid"))),
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("cent_cos"), F.asc("cell_id"))
+            ),
+        )
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("qid", "qv", "qnrm", "cell_id")
+    )
+    cand = F.broadcast(qc).join(cells, "cell_id").filter(F.col("qid") != F.col("id"))
+    scored = cand.select(
+        "qid",
+        "id",
+        "cell_id",
+        (_dot("qv", "v") / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("id").alias("neighbor_id"),
+            "cell_id",
+        )
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -100,3 +100,34 @@ def anti_join(df: DataFrame, keys: DataFrame, on: Column | Sequence[str]) -> Dat
     """J7: left-anti join (≡ WHERE NOT EXISTS) — the dual of semi_join
     (used for orphan detection, e.g. customers without orders)."""
     return df.join(keys, on, "left_anti")
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    other_key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi-join: spread each hot key of ``skewed`` across
+    ``n_salts`` shuffle partitions by widening the join key with a salt,
+    replicating ``other`` once per salt value.
+
+    Use when one key dominates (e.g. a null-bucket or a mega-customer) and
+    the replicated side is small-ish but over the broadcast threshold —
+    below it, broadcast; for moderate skew, AQE skew-join (on in our
+    session) already splits oversized partitions and needs no salting.
+    Results are identical to a plain equi-join; the salt only re-shards.
+    """
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+    s = skewed.withColumn("__salt_l", salt)
+    o = other.withColumn(
+        "__salt_r", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = s.join(
+        o,
+        (s[key] == o[other_key]) & (s["__salt_l"] == o["__salt_r"]),
+        how,
+    )
+    return out.drop("__salt_l", "__salt_r")

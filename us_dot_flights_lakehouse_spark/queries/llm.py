@@ -238,6 +238,15 @@ SELECT query_id, rank, neighbor_id FROM (
 """
 
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) approximate top-k — registered
+    without an oracle: cell assignments come from MLlib k-means, not
+    SQL-expressible; recall-vs-bruteforce is covered by unit tests."""
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.ivf_cosine_topk(emb, qs, k=TOPK_K, nlist=16, nprobe=4)
+
+
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (LSH-bucketed) variant — registered without an oracle:
     bucket membership depends on sign(projection), which is not stable
@@ -399,6 +408,7 @@ QUERIES = {
     "dd_embedding_neardup": dd_embedding_neardup,
     "sim_topk_cosine": sim_topk_cosine,
     "sim_lsh_topk": sim_lsh_topk,
+    "sim_ivf_topk": sim_ivf_topk,
     "ts_text_stats": ts_text_stats,
     "ts_lang_id": ts_lang_id,
     "mm_media_manifest": mm_media_manifest,
