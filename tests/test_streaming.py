@@ -96,3 +96,80 @@ def test_windowed_stats_batch_stream_parity(spark, sf_small, tmp_path_factory):
     }
     q.stop()
     assert got == expected
+
+
+def test_running_totals_state_survives_across_microbatches(spark, tmp_path_factory):
+    from us_dot_flights_lakehouse_spark.streaming.stateful import running_user_totals
+
+    base = tmp_path_factory.mktemp("stateful")
+    src = base / "src"
+    src.mkdir()
+    schema = "user_id long, value double, ts timestamp"
+
+    def put(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    put("b1", [(1, 10.0, t0), (1, 5.0, t0), (2, 1.0, t0)])
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_out")
+        .option("checkpointLocation", str(base / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    put("b2", [(1, 2.0, t0), (3, 7.0, t0)])  # user 1 accumulates ON TOP of state
+    q.processAllAvailable()
+    q.stop()
+    # memory sink in update mode appends each emission; last row per user wins
+    rows = spark.sql("SELECT * FROM totals_out").collect()
+    last = {}
+    for r in rows:
+        last[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert last[1] == (3, 17.0)  # 2 events batch1 + 1 event batch2, state carried
+    assert last[2] == (1, 1.0)
+    assert last[3] == (1, 7.0)
+    shutil.rmtree(str(base), ignore_errors=True)
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path_factory):
+    from us_dot_flights_lakehouse_spark.streaming.stateful import stream_dedup
+
+    base = tmp_path_factory.mktemp("sdedup")
+    src = base / "src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, value double"
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(1, t0, 1.0), (1, t0, 1.0), (2, t0, 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        stream_dedup(stream, ["event_id"], watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(base / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # same event_id arrives again in a later micro-batch -> still deduped
+    spark.createDataFrame([(2, t0, 2.0), (3, t0, 3.0)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert got == [1, 2, 3]
+    shutil.rmtree(str(base), ignore_errors=True)

@@ -62,9 +62,46 @@ FROM numbered GROUP BY 1, 2
 """
 
 
+def st_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator end-to-end: readStream over the
+    events parquet → per-user applyInPandasWithState running totals →
+    memory sink, returning the final per-user state emissions.
+
+    Registered rows-only: the totals accumulate float sums in state-store
+    order, which is not cross-engine hashable; state carry-over semantics
+    are asserted exactly in tests/test_streaming.py."""
+    from us_dot_flights_lakehouse_spark.sources.readers import normalize_nano_ts
+    from us_dot_flights_lakehouse_spark.streaming.stateful import running_user_totals
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_nano_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir),
+        "events",
+    )
+    name = "st_running_totals_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name)
+
+
 QUERIES = {
     "st_windowed_events": st_windowed_events,
     "st_sessionize": st_sessionize,
+    "st_running_totals": st_running_totals,
 }
 
 ORACLES = {

@@ -1,0 +1,74 @@
+"""Custom stateful streaming operators (beyond built-in windows/sessions):
+``applyInPandasWithState`` for arbitrary per-key state machines, and
+watermarked streaming dedup.
+
+Scale notes (100 TB / unbounded streams):
+- State lives in the executor state store keyed by group — memory is
+  bounded by ACTIVE key cardinality, not stream length. Anything that can
+  be expressed as a built-in windowed agg should be (state store handles
+  eviction via watermark); applyInPandasWithState is for logic the
+  built-ins can't express (custom accumulators, decaying counters,
+  per-key ML state).
+- ``stream_dedup`` keeps one state entry per key inside the watermark
+  horizon; without the watermark the state grows forever — never ship a
+  streaming dropDuplicates without one.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_TOTALS_OUTPUT = "user_id long, n_events long, total_value double"
+RUNNING_TOTALS_STATE = "n long, total double"
+
+
+def running_user_totals(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Per-user running (event count, value total), carried across
+    micro-batches in the state store and re-emitted on every update —
+    the canonical custom-stateful shape (decaying counters, fraud scores,
+    rate limiters all follow it).
+
+    Works on a streaming DataFrame grouped by ``user_col``; each batch's
+    Arrow frames for a key arrive as an iterator, state is a single
+    (n, total) tuple."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        stateStructType=RUNNING_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key streaming dedup inside the watermark horizon:
+    ``withWatermark + dropDuplicates`` — duplicates arriving later than the
+    watermark are dropped by the source-side filter rather than matched
+    (bounded state is the point; widen the watermark to widen the match
+    window)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
