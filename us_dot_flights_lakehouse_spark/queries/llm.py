@@ -324,6 +324,85 @@ FROM scored
 
 
 # ---------------------------------------------------------------------------
+# Composite: end-to-end corpus curation
+# ---------------------------------------------------------------------------
+
+QUALITY_CUTOFF = 0.7
+
+
+def tp_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE lazy plan: language-ID →
+    quality gate → exact-dedup keeper selection → curated corpus with
+    per-language stats. Composition stays a single Catalyst plan — the
+    lang/quality/fingerprint expressions all fuse into the scan projection,
+    and the only shuffles are the dedup groupBy and the final rollup."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    stats = textstats.text_stats(docs)  # has quality_score + fingerprint
+    langs = textstats.lang_id(docs).select("doc_id", "lang_pred")
+    scored = stats.join(langs, "doc_id").filter(
+        F.col("quality_score") >= QUALITY_CUTOFF
+    )
+    keepers = (
+        scored.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"))
+        .select("keeper_doc_id")
+    )
+    curated = scored.join(
+        keepers, scored["doc_id"] == keepers["keeper_doc_id"], "left_semi"
+    )
+    return curated.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+    )
+
+
+def _curation_oracle() -> str:
+    # rebuild the per-doc stats the Spark side computes, then apply the
+    # same gate + dedup + rollup (fragments shared with ts_* oracles)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
+    CAST(len(list_distinct({_TOKENS})) AS INTEGER) AS n_unique_tokens,
+    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_punct,
+    CAST(length(text) AS INTEGER) AS n_chars,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+    CAST(len(list_filter({_TOKENS}, t -> t IN ('the','and','of','to','in','is','it','you','that','for'))) AS INTEGER) AS c_en,
+    CAST(len(list_filter({_TOKENS}, t -> t IN ('el','la','de','que','y','en','un','es','se','no'))) AS INTEGER) AS c_es,
+    CAST(len(list_filter({_TOKENS}, t -> t IN ('le','la','de','et','les','des','un','une','du','est'))) AS INTEGER) AS c_fr,
+    CAST(len(list_filter({_TOKENS}, t -> t IN ('der','die','und','das','den','von','zu','mit','sich','auf'))) AS INTEGER) AS c_de
+  FROM documents
+), scored AS (
+  SELECT *,
+    (CASE WHEN n_tokens >= 20 AND n_tokens <= 80 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+     + CASE WHEN CAST(n_unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+     + CASE WHEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) < 0.1 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+    ) AS quality_score,
+    CASE
+      WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de AND c_en > 0 THEN 'en'
+      WHEN c_es >= c_fr AND c_es >= c_de AND c_es > 0 THEN 'es'
+      WHEN c_fr >= c_de AND c_fr > 0 THEN 'fr'
+      WHEN c_de > 0 THEN 'de'
+      ELSE 'und'
+    END AS lang_pred
+  FROM base
+), gated AS (
+  SELECT * FROM scored WHERE quality_score >= {QUALITY_CUTOFF}
+), keepers AS (
+  SELECT MIN(doc_id) AS keeper_doc_id FROM gated GROUP BY fingerprint
+)
+SELECT lang_pred,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       SUM(n_bpe_tokens) AS total_bpe_tokens
+FROM gated WHERE doc_id IN (SELECT keeper_doc_id FROM keepers)
+GROUP BY lang_pred
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------
 
@@ -411,6 +490,7 @@ QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "ts_text_stats": ts_text_stats,
     "ts_lang_id": ts_lang_id,
+    "tp_corpus_curation": tp_corpus_curation,
     "mm_media_manifest": mm_media_manifest,
     "mm_byte_features": mm_byte_features,
 }
@@ -425,6 +505,7 @@ ORACLES = {
     "sim_topk_cosine": SIM_TOPK_ORACLE,
     "ts_text_stats": TS_STATS_ORACLE,
     "ts_lang_id": _lang_oracle(),
+    "tp_corpus_curation": _curation_oracle(),
     "mm_media_manifest": _mm_manifest_oracle(),
     "mm_byte_features": MM_BYTES_ORACLE,
 }
