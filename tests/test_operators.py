@@ -149,3 +149,43 @@ def test_salted_join_matches_plain_join(spark):
     key = lambda r: (r["k"], r["payload"], r["name"])
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert "__salt" not in "".join(salted_join(skewed, dim, "k", "dk").columns)
+
+
+def test_cached_context_manager_releases(spark):
+    from us_dot_flights_lakehouse_spark.operators.physical import cached
+
+    df = spark.range(100)
+    with cached(df) as c:
+        assert c.storageLevel.useMemory
+        assert c.count() == 100
+    assert not df.storageLevel.useMemory  # unpersisted on exit
+
+
+def test_partition_histogram_counts_all_rows(spark):
+    from us_dot_flights_lakehouse_spark.operators.physical import partition_histogram
+
+    df = spark.range(1000).repartition(8)
+    hist = partition_histogram(df)
+    assert len(hist) == 8
+    assert sum(hist) == 1000
+
+
+def test_cloud_conf_builders_shape():
+    from us_dot_flights_lakehouse_spark.sources.cloud import (
+        abfss_oauth_confs,
+        abfss_shared_key_confs,
+        gcs_confs,
+        s3a_confs,
+    )
+
+    az = abfss_oauth_confs("acct", "cid", "secret", "tenant")
+    assert az["fs.azure.account.auth.type.acct.dfs.core.windows.net"] == "OAuth"
+    assert "tenant" in az["fs.azure.account.oauth2.client.endpoint.acct.dfs.core.windows.net"]
+    assert abfss_shared_key_confs("acct", "k") == {
+        "fs.azure.account.key.acct.dfs.core.windows.net": "k"
+    }
+    s3 = s3a_confs("ak", "sk")
+    assert s3["fs.s3a.committer.name"] == "magic"
+    assert s3["fs.s3a.access.key"] == "ak"
+    assert "fs.s3a.access.key" not in s3a_confs()  # credential-chain fallback
+    assert gcs_confs("proj")["fs.gs.project.id"] == "proj"
