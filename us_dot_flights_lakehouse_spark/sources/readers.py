@@ -95,6 +95,47 @@ def read_csv(
     return reader.csv(path)
 
 
+def reconcile_schema(
+    df: DataFrame,
+    target: T.StructType,
+    renames: dict[str, str] | None = None,
+) -> DataFrame:
+    """Schema-drift reconciliation (reference download_and_ingest.py:61-78
+    renames OP_CARRIER_AIRLINE_ID→OP_UNIQUE_CARRIER and conditionally casts
+    FL_DATE string→timestamp; Autoloader's addNewColumns evolution at :220):
+
+    - apply known legacy-name ``renames``;
+    - cast columns whose type drifted to the target type (legacy
+      permissive-cast semantics: unparseable values become NULL);
+    - add target columns missing from the feed as typed NULLs;
+    - project to exactly the target columns, in target order (extra feed
+      columns drop — the write-side ``mergeSchema`` path is for keeping
+      them instead).
+    """
+    for old, new in (renames or {}).items():
+        if old in df.columns:
+            df = df.withColumnRenamed(old, new)
+    have = dict(df.dtypes)
+    cols = []
+    for field in target.fields:
+        if field.name not in have:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        elif have[field.name] != field.dataType.simpleString():
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.col(field.name))
+    return df.select(*cols)
+
+
+def evolved_read(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read a table whose files were written under EVOLVING schemas,
+    unioning all versions' columns (reference relies on Delta
+    ``mergeSchema``/``overwriteSchema``; plain parquet gets the same via
+    the mergeSchema scan option — schema reconciliation happens at file
+    granularity, older files surface NULLs for newer columns)."""
+    return spark.read.option("mergeSchema", "true").format(fmt).load(path)
+
+
 def lookup_scan(
     df: DataFrame,
     code_col: str,
