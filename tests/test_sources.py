@@ -103,3 +103,56 @@ def test_export_single_csv_roundtrip(spark, tmp_path):
     assert len(files) == 1  # coalesce(1): exactly one data file
     back = spark.read.option("header", "true").csv(path)
     assert sorted(r["name"] for r in back.collect()) == ["x", "y"]
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    from us_dot_flights_lakehouse_spark.sources.writers import merge_upsert_partitioned
+
+    path = str(tmp_path / "tbl")
+    schema = "k long, day string, v string"
+    initial = spark.createDataFrame(
+        [(1, "d1", "old1"), (2, "d1", "old2"), (3, "d2", "keep")], schema
+    )
+    merge_upsert_partitioned(initial, path, keys=["k"], partition_by=["day"])
+
+    untouched = os.path.join(path, "day=d2")
+    before = {f: os.stat(os.path.join(untouched, f)).st_mtime_ns
+              for f in os.listdir(untouched)}
+
+    updates = spark.createDataFrame([(2, "d1", "NEW2"), (4, "d1", "new4")], schema)
+    merge_upsert_partitioned(updates, path, keys=["k"], partition_by=["day"])
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "old1", 2: "NEW2", 3: "keep", 4: "new4"}
+    after = {f: os.stat(os.path.join(untouched, f)).st_mtime_ns
+             for f in os.listdir(untouched)}
+    assert before == after  # d2 files physically untouched
+
+
+def test_compact_partitions_reduces_files(spark, tmp_path):
+    from us_dot_flights_lakehouse_spark.sources.writers import compact_partitions
+
+    path = str(tmp_path / "frag")
+    schema = "k long, day string"
+    for i in range(4):  # 4 append jobs -> many small files per partition
+        spark.createDataFrame([(i * 10 + j, "d1") for j in range(5)], schema).repartition(
+            3
+        ).write.partitionBy("day").mode("append").parquet(path)
+    files_before = len([f for f in os.listdir(os.path.join(path, "day=d1")) if f.endswith(".parquet")])
+    compact_partitions(spark, path, partition_by=["day"])
+    files_after = len([f for f in os.listdir(os.path.join(path, "day=d1")) if f.endswith(".parquet")])
+    assert files_after < files_before
+    assert spark.read.parquet(path).count() == 20  # no data loss
+
+
+def test_gold_quality_gate_catches_duplicate_pk(spark):
+    from us_dot_flights_lakehouse_spark.flights.pipeline import gold_quality_suites
+    from us_dot_flights_lakehouse_spark.quality.checks import QualityGateError
+
+    import pytest
+
+    dup_dim = spark.createDataFrame(
+        [("AA", "n1"), ("AA", "n2")], "AIRLINE_CODE string, AIRLINE_NAME string"
+    )
+    with pytest.raises(QualityGateError):
+        gold_quality_suites()["dim_airline"].validate(dup_dim, fail_closed=True)

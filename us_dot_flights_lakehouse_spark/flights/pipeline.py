@@ -124,6 +124,40 @@ def run_silver(spark: SparkSession, paths: LakehousePaths) -> DataFrame:
     return spark.read.parquet(paths.silver)
 
 
+#: per-dim primary key for the gold uniqueness gates
+_DIM_PKS = {
+    "dim_date": "DATE_KEY",
+    "dim_time": "TIME_KEY",
+    "dim_airline": "AIRLINE_CODE",
+    "dim_airport": "AIRPORT_CODE",
+    "dim_route": "ROUTE_CODE",
+}
+
+
+def gold_quality_suites() -> dict[str, QualitySuite]:
+    """Gold gates (reference gold_expectations.py:59-396): every dim's PK
+    is non-null and UNIQUE; the fact's FKs stay within null bounds (left
+    joins may miss — the reference probes null-FK % at
+    build_fact_flights.py:49-54) and flag/measure domains hold."""
+    suites = {
+        name: QualitySuite(name)
+        .expect_column_exists(pk)
+        .expect_null_rate_at_most(pk, 0.0)
+        .expect_unique(pk)
+        for name, pk in _DIM_PKS.items()
+    }
+    suites["fact_flights"] = (
+        QualitySuite("fact_flights")
+        .expect_row_count_at_least(1)
+        .expect_null_rate_at_most("DATE_KEY", 0.01)
+        .expect_null_rate_at_most("ORIGIN_AIRPORT_KEY", 0.01)
+        .expect_null_rate_at_most("DEST_AIRPORT_KEY", 0.01)
+        .expect_values_between("DISTANCE_MILES", 0, 20000)
+        .expect_values_in_set("IS_CANCELLED", (True, False))
+    )
+    return suites
+
+
 def run_gold(spark: SparkSession, paths: LakehousePaths) -> dict[str, DataFrame]:
     """Dims off ONE cached silver read (reference build_all_dimensions.py:46-58),
     then fact (broadcast star join + keyed repartition write), then marts."""
@@ -146,6 +180,10 @@ def run_gold(spark: SparkSession, paths: LakehousePaths) -> dict[str, DataFrame]
             silver, dims["dim_date"], dims["dim_airline"], dims["dim_airport"],
             dims["dim_route"],
         )
+        suites = gold_quality_suites()
+        for name, dim in dims.items():
+            suites[name].validate(dim, fail_closed=True)  # PK uniqueness gates
+        suites["fact_flights"].validate(fact, fail_closed=False)  # FK probe, warn-only
         n_rows = silver.count()  # cached — cheap; sizes the fact write
         write_partitioned(
             fact, paths.gold("fact_flights"), partition_by=["DATE_KEY"],

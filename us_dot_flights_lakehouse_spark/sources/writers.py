@@ -52,3 +52,66 @@ def export_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None
     """S6/X3: coalesce(1) + header CSV export for small marts/samples
     (reference export_aggregates.py:66-69)."""
     df.coalesce(1).write.format("csv").option("header", "true").mode(mode).save(path)
+
+
+def merge_upsert_partitioned(
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Key-level MERGE (upsert) on a partitioned parquet table by partition
+    rewrite — the open-format stand-in for Delta ``MERGE INTO`` (the
+    reference overwrites whole tables instead; SURVEY.md §7 M7 names that
+    its biggest scale anti-pattern).
+
+    Only partitions PRESENT IN ``updates`` are read and rewritten: existing
+    rows of those partitions survive unless their key matches an update
+    (left-anti), then updates append. Dynamic partition overwrite leaves
+    every untouched partition's files physically untouched — at 100 TB an
+    incremental day rewrites one day, not the table. Not transactional
+    across concurrent writers (that is what a table format adds); the
+    rewrite itself is atomic per partition dir."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    spark = updates.sparkSession
+    try:
+        existing = spark.read.format(fmt).load(path)
+    except AnalysisException:
+        write_partitioned(updates, path, partition_by=partition_by, fmt=fmt)
+        return
+    touched = updates.select(*partition_by).distinct()
+    # partition-pruned read: join on partition cols keeps only touched dirs
+    keep = (
+        existing.join(F.broadcast(touched), partition_by, "left_semi")
+        .join(updates.select(*keys), keys, "left_anti")
+    )
+    out = keep.unionByName(updates.select(*existing.columns))
+    write_partitioned(
+        out, path, partition_by=partition_by, fmt=fmt, dynamic=True
+    )
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_by: list[str],
+    rows_per_file: int = 1_000_000,
+    fmt: str = "parquet",
+) -> None:
+    """Small-file compaction: rewrite a partitioned table with file counts
+    sized by ``rows_per_file`` (streaming appends and per-batch upserts
+    accrete small files; object-store listing cost makes periodic
+    compaction mandatory at scale — Delta OPTIMIZE's job, done with a
+    keyed repartition here)."""
+    df = spark.read.format(fmt).load(path)
+    n = max(1, df.count() // rows_per_file)
+    write_partitioned(
+        df.repartition(n, *partition_by),
+        path,
+        partition_by=partition_by,
+        fmt=fmt,
+        dynamic=True,
+    )
