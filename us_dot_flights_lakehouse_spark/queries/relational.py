@@ -577,6 +577,73 @@ WHERE rank_in_flag <= 3
 """
 
 
+def f_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-json: JSON path extraction + schema-ful parsing over the events
+    ``props`` column — get_json_object (stringly path) and from_json
+    (typed struct), aggregated per event type. Beyond the reference's
+    scalar surface (it has no JSON), but table stakes for an events feed."""
+    events = read_table(spark, sf_dir, "events")
+    k_path = F.get_json_object("props", "$.k").cast("int")
+    k_typed = F.from_json("props", "k int").getField("k")
+    parsed = events.select(
+        "event_type", k_path.alias("k_path"), k_typed.alias("k_typed")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k_path").alias("sum_k"),
+        F.min("k_typed").alias("min_k"),
+        F.max("k_typed").alias("max_k"),
+        conditional_count(F.col("k_path") != F.col("k_typed"), "n_parse_disagreements"),
+    )
+
+
+F_JSON_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       CAST(0 AS BIGINT) AS n_parse_disagreements
+FROM events GROUP BY event_type
+"""
+
+
+def f_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-array: array-column surface over embeddings — size, indexing,
+    min/max, slice, and a higher-order fold (sequential, so the float sum
+    is order-deterministic and cross-engine comparable)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at(v, 1).alias("first_val"),
+        F.array_max(v).alias("max_val"),
+        F.array_min(v).alias("min_val"),
+        F.aggregate(
+            F.slice(v, 1, 8), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("head8_sum"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+F_ARRAY_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         len(embedding) AS dim
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(dim AS INTEGER) AS dim,
+       v[1] AS first_val,
+       list_max(v) AS max_val,
+       list_min(v) AS min_val,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), v[1:8]), (acc, x) -> acc + x) AS head8_sum,
+       CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_positive
+FROM e
+"""
+
+
 def j6_semi_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-semi: membership filter as left-semi join (≡ WHERE EXISTS) —
     customers with at least one high-value order. The probe side is
@@ -764,6 +831,8 @@ QUERIES = {
     "f_string_suite": f_string_suite,
     "f_datetime_suite": f_datetime_suite,
     "w1_topk_per_group": w1_topk_per_group,
+    "f_json_suite": f_json_suite,
+    "f_array_suite": f_array_suite,
     "j6_semi_high_value_customers": j6_semi_high_value_customers,
     "u2_intersect_except_nations": u2_intersect_except_nations,
     "a8_describe_orders": a8_describe_orders,
@@ -789,6 +858,8 @@ ORACLES = {
     "f_string_suite": F_STRING_ORACLE,
     "f_datetime_suite": F_DATETIME_ORACLE,
     "w1_topk_per_group": W1_ORACLE,
+    "f_json_suite": F_JSON_ORACLE,
+    "f_array_suite": F_ARRAY_ORACLE,
     "j6_semi_high_value_customers": J6_ORACLE,
     "u2_intersect_except_nations": U2_ORACLE,
     "a9_rollup_segment_status": A9_ORACLE,
