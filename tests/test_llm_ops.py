@@ -7,7 +7,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from us_dot_flights_lakehouse_spark.llm import multimodal
+from us_dot_flights_lakehouse_spark.llm import dedup, multimodal
 from us_dot_flights_lakehouse_spark.llm.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -184,3 +184,21 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_small):
     }
     # nprobe=half the cells: expect decent overlap with the exact top-5
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_lsh_bucket_cap_suppresses_giant_dup_cluster(spark):
+    # 20 exact clones (one giant bucket: 190 pairs/band) + 1 genuine
+    # near-dup pair; cap=5 must keep the pair and drop the cluster
+    clones = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(20)]
+    near = [
+        (100, "one two three four five six seven eight nine ten"),
+        (101, "one two three four five six seven eight nine eleven"),
+    ]
+    docs = spark.createDataFrame(clones + near, "doc_id long, text string")
+    capped = dedup.minhash_lsh_pairs(docs, threshold=0.3, max_bucket_size=5).collect()
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in capped}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got)  # no clone-cluster pairs survive
+    # uncapped finds the 190 clone pairs too (sanity that the cap did it)
+    uncapped = dedup.minhash_lsh_pairs(docs, threshold=0.3).count()
+    assert uncapped >= 190

@@ -148,12 +148,28 @@ def _band_key(sig_prefix: str, band: int, rows_per_band: int) -> Column:
     return F.concat_ws("|", *cols)
 
 
+def _cap_buckets(bands: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:
+    """Drop band buckets with more than ``cap`` members before the
+    candidate self-join. A duplicate cluster of size m otherwise emits
+    m²/2 candidate pairs per band — on web-scale corpora (stress-measured:
+    10 near-replicas of each doc → 39M pairs at 50K docs) the pair OUTPUT,
+    not the hashing, dominates cost. Oversized buckets are near-certainly
+    exact-dup clusters; run exact_dedup_groups first and near-dedup the
+    keepers, with the cap as the backstop against adversarial clusters."""
+    if cap is None:
+        return bands
+    occ = bands.groupBy(*key_cols).agg(F.count("*").alias("bucket_sz"))
+    keep = occ.filter(F.col("bucket_sz") <= cap).select(*key_cols)
+    return bands.join(keep, key_cols)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH dedup: signature → band buckets → equi-join candidates
     → verify true Jaccard on candidates only.
@@ -166,6 +182,7 @@ def minhash_lsh_pairs(
             F.array(*[_band_key("mh", b, rows_per_band) for b in range(MINHASH_BANDS)])
         ).alias("band_id", "band_key"),
     )
+    bands = _cap_buckets(bands, ["band_id", "band_key"], max_bucket_size)
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -228,6 +245,7 @@ def simhash_pairs(
     max_hamming: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the signature (pigeonhole — any pair
     within ``max_hamming < SIMHASH_BANDS`` shares at least one exact band),
@@ -248,6 +266,7 @@ def simhash_pairs(
             )
         ).alias("band_id", "band_val"),
     )
+    bands = _cap_buckets(bands, ["band_id", "band_val"], max_bucket_size)
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
