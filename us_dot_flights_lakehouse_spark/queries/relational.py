@@ -796,6 +796,42 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def a13_pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: pivot (long→wide) — order counts per market segment spread
+    across status columns. Values are enumerated explicitly: at scale an
+    unenumerated pivot runs an extra distinct job AND risks millions of
+    output columns; always pin the value list."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = orders.join(
+        F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+    )
+    wide = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    # pivot emits NULL for absent combos; normalize to 0 like SQL CASE-sums
+    return wide.select(
+        "c_mktsegment",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_fulfilled"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+A13_ORACLE = """
+SELECT c_mktsegment,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def a12_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12: approximate sketch aggregates — HyperLogLog++ distinct counts and
     GK-sketch percentiles. Registered rows-only: sketch outputs are
@@ -840,6 +876,7 @@ QUERIES = {
     "a10_cube_returnflag_status": a10_cube_returnflag_status,
     "a11_exact_quantiles": a11_exact_quantiles,
     "a12_approx_sketches": a12_approx_sketches,
+    "a13_pivot_status_by_segment": a13_pivot_status_by_segment,
 }
 
 ORACLES = {
@@ -865,4 +902,5 @@ ORACLES = {
     "a9_rollup_segment_status": A9_ORACLE,
     "a10_cube_returnflag_status": A10_ORACLE,
     "a11_exact_quantiles": A11_ORACLE,
+    "a13_pivot_status_by_segment": A13_ORACLE,
 }
