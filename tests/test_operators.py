@@ -189,3 +189,108 @@ def test_cloud_conf_builders_shape():
     assert s3["fs.s3a.access.key"] == "ak"
     assert "fs.s3a.access.key" not in s3a_confs()  # credential-chain fallback
     assert gcs_confs("proj")["fs.gs.project.id"] == "proj"
+
+
+def test_asof_join_backward_match_and_ties(spark):
+    from us_dot_flights_lakehouse_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d")],
+        "k int, t int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 15, 2.0), (2, 99, 3.0)], "k int, t int, rv double"
+    )
+    out = {
+        (r.k, r.t): (r.t_matched, r.rv)
+        for r in asof_join(left, right, ["k"], "t", "t", ["rv"]).collect()
+    }
+    assert out[(1, 10)] == (10, 1.0)  # equal ts matches (>= semantics)
+    assert out[(1, 20)] == (15, 2.0)  # latest at-or-before
+    assert out[(1, 5)] == (None, None)  # nothing before
+    assert out[(2, 7)] == (None, None)  # right is after left
+
+
+def test_asof_join_null_payload_still_matches(spark):
+    from pyspark.sql import functions as F
+    from us_dot_flights_lakehouse_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 20)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 5, 1.0), (1, 10, None)], "k int, t int, rv double"
+    )
+    # the matching row (t=10) has a NULL payload; struct packing must keep
+    # it from skipping back to t=5
+    row = asof_join(left, right, ["k"], "t", "t", ["rv"]).collect()[0]
+    assert row.t_matched == 10 and row.rv is None
+
+
+def test_asof_join_tolerance(spark):
+    from pyspark.sql import functions as F
+    from us_dot_flights_lakehouse_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 100), (1, 200)], "k int, t int")
+    right = spark.createDataFrame([(1, 95, 1.0), (1, 150, 2.0)], "k int, t int, rv double")
+    out = {
+        (r.k, r.t): (r.t_matched, r.rv)
+        for r in asof_join(
+            left, right, ["k"], "t", "t", ["rv"], tolerance=F.lit(10)
+        ).collect()
+    }
+    assert out[(1, 100)] == (95, 1.0)  # within 10
+    assert out[(1, 200)] == (None, None)  # 150 < 200-10 → out of tolerance
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    from us_dot_flights_lakehouse_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10, "a")], "k int, t int, tag string")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k int, t int, rv double")
+    plan = (
+        asof_join(left, right, ["k"], "t", "t", ["rv"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # union-tag algorithm: exactly one exchange (on k), never a join node
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_bucketed_range_join_matches_naive(spark):
+    from us_dot_flights_lakehouse_spark.operators.joins import bucketed_range_join
+
+    points = spark.range(0, 100).selectExpr("id AS pk", "CAST(id AS DOUBLE) AS x")
+    intervals = spark.createDataFrame(
+        [(0, 0.0, 30.0), (1, 25.0, 26.0), (2, 90.0, 150.0), (3, 99.0, 100.0)],
+        "iv int, lo double, hi double",
+    )
+    got = sorted(
+        (r.pk, r.iv)
+        for r in bucketed_range_join(
+            points, intervals, "x", "lo", "hi", bucket_width=10.0
+        ).collect()
+    )
+    naive = sorted(
+        (r.pk, r.iv)
+        for r in points.join(
+            intervals,
+            (points.x >= intervals.lo) & (points.x < intervals.hi),
+        ).collect()
+    )
+    assert got == naive and len(got) > 0
+
+
+def test_bucketed_range_join_plans_equi_join(spark):
+    from us_dot_flights_lakehouse_spark.operators.joins import bucketed_range_join
+
+    points = spark.range(0, 10).selectExpr("CAST(id AS DOUBLE) AS x")
+    intervals = spark.createDataFrame([(0.0, 5.0)], "lo double, hi double")
+    plan = (
+        bucketed_range_join(points, intervals, "x", "lo", "hi", 2.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the bin trick must hash-join on the bucket key, not nested-loop
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

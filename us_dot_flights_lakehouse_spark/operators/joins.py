@@ -131,3 +131,117 @@ def salted_join(
         how,
     )
     return out.drop("__salt_l", "__salt_r")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """As-of (backward) join: for every left row, attach the columns of the
+    single right row with the greatest ``right_ts`` <= ``left_ts`` within
+    the same key group (≡ DuckDB/QuestDB ASOF JOIN, pandas merge_asof).
+
+    The reference engine has no as-of operator; this is a Spark-first
+    implementation of the classic union-tag algorithm: tag both sides,
+    union them aligned on (keys, ts), and run a single
+    ``last(..., ignoreNulls=True)`` window scan ordered by
+    (ts, side) so right rows at an equal timestamp are visible to left
+    rows (>= semantics). Cost: ONE shuffle on ``keys`` and a sequential
+    per-key scan — no range-condition join, no per-row probe, no
+    broadcast requirement, so it scales to 100 TB event streams as long
+    as single keys fit a task (hot-key history is inherently sequential;
+    pre-aggregate right to unique (key, ts) — required anyway for
+    deterministic ties — to shrink it).
+
+    Right payload columns are packed into a struct before the window so a
+    NULL in a payload column cannot make ``last(ignoreNulls)`` skip past a
+    genuinely matching row. Callers must ensure (keys, right_ts) is unique
+    on the right side; tie rows would make "the" as-of match undefined.
+    ``tolerance`` (an interval Column, e.g. ``F.expr("INTERVAL 1 HOUR")``)
+    turns matches older than ``left_ts - tolerance`` into NULLs.
+    """
+    from pyspark.sql import Window as W
+
+    key_list = list(keys)
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        *key_list,
+        F.col(right_ts).alias("__asof_ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__asof_ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        W.partitionBy(*key_list)
+        .orderBy("__asof_ts", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = F.last("__payload", True).over(w)
+    if tolerance is not None:
+        matched = F.when(
+            matched["__ts"] >= F.col(left_ts) - tolerance, matched
+        )
+    out = unioned.withColumn("__m", matched).where(F.col("__side") == 1)
+    proj = [c for c in left.columns] + [
+        F.col("__m")[c].alias(c) for c in ["__ts", *right_cols]
+    ]
+    return out.select(*proj).withColumnRenamed("__ts", f"{right_ts}_matched")
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval-containment) join: pair every point row with every
+    interval row satisfying ``lo <= point < hi`` — without the cross-join
+    Catalyst would otherwise plan for a pure inequality condition.
+
+    Spark-first strategy (the bin/bucket trick used by Databricks' range
+    join optimization, not available in OSS Spark): explode each interval
+    into the fixed-width buckets it covers, bucket each point, equi-join
+    on the bucket id, then apply the exact predicate. A (point, interval)
+    pair can only meet in the point's own bucket, so no dedup is needed.
+    The inequality becomes a hash-partitionable equi-join: shuffle cost
+    O(points + intervals x avg_span/bucket_width) instead of a
+    nested-loop over the full cross product. Pick ``bucket_width`` near
+    the median interval span: too small replicates intervals, too large
+    degrades the join into few giant buckets.
+    """
+    n_buckets = (F.floor(F.col(hi_col) / bucket_width) -
+                 F.floor(F.col(lo_col) / bucket_width))
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width).cast("long"),
+                (F.floor(F.col(lo_col) / bucket_width) + n_buckets).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / bucket_width).cast("long")
+    )
+    cond = (
+        (pt["__bucket"] == iv["__bucket"])
+        & (pt[point_col] >= iv[lo_col])
+        & (pt[point_col] < iv[hi_col])
+    )
+    return pt.join(iv, cond, how).drop("__bucket")

@@ -24,7 +24,9 @@ from us_dot_flights_lakehouse_spark.operators.aggregates import (
 )
 from us_dot_flights_lakehouse_spark.operators.generators import date_range_df
 from us_dot_flights_lakehouse_spark.operators.joins import (
+    asof_join,
     broadcast_star_join,
+    bucketed_range_join,
     enrich_join,
     outer_merge_coalesce,
     semi_join,
@@ -851,6 +853,238 @@ def a12_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# As-of / range joins, window suite, sampling, maps, unpivot (extensions)
+# ---------------------------------------------------------------------------
+
+def j8_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 (extension): as-of join — attribute each purchase event to the
+    most recent click by the same user at-or-before the purchase time
+    (classic attribution / last-touch semantics; DuckDB ASOF JOIN is the
+    oracle). Right side is pre-aggregated to unique (user_id, ts) so the
+    as-of match is well-defined. One shuffle on user_id; see
+    operators/joins.py::asof_join for the 100 TB scaling argument."""
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    joined = asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["click_value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_matched").alias("click_ts"),
+        "click_value",
+    )
+
+
+J8_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+       c.ts AS click_ts, c.click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def j9_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 (extension): range (interval-containment) join — count parts per
+    OVERLAPPING price band (overlap is what makes this a genuine range
+    join rather than a CASE bucketing). Implemented with the bin-bucket
+    trick (operators/joins.py::bucketed_range_join) so Catalyst plans a
+    hash equi-join, not a nested-loop cross product — the plan that
+    survives 100 TB."""
+    part = read_table(spark, sf_dir, "part")
+    bands = spark.range(10).select(
+        F.col("id").alias("band_id"),
+        (F.lit(900.0) + F.col("id") * 10.0).alias("lo"),
+        (F.lit(900.0) + F.col("id") * 10.0 + 25.0).alias("hi"),
+    )
+    joined = bucketed_range_join(
+        part.select("p_partkey", "p_retailprice"),
+        bands,
+        "p_retailprice",
+        "lo",
+        "hi",
+        bucket_width=25.0,
+    )
+    return (
+        joined.groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_parts"),
+            dec_sum("p_retailprice", "sum_price"),
+        )
+        .orderBy("band_id")
+    )
+
+
+J9_ORACLE = """
+WITH bands AS (
+  SELECT CAST(range AS BIGINT) AS band_id,
+         900.0 + range * 10.0 AS lo,
+         900.0 + range * 10.0 + 25.0 AS hi
+  FROM range(10)
+)
+SELECT band_id, lo, hi, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+FROM bands JOIN part ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band_id, lo, hi ORDER BY band_id
+"""
+
+
+def w2_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (extension): ranking + navigation + framed-aggregate window
+    functions in one pass — lag/lead, row_number, ntile, percent_rank,
+    cume_dist, and a 3-row moving sum, all over (customer, order-date)
+    with a unique tie-break key. One shuffle on o_custkey serves every
+    function (single Window exchange); the moving sum goes through
+    DECIMAL so it is order-exact cross-engine."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(-2, W.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.sum(F.col("o_totalprice").cast(MONEY))
+        .over(wf)
+        .cast("double")
+        .alias("mov_sum_3"),
+    )
+
+
+W2_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER w AS INTEGER) AS rn,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum_3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def s1_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 (extension): deterministic hash sampling — Bernoulli sampling by
+    md5(key) threshold, with PER-STRATUM rates (stratified sampleBy
+    semantics). Unlike df.sample(), the sample is reproducible across
+    engines, runs, and partitionings — the property a training-data
+    pipeline needs for auditable subsets. Pure narrow filter: no shuffle,
+    pushes down column pruning, scales linearly."""
+    orders = read_table(spark, sf_dir, "orders")
+    h = F.substring(
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 2
+    )
+    threshold = (
+        F.when(F.col("o_orderstatus") == "F", "33")
+        .when(F.col("o_orderstatus") == "O", "19")
+        .otherwise("0a")
+    )
+    return orders.where(h < threshold).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+S1_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <
+      CASE o_orderstatus WHEN 'F' THEN '33' WHEN 'O' THEN '19' ELSE '0a' END
+"""
+
+
+def f_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-map (extension): map-type construction and access —
+    create_map / map_from_arrays / map_concat / element_at / map_keys /
+    map_filter. The map round-trips entirely JVM-side (whole-stage
+    codegen); output is extracted to scalars because map column ordering
+    is engine-defined and not hash-comparable. Oracle states the expected
+    values relationally."""
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("rk"), "r_name"
+    )
+    df = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["rk"]
+    )
+    m = F.map_concat(
+        F.create_map(
+            F.lit("nation"), F.col("n_name"), F.lit("region"), F.col("r_name")
+        ),
+        F.map_from_arrays(
+            F.array(F.lit("nk")),
+            F.array(F.col("n_nationkey").cast("string")),
+        ),
+    )
+    return df.select(
+        "n_nationkey",
+        F.element_at(m, "nation").alias("nation_from_map"),
+        F.element_at(m, "region").alias("region_from_map"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.size(F.map_filter(m, lambda k, v: k != F.lit("nk"))).alias(
+            "n_keys_filtered"
+        ),
+    )
+
+
+F_MAP_ORACLE = """
+SELECT n_nationkey,
+       n_name AS nation_from_map,
+       r_name AS region_from_map,
+       CAST(3 AS INTEGER) AS n_keys,
+       'nation,nk,region' AS keys_sorted,
+       CAST(2 AS INTEGER) AS n_keys_filtered
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def a14_unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 (extension): unpivot (wide-to-long melt) — the inverse of A13.
+    ``DataFrame.unpivot`` expands columns to rows JVM-side (Expand node,
+    no Python); at scale it multiplies row count by the value-column
+    count, so unpivot AFTER aggregation (as here), never before."""
+    wide = a13_pivot_status_by_segment(spark, sf_dir)
+    return wide.unpivot(
+        ["c_mktsegment"],
+        ["n_fulfilled", "n_open", "n_pending"],
+        "status_col",
+        "n_orders",
+    )
+
+
+A14_ORACLE = f"""
+WITH wide AS ({A13_ORACLE})
+SELECT c_mktsegment, 'n_fulfilled' AS status_col, n_fulfilled AS n_orders FROM wide
+UNION ALL
+SELECT c_mktsegment, 'n_open', n_open FROM wide
+UNION ALL
+SELECT c_mktsegment, 'n_pending', n_pending FROM wide
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -877,6 +1111,12 @@ QUERIES = {
     "a11_exact_quantiles": a11_exact_quantiles,
     "a12_approx_sketches": a12_approx_sketches,
     "a13_pivot_status_by_segment": a13_pivot_status_by_segment,
+    "a14_unpivot_status_counts": a14_unpivot_status_counts,
+    "j8_asof_purchase_attribution": j8_asof_purchase_attribution,
+    "j9_range_join_price_bands": j9_range_join_price_bands,
+    "w2_window_suite": w2_window_suite,
+    "s1_deterministic_sample": s1_deterministic_sample,
+    "f_map_suite": f_map_suite,
 }
 
 ORACLES = {
@@ -903,4 +1143,10 @@ ORACLES = {
     "a10_cube_returnflag_status": A10_ORACLE,
     "a11_exact_quantiles": A11_ORACLE,
     "a13_pivot_status_by_segment": A13_ORACLE,
+    "a14_unpivot_status_counts": A14_ORACLE,
+    "j8_asof_purchase_attribution": J8_ORACLE,
+    "j9_range_join_price_bands": J9_ORACLE,
+    "w2_window_suite": W2_ORACLE,
+    "s1_deterministic_sample": S1_ORACLE,
+    "f_map_suite": F_MAP_ORACLE,
 }
