@@ -173,3 +173,47 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path_factory):
     got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
     assert got == [1, 2, 3]
     shutil.rmtree(str(base), ignore_errors=True)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_small, tmp_path_factory):
+    import shutil
+    from pyspark.sql import functions as F
+    from us_dot_flights_lakehouse_spark.sources.readers import read_table
+    from us_dot_flights_lakehouse_spark.streaming.events import (
+        clickstream_attribution_stream,
+    )
+
+    stream_dir = tmp_path_factory.mktemp("ss_join_src")
+    shutil.copy(f"{sf_small}/events.parquet", stream_dir / "events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_small}/events.parquet").schema
+
+    def split(df):
+        p = df.where(F.col("event_type") == "purchase")
+        c = df.where(F.col("event_type") == "click")
+        return p, c
+
+    # streaming run (file source, availableNow)
+    from us_dot_flights_lakehouse_spark.sources.readers import normalize_nano_ts
+
+    stream = normalize_nano_ts(
+        spark.readStream.schema(raw_schema).parquet(str(stream_dir)), "events"
+    )
+    sp, sc = split(stream)
+    q = (
+        clickstream_attribution_stream(sp, sc)
+        .writeStream.format("memory")
+        .queryName("ss_join_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql("select * from ss_join_out").collect()
+    )
+
+    # batch run of the same operator
+    bp, bc = split(read_table(spark, sf_small, "events"))
+    want = sorted(
+        tuple(r) for r in clickstream_attribution_stream(bp, bc).collect()
+    )
+    assert len(want) > 0 and got == want

@@ -1085,6 +1085,160 @@ SELECT c_mktsegment, 'n_pending', n_pending FROM wide
 """
 
 
+
+def j10_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 (extension): TPC-H Q5-shaped six-way join — region->nation->
+    supplier + customer->orders->lineitem with a same-nation constraint,
+    one year of orders, revenue per nation. The scale stress here is JOIN
+    ORDERING: the selective region filter must reach nation/supplier
+    before the fact join, dims must broadcast, and only the
+    orders-lineitem join shuffles. AQE + the declarative plan get that
+    for free; revenue goes through exact DECIMAL products so the sum is
+    order-insensitive cross-engine."""
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = read_table(spark, sf_dir, "nation")
+    supplier = read_table(spark, sf_dir, "supplier")
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    nations_in_region = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    joined = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"]
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .where(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(nations_in_region),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+J10_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def a15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 (extension): explicit GROUPING SETS — a non-hierarchical set
+    list ((returnflag, linestatus), (linestatus)) that neither rollup nor
+    cube expresses. Same single-pass Expand+HashAggregate physical shape
+    as rollup/cube; GROUPING() ids disambiguate the NULL produced by the
+    expansion from a NULL in the data."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            dec_sum("l_quantity", "sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )
+
+
+A15_ORACLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+"""
+
+
+def j11_clickstream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 (extension): event-time interval join — for each purchase,
+    aggregate the clicks by the same user in the preceding hour
+    (look-back attribution window). Catalyst plans the user_id equality
+    as a hash equi-join and the time bounds as a post-join filter, so
+    the pair explosion is bounded per user — the plan that scales. The
+    streaming twin (stream-stream join with watermarks) is
+    streaming/events.py::clickstream_attribution_stream; batch/stream
+    parity is unit-tested."""
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    )
+    return (
+        joined.groupBy("event_id", "p_user", "p_ts")
+        .agg(
+            F.count("c_ts").alias("n_clicks_prior_hour"),
+            dec_sum("click_value", "sum_click_value"),
+            F.max("c_ts").alias("last_click_ts"),
+        )
+        .withColumnRenamed("p_user", "user_id")
+        .withColumnRenamed("p_ts", "purchase_ts")
+    )
+
+
+J11_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id AS p_user, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id AS c_user, ts AS c_ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT event_id, p_user AS user_id, p_ts AS purchase_ts,
+       COUNT(c_ts) AS n_clicks_prior_hour,
+       CAST(SUM(CAST(click_value AS DECIMAL(28,2))) AS DOUBLE) AS sum_click_value,
+       MAX(c_ts) AS last_click_ts
+FROM purchases LEFT JOIN clicks
+  ON p_user = c_user
+ AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts
+GROUP BY event_id, p_user, p_ts
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -1117,6 +1271,9 @@ QUERIES = {
     "w2_window_suite": w2_window_suite,
     "s1_deterministic_sample": s1_deterministic_sample,
     "f_map_suite": f_map_suite,
+    "j10_regional_revenue": j10_regional_revenue,
+    "j11_clickstream_interval_join": j11_clickstream_interval_join,
+    "a15_grouping_sets": a15_grouping_sets,
 }
 
 ORACLES = {
@@ -1149,4 +1306,7 @@ ORACLES = {
     "w2_window_suite": W2_ORACLE,
     "s1_deterministic_sample": S1_ORACLE,
     "f_map_suite": F_MAP_ORACLE,
+    "j10_regional_revenue": J10_ORACLE,
+    "j11_clickstream_interval_join": J11_ORACLE,
+    "a15_grouping_sets": A15_ORACLE,
 }

@@ -81,3 +81,47 @@ def sessionize(
         F.count("*").alias("n_events"),
         dec_sum("value", "total_value"),
     )
+
+
+def clickstream_attribution_stream(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: pair each purchase with the clicks by the
+    same user inside the preceding ``lookback`` window.
+
+    Both inputs may be streaming DataFrames; each gets a watermark so the
+    state store can evict click rows once ``p_ts - lookback`` has passed
+    the watermark — without both watermarks AND both time bounds the join
+    state grows without bound, which is the thing that kills
+    stream-stream joins at 100 TB/day. Works identically on batch inputs
+    (watermarks are no-ops there), so the batch oracle query
+    ``j11_clickstream_interval_join`` checks this operator's join
+    semantics; the streaming path is parity-tested in
+    tests/test_streaming.py.
+    """
+    p = purchases.select(
+        "event_id",
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    ).withWatermark("c_ts", watermark)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner",
+    ).select(
+        "event_id",
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").alias("purchase_ts"),
+        F.col("c_ts").alias("click_ts"),
+        "click_value",
+    )
