@@ -98,3 +98,22 @@ def test_conditional_cleaning_has_no_python_udf(spark):
     plan = _plan(p4_conditional_cleaning(spark, SF), mode="simple")
     assert "BatchEvalPython" not in plan  # row-at-a-time Python would kill scan speed
     assert "ArrowEvalPython" not in plan
+
+
+def test_multiway_join_broadcasts_all_dims(spark):
+    from us_dot_flights_lakehouse_spark.queries.relational import (
+        j10_regional_revenue,
+    )
+
+    plan = (
+        j10_regional_revenue(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every dim join must broadcast; the fact side must never sort-merge
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    # the selective region predicate must reach the region scan
+    assert "EqualTo(r_name,ASIA)" in plan

@@ -156,3 +156,43 @@ def test_gold_quality_gate_catches_duplicate_pk(spark):
     )
     with pytest.raises(QualityGateError):
         gold_quality_suites()["dim_airline"].validate(dup_dim, fail_closed=True)
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path_factory):
+    from us_dot_flights_lakehouse_spark.sources.writers import write_bucketed
+
+    base = tmp_path_factory.mktemp("bucketed")
+    a = spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 5000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "t_bkt_a", ["k"], 8, sort_cols=["k"], path=str(base / "a"))
+    write_bucketed(b, "t_bkt_b", ["k"], 8, sort_cols=["k"], path=str(base / "b"))
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_bkt_a").join(spark.table("t_bkt_b"), "k")
+            assert joined.count() == 5000
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # bucketing spec must eliminate the shuffle on both sides
+            assert "Exchange" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def test_bucketed_groupby_on_bucket_key_is_exchange_free(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+    from us_dot_flights_lakehouse_spark.sources.writers import write_bucketed
+
+    base = tmp_path_factory.mktemp("bucketed_agg")
+    a = spark.range(0, 5000).selectExpr("id % 100 AS k", "id AS v")
+    write_bucketed(a, "t_bkt_g", ["k"], 8, path=str(base / "g"))
+    try:
+        agg = spark.table("t_bkt_g").groupBy("k").agg(F.sum("v").alias("s"))
+        assert agg.count() == 100
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_g")

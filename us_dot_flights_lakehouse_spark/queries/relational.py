@@ -1239,6 +1239,127 @@ GROUP BY event_id, p_user, p_ts
 """
 
 
+
+def j12_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 (extension): correlated LATERAL subquery with per-row ORDER BY +
+    LIMIT — top-2 orders per customer. Catalyst decorrelates this into a
+    ranked window over the orders side (one shuffle on the correlation
+    key), so the lateral form costs the same as the hand-written
+    row_number()<=k idiom while reading as SQL. Customers with no orders
+    are absent (inner lateral), matching DuckDB."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("j12_customer")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("j12_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM j12_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM j12_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 2
+        ) t
+        """
+    )
+
+
+J12_ORACLE = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 2
+) t
+"""
+
+
+def u3_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 (extension): multiset set operations — exceptAll / intersectAll
+    (bag semantics, duplicates preserved), compacted to per-value counts.
+    Both execute as a single aggregate computing per-side multiplicities
+    (sum of +1/-1 tags) — no join, one shuffle on the value."""
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    b = orders.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    ex = (
+        a.exceptAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_orderpriority", "n")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_orderpriority", "n")
+    )
+    return ex.unionByName(ia)
+
+
+U3_ORACLE = """
+SELECT 'except_all' AS op, o_orderpriority, COUNT(*) AS n FROM (
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+) GROUP BY 2
+UNION ALL
+SELECT 'intersect_all' AS op, o_orderpriority, COUNT(*) AS n FROM (
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+) GROUP BY 2
+"""
+
+
+def p5_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 (extension): DataFrameNaFunctions — na.fill (default values) and
+    na.replace (value mapping), with nulls injected by a CASE guard
+    (negative balances -> NULL, mirroring the reference's null-out-fields
+    cleaning, flight_data_cleaner.py:15-31). Pure narrow projection: no
+    shuffle, fully codegen'd."""
+    customer = read_table(spark, sf_dir, "customer")
+    df = customer.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal")).alias("bal"),
+        "c_mktsegment",
+    ).withColumn("was_null", F.isnull("bal").cast("int"))
+    return (
+        df.na.fill({"bal": 0.0})
+        .na.replace(["BUILDING"], ["B"], "c_mktsegment")
+        .withColumnRenamed("c_mktsegment", "segment")
+    )
+
+
+P5_ORACLE = """
+SELECT c_custkey,
+       COALESCE(CASE WHEN c_acctbal >= 0 THEN c_acctbal END, 0.0) AS bal,
+       CASE WHEN c_mktsegment = 'BUILDING' THEN 'B' ELSE c_mktsegment END AS segment,
+       CAST(CASE WHEN c_acctbal >= 0 THEN 0 ELSE 1 END AS INTEGER) AS was_null
+FROM customer
+"""
+
+
+def f_explode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-explode (extension): split + posexplode (lateral view with
+    position) — tokenize part names into (part, position, word) rows.
+    Generators multiply row count JVM-side (Generate node); at scale,
+    project to the minimal column set BEFORE exploding so the blow-up
+    carries no dead columns."""
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+    )
+
+
+F_EXPLODE_ORACLE = """
+SELECT t.p_partkey, l.i - 1 AS pos, t.arr[l.i] AS word
+FROM (SELECT p_partkey, string_split(p_name, ' ') AS arr FROM part) t,
+LATERAL (SELECT unnest(range(1, len(t.arr) + 1)) AS i) l
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -1274,6 +1395,10 @@ QUERIES = {
     "j10_regional_revenue": j10_regional_revenue,
     "j11_clickstream_interval_join": j11_clickstream_interval_join,
     "a15_grouping_sets": a15_grouping_sets,
+    "j12_lateral_topk_orders": j12_lateral_topk_orders,
+    "u3_multiset_ops": u3_multiset_ops,
+    "p5_null_handling": p5_null_handling,
+    "f_explode_suite": f_explode_suite,
 }
 
 ORACLES = {
@@ -1309,4 +1434,8 @@ ORACLES = {
     "j10_regional_revenue": J10_ORACLE,
     "j11_clickstream_interval_join": J11_ORACLE,
     "a15_grouping_sets": A15_ORACLE,
+    "j12_lateral_topk_orders": J12_ORACLE,
+    "u3_multiset_ops": U3_ORACLE,
+    "p5_null_handling": P5_ORACLE,
+    "f_explode_suite": F_EXPLODE_ORACLE,
 }

@@ -14,6 +14,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 
 
@@ -115,3 +117,34 @@ def compact_partitions(
         fmt=fmt,
         dynamic=True,
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] = (),
+    path: str | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed table write — pre-shuffles data into ``n_buckets`` hash
+    buckets on ``bucket_cols`` at WRITE time so that later joins and
+    aggregations on those keys read co-located data and skip the shuffle
+    entirely (the planner sees the bucketing spec via the catalog and
+    drops the Exchange; with matching ``sort_cols`` it drops the Sort
+    too).
+
+    This is the 100 TB play for repeatedly-joined fact tables: pay one
+    shuffle at ingest, then every downstream fact-to-fact join on the
+    bucket key is exchange-free. Both sides must agree on bucket count
+    and key. Requires ``saveAsTable`` (bucketing metadata lives in the
+    catalog, not the files); ``path`` makes it an external table.
+    """
+    w = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
