@@ -59,3 +59,23 @@ def test_warn_only_returns_like_bronze_gate(frame):
     suite = QualitySuite("bronze").expect_unique("id")
     results = suite.validate(frame, fail_closed=False)
     assert any(not r.passed for r in results)
+
+
+def test_observed_gate_rides_the_write_action(spark):
+    from us_dot_flights_lakehouse_spark.quality.checks import (
+        QualitySuite,
+        attach_observed,
+    )
+
+    df = spark.range(0, 100).selectExpr("id", "CASE WHEN id < 90 THEN id END AS v")
+    suite = (
+        QualitySuite("obs_gate")
+        .expect_row_count_at_least(50)
+        .expect_null_rate_at_most("v", 0.2)
+        .expect_column_exists("id")
+    )
+    observed, resolve = attach_observed(suite, df)
+    observed.write.format("noop").mode("overwrite").save()  # the only action
+    got = {(r.check, r.column): r.passed for r in resolve()}
+    want = {(r.check, r.column): r.passed for r in suite.run(df)}
+    assert got == want and all(got.values())

@@ -217,3 +217,43 @@ def test_stream_stream_join_matches_batch(spark, sf_small, tmp_path_factory):
         tuple(r) for r in clickstream_attribution_stream(bp, bc).collect()
     )
     assert len(want) > 0 and got == want
+
+
+def test_stream_static_join_enriches_per_microbatch(spark, sf_small, tmp_path_factory):
+    import shutil
+    from pyspark.sql import functions as F
+    from us_dot_flights_lakehouse_spark.sources.readers import (
+        normalize_nano_ts,
+        read_table,
+    )
+    from us_dot_flights_lakehouse_spark.streaming.events import (
+        enrich_stream_with_dim,
+    )
+
+    src = tmp_path_factory.mktemp("ss_static_src")
+    shutil.copy(f"{sf_small}/events.parquet", src / "events.parquet")
+    schema = spark.read.parquet(f"{sf_small}/events.parquet").schema
+    dim = spark.range(0, 200).selectExpr(
+        "id AS user_id", "concat('tier_', CAST(id % 3 AS STRING)) AS tier"
+    )
+    stream = normalize_nano_ts(
+        spark.readStream.schema(schema).parquet(str(src)), "events"
+    )
+    q = (
+        enrich_stream_with_dim(stream, dim, "user_id")
+        .writeStream.format("memory")
+        .queryName("ss_static_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select count(*) AS n, count(tier) AS n_enriched from ss_static_out"
+    ).collect()[0]
+    batch = enrich_stream_with_dim(
+        read_table(spark, sf_small, "events"), dim, "user_id"
+    )
+    want = batch.agg(
+        F.count("*").alias("n"), F.count("tier").alias("n_enriched")
+    ).collect()[0]
+    assert (got.n, got.n_enriched) == (want.n, want.n_enriched) and got.n > 0

@@ -143,3 +143,40 @@ class QualitySuite:
         return spark.createDataFrame(
             rows, "suite string, check string, column string, passed boolean, observed double"
         )
+
+
+def attach_observed(suite: QualitySuite, df: DataFrame):
+    """Attach the suite's compiled checks to ``df`` as an ``observe()``
+    metric set: the metrics are computed BY the caller's own action
+    (typically the table write), so at 100 TB the quality gate costs zero
+    extra scans — unlike ``run()``, which triggers its own aggregate job.
+
+    Returns ``(observed_df, resolve)``. Run an action on ``observed_df``
+    (write/count/noop-sink), then call ``resolve()`` for the
+    ``CheckResult`` list. ``resolve()`` blocks until metrics arrive and
+    may only be consumed after exactly one action.
+    """
+    from pyspark.sql import Observation
+
+    results_static: list[CheckResult] = []
+    aggs, slots = [], []
+    for check, col, observed, pred in suite._checks:
+        if check == "column_exists":
+            results_static.append(CheckResult(check, col, col in df.columns, None))
+            continue
+        aggs.append(observed.alias(f"obs_{len(aggs)}"))
+        slots.append((check, col, pred))
+    if not aggs:
+        return df, lambda: list(results_static)
+    obs = Observation(suite.name)
+    observed_df = df.observe(obs, *aggs)
+
+    def resolve() -> list[CheckResult]:
+        row = obs.get
+        out = list(results_static)
+        for i, (check, col, pred) in enumerate(slots):
+            v = row[f"obs_{i}"]
+            out.append(CheckResult(check, col, bool(pred(v)), v))
+        return out
+
+    return observed_df, resolve

@@ -125,3 +125,15 @@ def clickstream_attribution_stream(
         F.col("c_ts").alias("click_ts"),
         "click_value",
     )
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame, dim: DataFrame, on, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich a streaming DataFrame with a batch
+    dimension. The static side is re-planned per micro-batch (so a dim
+    refresh lands without restarting the query) and broadcast — the
+    stream side never shuffles, which is the property that keeps a 100
+    TB/day ingest enrichment stateless and linear. No watermark needed:
+    stream-static joins keep no state."""
+    return stream.join(F.broadcast(dim), on, how)
