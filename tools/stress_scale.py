@@ -1,0 +1,95 @@
+"""Scale-stress harness: run selected operators at Nx the bench scale by
+unioning id-shifted copies of the sf0.1 tables, and check that runtime
+growth stays near-linear (the 100 TB proxy we can measure on one box).
+
+Usage: python tools/stress_scale.py [factor]
+
+Documents get distinct ids AND perturbed text per copy (so dedup
+operators face a realistic duplicate density rather than a degenerate
+everything-matches-everything corpus); embeddings get distinct ids with
+identical vectors (ANN recall unchanged, candidate sets 10x).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F
+
+from us_dot_flights_lakehouse_spark.session import get_spark
+from us_dot_flights_lakehouse_spark.sources.readers import read_table
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def scaled(spark, table: str, factor: int, id_col: str, shift: int = 10_000_000):
+    base = read_table(spark, SF_DIR, table)
+    copies = []
+    for i in range(factor):
+        c = base.withColumn(id_col, F.col(id_col) + F.lit(i * shift))
+        if table == "documents" and i > 0:
+            # perturb text so copies are near-dups of each other, not exact
+            c = c.withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" v{i}"))
+            )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out.repartition(32)
+
+
+def timed(label, df):
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    print(f"{label}: {dt:.2f}s", flush=True)
+    return dt
+
+
+def main():
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("stress")
+
+    from us_dot_flights_lakehouse_spark.llm.dedup import (
+        exact_dedup_groups,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from us_dot_flights_lakehouse_spark.llm.similarity import lsh_cosine_topk
+    from us_dot_flights_lakehouse_spark.llm.textstats import text_stats
+
+    docs1 = scaled(spark, "documents", 1, "doc_id").cache()
+    docsN = scaled(spark, "documents", factor, "doc_id").cache()
+    docs1.count(); docsN.count()
+
+    from us_dot_flights_lakehouse_spark.queries.llm import (
+        JACCARD_THRESHOLD,
+        SIMHASH_MAX_HAMMING,
+    )
+
+    for label, fn in [
+        ("exact_dedup", exact_dedup_groups),
+        ("minhash_lsh", lambda d: minhash_lsh_pairs(d, threshold=JACCARD_THRESHOLD)),
+        ("simhash_pairs", lambda d: simhash_pairs(d, max_hamming=SIMHASH_MAX_HAMMING)),
+        ("text_stats", text_stats),
+    ]:
+        t1 = timed(f"{label}@1x", fn(docs1))
+        tN = timed(f"{label}@{factor}x", fn(docsN))
+        print(f"{label}: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
+
+    emb1 = scaled(spark, "embeddings", 1, "vec_id").cache()
+    embN = scaled(spark, "embeddings", factor, "vec_id").cache()
+    emb1.count(); embN.count()
+    q1 = emb1.limit(20)
+    t1 = timed("lsh_topk@1x", lsh_cosine_topk(emb1, q1, k=5, dim=64))
+    tN = timed(f"lsh_topk@{factor}x", lsh_cosine_topk(embN, q1, k=5, dim=64))
+    print(f"lsh_topk: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

