@@ -117,3 +117,18 @@ def test_multiway_join_broadcasts_all_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 4
     # the selective region predicate must reach the region scan
     assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_partitioned_read_prunes_partitions(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+    from us_dot_flights_lakehouse_spark.sources.writers import write_partitioned
+
+    base = str(tmp_path_factory.mktemp("pruning") / "t")
+    df = spark.range(0, 1000).withColumn("pt", F.col("id") % 10)
+    write_partitioned(df, base, partition_by=["pt"])
+    scan = spark.read.parquet(base).where(F.col("pt") == 3)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the partition predicate must prune at the directory level,
+    # not run as a row filter post-scan
+    assert "PartitionFilters: [isnotnull(pt" in plan or "PartitionFilters: [(pt" in plan
+    assert scan.count() == 100

@@ -257,3 +257,52 @@ def test_stream_static_join_enriches_per_microbatch(spark, sf_small, tmp_path_fa
         F.count("*").alias("n"), F.count("tier").alias("n_enriched")
     ).collect()[0]
     assert (got.n, got.n_enriched) == (want.n, want.n_enriched) and got.n > 0
+
+
+def test_foreach_batch_streaming_merge_upsert(spark, tmp_path_factory):
+    """Streaming sink via foreachBatch driving the batch MERGE: each
+    micro-batch upserts into a partitioned table, so the stream maintains
+    a keyed table (Delta-style) on plain parquet."""
+    from pyspark.sql import functions as F
+    from us_dot_flights_lakehouse_spark.sources.writers import (
+        merge_upsert_partitioned,
+    )
+
+    src = tmp_path_factory.mktemp("fb_src")
+    dest = str(tmp_path_factory.mktemp("fb_dest") / "table")
+    schema = "k INT, pt INT, v DOUBLE"
+    spark.createDataFrame(
+        [(1, 0, 1.0), (2, 0, 2.0), (3, 1, 3.0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    ckpt = str(tmp_path_factory.mktemp("fb_ckpt"))
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                lambda batch, _id: merge_upsert_partitioned(
+                    batch, dest, keys=["k"], partition_by=["pt"]
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(dest).select("k", "pt", "v").collect()
+    ) == [(1, 0, 1.0), (2, 0, 2.0), (3, 1, 3.0)]
+
+    # second batch: update k=2, insert k=9 → only partition 0 rewritten
+    spark.createDataFrame([(2, 0, 20.0), (9, 0, 9.0)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    run_once()
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(dest).select("k", "pt", "v").collect()
+    )
+    assert got == [(1, 0, 1.0), (2, 0, 20.0), (3, 1, 3.0), (9, 0, 9.0)]

@@ -1360,6 +1360,59 @@ LATERAL (SELECT unnest(range(1, len(t.arr) + 1)) AS i) l
 """
 
 
+
+def a16_collection_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 (extension): collection aggregates — collect_set sorted to a
+    canonical string (collect_list/set order is partition-dependent, so
+    the deterministic form is sort-then-join; the same discipline a
+    feature-store pipeline needs), plus max_by keyed on a UNIQUE column
+    (argmax is only well-defined under a tie-free key)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), "|"
+        ).alias("priorities"),
+        F.min("o_orderkey").alias("first_key"),
+        F.max_by("o_orderpriority", "o_orderkey").alias("latest_priority"),
+        F.count("*").alias("n"),
+    )
+
+
+A16_ORACLE = """
+SELECT o_orderstatus,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
+       MIN(o_orderkey) AS first_key,
+       arg_max(o_orderpriority, o_orderkey) AS latest_priority,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def a17_bitwise_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 (extension): bitwise and boolean aggregates — bit_or/bit_and/
+    bit_xor (order-free integer folds, safe cross-engine) and
+    bool_and/bool_or predicates per group."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.bit_or("l_linenumber").cast("bigint").alias("ln_or"),
+        F.bit_and("l_linenumber").cast("bigint").alias("ln_and"),
+        F.bit_xor("l_linenumber").cast("bigint").alias("ln_xor"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.05).alias("any_big_discount"),
+    )
+
+
+A17_ORACLE = """
+SELECT l_returnflag,
+       CAST(bit_or(l_linenumber) AS BIGINT) AS ln_or,
+       CAST(bit_and(l_linenumber) AS BIGINT) AS ln_and,
+       CAST(bit_xor(l_linenumber) AS BIGINT) AS ln_xor,
+       bool_and(l_quantity > 0) AS all_positive_qty,
+       bool_or(l_discount > 0.05) AS any_big_discount
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -1399,6 +1452,8 @@ QUERIES = {
     "u3_multiset_ops": u3_multiset_ops,
     "p5_null_handling": p5_null_handling,
     "f_explode_suite": f_explode_suite,
+    "a16_collection_aggs": a16_collection_aggs,
+    "a17_bitwise_bool_aggs": a17_bitwise_bool_aggs,
 }
 
 ORACLES = {
@@ -1438,4 +1493,6 @@ ORACLES = {
     "u3_multiset_ops": U3_ORACLE,
     "p5_null_handling": P5_ORACLE,
     "f_explode_suite": F_EXPLODE_ORACLE,
+    "a16_collection_aggs": A16_ORACLE,
+    "a17_bitwise_bool_aggs": A17_ORACLE,
 }
