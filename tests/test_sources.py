@@ -196,3 +196,38 @@ def test_bucketed_groupby_on_bucket_key_is_exchange_free(spark, tmp_path_factory
         assert "Exchange" not in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_g")
+
+
+def test_range_clustered_write_produces_disjoint_file_ranges(spark, tmp_path_factory):
+    import glob
+    import pyarrow.parquet as pq
+    from us_dot_flights_lakehouse_spark.sources.writers import write_range_clustered
+
+    path = str(tmp_path_factory.mktemp("clustered") / "t")
+    df = spark.range(0, 10_000).selectExpr("id AS k", "id % 7 AS v")
+    write_range_clustered(df, path, ["k"], n_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(f)
+        mins = [md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups)]
+        maxs = [md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 8
+    # contiguous, non-overlapping key ranges → stats-based file skipping works
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    assert spark.read.parquet(path).count() == 10_000
+
+
+def test_read_csv_robust_quarantines_malformed_rows(spark, tmp_path_factory):
+    from us_dot_flights_lakehouse_spark.sources.readers import read_csv_robust
+
+    src = tmp_path_factory.mktemp("robust_csv")
+    with open(src / "data.csv", "w") as f:
+        f.write("k,v\n1,10.5\nnot_an_int,oops,extra\n3,30.0\n")
+    valid, corrupt = read_csv_robust(spark, str(src), "k int, v double")
+    assert sorted(tuple(r) for r in valid.collect()) == [(1, 10.5), (3, 30.0)]
+    bad = [r[0] for r in corrupt.collect()]
+    assert bad == ["not_an_int,oops,extra"]

@@ -1413,6 +1413,65 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+
+def p6_grouped_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (extension): grouped-map applyInPandas — per-returnflag min-max
+    scaling of quantities. Arrow ships each group to Python as one pandas
+    frame (batch-cost, not row-cost); the DuckDB oracle is the equivalent
+    window formulation, proving the grouped-map path computes exactly
+    what the declarative plan would."""
+    from us_dot_flights_lakehouse_spark.operators.grouped import (
+        grouped_minmax_scale,
+    )
+
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return grouped_minmax_scale(
+        lineitem, ["l_returnflag"], "l_quantity", out_col="qty_scaled"
+    )
+
+
+P6_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+       (l_quantity - MIN(l_quantity) OVER (PARTITION BY l_returnflag))
+       / NULLIF(MAX(l_quantity) OVER (PARTITION BY l_returnflag)
+                - MIN(l_quantity) OVER (PARTITION BY l_returnflag), 0)
+         AS qty_scaled
+FROM lineitem
+"""
+
+
+
+def f_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-udtf (extension): Python UDTF in a LATERAL join — per-document
+    positional character 3-grams for short documents. The oracle is the
+    relational substring expansion, proving the UDTF emits exactly the
+    rows the declarative form would. Python row-at-a-time is the slow
+    path — bounded here to short docs; see make_shingle_udtf."""
+    from us_dot_flights_lakehouse_spark.operators.grouped import (
+        make_shingle_udtf,
+    )
+
+    spark.udtf.register("shingler", make_shingle_udtf())
+    read_corpus(spark, sf_dir, "documents").where(F.col("n_chars") <= 150).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.shingle
+        FROM udtf_docs d, LATERAL shingler(d.text) s
+        """
+    )
+
+
+F_UDTF_ORACLE = """
+SELECT d.doc_id, l.i - 1 AS pos, substr(d.text, l.i, 3) AS shingle
+FROM (SELECT doc_id, text FROM documents WHERE n_chars <= 150) d,
+LATERAL (SELECT unnest(range(1, greatest(len(d.text) - 2, 0) + 1)) AS i) l
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -1454,6 +1513,8 @@ QUERIES = {
     "f_explode_suite": f_explode_suite,
     "a16_collection_aggs": a16_collection_aggs,
     "a17_bitwise_bool_aggs": a17_bitwise_bool_aggs,
+    "p6_grouped_minmax_scale": p6_grouped_minmax_scale,
+    "f_udtf_shingles": f_udtf_shingles,
 }
 
 ORACLES = {
@@ -1495,4 +1556,6 @@ ORACLES = {
     "f_explode_suite": F_EXPLODE_ORACLE,
     "a16_collection_aggs": A16_ORACLE,
     "a17_bitwise_bool_aggs": A17_ORACLE,
+    "p6_grouped_minmax_scale": P6_ORACLE,
+    "f_udtf_shingles": F_UDTF_ORACLE,
 }

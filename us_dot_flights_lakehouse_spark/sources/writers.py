@@ -148,3 +148,28 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table_name)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Range-clustered write (z-order-lite): repartitionByRange assigns
+    contiguous key ranges to output files and sortWithinPartitions orders
+    rows inside each, so every file's footer min/max stats cover a
+    narrow, disjoint key range. Downstream scans with predicates on
+    ``cluster_cols`` then skip whole files/row-groups on stats alone —
+    the open-format equivalent of clustering/z-ordering, and the main
+    lever for selective reads over 100 TB of history. One range-exchange
+    (sampled boundaries) at write time is the whole cost."""
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.format(fmt)
+        .mode(mode)
+        .save(path)
+    )
