@@ -1472,6 +1472,78 @@ LATERAL (SELECT unnest(range(1, greatest(len(d.text) - 2, 0) + 1)) AS i) l
 """
 
 
+
+def f_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-variant (extension): Spark 4 VARIANT type — parse_json into a
+    binary-encoded variant, typed extraction with variant_get. Unlike
+    string get_json_object re-parsing per access, a variant column parses
+    once and every extraction is a cheap binary probe — the right
+    encoding for semi-structured props at 100 TB. Output is extracted to
+    scalars (variant itself is not hash-comparable cross-engine)."""
+    events = read_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
+        F.expr("variant_get(parse_json(props), '$.k', 'string')").alias("k_str"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'bigint')").alias(
+            "k_missing"
+        ),
+    )
+
+
+F_VARIANT_ORACLE = """
+SELECT event_id,
+       CAST(props ->> 'k' AS BIGINT) AS k_val,
+       props ->> 'k' AS k_str,
+       CAST(props ->> 'missing' AS BIGINT) AS k_missing
+FROM events
+"""
+
+
+def o4_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 (extension): recursive CTE (Spark 4 WITH RECURSIVE) — generate a
+    dense month spine over two years and left-join order counts, so
+    empty months surface as zeros (the calendar-densification pattern;
+    sequence+explode does the same non-recursively, o3_date_dim). The
+    recursion is driver-bounded (24 iterations over one-row frames), so
+    it adds plan depth, not data volume."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("o4_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+          WHERE m < DATE '1996-12-01'
+        )
+        SELECT m AS month_start,
+               COALESCE(cnt, CAST(0 AS BIGINT)) AS n_orders
+        FROM months
+        LEFT JOIN (
+          SELECT to_date(date_trunc('MONTH', o_orderdate)) AS om,
+                 COUNT(*) AS cnt
+          FROM o4_orders GROUP BY 1
+        ) agg ON months.m = agg.om
+        """
+    )
+
+
+O4_ORACLE = """
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < DATE '1996-12-01'
+)
+SELECT m AS month_start, COALESCE(cnt, CAST(0 AS BIGINT)) AS n_orders
+FROM months
+LEFT JOIN (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS om, COUNT(*) AS cnt
+  FROM orders GROUP BY 1
+) agg ON months.m = agg.om
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -1515,6 +1587,8 @@ QUERIES = {
     "a17_bitwise_bool_aggs": a17_bitwise_bool_aggs,
     "p6_grouped_minmax_scale": p6_grouped_minmax_scale,
     "f_udtf_shingles": f_udtf_shingles,
+    "f_variant_suite": f_variant_suite,
+    "o4_recursive_month_spine": o4_recursive_month_spine,
 }
 
 ORACLES = {
@@ -1558,4 +1632,6 @@ ORACLES = {
     "a17_bitwise_bool_aggs": A17_ORACLE,
     "p6_grouped_minmax_scale": P6_ORACLE,
     "f_udtf_shingles": F_UDTF_ORACLE,
+    "f_variant_suite": F_VARIANT_ORACLE,
+    "o4_recursive_month_spine": O4_ORACLE,
 }
