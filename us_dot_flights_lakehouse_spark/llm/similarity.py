@@ -117,22 +117,48 @@ def ivf_cosine_topk(
     is an equi-join on cell id (shuffle keyed by a small int). Recall
     degrades gracefully via nprobe, unlike single-bucket LSH probing.
     Returns (query_id, rank, neighbor_id, cell_id)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     corpus = _prep(emb, id_col, vec_col)
-    train = corpus.select("id", array_to_vector(F.col("v")).alias("features"))
-    # coarse quantizer only needs rough cells: few iterations, random init
-    # (k-means|| init costs initSteps extra passes for no recall benefit here)
-    model = KMeans(k=nlist, seed=seed, maxIter=8, initMode="random").fit(train)
-    assigned = model.transform(train).select(
-        "id", F.col("prediction").alias("cell_id")
+
+    # Train the coarse quantizer on a bounded, deterministically-ordered
+    # sample DRIVER-SIDE (numpy Lloyd's): a quantizer only needs rough
+    # cells, and at 100 TB you fit on a sample regardless — while an
+    # MLlib fit launches maxIter+ full Spark jobs whose fixed overhead
+    # dominates (this was the slowest query in the catalog before the
+    # switch). FAISS trains its IVF lists the same way.
+    train = np.array(
+        corpus.orderBy("id").limit(10_000).select("v").toPandas()["v"].tolist()
     )
-    cells = corpus.join(assigned, "id")
+    rng = np.random.default_rng(seed)
+    cents = train[rng.choice(len(train), size=nlist, replace=False)]
+    for _ in range(8):
+        d2 = ((train[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        labels = d2.argmin(axis=1)
+        for c in range(nlist):
+            m = labels == c
+            if m.any():
+                cents[c] = train[m].mean(axis=0)
+
+    # cell assignment: Arrow-batched numpy argmin (one narrow scan, no
+    # shuffle, centroids ride the closure — no 16x row expansion)
+    cents_list = cents.tolist()
+
+    def assign(pdf):
+        C = np.array(cents_list)
+        V = np.array(pdf["v"].tolist())
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        pdf["cell_id"] = d2.argmin(axis=1).astype("int32")
+        return pdf
+
+    cells = corpus.mapInPandas(
+        lambda it: (assign(pdf) for pdf in it),
+        schema="id bigint, v array<double>, nrm double, cell_id int",
+    )
 
     spark = emb.sparkSession
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents_list)],
         "cell_id int, centroid array<double>",
     )
     qs = _prep(queries, id_col, vec_col).select(
