@@ -381,3 +381,37 @@ def embedding_neardup_pairs(
             )
 
     return src.mapInPandas(kernel, schema="vec_id_a long, vec_id_b long")
+
+
+def fuzzy_pairs(
+    docs: DataFrame,
+    col: str,
+    max_distance: int,
+    block_prefix: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocked fuzzy matching: candidate pairs share a ``block_prefix``-char
+    prefix (the classic record-linkage blocking key), then exact
+    Levenshtein verifies within ``max_distance``. Blocking turns the
+    O(n²) all-pairs edit-distance scan into per-block quadratics — the
+    only way fuzzy dedup survives 100 TB; pick the prefix so blocks stay
+    task-sized (swap in soundex/phonetic keys for typo-heavy data where
+    the typo may hit the prefix). Returns (id_a, id_b, dist)."""
+    c = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(col).alias("s"),
+        F.substring(F.col(col), 1, block_prefix).alias("blk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein(F.col("a.s"), F.col("b.s")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_distance)
+    )

@@ -1544,6 +1544,122 @@ LEFT JOIN (
 """
 
 
+
+def dd_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD-fuzzy (extension): blocked Levenshtein matching — supplier names
+    within edit distance 1, candidates limited to a shared 16-char prefix
+    block (llm/dedup.py::fuzzy_pairs). Levenshtein is integer-exact
+    cross-engine, so unlike the sketch-based dedups this one oracles."""
+    from us_dot_flights_lakehouse_spark.llm.dedup import fuzzy_pairs
+
+    supplier = read_table(spark, sf_dir, "supplier")
+    return fuzzy_pairs(
+        supplier, "s_name", max_distance=1, block_prefix=16, id_col="s_suppkey"
+    )
+
+
+DD_FUZZY_ORACLE = """
+WITH c AS (
+  SELECT s_suppkey AS id, s_name AS s, substr(s_name, 1, 16) AS blk FROM supplier
+)
+SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s) AS dist
+FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+WHERE levenshtein(a.s, b.s) <= 1
+"""
+
+
+def f_datetime_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-datetime-2 (extension): calendar arithmetic — last_day,
+    add_months (month-end clamping), datediff, unix epoch seconds,
+    make_date round-trip. All integer/date-exact cross-engine."""
+    orders = read_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 1).alias("next_month"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d).alias("days_to_98"),
+        F.unix_timestamp("o_orderdate").cast("bigint").alias("epoch_s"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_start"),
+    )
+
+
+F_DATETIME2_ORACLE = """
+SELECT o_orderkey,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       make_date(year(o_orderdate), month(o_orderdate), 1) AS month_start
+FROM orders
+"""
+
+
+def f_array_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-array-2 (extension): array set algebra — intersect/union/except/
+    distinct/flatten over per-row constructed arrays. Set-op output order
+    is engine-defined, so every result is sorted then joined to a
+    canonical string before comparison (the same discipline as
+    collect_set in a16)."""
+    nation = read_table(spark, sf_dir, "nation")
+    a = F.array(F.col("n_nationkey"), F.col("n_regionkey"), F.lit(7))
+    b = F.array(F.col("n_regionkey"), F.lit(7), F.lit(99))
+
+    def s(col):
+        return F.array_join(F.array_sort(col), ",")
+
+    return nation.select(
+        "n_nationkey",
+        s(F.array_intersect(a, b)).alias("inter"),
+        s(F.array_union(a, b)).alias("uni"),
+        s(F.array_except(a, b)).alias("exc"),
+        s(F.array_distinct(F.concat(a, b))).alias("dist"),
+        s(F.flatten(F.array(a, b))).alias("flat"),
+    )
+
+
+F_ARRAY2_ORACLE = """
+WITH t AS (
+  SELECT n_nationkey,
+         [n_nationkey, n_regionkey, 7] AS a,
+         [n_regionkey, 7, 99] AS b
+  FROM nation
+)
+SELECT n_nationkey,
+       array_to_string(list_sort(list_intersect(a, b)), ',') AS inter,
+       array_to_string(list_sort(list_distinct(a || b)), ',') AS uni,
+       COALESCE(array_to_string(list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))), ','), '') AS exc,
+       array_to_string(list_sort(list_distinct(a || b)), ',') AS dist,
+       array_to_string(list_sort(a || b), ',') AS flat
+FROM t
+"""
+
+
+def p7_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 (extension): error-safe expressions — try_cast, try_divide,
+    try_to_number: malformed input yields NULL instead of failing the
+    job (the row-level analogue of the corrupt-record quarantine in
+    sources/readers.py::read_csv_robust)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
+        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3).alias(
+            "div_maybe_zero"
+        ),
+    )
+
+
+P7_ORACLE = """
+SELECT o_orderkey,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+       TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+       o_totalprice / NULLIF(o_custkey % 3, 0) AS div_maybe_zero
+FROM orders
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -1589,6 +1705,10 @@ QUERIES = {
     "f_udtf_shingles": f_udtf_shingles,
     "f_variant_suite": f_variant_suite,
     "o4_recursive_month_spine": o4_recursive_month_spine,
+    "dd_fuzzy_name_pairs": dd_fuzzy_name_pairs,
+    "f_datetime_suite2": f_datetime_suite2,
+    "f_array_suite2": f_array_suite2,
+    "p7_try_functions": p7_try_functions,
 }
 
 ORACLES = {
@@ -1634,4 +1754,8 @@ ORACLES = {
     "f_udtf_shingles": F_UDTF_ORACLE,
     "f_variant_suite": F_VARIANT_ORACLE,
     "o4_recursive_month_spine": O4_ORACLE,
+    "dd_fuzzy_name_pairs": DD_FUZZY_ORACLE,
+    "f_datetime_suite2": F_DATETIME2_ORACLE,
+    "f_array_suite2": F_ARRAY2_ORACLE,
+    "p7_try_functions": P7_ORACLE,
 }
