@@ -231,3 +231,39 @@ def test_read_csv_robust_quarantines_malformed_rows(spark, tmp_path_factory):
     assert sorted(tuple(r) for r in valid.collect()) == [(1, 10.5), (3, 30.0)]
     bad = [r[0] for r in corrupt.collect()]
     assert bad == ["not_an_int,oops,extra"]
+
+
+def test_zorder_write_narrows_footer_ranges_on_both_columns(spark, tmp_path_factory):
+    import glob
+    import pyarrow.parquet as pq
+    from us_dot_flights_lakehouse_spark.sources.writers import write_zorder_clustered
+
+    path = str(tmp_path_factory.mktemp("zorder") / "t")
+    # two independent uniform columns over [0, 1024)
+    df = spark.range(0, 20_000).selectExpr(
+        "CAST(id % 1024 AS DOUBLE) AS k1",
+        "CAST((id * 7919) % 1024 AS DOUBLE) AS k2",
+    )
+    write_zorder_clustered(df, path, ["k1", "k2"], n_files=16)
+
+    spans = {"k1": [], "k2": []}
+    files = glob.glob(f"{path}/*.parquet")
+    for f in files:
+        md = pq.read_metadata(f)
+        names = md.schema.names
+        for col in ("k1", "k2"):
+            idx = names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans[col].append((max(maxs) - min(mins)) / 1024.0)
+    assert len(files) >= 8
+    # z-ordering must narrow BOTH dimensions per file (a 1-D sort would
+    # leave the other column's span at ~1.0); 16 files over 2 dims →
+    # ideal span 1/4 each, assert well under full coverage on average
+    for col in ("k1", "k2"):
+        avg = sum(spans[col]) / len(spans[col])
+        assert avg < 0.6, (col, avg, spans[col])
+    assert spark.read.parquet(path).count() == 20_000

@@ -88,8 +88,50 @@ def main():
     t1 = timed("lsh_topk@1x", lsh_cosine_topk(emb1, q1, k=5, dim=64))
     tN = timed(f"lsh_topk@{factor}x", lsh_cosine_topk(embN, q1, k=5, dim=64))
     print(f"lsh_topk: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
+
+    skew_bench(spark)
     spark.stop()
 
 
 if __name__ == "__main__":
     main()
+
+
+def skew_bench(spark, n_rows=3_000_000, n_keys=50_000, hot_frac=0.3):
+    """Measure a skewed equi-join three ways: AQE skew-split plain join,
+    salted join, and (as the degenerate control) AQE off. One key owns
+    ``hot_frac`` of the fact side."""
+    from pyspark.sql import functions as F
+    from us_dot_flights_lakehouse_spark.operators.joins import salted_join
+
+    fact = spark.range(n_rows).select(
+        F.when(F.rand(7) < hot_frac, F.lit(0))
+        .otherwise((F.rand(11) * n_keys).cast("long"))
+        .alias("k"),
+        F.col("id").alias("v"),
+    ).cache()
+    dim = spark.range(n_keys).select(
+        F.col("id").alias("dk"), (F.col("id") * 2).alias("dv")
+    ).cache()
+    fact.count(); dim.count()
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t_plain = timed(
+            "skew plain+AQE", fact.join(dim, fact["k"] == dim["dk"])
+        )
+        t_salted = timed(
+            "skew salted(16)", salted_join(fact, dim, "k", "dk", n_salts=16)
+        )
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        t_noaqe = timed(
+            "skew plain noAQE", fact.join(dim, fact["k"] == dim["dk"])
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    print(
+        f"skew summary: plain+AQE {t_plain:.2f}s, salted {t_salted:.2f}s, "
+        f"no-AQE {t_noaqe:.2f}s",
+        flush=True,
+    )

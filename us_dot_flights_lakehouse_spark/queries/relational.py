@@ -1660,6 +1660,72 @@ FROM orders
 """
 
 
+
+def f_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-string-2 (extension): regexp capture groups, regexp_count, instr,
+    translate, repeat/reverse/left/right — the remainder of the string
+    surface beyond f_string_suite. All run JVM-side in codegen."""
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^(\\w+)\\s+(\\w+)", 2).alias("type_mid"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]+"), 0)).alias(
+            "n_vowel_runs"
+        ),
+        F.instr("p_name", "plate").alias("plate_pos"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.substring("p_name", 1, 3).alias("name_l3"),
+        F.right(F.col("p_name"), F.lit(2)).alias("name_r2"),
+    )
+
+
+F_STRING2_ORACLE = """
+SELECT p_partkey,
+       regexp_extract(p_type, '^(\\w+)\\s+(\\w+)', 2) AS type_mid,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INTEGER) AS n_vowel_runs,
+       CAST(instr(p_name, 'plate') AS INTEGER) AS plate_pos,
+       translate(p_brand, '#', '-') AS brand_dashed,
+       repeat('*', CAST(p_size % 5 AS INTEGER)) AS stars,
+       reverse(p_brand) AS brand_rev,
+       substr(p_name, 1, 3) AS name_l3,
+       right(p_name, 2) AS name_r2
+FROM part
+"""
+
+
+def f_xml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-xml (extension): XML ingestion — from_xml (Spark 4 built-in,
+    absorbed from spark-xml) parsing per-row documents into typed
+    structs, plus xpath extraction. The oracle states the expected
+    values relationally (DuckDB has no XML), proving the parse
+    round-trips the source columns exactly."""
+    nation = read_table(spark, sf_dir, "nation")
+    xml = F.concat(
+        F.lit("<rec><name>"),
+        F.col("n_name"),
+        F.lit("</name><rk>"),
+        F.col("n_regionkey").cast("string"),
+        F.lit("</rk></rec>"),
+    )
+    parsed = F.from_xml(xml, "name string, rk int")
+    return nation.select(
+        "n_nationkey",
+        parsed["name"].alias("xml_name"),
+        parsed["rk"].alias("xml_rk"),
+        F.xpath_string(xml, F.lit("/rec/name")).alias("xpath_name"),
+    )
+
+
+F_XML_ORACLE = """
+SELECT n_nationkey, n_name AS xml_name,
+       CAST(n_regionkey AS INTEGER) AS xml_rk,
+       n_name AS xpath_name
+FROM nation
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -1709,6 +1775,8 @@ QUERIES = {
     "f_datetime_suite2": f_datetime_suite2,
     "f_array_suite2": f_array_suite2,
     "p7_try_functions": p7_try_functions,
+    "f_string_suite2": f_string_suite2,
+    "f_xml_suite": f_xml_suite,
 }
 
 ORACLES = {
@@ -1758,4 +1826,6 @@ ORACLES = {
     "f_datetime_suite2": F_DATETIME2_ORACLE,
     "f_array_suite2": F_ARRAY2_ORACLE,
     "p7_try_functions": P7_ORACLE,
+    "f_string_suite2": F_STRING2_ORACLE,
+    "f_xml_suite": F_XML_ORACLE,
 }

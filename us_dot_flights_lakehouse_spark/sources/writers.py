@@ -173,3 +173,50 @@ def write_range_clustered(
         .mode(mode)
         .save(path)
     )
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int,
+    bits: int = 5,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Multi-column interleaved (Z-order) clustered write: each cluster
+    column is quantile-binned to ``2**bits`` ranks (one approxQuantile
+    pass), the per-column bin bits are interleaved into a Morton z-value,
+    and files are range-partitioned + sorted on that z-value.
+
+    Where ``write_range_clustered`` gives perfect file-skipping on ONE
+    key and none on the others, z-ordering gives every listed column
+    footer ranges covering only ~(1/n_files)^(1/len(cols)) of its
+    domain — the layout that serves selective scans on EITHER column of
+    100 TB of history. Cost: one sampling pass + one range exchange.
+    """
+    from pyspark.sql import functions as F
+
+    n_bins = 1 << bits
+    probs = [i / n_bins for i in range(1, n_bins)]
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        cuts = df.approxQuantile(c, probs, 0.01)
+        cut_arr = F.array(*[F.lit(float(x)) for x in cuts])
+        bin_col = F.size(
+            F.filter(cut_arr, lambda b: F.col(c).cast("double") >= b)
+        ).cast("long")
+        for bit in range(bits):
+            z = z + (
+                F.shiftright(bin_col, bit).bitwiseAND(F.lit(1))
+                * F.lit(1 << (bit * len(cols) + ci))
+            ).cast("long")
+    out = df.withColumn("__z", z)
+    (
+        out.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.format(fmt)
+        .mode(mode)
+        .save(path)
+    )
