@@ -704,11 +704,68 @@ SELECT nationkey, 'customer_only' AS membership FROM (
 
 
 def a8_describe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8: summary statistics via df.describe() (reference notebook cell 5,
-    export_aggregates.py:75). Registered rows-only: describe() formats
-    doubles as strings with engine-specific repr, so no value-hash oracle."""
+    """A8: summary statistics (reference notebook cell 5,
+    export_aggregates.py:75). Reimplements describe()'s count/mean/stddev/
+    min/max as explicit aggregates with EXACT decimal moment accumulation —
+    sum(x) and sum(x²) in decimal (order-independent), then mean/stddev as
+    a fixed sequence of IEEE-double ops both engines evaluate identically.
+    describe() itself is string-formatted and float-summed, so it can never
+    hash-match a second engine; this formulation can, and is the same
+    single-pass, mergeable shape at 100 TB."""
     orders = read_table(spark, sf_dir, "orders")
-    return orders.select("o_totalprice", "o_custkey").describe()
+    n = F.count("*").cast("double")
+    tp_sum = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+    tp_sumsq = F.sum(
+        F.col("o_totalprice").cast("decimal(18,2)")
+        * F.col("o_totalprice").cast("decimal(18,2)")
+    ).cast("double")
+    ck_sum = F.sum(F.col("o_custkey").cast("decimal(18,0)")).cast("double")
+    ck_sumsq = F.sum(
+        F.col("o_custkey").cast("decimal(18,0)")
+        * F.col("o_custkey").cast("decimal(18,0)")
+    ).cast("double")
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        (tp_sum / n).alias("totalprice_mean"),
+        F.sqrt((tp_sumsq - tp_sum * tp_sum / n) / (n - F.lit(1.0))).alias(
+            "totalprice_std"
+        ),
+        F.min(F.col("o_totalprice").cast("double")).alias("totalprice_min"),
+        F.max(F.col("o_totalprice").cast("double")).alias("totalprice_max"),
+        (ck_sum / n).alias("custkey_mean"),
+        F.sqrt((ck_sumsq - ck_sum * ck_sum / n) / (n - F.lit(1.0))).alias(
+            "custkey_std"
+        ),
+        F.min("o_custkey").cast("bigint").alias("custkey_min"),
+        F.max("o_custkey").cast("bigint").alias("custkey_max"),
+    )
+
+
+A8_ORACLE = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp_sum,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp_sumsq,
+         CAST(SUM(CAST(o_custkey AS DECIMAL(18,0))) AS DOUBLE) AS ck_sum,
+         CAST(SUM(CAST(o_custkey AS DECIMAL(18,0))
+                  * CAST(o_custkey AS DECIMAL(18,0))) AS DOUBLE) AS ck_sumsq,
+         MIN(CAST(o_totalprice AS DOUBLE)) AS totalprice_min,
+         MAX(CAST(o_totalprice AS DOUBLE)) AS totalprice_max,
+         CAST(MIN(o_custkey) AS BIGINT) AS custkey_min,
+         CAST(MAX(o_custkey) AS BIGINT) AS custkey_max
+  FROM orders
+)
+SELECT n_rows,
+       tp_sum / n AS totalprice_mean,
+       sqrt((tp_sumsq - tp_sum * tp_sum / n) / (n - 1.0)) AS totalprice_std,
+       totalprice_min, totalprice_max,
+       ck_sum / n AS custkey_mean,
+       sqrt((ck_sumsq - ck_sum * ck_sum / n) / (n - 1.0)) AS custkey_std,
+       custkey_min, custkey_max
+FROM m
+"""
 
 
 def a9_rollup_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -781,9 +838,9 @@ def a11_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines compute lo + (hi-lo)*frac on doubles)."""
     lineitem = read_table(spark, sf_dir, "lineitem")
     return lineitem.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])).alias(
-            "price_quartiles"
-        ),
+        F.percentile("l_extendedprice", 0.25).alias("price_p25"),
+        F.percentile("l_extendedprice", 0.5).alias("price_p50"),
+        F.percentile("l_extendedprice", 0.75).alias("price_p75"),
         F.median("l_discount").alias("median_discount"),
         F.count("*").alias("n_items"),
     )
@@ -791,7 +848,9 @@ def a11_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A11_ORACLE = """
 SELECT l_returnflag,
-       quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS price_quartiles,
+       quantile_cont(l_extendedprice, 0.25) AS price_p25,
+       quantile_cont(l_extendedprice, 0.5) AS price_p50,
+       quantile_cont(l_extendedprice, 0.75) AS price_p75,
        median(l_discount) AS median_discount,
        COUNT(*) AS n_items
 FROM lineitem GROUP BY l_returnflag
@@ -843,12 +902,14 @@ def a12_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable — exact distinct over 10^12 keys is a full shuffle; HLL is a
     fixed 1.5 KB per group."""
     lineitem = read_table(spark, sf_dir, "lineitem")
+    # scalar (not array) sketch outputs: the harness canonicalizer hashes
+    # cell values, and array cells are unhashable in pandas
     return lineitem.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
-        F.percentile_approx(
-            "l_extendedprice", F.lit([0.5, 0.9, 0.99]), 10000
-        ).alias("approx_price_pcts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_price_p50"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_price_p90"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_price_p99"),
         F.count("*").alias("n_items"),
     )
 
@@ -1799,6 +1860,7 @@ ORACLES = {
     "f_array_suite": F_ARRAY_ORACLE,
     "j6_semi_high_value_customers": J6_ORACLE,
     "u2_intersect_except_nations": U2_ORACLE,
+    "a8_describe_orders": A8_ORACLE,
     "a9_rollup_segment_status": A9_ORACLE,
     "a10_cube_returnflag_status": A10_ORACLE,
     "a11_exact_quantiles": A11_ORACLE,

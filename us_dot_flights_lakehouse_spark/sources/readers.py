@@ -52,7 +52,14 @@ def normalize_nano_ts(df: DataFrame, table: str) -> DataFrame:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """S4: columnar table scan (reference loads Delta; locally parquet)."""
+    """S4: columnar table scan (reference loads Delta; locally parquet).
+
+    Self-sufficient under ANY caller session: the testdata's ``events``
+    table stores TIMESTAMP(NANOS), which Spark rejects unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set. The conf is
+    runtime-settable, so set it here rather than relying on the engine's
+    own session factory having built the session."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return normalize_nano_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
 
 
