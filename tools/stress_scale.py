@@ -89,6 +89,22 @@ def main():
     tN = timed(f"lsh_topk@{factor}x", lsh_cosine_topk(embN, q1, k=5, dim=64))
     print(f"lsh_topk: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
 
+    # exact all-pairs cosine: FLOPs are inherently quadratic in rows, so the
+    # check here is NOT linear growth — it's that per-task memory stays at
+    # 2 blocks (no driver materialization) and wall-clock tracks FLOPs/cores
+    from us_dot_flights_lakehouse_spark.llm.dedup import embedding_neardup_pairs
+
+    t1 = timed("emb_neardup@1x", embedding_neardup_pairs(emb1, threshold=0.45))
+    tN = timed(
+        f"emb_neardup@{factor}x",
+        embedding_neardup_pairs(embN, threshold=0.45, n_blocks=32),
+    )
+    print(
+        f"emb_neardup: growth {tN / t1:.1f}x at {factor}x rows "
+        f"({factor * factor}x FLOPs; executor-side blocks only)",
+        flush=True,
+    )
+
     skew_bench(spark)
     spark.stop()
 

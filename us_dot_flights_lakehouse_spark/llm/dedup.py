@@ -344,43 +344,82 @@ def embedding_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs: Arrow-batched numpy kernel.
+    """Embedding-cosine near-dup pairs: exact block-matrix self-join,
+    built entirely executor-side (NO driver materialization).
 
-    The full L2-normalized corpus matrix is broadcast to executors
-    (n×dim float64 — 10M vectors × 256 dims ≈ 20 GB is the practical
-    ceiling; beyond that, prune candidates with the LSH buckets in
-    llm/similarity.py first). Each mapInPandas batch computes
-    batch @ corpus.T with BLAS and emits (a, b) id pairs where a < b and
-    cosine >= threshold. Returns ids only — compute stays scan-local,
-    zero shuffle.
+    The corpus hashes into ``n_blocks`` blocks; every unordered block pair
+    (i <= j) becomes one cogrouped Arrow task holding exactly those two
+    blocks' vectors. The numpy kernel computes block_i @ block_j.T with
+    BLAS and emits (a, b) id pairs with cosine >= threshold (a < b —
+    cross-block pairs are oriented by min/max id, the diagonal block
+    filters a < b, so every pair surfaces exactly once).
+
+    100 TB design: per-task memory is 2·(n/B) vectors and shuffle volume
+    is n·B rows — size B ≈ n·dim·8 / executor_mem so blocks stay
+    RAM-sized. Exactness costs O(n²) FLOPs no matter the engine; this
+    spreads them across B·(B+1)/2 independent tasks instead of
+    broadcasting a driver-built matrix (the previous design's ~20 GB
+    driver ceiling). When even that FLOP budget is prohibitive, prune
+    candidates with llm/similarity.py's LSH buckets and verify on
+    candidates only.
     """
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
-    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    pdf = src.toPandas()  # corpus statistics table, not the 100 TB fact side
-    ids = pdf["id"].to_numpy()
-    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
-
-    def kernel(batches):
-        b_ids, b_mat = bc.value
-        for batch in batches:
-            if len(batch) == 0:
-                continue
-            q_ids = batch["id"].to_numpy()
-            q = np.asarray([np.asarray(v, dtype=np.float64) for v in batch["v"]])
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            cos = q @ b_mat.T
-            qi, bi = np.nonzero((cos >= threshold) & (q_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {"vec_id_a": q_ids[qi], "vec_id_b": b_ids[bi]}
+    src = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)).cast("int"))
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    def _side(anchor: str) -> DataFrame:
+        return (
+            src.alias("s")
+            .join(F.broadcast(block_pairs.alias("p")), F.col("s.blk") == F.col(f"p.{anchor}"))
+            .select(
+                F.col("p.bi").alias("bi"),
+                F.col("p.bj").alias("bj"),
+                F.col("s.id").alias("id"),
+                F.col("s.v").alias("v"),
             )
+        )
 
-    return src.mapInPandas(kernel, schema="vec_id_a long, vec_id_b long")
+    left, right = _side("bi"), _side("bj")
+
+    def _mat(col):
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    def compare(key, lt, rt):
+        empty = pd.DataFrame(
+            {
+                "vec_id_a": np.array([], dtype=np.int64),
+                "vec_id_b": np.array([], dtype=np.int64),
+            }
+        )
+        if len(lt) == 0 or len(rt) == 0:
+            return empty
+        bi, bj = key
+        l_ids, r_ids = lt["id"].to_numpy(), rt["id"].to_numpy()
+        cos = _mat(lt["v"]) @ _mat(rt["v"]).T
+        hit = cos >= threshold
+        if bi == bj:
+            hit &= l_ids[:, None] < r_ids[None, :]
+        li, ri = np.nonzero(hit)
+        a, b = l_ids[li], r_ids[ri]
+        return pd.DataFrame(
+            {"vec_id_a": np.minimum(a, b), "vec_id_b": np.maximum(a, b)}
+        )
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(compare, schema="vec_id_a long, vec_id_b long")
+    )
 
 
 def fuzzy_pairs(
