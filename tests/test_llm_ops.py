@@ -118,8 +118,27 @@ def test_lang_id_priority_and_und(spark):
     assert got == {1: "en", 2: "es", 3: "und"}
 
 
-PNG = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
-JPG = b"\xff\xd8\xff\xe0" + b"\x01\x02" * 10
+def _be32(v):
+    return v.to_bytes(4, "big")
+
+
+def _be16(v):
+    return v.to_bytes(2, "big")
+
+
+#: structurally valid headers: PNG sig+IHDR(64x48), JPEG SOI+APP0+SOF0
+#: (100x32), GIF89a screen descriptor (320x200)
+PNG = (
+    b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + _be32(64) + _be32(48)
+    + b"\x08\x06\x00\x00\x00"
+)
+JPG = (
+    b"\xff\xd8"
+    + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    + b"\xff\xc0\x00\x11\x08" + _be16(32) + _be16(100)
+    + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+)
+GIF = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\xf7\x00\x00"
 
 
 def _media_df(spark):
@@ -148,7 +167,54 @@ def test_media_metadata_struct(spark):
     r = {x["id"]: x["media_meta"] for x in df.collect()}
     assert r[1]["media_type"] == "image/png"
     assert r[1]["n_bytes"] == len(PNG)
-    assert r[1]["width"] is None  # decoder-dependent fields stay NULL
+    # PNG dims come from the JVM-side IHDR expression
+    assert (r[1]["width"], r[1]["height"]) == (64, 48)
+    # JPEG needs the kernel parser; expression path leaves dims NULL
+    assert r[2]["width"] is None
+    assert r[3]["width"] is None
+
+
+def test_decode_image_headers_all_formats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(PNG)),
+            (2, bytearray(JPG)),
+            (3, bytearray(GIF)),
+            (4, bytearray(b"\xff\xd8\xff\xe0\x00\x04\x00\x00")),  # JPEG, no SOF
+            (5, bytearray(b"plainbytes")),
+            (6, None),
+        ],
+        "id long, payload binary",
+    )
+    got = {
+        r["id"]: (r["media_type"], r["width"], r["height"])
+        for r in multimodal.decode_image_headers(df).collect()
+    }
+    assert got[1] == ("image/png", 64, 48)
+    assert got[2] == ("image/jpeg", 100, 32)
+    assert got[3] == ("image/gif", 320, 200)
+    assert got[4] == ("image/jpeg", None, None)
+    assert got[5] == ("application/octet-stream", None, None)
+    assert got[6] == (None, None, None)
+
+
+def test_png_gif_dims_expressions(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(PNG)), (3, bytearray(GIF))], "id long, payload binary"
+    )
+    from pyspark.sql import functions as SF
+
+    r = {
+        x["id"]: (x["d"]["width"], x["d"]["height"])
+        for x in df.select(
+            "id",
+            SF.when(SF.col("id") == 1, multimodal.png_dims("payload"))
+            .otherwise(multimodal.gif_dims("payload"))
+            .alias("d"),
+        ).collect()
+    }
+    assert r[1] == (64, 48)
+    assert r[3] == (320, 200)
 
 
 def test_decode_image_is_explicit_stub(spark):

@@ -102,18 +102,120 @@ def with_media_metadata(
     df: DataFrame, bin_col: str = "payload", out_col: str = "media_meta"
 ) -> DataFrame:
     """Attach the canonical metadata struct. Type + size are computed for
-    real; width/height/duration need a decoder and are NULL until
-    ``decode_image``/``probe_media`` are backed by a codec."""
+    real; PNG/GIF width/height come from the header expressions (JPEG
+    needs the ``decode_image_headers`` kernel — marker walking is not
+    expressible as a fixed Column); duration needs a real prober."""
     c = F.col(bin_col)
+    mtype = detect_media_type(c)
     return df.withColumn(
         out_col,
         F.struct(
-            detect_media_type(c).alias("media_type"),
+            mtype.alias("media_type"),
             F.length(c).cast("long").alias("n_bytes"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
+            F.when(mtype == "image/png", png_dims(c)["width"])
+            .when(mtype == "image/gif", gif_dims(c)["width"])
+            .alias("width"),
+            F.when(mtype == "image/png", png_dims(c)["height"])
+            .when(mtype == "image/gif", gif_dims(c)["height"])
+            .alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),
         ),
+    )
+
+
+def png_dims(bin_col: str | Column) -> Column:
+    """PNG width/height as a pure Column expression — IHDR is mandatory
+    and always first, so width/height are the big-endian u32s at byte
+    offsets 16 and 20 (1-indexed substring 17/21). JVM-side, zero UDF."""
+    c = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    return F.struct(
+        F.conv(F.hex(F.substring(c, 17, 4)), 16, 10).cast("int").alias("width"),
+        F.conv(F.hex(F.substring(c, 21, 4)), 16, 10).cast("int").alias("height"),
+    )
+
+
+def gif_dims(bin_col: str | Column) -> Column:
+    """GIF width/height — the logical screen descriptor's little-endian
+    u16s at byte offsets 6 and 8 (hex bytes re-ordered to big-endian
+    before conv). JVM-side, zero UDF."""
+    c = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+
+    def le16(off: int) -> Column:
+        return (
+            F.conv(
+                F.concat(F.hex(F.substring(c, off + 1, 1)), F.hex(F.substring(c, off, 1))),
+                16,
+                10,
+            )
+            .cast("int")
+        )
+
+    return F.struct(le16(7).alias("width"), le16(9).alias("height"))
+
+
+IMAGE_HEADER_SCHEMA = "id long, media_type string, width int, height int"
+
+
+def decode_image_headers(
+    df: DataFrame, id_col: str = "id", bin_col: str = "payload"
+) -> DataFrame:
+    """Header-level image decode — width/height from pure byte arithmetic,
+    NO codec: PNG (IHDR big-endian u32s), GIF (screen-descriptor
+    little-endian u16s), JPEG (walk the marker segments to the first SOFn
+    frame header; variable-length APPn/COM segments make this a loop, so
+    it runs as an Arrow-batched mapInPandas kernel rather than a Column
+    expression). Unknown/truncated payloads yield NULL dims.
+
+    Scale: scan-local, zero shuffle; only (id, payload-prefix) bytes are
+    touched per row, so project payloads early and keep blobs out of any
+    downstream shuffle."""
+
+    def parse(blob: bytes) -> tuple[str, int | None, int | None]:
+        if blob[:8] == b"\x89PNG\r\n\x1a\n" and len(blob) >= 24:
+            return (
+                "image/png",
+                int.from_bytes(blob[16:20], "big"),
+                int.from_bytes(blob[20:24], "big"),
+            )
+        if blob[:4] in (b"GIF8",) and len(blob) >= 10:
+            return (
+                "image/gif",
+                int.from_bytes(blob[6:8], "little"),
+                int.from_bytes(blob[8:10], "little"),
+            )
+        if blob[:2] == b"\xff\xd8":
+            i = 2
+            # walk FF-marker segments; SOF0-SOF15 (except DHT/JPG/DAC
+            # markers C4/C8/CC) carry height/width at offsets +5/+7
+            while i + 9 < len(blob):
+                if blob[i] != 0xFF:
+                    break
+                marker = blob[i + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    return (
+                        "image/jpeg",
+                        int.from_bytes(blob[i + 7 : i + 9], "big"),
+                        int.from_bytes(blob[i + 5 : i + 7], "big"),
+                    )
+                seg_len = int.from_bytes(blob[i + 2 : i + 4], "big")
+                i += 2 + seg_len
+            return ("image/jpeg", None, None)
+        return ("application/octet-stream", None, None)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["id"], pdf[bin_col]):
+                if blob is None:
+                    rows.append((i, None, None, None))
+                else:
+                    rows.append((i, *parse(bytes(blob))))
+            yield pd.DataFrame(
+                rows, columns=["id", "media_type", "width", "height"]
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(bin_col)).mapInPandas(
+        extract, schema=IMAGE_HEADER_SCHEMA
     )
 
 
@@ -121,7 +223,8 @@ DECODED_IMAGE_SCHEMA = "id long, width int, height int, mode string, pixels bina
 
 
 def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "payload") -> DataFrame:
-    """STUB — image decode to raw pixels.
+    """STUB — full image decode to raw pixels (header-level dimensions are
+    REAL — see ``decode_image_headers`` above).
 
     Production shape: mapInPandas over Arrow batches, PIL/torchvision
     decode per blob, yielding ``DECODED_IMAGE_SCHEMA`` rows. The container

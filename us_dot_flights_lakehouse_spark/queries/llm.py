@@ -478,6 +478,53 @@ GROUP BY doc_id
 """
 
 
+def mm_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: header-level image dimension decode — synthesizes structurally
+    valid PNG / JPEG(JFIF+SOF0) / GIF headers with dimensions derived from
+    doc_id, then recovers them with the codec-free byte-arithmetic parser
+    (``multimodal.decode_image_headers``). The oracle recomputes the
+    expected dims arithmetically, so a parser offset bug hash-fails."""
+    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
+    w = (F.col("doc_id") % 1024 + 16).cast("int")
+    h = ((F.col("doc_id") * 7) % 1024 + 16).cast("int")
+    be32 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
+    be16 = lambda c: F.lpad(F.hex(c), 4, "0")  # noqa: E731
+    le16 = lambda c: F.concat(  # noqa: E731
+        F.substring(be16(c), 3, 2), F.substring(be16(c), 1, 2)
+    )
+    png = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"), be32(w), be32(h), F.lit("0806000000")
+    )
+    jpeg = F.concat(
+        F.lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+        be16(h),
+        be16(w),
+        F.lit("03012200021101031101"),
+    )
+    gif = F.concat(F.lit("474946383961"), le16(w), le16(h), F.lit("F70000"))
+    payload = F.unhex(
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, jpeg)
+        .otherwise(gif)
+    )
+    imgs = docs.select("doc_id", payload.alias("payload"))
+    dims = multimodal.decode_image_headers(imgs, id_col="doc_id")
+    return dims.select(
+        F.col("id").alias("doc_id"), "media_type", "width", "height"
+    )
+
+
+MM_DIMS_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'image/jpeg'
+                       ELSE 'image/gif' END AS media_type,
+       CAST(doc_id % 1024 + 16 AS INTEGER) AS width,
+       CAST((doc_id * 7) % 1024 + 16 AS INTEGER) AS height
+FROM documents
+"""
+
+
 QUERIES = {
     "dd_exact_dedup": dd_exact_dedup,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -493,6 +540,7 @@ QUERIES = {
     "tp_corpus_curation": tp_corpus_curation,
     "mm_media_manifest": mm_media_manifest,
     "mm_byte_features": mm_byte_features,
+    "mm_image_dims": mm_image_dims,
 }
 
 ORACLES = {
@@ -508,4 +556,5 @@ ORACLES = {
     "tp_corpus_curation": _curation_oracle(),
     "mm_media_manifest": _mm_manifest_oracle(),
     "mm_byte_features": MM_BYTES_ORACLE,
+    "mm_image_dims": MM_DIMS_ORACLE,
 }
