@@ -145,6 +145,88 @@ def test_compact_partitions_reduces_files(spark, tmp_path):
     assert spark.read.parquet(path).count() == 20  # no data loss
 
 
+def test_merge_upsert_crash_before_publish_leaves_live_intact(spark, tmp_path, monkeypatch):
+    """Kill the job between the staging write and the publish: the live
+    table must be byte-identical (staging is hidden from readers)."""
+    from us_dot_flights_lakehouse_spark.sources import writers
+
+    path = str(tmp_path / "tbl")
+    schema = "k long, day string, v string"
+    initial = spark.createDataFrame([(1, "d1", "old1"), (3, "d2", "keep")], schema)
+    writers.merge_upsert_partitioned(initial, path, keys=["k"], partition_by=["day"])
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash mid-rewrite")
+
+    monkeypatch.setattr(writers, "publish_partitions_atomic", boom)
+    updates = spark.createDataFrame([(1, "d1", "NEW1")], schema)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        writers.merge_upsert_partitioned(updates, path, keys=["k"], partition_by=["day"])
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "old1", 3: "keep"}  # live table unchanged
+
+
+def test_publish_partial_crash_is_whole_partition_granular(spark, tmp_path):
+    """Publishing only SOME partitions (a crash between renames) leaves
+    every partition fully-old or fully-new — never mixed files."""
+    from us_dot_flights_lakehouse_spark.sources.writers import (
+        _STAGING,
+        publish_partitions_atomic,
+    )
+
+    path = str(tmp_path / "tbl")
+    schema = "k long, day string, v string"
+    spark.createDataFrame(
+        [(1, "d1", "old1"), (2, "d2", "old2")], schema
+    ).write.partitionBy("day").parquet(path)
+    staging = f"{path}/{_STAGING}"
+    spark.createDataFrame(
+        [(1, "d1", "new1"), (2, "d2", "new2")], schema
+    ).write.partitionBy("day").parquet(staging)
+
+    # simulate crash after the first partition's swap
+    publish_partitions_atomic(spark, staging, path, ["day=d1"])
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "new1", 2: "old2"}
+    # retired copies are hidden from listing and cleaned up
+    import os
+
+    assert not any(f.startswith("day=") and "_old" in f for f in os.listdir(path))
+
+    # the "recovered" rerun publishes the remaining partition
+    publish_partitions_atomic(spark, staging, path, ["day=d2"])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "new1", 2: "new2"}
+
+
+def test_publish_cleans_leftover_retired_dirs(spark, tmp_path):
+    from us_dot_flights_lakehouse_spark.sources.writers import (
+        _OLD_PREFIX,
+        _STAGING,
+        publish_partitions_atomic,
+    )
+    import os
+
+    path = str(tmp_path / "tbl")
+    schema = "k long, day string"
+    spark.createDataFrame([(1, "d1")], schema).write.partitionBy("day").parquet(path)
+    # plant a leftover retired dir from a "crashed" previous publish
+    leftover = os.path.join(path, f"{_OLD_PREFIX}day=d1")
+    os.makedirs(leftover)
+    open(os.path.join(leftover, "junk.parquet"), "w").close()
+
+    staging = f"{path}/{_STAGING}"
+    spark.createDataFrame([(9, "d1")], schema).write.partitionBy("day").parquet(staging)
+    publish_partitions_atomic(spark, staging, path, ["day=d1"])
+
+    assert not os.path.exists(leftover)
+    assert [r["k"] for r in spark.read.parquet(path).collect()] == [9]
+
+
 def test_gold_quality_gate_catches_duplicate_pk(spark):
     from us_dot_flights_lakehouse_spark.flights.pipeline import gold_quality_suites
     from us_dot_flights_lakehouse_spark.quality.checks import QualityGateError

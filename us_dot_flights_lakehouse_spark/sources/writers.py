@@ -56,6 +56,72 @@ def export_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None
     df.coalesce(1).write.format("csv").option("header", "true").mode(mode).save(path)
 
 
+#: leaf-name prefix for the retired copy of a partition dir during an
+#: atomic publish — dot-prefixed so Spark/Hive listing ignores it (a
+#: ``day=X.__old`` SUFFIX would be parsed as a bogus partition value)
+_OLD_PREFIX = "._old."
+#: staging dir inside the table path; leading underscore makes Spark/Hive
+#: readers skip it, and same-dir placement guarantees same-filesystem rename
+_STAGING = "_staging"
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _partition_rel_dirs(rows, partition_by: list[str]) -> list[str]:
+    """Hive-style relative dirs (``day=2024-01-02/region=EU``) for the
+    collected partition-value rows. Values are assumed path-safe (dates,
+    codes, integer keys — true for every table here); NULL maps to Hive's
+    default partition name."""
+    return [
+        "/".join(
+            f"{c}={'__HIVE_DEFAULT_PARTITION__' if row[c] is None else row[c]}"
+            for c in partition_by
+        )
+        for row in rows
+    ]
+
+
+def publish_partitions_atomic(
+    spark, staging: str, live: str, rel_dirs: Sequence[str]
+) -> None:
+    """Two-phase commit of staged partition dirs into a live table: per
+    partition, retire the live dir to ``<dir>.__old``, rename the staged
+    dir into place, then drop the retired copy. Dir rename is atomic on
+    HDFS/POSIX, so a crash at ANY point leaves every partition fully-old
+    or fully-new — never a mix of old and new files in one dir (the
+    failure mode of overwrite-in-place). Leftover ``.__old`` dirs from a
+    crashed publish are cleaned on the next run.
+
+    Caveats, stated honestly: single-writer protocol (concurrent writers
+    need a transactional table format — the reference uses Delta for
+    exactly this); a reader listing the table during the two renames can
+    see a partition momentarily absent; object stores emulate rename as
+    copy+delete, weakening atomicity to per-file."""
+    fs, jvm = _hadoop_fs(spark, live)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    for rel in rel_dirs:
+        src, dst = hpath(f"{staging}/{rel}"), hpath(f"{live}/{rel}")
+        parent, _, leaf = rel.rpartition("/")
+        prefix = f"{live}/{parent}/" if parent else f"{live}/"
+        old = hpath(f"{prefix}{_OLD_PREFIX}{leaf}")
+        if fs.exists(old):  # leftover from a crashed previous publish
+            fs.delete(old, True)
+        fs.mkdirs(dst.getParent())
+        had_prev = fs.exists(dst)
+        if had_prev and not fs.rename(dst, old):
+            raise IOError(f"atomic publish: cannot retire {dst}")
+        if not fs.rename(src, dst):
+            if had_prev:
+                fs.rename(old, dst)  # roll the retirement back
+            raise IOError(f"atomic publish: cannot publish {src} -> {dst}")
+        if had_prev:
+            fs.delete(old, True)
+
+
 def merge_upsert_partitioned(
     updates: DataFrame,
     path: str,
@@ -70,11 +136,12 @@ def merge_upsert_partitioned(
 
     Only partitions PRESENT IN ``updates`` are read and rewritten: existing
     rows of those partitions survive unless their key matches an update
-    (left-anti), then updates append. Dynamic partition overwrite leaves
-    every untouched partition's files physically untouched — at 100 TB an
-    incremental day rewrites one day, not the table. Not transactional
-    across concurrent writers (that is what a table format adds); the
-    rewrite itself is atomic per partition dir."""
+    (left-anti), then updates append. The rewrite stages to ``_staging``
+    inside the table path and commits via ``publish_partitions_atomic`` —
+    a crash mid-job leaves the live table byte-identical (staging never
+    read) or torn only at whole-partition granularity mid-publish, never
+    with mixed old/new files in one dir. At 100 TB an incremental day
+    rewrites one day, not the table."""
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
@@ -84,16 +151,21 @@ def merge_upsert_partitioned(
     except AnalysisException:
         write_partitioned(updates, path, partition_by=partition_by, fmt=fmt)
         return
-    touched = updates.select(*partition_by).distinct()
+    touched_rows = updates.select(*partition_by).distinct().collect()
+    touched = spark.createDataFrame(touched_rows, updates.select(*partition_by).schema)
     # partition-pruned read: join on partition cols keeps only touched dirs
     keep = (
         existing.join(F.broadcast(touched), partition_by, "left_semi")
         .join(updates.select(*keys), keys, "left_anti")
     )
     out = keep.unionByName(updates.select(*existing.columns))
-    write_partitioned(
-        out, path, partition_by=partition_by, fmt=fmt, dynamic=True
+    staging = f"{path}/{_STAGING}"
+    write_partitioned(out, staging, partition_by=partition_by, fmt=fmt)
+    publish_partitions_atomic(
+        spark, staging, path, _partition_rel_dirs(touched_rows, partition_by)
     )
+    fs, jvm = _hadoop_fs(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
 
 def compact_partitions(
@@ -107,16 +179,23 @@ def compact_partitions(
     sized by ``rows_per_file`` (streaming appends and per-batch upserts
     accrete small files; object-store listing cost makes periodic
     compaction mandatory at scale — Delta OPTIMIZE's job, done with a
-    keyed repartition here)."""
+    keyed repartition + atomic per-partition publish here, so a crashed
+    compaction never corrupts the table it was tidying)."""
     df = spark.read.format(fmt).load(path)
     n = max(1, df.count() // rows_per_file)
+    parts = df.select(*partition_by).distinct().collect()
+    staging = f"{path}/{_STAGING}"
     write_partitioned(
         df.repartition(n, *partition_by),
-        path,
+        staging,
         partition_by=partition_by,
         fmt=fmt,
-        dynamic=True,
     )
+    publish_partitions_atomic(
+        spark, staging, path, _partition_rel_dirs(parts, partition_by)
+    )
+    fs, jvm = _hadoop_fs(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
 
 def write_bucketed(

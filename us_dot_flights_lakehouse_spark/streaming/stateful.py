@@ -67,8 +67,11 @@ def stream_dedup(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Exactly-once-per-key streaming dedup inside the watermark horizon:
-    ``withWatermark + dropDuplicates`` — duplicates arriving later than the
-    watermark are dropped by the source-side filter rather than matched
-    (bounded state is the point; widen the watermark to widen the match
-    window)."""
-    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    ``withWatermark + dropDuplicatesWithinWatermark`` — per-key state is
+    EVICTED once the watermark passes it, so state stays bounded even when
+    ``keys`` are pure business keys. (Plain ``dropDuplicates`` only evicts
+    state when the event-time column is itself part of the dedup keys —
+    with business keys alone its state grows without bound.) Duplicates
+    arriving later than the watermark are dropped rather than matched;
+    widen the watermark to widen the match window."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
