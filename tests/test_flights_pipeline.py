@@ -146,3 +146,46 @@ def test_full_medallion_run(spark, tmp_path_factory):
     airport = gold["daily_airport_performance"]
     total_dep = airport.agg(F.sum("DEPARTURES")).collect()[0][0]
     assert total_dep == n_raw
+
+
+def test_run_pipeline_stage_report_and_resume(spark, tmp_path_factory):
+    from us_dot_flights_lakehouse_spark.flights.pipeline import (
+        PIPELINE_STAGES,
+        run_pipeline,
+    )
+
+    root = str(tmp_path_factory.mktemp("dag"))
+    raw = synthetic_flights(spark, n=200)
+    results = run_pipeline(spark, raw, root)
+    assert [r.name for r in results] == list(PIPELINE_STAGES)
+    assert all(r.status == "ok" for r in results)
+    assert all(r.attempts == 1 for r in results)
+
+    # resume mid-DAG: gold-only rerun reads published silver, raw unused
+    resumed = run_pipeline(spark, None, root, start_at="build_dimensions")
+    by_name = {r.name: r.status for r in resumed}
+    assert by_name["bronze_ingest"] == "skipped"
+    assert by_name["silver_transform"] == "skipped"
+    assert by_name["build_dimensions"] == "ok"
+    assert by_name["fact_flights"] == "ok"
+    assert by_name["build_aggregates"] == "ok"
+    assert spark.read.parquet(f"{root}/gold/fact_flights").count() == 200
+
+
+def test_run_pipeline_gate_failure_halts_without_retry(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dagfail"))
+    # a feed whose airport codes are malformed: bronze (warn-only) passes,
+    # the fail-closed silver gate rejects, downstream stages skip
+    bad = spark.createDataFrame(
+        [_row(ORIGIN="TOOLONGCODE", DEST="X")], FLIGHT_SCHEMA
+    )
+    from us_dot_flights_lakehouse_spark.flights.pipeline import run_pipeline
+
+    results = run_pipeline(spark, bad, root, retries=2)
+    by_name = {r.name: r for r in results}
+    assert by_name["bronze_ingest"].status == "ok"
+    assert by_name["silver_transform"].status == "failed"
+    assert by_name["silver_transform"].attempts == 1  # gate errors don't retry
+    assert "QualityGateError" in by_name["silver_transform"].error
+    assert by_name["build_dimensions"].status == "skipped"
+    assert by_name["build_aggregates"].status == "skipped"

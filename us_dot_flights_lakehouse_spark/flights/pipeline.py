@@ -37,7 +37,10 @@ from us_dot_flights_lakehouse_spark.flights.star import (
     build_dim_time,
     build_fact_flights,
 )
-from us_dot_flights_lakehouse_spark.quality.checks import QualitySuite
+from us_dot_flights_lakehouse_spark.quality.checks import (
+    QualityGateError,
+    QualitySuite,
+)
 from us_dot_flights_lakehouse_spark.sources.readers import with_lineage
 from us_dot_flights_lakehouse_spark.sources.writers import write_partitioned
 
@@ -158,9 +161,17 @@ def gold_quality_suites() -> dict[str, QualitySuite]:
     return suites
 
 
-def run_gold(spark: SparkSession, paths: LakehousePaths) -> dict[str, DataFrame]:
+_DIM_NAMES = ("dim_date", "dim_time", "dim_airline", "dim_airport", "dim_route")
+_MART_NAMES = (
+    "daily_airline_performance",
+    "daily_airport_performance",
+    "route_performance",
+)
+
+
+def run_dimensions(spark: SparkSession, paths: LakehousePaths) -> dict[str, DataFrame]:
     """Dims off ONE cached silver read (reference build_all_dimensions.py:46-58),
-    then fact (broadcast star join + keyed repartition write), then marts."""
+    each gated fail-closed on PK uniqueness before its write."""
     silver = spark.read.parquet(paths.silver).cache()
     try:
         bounds = silver.agg(
@@ -173,39 +184,154 @@ def run_gold(spark: SparkSession, paths: LakehousePaths) -> dict[str, DataFrame]
             "dim_airport": build_dim_airport(silver),
             "dim_route": build_dim_route(silver),
         }
-        for name, dim in dims.items():
-            write_partitioned(dim, paths.gold(name))
-
-        fact = build_fact_flights(
-            silver, dims["dim_date"], dims["dim_airline"], dims["dim_airport"],
-            dims["dim_route"],
-        )
         suites = gold_quality_suites()
         for name, dim in dims.items():
             suites[name].validate(dim, fail_closed=True)  # PK uniqueness gates
-        suites["fact_flights"].validate(fact, fail_closed=False)  # FK probe, warn-only
+            write_partitioned(dim, paths.gold(name))
+    finally:
+        silver.unpersist()
+    return {name: spark.read.parquet(paths.gold(name)) for name in _DIM_NAMES}
+
+
+def run_fact(spark: SparkSession, paths: LakehousePaths) -> DataFrame:
+    """Fact build reading the PUBLISHED dims back from gold (like the
+    reference's separate fact_flights spark-submit job): broadcast star
+    join + warn-only FK-null probe + keyed repartition write."""
+    silver = spark.read.parquet(paths.silver).cache()
+    try:
+        fact = build_fact_flights(
+            silver,
+            dim_date=spark.read.parquet(paths.gold("dim_date")),
+            dim_airline=spark.read.parquet(paths.gold("dim_airline")),
+            dim_airport=spark.read.parquet(paths.gold("dim_airport")),
+            dim_route=spark.read.parquet(paths.gold("dim_route")),
+        )
+        gold_quality_suites()["fact_flights"].validate(fact, fail_closed=False)
         n_rows = silver.count()  # cached — cheap; sizes the fact write
         write_partitioned(
             fact, paths.gold("fact_flights"), partition_by=["DATE_KEY"],
             repartition_rows=n_rows,
         )
+    finally:
+        silver.unpersist()
+    return spark.read.parquet(paths.gold("fact_flights"))
 
-        marts = {
-            "daily_airline_performance": daily_airline_performance(silver),
-            "daily_airport_performance": daily_airport_performance(silver),
-            "route_performance": route_performance(silver),
-        }
-        for name, mart in marts.items():
+
+def run_marts(spark: SparkSession, paths: LakehousePaths) -> dict[str, DataFrame]:
+    """Aggregate marts off one cached silver scan (reference
+    build_all_aggregates.py)."""
+    silver = spark.read.parquet(paths.silver).cache()
+    try:
+        for name, mart in (
+            ("daily_airline_performance", daily_airline_performance(silver)),
+            ("daily_airport_performance", daily_airport_performance(silver)),
+            ("route_performance", route_performance(silver)),
+        ):
             write_partitioned(mart, paths.gold(name))
     finally:
         silver.unpersist()
-    return {
-        name: spark.read.parquet(paths.gold(name))
-        for name in (
-            "dim_date dim_time dim_airline dim_airport dim_route fact_flights "
-            "daily_airline_performance daily_airport_performance route_performance"
-        ).split()
+    return {name: spark.read.parquet(paths.gold(name)) for name in _MART_NAMES}
+
+
+def run_gold(spark: SparkSession, paths: LakehousePaths) -> dict[str, DataFrame]:
+    """Dims → fact → marts (the three gold DAG stages in sequence)."""
+    out = run_dimensions(spark, paths)
+    out["fact_flights"] = run_fact(spark, paths)
+    out.update(run_marts(spark, paths))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Orchestrated runner — the reference DAG as a callable
+# ---------------------------------------------------------------------------
+
+@dataclass
+class StageResult:
+    name: str
+    status: str  # "ok" | "failed" | "skipped"
+    attempts: int
+    seconds: float
+    error: str | None = None
+
+
+#: DAG order (reference airflow/dags/lakehouse_etl_pipeline.py:30-67:
+#: bronze_ingest >> silver_transform >> build_dimensions >> fact_flights
+#: >> build_aggregates)
+PIPELINE_STAGES = (
+    "bronze_ingest",
+    "silver_transform",
+    "build_dimensions",
+    "fact_flights",
+    "build_aggregates",
+)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    raw: DataFrame | None,
+    root: str,
+    airport_lookup: DataFrame | None = None,
+    carrier_lookup: DataFrame | None = None,
+    start_at: str = "bronze_ingest",
+    retries: int = 2,
+) -> list[StageResult]:
+    """The whole medallion as ONE callable mirroring the reference DAG:
+    linear stage sequence, per-stage retries (reference default_args
+    ``retries: 2``), fail-stop on exhaustion (downstream stages are
+    data-dependent, so they report ``skipped``).
+
+    Gate policy lives IN the stages and matches the reference posture:
+    bronze warn-only, silver + dim-PK gates fail-closed, fact FK probe
+    warn-only.
+
+    ``start_at`` resumes mid-DAG after a fixed failure — each stage reads
+    its inputs from the published tables of the previous one, exactly like
+    the reference's independent spark-submit tasks; ``raw`` may be None
+    when resuming past bronze."""
+    import time
+
+    paths = LakehousePaths(root)
+    stages: dict[str, object] = {
+        "bronze_ingest": lambda: run_bronze(
+            spark, raw, paths, airport_lookup, carrier_lookup
+        ),
+        "silver_transform": lambda: run_silver(spark, paths),
+        "build_dimensions": lambda: run_dimensions(spark, paths),
+        "fact_flights": lambda: run_fact(spark, paths),
+        "build_aggregates": lambda: run_marts(spark, paths),
     }
+    if start_at not in PIPELINE_STAGES:
+        raise ValueError(f"unknown stage {start_at!r}; one of {PIPELINE_STAGES}")
+
+    results: list[StageResult] = []
+    halted = False
+    started = False
+    for name in PIPELINE_STAGES:
+        started = started or name == start_at
+        if not started or halted:
+            results.append(StageResult(name, "skipped", 0, 0.0))
+            continue
+        t0 = time.perf_counter()
+        attempts, err = 0, None
+        while attempts <= retries:
+            attempts += 1
+            try:
+                stages[name]()
+                err = None
+                break
+            except QualityGateError as exc:
+                # deterministic data failure — a retry cannot fix it
+                err = f"{type(exc).__name__}: {exc}"
+                break
+            except Exception as exc:  # noqa: BLE001 — stage boundary
+                err = f"{type(exc).__name__}: {exc}"
+        dt = time.perf_counter() - t0
+        if err is None:
+            results.append(StageResult(name, "ok", attempts, dt))
+        else:
+            results.append(StageResult(name, "failed", attempts, dt, err))
+            halted = True  # linear DAG: everything downstream is blocked
+    return results
 
 
 def run_all(
@@ -215,7 +341,16 @@ def run_all(
     airport_lookup: DataFrame | None = None,
     carrier_lookup: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
+    """Convenience: run the full DAG fail-fast (no retries) and return the
+    published gold tables."""
     paths = LakehousePaths(root)
-    run_bronze(spark, raw, paths, airport_lookup, carrier_lookup)
-    run_silver(spark, paths)
-    return run_gold(spark, paths)
+    results = run_pipeline(
+        spark, raw, root, airport_lookup, carrier_lookup, retries=0
+    )
+    failed = [r for r in results if r.status == "failed"]
+    if failed:
+        raise RuntimeError(f"pipeline stage {failed[0].name} failed: {failed[0].error}")
+    return {
+        name: spark.read.parquet(paths.gold(name))
+        for name in (*_DIM_NAMES, "fact_flights", *_MART_NAMES)
+    }

@@ -1,19 +1,21 @@
 """Flights-domain medallion queries — the reference's own pipeline
-end-to-end (bronze feed → silver clean/enrich → gold star/marts) run
-in-memory on the deterministic synthetic flight feed.
+end-to-end (bronze feed → silver clean/enrich → gold star/marts) on the
+deterministic synthetic flight feed.
 
-Registered rows-only: the feed is generated by seeded Python
-(flights/synthetic.py), so DuckDB has no table to recompute it from. The
-per-stage semantics ARE oracle-checked elsewhere — every clean/enrich/mart
-pattern has a §2 query with a DuckDB oracle on the testdata tables
-(daily_segment_performance ≈ daily_airline_performance.py, j2 ≈
-fact_flights.py, j4 ≈ daily_airport_performance.py, p4 ≈
-flight_data_cleaner.py) — and the medallion wiring itself is covered by
-tests/test_flights_pipeline.py including parquet round-trips and quality
-gates.
+HASH-CHECKED against DuckDB: each query first materializes the seeded
+feed to a fixed parquet path (same bytes every run — seeded generator,
+coalesce(1)), computes the medallion from a re-read of that file, and
+the oracle SQL recomputes the ENTIRE clean → enrich → mart chain from
+the same file. A drift anywhere in cleaner/enricher/mart semantics
+hash-fails, not just the final aggregate.
+
+FL_DATE is written as DATE (converted in-session) so both engines read
+an identical calendar date with no timestamp/timezone interpretation.
 """
 
 from __future__ import annotations
+
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,12 +38,27 @@ from us_dot_flights_lakehouse_spark.flights.synthetic import synthetic_flights
 #: diverted, all delay categories), small enough for the sf0.001 smoke
 _N_FLIGHTS = 2000
 
+#: fixed, version-stamped path so the static oracle SQL can read the
+#: exact bytes the Spark side consumed
+FEED_PATH = f"{tempfile.gettempdir()}/us_dot_flights_feed_n{_N_FLIGHTS}_s7_v1.parquet"
+
+
+def _feed_silver(spark: SparkSession) -> DataFrame:
+    """Materialize the seeded feed (idempotent overwrite, deterministic
+    bytes) and return the silver transform of its re-read, so Spark and
+    the DuckDB oracle consume the identical file."""
+    feed = synthetic_flights(spark, n=_N_FLIGHTS).withColumn(
+        "FL_DATE", F.to_date("FL_DATE")
+    )
+    feed.coalesce(1).write.mode("overwrite").parquet(FEED_PATH)
+    return silver_transform(spark.read.parquet(FEED_PATH))
+
 
 def fl_daily_airline_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bronze → silver → daily airline mart, one lazy plan (reference
     entry points flights_silver_transform.py + daily_airline_performance.py).
     sf_dir is unused: the feed is the seeded synthetic generator."""
-    silver = silver_transform(synthetic_flights(spark, n=_N_FLIGHTS))
+    silver = _feed_silver(spark)
     return daily_airline_performance(silver).orderBy(
         "FLIGHT_DATE", "AIRLINE_CODE"
     )
@@ -51,7 +68,7 @@ def fl_fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silver → dims → fact with broadcast star joins and the arithmetic
     time-FK precompute (reference fact_flights.py:11-61), plus the route
     mart off the same silver scan."""
-    silver = silver_transform(synthetic_flights(spark, n=_N_FLIGHTS)).cache()
+    silver = _feed_silver(spark).cache()
     dim_date = build_dim_date(spark, "2025-01-01", "2025-02-01")
     fact = build_fact_flights(
         silver,
@@ -73,9 +90,99 @@ def fl_fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("DATE_KEY")
 
 
+# --- oracle SQL: the silver chain re-expressed over the same feed file ----
+
+#: cleaner + enricher semantics (flights/cleaner.py, flights/enricher.py)
+#: as one projection — delay nulling for cancelled, null→0 for operated,
+#: speed guard, route code, code trimming
+_SILVER_SQL = f"""
+  SELECT CAST(FL_DATE AS DATE) AS FLIGHT_DATE,
+         upper(trim(OP_UNIQUE_CARRIER)) AS AIRLINE_CODE,
+         (CANCELLED = 1) AS IS_CANCELLED,
+         (DIVERTED = 1) AS IS_DIVERTED,
+         CASE WHEN CANCELLED = 1 THEN NULL
+              ELSE COALESCE(DEP_DELAY, 0.0) END AS DEP_DELAY_MINUTES,
+         CASE WHEN CANCELLED = 1 THEN NULL
+              ELSE COALESCE(ARR_DELAY, 0.0) END AS ARR_DELAY_MINUTES,
+         DISTANCE AS DISTANCE_MILES,
+         CASE WHEN CANCELLED = 1 THEN NULL ELSE AIR_TIME END AS AIR_TIME_MINUTES,
+         CASE WHEN CANCELLED <> 1 AND AIR_TIME IS NOT NULL AND AIR_TIME > 0
+              THEN DISTANCE / AIR_TIME * 60 END AS AVG_SPEED_MPH,
+         upper(trim(ORIGIN)) || '-' || upper(trim(DEST)) AS ROUTE_CODE
+  FROM read_parquet('{FEED_PATH}/*.parquet')
+"""
+
+#: conditional_avg mirror (operators/aggregates.py:40): exact-decimal sum
+#: over matching rows / matching-row count, NULL when the count is 0.
+#: The double→decimal cast goes through VARCHAR because Spark rounds the
+#: SHORTEST DECIMAL REPR of the double (BigDecimal.valueOf/Double.toString,
+#: HALF_UP) while DuckDB's direct cast rounds the binary value — e.g. a
+#: speed whose shortest repr is "x.y45" but whose binary value is
+#: x.y44999… rounds to .94 vs .95. DuckDB's double→VARCHAR is the same
+#: shortest repr, so VARCHAR→DECIMAL reproduces Spark's rounding exactly.
+def _cavg(cond: str, val: str, alias: str) -> str:
+    n = f"SUM(CASE WHEN {cond} THEN 1 ELSE 0 END)"
+    s = (
+        f"CAST(SUM(CAST(CAST(CASE WHEN {cond} THEN {val} END AS VARCHAR)"
+        f" AS DECIMAL(28,2))) AS DOUBLE)"
+    )
+    return f"CASE WHEN {n} <> 0 THEN {s} / {n} END AS {alias}"
+
+
+def _ccount(cond: str, alias: str) -> str:
+    return f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS {alias}"
+
+
+_OP = "NOT IS_CANCELLED"
+_ONTIME = f"{_OP} AND ARR_DELAY_MINUTES <= 15"
+_DELAYED = f"{_OP} AND ARR_DELAY_MINUTES > 15"
+
+FL_MART_ORACLE = f"""
+WITH silver AS ({_SILVER_SQL}),
+agg AS (
+  SELECT FLIGHT_DATE,
+         CAST(year(FLIGHT_DATE) AS INTEGER) AS YEAR,
+         CAST(month(FLIGHT_DATE) AS INTEGER) AS MONTH,
+         AIRLINE_CODE,
+         COUNT(*) AS TOTAL_FLIGHTS,
+         {_ccount("IS_CANCELLED", "CANCELLED_FLIGHTS")},
+         {_ccount("IS_DIVERTED", "DIVERTED_FLIGHTS")},
+         {_ccount(_OP, "COMPLETED_FLIGHTS")},
+         {_ccount(_ONTIME, "ON_TIME_FLIGHTS")},
+         {_ccount(_DELAYED, "DELAYED_FLIGHTS")},
+         {_cavg(_OP, "DEP_DELAY_MINUTES", "AVG_DEP_DELAY")},
+         {_cavg(_OP, "ARR_DELAY_MINUTES", "AVG_ARR_DELAY")},
+         MAX(DEP_DELAY_MINUTES) AS MAX_DEP_DELAY,
+         MAX(ARR_DELAY_MINUTES) AS MAX_ARR_DELAY,
+         CAST(SUM(CAST(DISTANCE_MILES AS DECIMAL(28,2))) AS DOUBLE) AS TOTAL_DISTANCE_MILES,
+         {_cavg(_OP, "AVG_SPEED_MPH", "AVG_SPEED_MPH")},
+         CAST(COUNT(DISTINCT ROUTE_CODE) AS BIGINT) AS ROUTES_SERVED
+  FROM silver
+  GROUP BY FLIGHT_DATE, AIRLINE_CODE
+)
+SELECT *,
+       round(COMPLETED_FLIGHTS / TOTAL_FLIGHTS * 100, 2) AS COMPLETION_RATE,
+       round(ON_TIME_FLIGHTS / COMPLETED_FLIGHTS * 100, 2) AS ON_TIME_PERFORMANCE,
+       round(DELAYED_FLIGHTS / COMPLETED_FLIGHTS * 100, 2) AS DELAY_RATE,
+       round(CANCELLED_FLIGHTS / TOTAL_FLIGHTS * 100, 2) AS CANCELLATION_RATE
+FROM agg
+"""
+
+FL_FACT_ORACLE = f"""
+WITH silver AS ({_SILVER_SQL})
+SELECT CAST(strftime(FLIGHT_DATE, '%Y%m%d') AS INTEGER) AS DATE_KEY,
+       COUNT(*) AS n_flights,
+       CAST(SUM(CASE WHEN IS_CANCELLED THEN 1 ELSE 0 END) AS BIGINT) AS n_cancelled,
+       (SELECT CAST(COUNT(DISTINCT ROUTE_CODE) AS BIGINT) FROM silver) AS n_routes
+FROM silver GROUP BY 1
+"""
+
 QUERIES = {
     "fl_daily_airline_mart": fl_daily_airline_mart,
     "fl_fact_star": fl_fact_star,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "fl_daily_airline_mart": FL_MART_ORACLE,
+    "fl_fact_star": FL_FACT_ORACLE,
+}
