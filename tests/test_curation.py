@@ -1,0 +1,139 @@
+"""Unit tests for curation operators: sequence packing, training-mix
+sampling, PII scrubbing, TF-IDF keywords, duplicate-cluster resolution."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from us_dot_flights_lakehouse_spark.llm import curation
+
+
+def _docs(spark, rows, schema="doc_id long, source string, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_pack_sequences_contiguous_chunking(spark):
+    # four 3-token docs, budget 5: starts 0,3,6,9 -> seqs 0,0,1,1
+    docs = _docs(
+        spark,
+        [(i, "s0", "alpha beta gamma") for i in range(4)],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["seq_num"], r["offset_in_seq"])
+        for r in curation.pack_sequences(docs, budget=5).collect()
+    }
+    assert got == {0: (3, 0, 0), 1: (3, 0, 3), 2: (3, 1, 1), 3: (3, 1, 4)}
+
+
+def test_pack_sequences_partitions_by_shard(spark):
+    docs = _docs(
+        spark,
+        [(1, "a", "x y"), (2, "b", "x y"), (3, "a", "x y")],
+    )
+    got = {
+        r["doc_id"]: (r["seq_num"], r["offset_in_seq"])
+        for r in curation.pack_sequences(docs, budget=3).collect()
+    }
+    # shard 'b' restarts at offset 0 — no cross-shard leakage
+    assert got[2] == (0, 0)
+    assert got[1] == (0, 0)
+    assert got[3] == (0, 2)
+
+
+def test_mix_keep_deterministic_and_stratified(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "xx") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    keep = curation.mix_keep("doc_id", "lang", {"en": 100}, default_pct=0)
+    out = docs.select("doc_id", "lang", keep.alias("k"))
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.sum(F.col("k").cast("int")).alias("n")).collect()
+    }
+    assert by_lang["en"] == 1000  # 100% kept
+    assert by_lang["xx"] == 0  # default 0% kept
+    # determinism: identical second evaluation
+    again = docs.select(keep.alias("k")).collect()
+    assert [r["k"] for r in out.select("k").collect()] == [r["k"] for r in again]
+
+
+def test_mix_keep_rate_is_approximate_but_fixed(spark):
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(5000)], "doc_id long, lang string"
+    )
+    kept = docs.filter(curation.mix_keep("doc_id", "lang", {"en": 30})).count()
+    assert 0.25 < kept / 5000 < 0.35  # hash-uniformity sanity band
+
+
+def test_pii_scrub_all_kinds(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "s", "write to alice.smith+x@corp.example.org today"),
+            (2, "s", "server at 192.168.0.17 answered"),
+            (3, "s", "call +1 (555) 010-7788 now"),
+            (4, "s", "nothing sensitive here"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in curation.pii_scrub(docs).collect()}
+    assert "[EMAIL]" in got[1]["clean_text"] and "@" not in got[1]["clean_text"]
+    assert got[1]["n_email"] == 1
+    assert "[IP]" in got[2]["clean_text"]
+    assert got[2]["n_ip"] == 1
+    assert "[PHONE]" in got[3]["clean_text"]
+    assert got[3]["n_phone"] == 1
+    assert got[4]["clean_text"] == "nothing sensitive here"
+    assert (got[4]["n_email"], got[4]["n_ip"], got[4]["n_phone"]) == (0, 0, 0)
+
+
+def test_pii_scrub_ip_not_double_counted_as_phone(spark):
+    docs = _docs(spark, [(1, "s", "ping 10.20.30.40 ok")])
+    r = curation.pii_scrub(docs).collect()[0]
+    assert r["n_ip"] == 1 and r["n_phone"] == 0
+
+
+def test_tfidf_topk_ranks_rare_tokens_first(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "s", "common rare1 common"),
+            (2, "s", "common rare2"),
+            (3, "s", "common other"),
+        ],
+    )
+    out = curation.tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append((r["rank"], r["token"]))
+    # doc 1: 'rare1' (df=1) outranks 'common' (df=3) despite tf=2 for common
+    ranks1 = dict(by_doc[1])
+    assert ranks1[1] == "rare1"
+    # deterministic integer scoring: idf_milli = n_docs*1000 // df
+    r1 = next(r for r in out if r["id"] == 1 and r["token"] == "rare1")
+    assert r1["idf_milli"] == 3000 and r1["score"] == 3000
+
+
+def test_dup_clusters_transitive_components(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # chain 1-2-3, pair 5-6; 4 and 7 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_id_a long, doc_id_b long"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in curation.dup_clusters(nodes, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    # a 12-node path graph needs multiple propagation rounds
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_id_a long, doc_id_b long"
+    )
+    got = curation.dup_clusters(nodes, pairs).collect()
+    assert {r["cluster_id"] for r in got} == {0}

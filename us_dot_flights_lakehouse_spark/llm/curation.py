@@ -1,0 +1,187 @@
+"""Corpus-curation operators beyond stats/dedup: sequence packing,
+deterministic stratified sampling (training-mix construction), PII
+scrubbing, TF-IDF keyword extraction, and duplicate-cluster resolution.
+
+All batch operators are built-in Column expressions / window functions —
+zero Python UDFs; the only iterative piece (``dup_clusters``) is a
+bounded min-label-propagation loop of DataFrame joins.
+
+Scale notes (100 TB):
+- ``pack_sequences`` windows PER SHARD (``shard_col``), never globally —
+  a global ORDER BY window would serialize the corpus through one task.
+  Shard-relative sequence ids are exactly what a distributed trainer
+  consumes (shard = input file group / source).
+- ``training_mix_sample`` is hash-gated per row (scan-local, no shuffle,
+  no sampleBy() two-pass) and deterministic across runs and engines.
+- ``tfidf_topk`` is two hash aggregates + one broadcast-able DF join +
+  one per-doc window; integer (milli-IDF) scoring keeps ranking
+  bit-stable across engines (float log() would not be).
+- ``dup_clusters`` converges in O(cluster diameter) joins; near-dup
+  clusters have tiny diameters in practice. Lineage is truncated with
+  localCheckpoint each round so 100-iteration worst cases do not build
+  kilometer plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from us_dot_flights_lakehouse_spark.functions.text import bpe_ish_tokens, hash28, tokenize
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous token-budget packing (GPT-style concat-then-chunk):
+    within each shard, documents are laid out in ``id_col`` order and cut
+    into sequences of ``budget`` tokens; each doc is assigned the sequence
+    containing its first token plus its offset in that sequence.
+
+    Returns (id, shard, n_tokens, seq_num, offset_in_seq)."""
+    n_tok = F.size(bpe_ish_tokens(text_col)).cast("bigint")
+    base = docs.select(
+        F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens")
+    )
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_start")
+    return base.select("*", start).select(
+        id_col,
+        shard_col,
+        "n_tokens",
+        F.floor(F.col("tok_start") / F.lit(budget)).cast("bigint").alias("seq_num"),
+        F.pmod(F.col("tok_start"), F.lit(budget)).cast("bigint").alias("offset_in_seq"),
+    )
+
+
+def mix_keep(
+    id_col: str | Column, lang_col: str | Column, rates_pct: dict[str, int], default_pct: int = 0
+) -> Column:
+    """Deterministic stratified-sampling gate: keep a row when
+    ``hash28('mix:' || id) % 100`` falls under the language's percentage.
+    Pure expression — no shuffle, no RNG state, reproducible across runs,
+    engines, and cluster sizes (the property sampleBy() lacks)."""
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    lc = F.col(lang_col) if isinstance(lang_col, str) else lang_col
+    rate = F.lit(default_pct)
+    for lang, pct in rates_pct.items():
+        rate = F.when(lc == lang, pct).otherwise(rate)
+    bucket = F.pmod(hash28(F.concat(F.lit("mix:"), idc.cast("string"))), F.lit(100))
+    return bucket < rate
+
+
+#: simple, RE2-and-Java-compatible PII patterns, applied in order (emails
+#: first so their digit runs can't half-match as phones; IPs before
+#: phones for the same reason)
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    ("phone", r"\+?[0-9][0-9 ()-]{6,}[0-9]", "[PHONE]"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped digit runs, counting each kind
+    as it is removed (counts are taken on the progressively-scrubbed text
+    so one span is never double-counted). Pure regexp expressions —
+    scan-local at any scale. Returns (id, clean_text, n_email, n_ip,
+    n_phone)."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).cast("bigint").alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select(F.col(id_col), cur.alias("clean_text"), *counts)
+
+
+def tfidf_topk(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k keywords per document by TF × integer milli-IDF.
+
+    IDF is the INTEGER ``(n_docs * 1000) div doc_freq`` — deliberately not
+    ``log(n/df)``: libm log() values differ in the last ulp across
+    engines/platforms, which flips equal-score rank orders; integer
+    arithmetic keeps the ranking bit-stable everywhere. Ties break by
+    token text. Returns (id, token, tf, idf_milli, score, rank)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("id", "token").agg(F.count("*").cast("bigint").alias("tf"))
+    df_ = toks.distinct().groupBy("token").agg(
+        F.count("*").cast("bigint").alias("doc_freq")
+    )
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    scored = tf.join(df_, "token").select(
+        "id",
+        "token",
+        "tf",
+        F.expr(f"({n_docs} * 1000) div doc_freq").cast("bigint").alias("idf_milli"),
+    )
+    scored = scored.withColumn("score", (F.col("tf") * F.col("idf_milli")).cast("bigint"))
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def dup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: connected components by
+    min-label propagation (each node repeatedly takes the minimum label
+    among itself and its neighbors until fixpoint). Returns
+    (node, cluster_id) for every node; singletons keep their own id —
+    downstream keeps one doc per cluster_id.
+
+    Scale: one join + one groupBy per round; rounds ≈ component diameter
+    (tiny for dup clusters). The label-sum convergence probe is monotone,
+    so the loop always terminates; localCheckpoint truncates lineage each
+    round. For graphs with huge diameters use the large-star/small-star
+    variant — same primitive ops."""
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .union(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        .cache()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        labels = (
+            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:  # monotone non-increasing -> fixpoint
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels

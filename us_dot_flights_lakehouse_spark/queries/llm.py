@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from us_dot_flights_lakehouse_spark.llm import dedup, multimodal, similarity, textstats
+from us_dot_flights_lakehouse_spark.llm import (
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
 from us_dot_flights_lakehouse_spark.llm.dedup import (
     MINHASH_A,
     MINHASH_B,
@@ -525,6 +531,172 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Curation: packing / training mix / PII / keywords / cluster resolution
+# ---------------------------------------------------------------------------
+
+SEQ_BUDGET = 512
+#: training-mix sampling percentages by language (default for the rest)
+MIX_RATES = {"en": 80, "es": 60, "fr": 60, "de": 40}
+MIX_DEFAULT = 25
+TFIDF_K = 3
+
+
+def tp_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_corpus(spark, sf_dir, "documents")
+    return curation.pack_sequences(docs, budget=SEQ_BUDGET)
+
+
+_BPE = "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')"
+
+TP_PACK_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source, CAST(len({_BPE}) AS BIGINT) AS n_tokens FROM documents
+), c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS tok_start
+  FROM base
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(tok_start / {SEQ_BUDGET}) AS BIGINT) AS seq_num,
+       CAST(tok_start % {SEQ_BUDGET} AS BIGINT) AS offset_in_seq
+FROM c
+"""
+
+
+def tp_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gated stratified sample -> per-language mix
+    report (docs kept, tokens kept vs available)."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    keep = curation.mix_keep("doc_id", "lang", MIX_RATES, MIX_DEFAULT)
+    base = docs.select(
+        "lang",
+        keep.alias("keep"),
+        F.size(textstats.bpe_ish_tokens("text")).cast("bigint").alias("n_bpe"),
+    )
+    return base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+        F.sum(F.when(F.col("keep"), F.col("n_bpe")).otherwise(0))
+        .cast("bigint")
+        .alias("sampled_tokens"),
+    )
+
+
+def _mix_rate_sql() -> str:
+    whens = " ".join(f"WHEN '{lang}' THEN {pct}" for lang, pct in MIX_RATES.items())
+    return f"CASE lang {whens} ELSE {MIX_DEFAULT} END"
+
+
+TP_MIX_ORACLE = f"""
+WITH base AS (
+  SELECT lang,
+         (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100)
+           < {_mix_rate_sql()} AS keep,
+         CAST(len({_BPE}) AS BIGINT) AS n_bpe
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN keep THEN n_bpe ELSE 0 END) AS BIGINT) AS sampled_tokens
+FROM base GROUP BY lang
+"""
+
+
+def ts_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a corpus with synthesized deterministic PII
+    spans (the testdata itself is clean): emails/IPs/phone-shaped runs are
+    appended by doc_id residue, then scrubbed and counted."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    residue = F.col("doc_id") % 4
+    pii = (
+        F.when(residue == 0, F.concat(F.lit(" mail user"), F.col("doc_id").cast("string"), F.lit("@example.com")))
+        .when(residue == 1, F.concat(F.lit(" call +1 (555) 010-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+        .when(residue == 2, F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")))
+        .otherwise(F.lit(""))
+    )
+    seeded = docs.select("doc_id", F.concat(F.col("text"), pii).alias("text"))
+    return curation.pii_scrub(seeded)
+
+
+def _pii_oracle() -> str:
+    seeded = """
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           WHEN 1 THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 2 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+           ELSE '' END AS text
+  FROM documents
+"""
+    t0 = "text"
+    counts, cur = [], t0
+    # DuckDB single-quoted strings are NOT backslash-escaped: pass the
+    # regex through verbatim (only SQL-quote escaping)
+    for name, pat, repl in curation.PII_PATTERNS:
+        pat_sql = pat.replace("'", "''")
+        counts.append(f"CAST(len(regexp_extract_all({cur}, '{pat_sql}')) AS BIGINT) AS n_{name}")
+        cur = f"regexp_replace({cur}, '{pat_sql}', '{repl}', 'g')"
+    return f"""
+WITH seeded AS ({seeded})
+SELECT doc_id, {cur} AS clean_text, {", ".join(counts)}
+FROM seeded
+"""
+
+
+def ts_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_corpus(spark, sf_dir, "documents")
+    out = curation.tfidf_topk(docs, k=TFIDF_K)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+TS_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+), t2 AS (SELECT * FROM toks WHERE token <> ''),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM t2 GROUP BY 1, 2),
+df_ AS (SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM t2 GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf,
+         CAST((n_docs * 1000) // doc_freq AS BIGINT) AS idf_milli,
+         CAST(tf * ((n_docs * 1000) // doc_freq) AS BIGINT) AS score
+  FROM tf JOIN df_ USING (token), n
+)
+SELECT doc_id, token, tf, idf_milli, score, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_K}
+"""
+
+
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs resolved to connected components; every doc gets
+    a cluster_id (min doc_id in its component; singletons keep their own).
+    Oracle: recursive-CTE transitive closure over the same pair SQL."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+    labels = curation.dup_clusters(docs.select("doc_id"), pairs)
+    return labels.withColumnRenamed("node", "doc_id")
+
+
+DD_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({DD_MINHASH_ORACLE}),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
 QUERIES = {
     "dd_exact_dedup": dd_exact_dedup,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -541,6 +713,11 @@ QUERIES = {
     "mm_media_manifest": mm_media_manifest,
     "mm_byte_features": mm_byte_features,
     "mm_image_dims": mm_image_dims,
+    "tp_sequence_packing": tp_sequence_packing,
+    "tp_training_mix": tp_training_mix,
+    "ts_pii_scrub": ts_pii_scrub,
+    "ts_tfidf_keywords": ts_tfidf_keywords,
+    "dd_dup_clusters": dd_dup_clusters,
 }
 
 ORACLES = {
@@ -557,4 +734,9 @@ ORACLES = {
     "mm_media_manifest": _mm_manifest_oracle(),
     "mm_byte_features": MM_BYTES_ORACLE,
     "mm_image_dims": MM_DIMS_ORACLE,
+    "tp_sequence_packing": TP_PACK_ORACLE,
+    "tp_training_mix": TP_MIX_ORACLE,
+    "ts_pii_scrub": _pii_oracle(),
+    "ts_tfidf_keywords": TS_TFIDF_ORACLE,
+    "dd_dup_clusters": DD_CLUSTERS_ORACLE,
 }

@@ -837,12 +837,22 @@ def a11_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     median per return flag (bit-identical to SQL QUANTILE_CONT/MEDIAN; both
     engines compute lo + (hi-lo)*frac on doubles)."""
     lineitem = read_table(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.25).alias("price_p25"),
-        F.percentile("l_extendedprice", 0.5).alias("price_p50"),
-        F.percentile("l_extendedprice", 0.75).alias("price_p75"),
+    # ONE array-percentile aggregate (single sort/accumulate pass), then
+    # flattened to scalar columns — three separate percentile() aggs would
+    # each keep their own value buffer; the harness needs scalars because
+    # array cells are unhashable in its canonicalizer
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])).alias("qs"),
         F.median("l_discount").alias("median_discount"),
         F.count("*").alias("n_items"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("qs")[0].alias("price_p25"),
+        F.col("qs")[1].alias("price_p50"),
+        F.col("qs")[2].alias("price_p75"),
+        "median_discount",
+        "n_items",
     )
 
 
