@@ -49,6 +49,10 @@ def main() -> None:
             force(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 4)
+        # per-query isolation: queries that cache()/checkpoint internally
+        # must not leak storage blocks into later queries' measurements —
+        # a 76-query x3-rep session otherwise degrades the tail
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -119,6 +119,40 @@ def test_multiway_join_broadcasts_all_dims(spark):
     assert "EqualTo(r_name,ASIA)" in plan
 
 
+def test_pack_sequences_window_is_shard_partitioned(spark):
+    """The packing window must hash-partition on the shard key — a global
+    (single-partition) window would serialize the corpus through one task
+    at 100 TB."""
+    from us_dot_flights_lakehouse_spark.llm.curation import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pack_sequences(docs, budget=512), mode="simple")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_tfidf_has_partial_aggregates_and_no_python(spark):
+    from us_dot_flights_lakehouse_spark.llm.curation import tfidf_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(tfidf_topk(docs, k=3), mode="simple")
+    assert "partial_count" in plan  # map-side combine on the token explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_neardup_blocks_join_is_broadcast(spark):
+    """The block-pair assignment joins a tiny (B*(B+1)/2)-row relation —
+    it must broadcast, never shuffle the vector side for it."""
+    from us_dot_flights_lakehouse_spark.llm.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(embedding_neardup_pairs(emb, threshold=0.9), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan  # executor-side kernel, no collect
+
+
 def test_partitioned_read_prunes_partitions(spark, tmp_path_factory):
     from pyspark.sql import functions as F
     from us_dot_flights_lakehouse_spark.sources.writers import write_partitioned

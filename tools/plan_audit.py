@@ -1,0 +1,88 @@
+"""Catalog-wide physical-plan audit: build every registered query at
+sf0.001 and scan its final plan for 100 TB anti-patterns.
+
+Flags per query:
+- PY_ROW   : BatchEvalPython / ArrowEvalPython (row/expr-level Python —
+             the Arrow GROUP/MAP kernels FlatMap*InPandas are fine)
+- CARTESIAN: CartesianProduct (an unintended cross join shuffles n*m)
+- ONE_PART : Exchange SinglePartition outside a final global ORDER BY /
+             1-row aggregate (serializes the job through one task)
+- SMJ      : SortMergeJoin in queries expected to broadcast every dim
+
+Usage: python tools/plan_audit.py [sf_dir]
+Exit code 1 if any non-whitelisted finding appears.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: queries whose semantics legitimately need a single partition or a
+#: big-big join (reason documented inline)
+WHITELIST: dict[str, set[str]] = {
+    # global ORDER BY result surfaces (driver-facing ordered output)
+    "a5_topk_parts": {"ONE_PART"},       # TakeOrdered merge — k rows
+    "w1_topk_per_group": {"ONE_PART"},   # final ordered projection
+    "o3_date_dim": {"ONE_PART"},         # 731-row generator
+    "o4_recursive_month_spine": {"ONE_PART"},  # 24-row spine
+    "a8_describe_orders": {"ONE_PART"},  # 1-row global aggregate
+    "a3_global_summary": {"ONE_PART"},   # 1-row global aggregate
+    # big-big joins that are genuinely shuffle joins (both sides large)
+    "dd_ngram_jaccard": {"SMJ"},         # inverted-index self-join
+    "dd_minhash_lsh": {"SMJ"},           # band-bucket self-join
+    "dd_simhash_pairs": {"SMJ"},         # band-bucket self-join
+    "dd_dup_clusters": {"SMJ"},          # label-propagation joins
+    "ts_tfidf_keywords": {"SMJ"},        # token df join (both sides row-scale)
+    "j8_asof_purchase_attribution": {"SMJ", "ONE_PART"},  # as-of union-window
+    "j11_clickstream_interval_join": {"SMJ"},  # interval join
+    "j12_lateral_topk_orders": {"SMJ"},  # per-customer lateral
+    "st_sessionize": {"ONE_PART"},       # session window final merge
+    "j4_outer_merge_daily_flow": {"SMJ"},  # FULL OUTER cannot broadcast either side
+    "tp_corpus_curation": {"SMJ"},       # stats⋈langs both row-scale (doc_id)
+    "fl_fact_star": {"ONE_PART"},        # deliberate 1-row route-count agg
+    "f_udtf_shingles": {"PY_ROW"},       # the query EXISTS to exercise Python UDTFs
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from us_dot_flights_lakehouse_spark import queries as registry
+    from us_dot_flights_lakehouse_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    findings: list[tuple[str, str]] = []
+    for name, fn in registry.queries().items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            findings.append((name, f"BUILD_ERROR: {type(exc).__name__}"))
+            continue
+        flags = set()
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            flags.add("PY_ROW")
+        if "CartesianProduct" in plan:
+            flags.add("CARTESIAN")
+        if "Exchange SinglePartition" in plan:
+            flags.add("ONE_PART")
+        if "SortMergeJoin" in plan:
+            flags.add("SMJ")
+        flags -= WHITELIST.get(name, set())
+        for f in sorted(flags):
+            findings.append((name, f))
+
+    if findings:
+        print(f"{len(findings)} findings:")
+        for name, f in findings:
+            print(f"  {f:10s} {name}")
+    else:
+        print("plan audit clean: no anti-patterns outside the whitelist")
+    spark.stop()
+    return 1 if findings else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

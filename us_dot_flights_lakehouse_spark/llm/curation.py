@@ -43,7 +43,10 @@ def pack_sequences(
     into sequences of ``budget`` tokens; each doc is assigned the sequence
     containing its first token plus its offset in that sequence.
 
-    Returns (id, shard, n_tokens, seq_num, offset_in_seq)."""
+    Parallelism equals shard cardinality: at cluster scale pick a
+    ``shard_col`` with >= 10x cluster-core distinct values (input file
+    group, date bucket, or ``pmod(hash(id), N)``), never a handful of
+    source labels. Returns (id, shard, n_tokens, seq_num, offset_in_seq)."""
     n_tok = F.size(bpe_ish_tokens(text_col)).cast("bigint")
     base = docs.select(
         F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens")

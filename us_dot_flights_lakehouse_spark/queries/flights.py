@@ -73,7 +73,9 @@ def fl_fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silver → dims → fact with broadcast star joins and the arithmetic
     time-FK precompute (reference fact_flights.py:11-61), plus the route
     mart off the same silver scan."""
-    silver = _feed_silver(spark).cache()
+    # no cache: the feed is 2000 rows — caching per call would accrete
+    # storage blocks across bench reps for a scan that costs microseconds
+    silver = _feed_silver(spark)
     dim_date = build_dim_date(spark, "2025-01-01", "2025-02-01")
     fact = build_fact_flights(
         silver,

@@ -912,15 +912,26 @@ def a12_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable — exact distinct over 10^12 keys is a full shuffle; HLL is a
     fixed 1.5 KB per group."""
     lineitem = read_table(spark, sf_dir, "lineitem")
-    # scalar (not array) sketch outputs: the harness canonicalizer hashes
-    # cell values, and array cells are unhashable in pandas
-    return lineitem.groupBy("l_returnflag").agg(
+    # ONE GK sketch per group (array percentiles), flattened to scalars —
+    # the harness canonicalizer hashes cell values and array cells are
+    # unhashable in pandas; three separate sketches would triple the
+    # aggregation state
+    agg = lineitem.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_price_p50"),
-        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_price_p90"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_price_p99"),
+        F.percentile_approx(
+            "l_extendedprice", F.lit([0.5, 0.9, 0.99]), 10000
+        ).alias("qs"),
         F.count("*").alias("n_items"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "approx_parts",
+        "approx_supps",
+        F.col("qs")[0].alias("approx_price_p50"),
+        F.col("qs")[1].alias("approx_price_p90"),
+        F.col("qs")[2].alias("approx_price_p99"),
+        "n_items",
     )
 
 
