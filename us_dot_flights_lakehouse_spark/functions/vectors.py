@@ -36,3 +36,34 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def quantize_int8(a: Column) -> tuple[Column, Column]:
+    """Symmetric int8 scalar quantization of a double array: per-vector
+    scale = 127 / max|x|, codes = floor(x * scale) clamped to [-127, 127].
+    Returns (scale, codes). floor (not round) keeps the mapping exact and
+    bit-identical across engines; all ops are doubles + exact floor.
+
+    Scale note: this is the storage-compression path for billion-vector
+    corpora (4x smaller than float32, 8x than float64); distance math on
+    codes needs only integer multiplies plus one per-vector double scale."""
+    maxabs = F.array_max(F.transform(a, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / maxabs
+    codes = F.transform(
+        a,
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(x * scale).cast("int"))
+        ),
+    )
+    return scale, codes
+
+
+def dequantize_l2_error(a: Column, codes: Column, scale: Column) -> Column:
+    """Sum of squared reconstruction error between the original doubles and
+    code/scale — a sequential left fold, so cross-engine bit-comparable."""
+    recon = F.transform(codes, lambda c: c.cast("double") / scale)
+    return F.aggregate(
+        F.zip_with(a, recon, lambda x, r: (x - r) * (x - r)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

@@ -63,7 +63,6 @@ _PRIORITY = (
     "w2_window_suite",
     "p4_conditional_cleaning",
     "u1_union_distinct_nations",
-    "o3_date_dim",
 )
 
 

@@ -531,6 +531,55 @@ FROM documents
 """
 
 
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding compression: symmetric int8 scalar quantization with
+    per-vector scale + exact reconstruction-error accounting. All
+    expression-level (transform/floor/fold) — deterministic across
+    engines because floor replaces round and the error sum is a
+    sequential left fold."""
+    from us_dot_flights_lakehouse_spark.functions.vectors import (
+        dequantize_l2_error,
+        quantize_int8,
+        to_double_array,
+    )
+
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    v = to_double_array("embedding")
+    scale, codes = quantize_int8(v)
+    return emb.select(
+        "vec_id",
+        scale.alias("q_scale"),
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda acc, c: acc + c.cast("long")
+        ).alias("sum_codes"),
+        dequantize_l2_error(v, codes, scale).alias("l2_err"),
+    )
+
+
+SIM_QUANT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         127.0 / list_max(list_transform(v, x -> abs(x))) AS q_scale
+  FROM e
+), q AS (
+  SELECT vec_id, v, q_scale,
+         list_transform(v, x -> greatest(-127, least(127, CAST(floor(x * q_scale) AS INTEGER)))) AS codes
+  FROM s
+)
+SELECT vec_id, q_scale,
+       CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+       list_reduce(
+         list_transform(list_zip(v, codes),
+                        p -> (p[1] - CAST(p[2] AS DOUBLE) / q_scale)
+                             * (p[1] - CAST(p[2] AS DOUBLE) / q_scale)),
+         (acc, x) -> acc + x) AS l2_err
+FROM q
+"""
+
+
 # ---------------------------------------------------------------------------
 # Curation: packing / training mix / PII / keywords / cluster resolution
 # ---------------------------------------------------------------------------
@@ -707,6 +756,7 @@ QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_quantize_int8": sim_quantize_int8,
     "ts_text_stats": ts_text_stats,
     "ts_lang_id": ts_lang_id,
     "tp_corpus_curation": tp_corpus_curation,
@@ -728,6 +778,7 @@ ORACLES = {
     "dd_simhash_pairs": _simhash_pairs_oracle(),
     "dd_embedding_neardup": DD_EMB_ORACLE,
     "sim_topk_cosine": SIM_TOPK_ORACLE,
+    "sim_quantize_int8": SIM_QUANT_ORACLE,
     "ts_text_stats": TS_STATS_ORACLE,
     "ts_lang_id": _lang_oracle(),
     "tp_corpus_curation": _curation_oracle(),

@@ -98,13 +98,56 @@ def st_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup end-to-end: readStream over the events
+    parquet → dropDuplicatesWithinWatermark on (user_id, event_type) →
+    memory sink. The output projects ONLY the dedup keys: which physical
+    row survives per key depends on arrival order (nondeterministic
+    across partitions), but the surviving KEY SET is exactly the distinct
+    set — which is what makes a DuckDB oracle possible for a streaming
+    stateful operator."""
+    from us_dot_flights_lakehouse_spark.sources.readers import normalize_nano_ts
+    from us_dot_flights_lakehouse_spark.streaming.stateful import stream_dedup
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_nano_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir),
+        "events",
+    )
+    deduped = stream_dedup(
+        stream, ["user_id", "event_type"], ts_col="ts", watermark="1 hour"
+    ).select("user_id", "event_type")
+    name = "st_stream_dedup_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name)
+
+
+ST_DEDUP_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
+
+
 QUERIES = {
     "st_windowed_events": st_windowed_events,
     "st_sessionize": st_sessionize,
     "st_running_totals": st_running_totals,
+    "st_stream_dedup": st_stream_dedup,
 }
 
 ORACLES = {
     "st_windowed_events": ST_WINDOW_ORACLE,
     "st_sessionize": ST_SESSION_ORACLE,
+    "st_stream_dedup": ST_DEDUP_ORACLE,
 }
