@@ -89,6 +89,36 @@ def main():
     tN = timed(f"lsh_topk@{factor}x", lsh_cosine_topk(embN, q1, k=5, dim=64))
     print(f"lsh_topk: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
 
+    # curation family: packing is a per-shard window (linear), TF-IDF is
+    # two hash aggs + join + per-doc window (linear in tokens), cluster
+    # resolution iterates ONLY the pair graph (grows with true dup pairs)
+    from us_dot_flights_lakehouse_spark.llm.curation import (
+        dup_clusters,
+        pack_sequences,
+        tfidf_topk,
+    )
+    from us_dot_flights_lakehouse_spark.llm.dedup import minhash_lsh_pairs as _mlp
+
+    for label, fn in [
+        ("pack_sequences", lambda d: pack_sequences(d, budget=512)),
+        ("tfidf_topk", lambda d: tfidf_topk(d, k=3)),
+    ]:
+        t1 = timed(f"{label}@1x", fn(docs1))
+        tN = timed(f"{label}@{factor}x", fn(docsN))
+        print(f"{label}: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
+
+    def clusters(d):
+        return dup_clusters(d.select("doc_id"), _mlp(d, threshold=JACCARD_THRESHOLD))
+
+    t1 = timed("dup_clusters@1x", clusters(docs1))
+    tN = timed(f"dup_clusters@{factor}x", clusters(docsN))
+    print(
+        f"dup_clusters: growth {tN / t1:.1f}x at {factor}x rows "
+        "(iterates the pair graph only; pair count grows quadratically in "
+        "cluster size by construction of this corpus)",
+        flush=True,
+    )
+
     # exact all-pairs cosine: FLOPs are inherently quadratic in rows, so the
     # check here is NOT linear growth — it's that per-task memory stays at
     # 2 blocks (no driver materialization) and wall-clock tracks FLOPs/cores

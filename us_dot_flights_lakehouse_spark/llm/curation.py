@@ -123,12 +123,18 @@ def tfidf_topk(
     df_ = toks.distinct().groupBy("token").agg(
         F.count("*").cast("bigint").alias("doc_freq")
     )
-    n_docs = docs.select(F.col(id_col)).distinct().count()
-    scored = tf.join(df_, "token").select(
-        "id",
-        "token",
-        "tf",
-        F.expr(f"({n_docs} * 1000) div doc_freq").cast("bigint").alias("idf_milli"),
+    # corpus size rides the same plan as a broadcast 1-row aggregate — no
+    # eager driver-side count job
+    n_docs = docs.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "token",
+            "tf",
+            F.expr("(n_docs * 1000) div doc_freq").cast("bigint").alias("idf_milli"),
+        )
     )
     scored = scored.withColumn("score", (F.col("tf") * F.col("idf_milli")).cast("bigint"))
     w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("token"))
@@ -162,8 +168,13 @@ def dup_clusters(
         .union(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
         .cache()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
+    # iterate ONLY over nodes that appear in some pair: the near-dup graph
+    # is a tiny fraction of the corpus, and singletons cannot change label
+    # — at scale this shrinks every propagation round from corpus-sized to
+    # pair-graph-sized
+    edge_nodes = edges.select(F.col("a").alias("node")).distinct()
+    labels = edge_nodes.select(
+        "node", F.col("node").alias("cluster_id")
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(max_iter):
@@ -187,4 +198,9 @@ def dup_clusters(
             break
         prev_sum = cur_sum
     edges.unpersist()
-    return labels
+    singletons = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(edge_nodes, "node", "left_anti")
+        .select("node", F.col("node").alias("cluster_id"))
+    )
+    return labels.unionByName(singletons)
