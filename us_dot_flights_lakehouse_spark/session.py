@@ -70,6 +70,14 @@ def get_spark(
 
     builder = SparkSession.builder.appName(app_name).master(master)
     confs = dict(ENGINE_CONFS)
+    if master.startswith("local"):
+        # in local mode the driver JVM IS the executor; Spark's 1g default
+        # starves broadcasts + storage long before the box does (found by
+        # the 10x stress run: iterative broadcast joins died at 1g).
+        # Only effective for the FIRST session of the process (JVM flag).
+        confs.setdefault(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_confs:
         confs.update(extra_confs)
