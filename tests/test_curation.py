@@ -115,6 +115,25 @@ def test_tfidf_topk_ranks_rare_tokens_first(spark):
     assert r1["idf_milli"] == 3000 and r1["score"] == 3000
 
 
+def test_contamination_report_counts_probe_overlap(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "s", "alpha beta gamma delta"),  # shares 'alpha beta gamma' w/ probe
+            (2, "s", "totally different words here"),
+            (3, "s", "alpha beta gamma delta"),  # probe member
+        ],
+    )
+    probe = docs.filter("doc_id = 3")
+    got = {
+        r["id"]: (r["n_shingles"], r["n_probe_hits"], r["contaminated"])
+        for r in curation.contamination_report(docs, probe).collect()
+    }
+    assert got[3] == (2, 2, True)  # self-overlap: all shingles hit
+    assert got[1] == (2, 2, True)  # exact text overlap with probe member
+    assert got[2] == (2, 0, False)
+
+
 def test_dup_clusters_transitive_components(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
     # chain 1-2-3, pair 5-6; 4 and 7 singletons

@@ -28,7 +28,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from us_dot_flights_lakehouse_spark.functions.text import bpe_ish_tokens, hash28, tokenize
+from us_dot_flights_lakehouse_spark.functions.text import (
+    bpe_ish_tokens,
+    hash28,
+    shingles,
+    tokenize,
+)
 
 
 def pack_sequences(
@@ -141,6 +146,48 @@ def tfidf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    probe: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-decontamination check: per training document, how many
+    of its distinct n-gram shingles also appear in the ``probe`` corpus
+    (eval/benchmark set). Returns (id, n_shingles, n_probe_hits,
+    contaminated) — filter ``contaminated`` before training.
+
+    Scale: the probe side is a benchmark (thousands of docs, not
+    billions) — its distinct-shingle set broadcasts, so the check is a
+    scan-local broadcast-semi pattern over the full training corpus with
+    ONE corpus-side shuffle (the per-doc count). Never join shingle
+    streams of two 100 TB corpora directly; for corpus-vs-corpus overlap
+    use the MinHash signatures instead."""
+    d_sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(tokenize(text_col), n)).alias("sh"),
+    )
+    p_sh = probe.select(
+        F.explode(shingles(tokenize(text_col), n)).alias("sh")
+    ).distinct()
+    hits = (
+        d_sh.join(F.broadcast(p_sh), "sh")
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("n_probe_hits"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(shingles(tokenize(text_col), n)).cast("bigint").alias("n_shingles"),
+    )
+    return base.join(hits, "id", "left").select(
+        "id",
+        "n_shingles",
+        F.coalesce(F.col("n_probe_hits"), F.lit(0)).cast("bigint").alias("n_probe_hits"),
+        (F.coalesce(F.col("n_probe_hits"), F.lit(0)) > 0).alias("contaminated"),
     )
 
 

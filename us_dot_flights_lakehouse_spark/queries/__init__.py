@@ -61,8 +61,6 @@ _PRIORITY = (
     "a9_rollup_segment_status",
     "w1_topk_per_group",
     "w2_window_suite",
-    "p4_conditional_cleaning",
-    "u1_union_distinct_nations",
 )
 
 

@@ -720,6 +720,35 @@ FROM (
 """
 
 
+def tp_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every doc whose doc_id % 25 == 0 plays
+    the 'benchmark set'; the report counts per-doc 3-gram shingle overlap
+    with that probe (probe members self-report full contamination)."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 25 == 0)
+    return curation.contamination_report(docs, probe).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+TP_CONTAM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES} AS shs
+  FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+), ds AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+ps AS (SELECT DISTINCT unnest(shs) AS sh FROM d WHERE doc_id % 25 = 0),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_probe_hits
+  FROM ds JOIN ps USING (sh) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(len(shs) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_probe_hits, 0) AS BIGINT) AS n_probe_hits,
+       COALESCE(h.n_probe_hits, 0) > 0 AS contaminated
+FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH pairs resolved to connected components; every doc gets
     a cluster_id (min doc_id in its component; singletons keep their own).
@@ -768,6 +797,7 @@ QUERIES = {
     "ts_pii_scrub": ts_pii_scrub,
     "ts_tfidf_keywords": ts_tfidf_keywords,
     "dd_dup_clusters": dd_dup_clusters,
+    "tp_contamination": tp_contamination,
 }
 
 ORACLES = {
@@ -790,4 +820,5 @@ ORACLES = {
     "ts_pii_scrub": _pii_oracle(),
     "ts_tfidf_keywords": TS_TFIDF_ORACLE,
     "dd_dup_clusters": DD_CLUSTERS_ORACLE,
+    "tp_contamination": TP_CONTAM_ORACLE,
 }
