@@ -48,6 +48,22 @@ def test_suite_runs_single_pass_and_flags_failures(frame):
     assert by_key[("length_between", "code")].passed
 
 
+def test_row_count_between_and_column_type(frame):
+    suite = (
+        QualitySuite("t2")
+        .expect_row_count_between(1, 10)      # passes: 4 rows
+        .expect_row_count_between(1, 3)       # fails: upper bound
+        .expect_column_type("amount", "double")   # passes
+        .expect_column_type("amount", "bigint")   # fails
+        .expect_column_type("nope", "string")     # fails: absent column
+    )
+    res = suite.run(frame)
+    rc = [r for r in res if r.check == "row_count_between"]
+    assert rc[0].passed and not rc[1].passed
+    ct = {r.column: r.passed for r in res if r.check == "column_type"}
+    assert ct["amount:double"] and not ct["amount:bigint"] and not ct["nope:string"]
+
+
 def test_fail_closed_raises_like_silver_gate(frame):
     suite = QualitySuite("silver").expect_unique("id")
     with pytest.raises(QualityGateError) as exc:

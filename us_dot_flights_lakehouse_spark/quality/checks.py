@@ -60,8 +60,30 @@ class QualitySuite:
         )
         return self
 
+    def expect_row_count_between(self, lo: int, hi: int) -> "QualitySuite":
+        """Two-sided row-count bound (reference
+        ``expect_table_row_count_to_be_between`` — the upper bound catches
+        runaway joins/dup explosions, not just empty feeds)."""
+        self._checks.append(
+            (
+                "row_count_between",
+                "*",
+                F.count("*").cast("double"),
+                lambda v, lo=lo, hi=hi: lo <= v <= hi,
+            )
+        )
+        return self
+
     def expect_column_exists(self, col: str) -> "QualitySuite":
         self._checks.append(("column_exists", col, None, None))
+        return self
+
+    def expect_column_type(self, col: str, dtype: str) -> "QualitySuite":
+        """Schema-level type check (reference
+        ``expect_column_values_to_be_of_type``): compares the column's
+        Spark simpleString dtype — resolved from metadata, zero scan
+        cost."""
+        self._checks.append(("column_type", f"{col}:{dtype}", None, None))
         return self
 
     def expect_null_rate_at_most(self, col: str, rate: float) -> "QualitySuite":
@@ -119,6 +141,11 @@ class QualitySuite:
             if check == "column_exists":
                 results.append(CheckResult(check, col, col in df.columns, None))
                 continue
+            if check == "column_type":
+                name, want = col.split(":", 1)
+                got = dict(df.dtypes).get(name)
+                results.append(CheckResult(check, col, got == want, None))
+                continue
             aggs.append(observed.alias(f"obs_{len(aggs)}"))
             slots.append((check, col, pred))
         if aggs:
@@ -163,6 +190,11 @@ def attach_observed(suite: QualitySuite, df: DataFrame):
     for check, col, observed, pred in suite._checks:
         if check == "column_exists":
             results_static.append(CheckResult(check, col, col in df.columns, None))
+            continue
+        if check == "column_type":
+            name, want = col.split(":", 1)
+            got = dict(df.dtypes).get(name)
+            results_static.append(CheckResult(check, col, got == want, None))
             continue
         aggs.append(observed.alias(f"obs_{len(aggs)}"))
         slots.append((check, col, pred))
