@@ -37,17 +37,31 @@ TABLES = (
 )
 
 
-#: columns stored as TIMESTAMP(NANOS) in the testdata; arrive as long
-#: nanos under the nanosAsLong conf and are normalized to µs timestamps
+#: event-time columns whose physical parquet type has varied across
+#: testdata generations: TIMESTAMP(NANOS) (read as long nanos under the
+#: nanosAsLong conf) or TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+#: TIMESTAMP_NTZ). Both are normalized to plain TIMESTAMP so downstream
+#: event-time operators (withWatermark, stream-stream joins — which
+#: reject NTZ) see one type regardless of the file's vintage.
 NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def normalize_nano_ts(df: DataFrame, table: str) -> DataFrame:
-    """Convert nanosAsLong-read columns to microsecond timestamps (floor
-    division — the same truncation DuckDB applies reading the same file)."""
+    """Normalize event-time columns to microsecond TIMESTAMP:
+
+    - long nanos (nanosAsLong reads) → floor-divide to µs, the same
+      truncation DuckDB applies reading the same file;
+    - TIMESTAMP_NTZ (µs-without-timezone parquet) → cast to TIMESTAMP.
+      The cast interprets the wall time in the session timezone and
+      rendering inverts it, so collected values equal the stored wall
+      time under any session tz — matching what a SQL oracle reading
+      the naive column sees."""
     for c in NANO_TS_COLS.get(table, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

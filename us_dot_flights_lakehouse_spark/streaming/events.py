@@ -60,12 +60,14 @@ def sessionize(
     ordering via (ts, event_id) tie-break."""
     order = [F.col(ts_col).asc(), F.col(id_col).asc()]
     w = W.partitionBy(user_col).orderBy(*order)
-    # integer microseconds: exact gap comparison at any timestamp precision
+    # integer microseconds: exact gap comparison at any timestamp precision.
+    # timestamp_diff (not unix_micros) so TIMESTAMP and TIMESTAMP_NTZ inputs
+    # both work — parquet micros without timezone arrives as NTZ.
     gap_us = gap_minutes * 60 * 1_000_000
     flagged = events.withColumn(
         "new_session",
         F.when(
-            (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w)))
+            F.timestamp_diff("MICROSECOND", F.lag(ts_col).over(w), F.col(ts_col))
             > gap_us,
             1,
         )
