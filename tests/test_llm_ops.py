@@ -268,3 +268,88 @@ def test_lsh_bucket_cap_suppresses_giant_dup_cluster(spark):
     # uncapped finds the 190 clone pairs too (sanity that the cap did it)
     uncapped = dedup.minhash_lsh_pairs(docs, threshold=0.3).count()
     assert uncapped >= 190
+
+
+def test_quality_filters_signals_and_keep(spark):
+    from us_dot_flights_lakehouse_spark.llm.textstats import quality_filters
+
+    good = "the cat and the dog ran over to the big red barn for dinner"
+    repeat = "spam ham " * 30  # heavy bigram repetition, no stopword variety
+    short = "hi"
+    rows = {r["doc_id"]: r for r in quality_filters(
+        _docs(spark, [(1, good), (2, repeat.strip()), (3, short)])
+    ).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[1]["n_distinct_stopwords"] >= 2
+    # "spam ham spam ham ..." has almost all duplicate bigrams
+    assert rows[2]["dup_bigram_frac"] > 0.9
+    assert rows[2]["keep"] is False
+    # single/short docs: too few words, zero bigrams, no crash
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["dup_bigram_frac"] == 0.0
+    assert rows[3]["keep"] is False
+
+
+def test_chunk_documents_boundaries(spark):
+    from us_dot_flights_lakehouse_spark.llm.curation import chunk_documents
+
+    text = "abcdefghij" * 25  # 250 chars
+    out = chunk_documents(
+        _docs(spark, [(1, text), (2, "tiny")]), chunk_chars=100, overlap=20
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # starts advance by stride=80 up to n_chars-overlap=230: 1, 81, 161
+    assert [r["chunk_start"] for r in c1] == [1, 81, 161]
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2]
+    # consecutive chunks overlap by exactly `overlap` characters
+    assert c1[0]["chunk_text"][-20:] == c1[1]["chunk_text"][:20]
+    # reassembling de-overlapped chunks reproduces the document
+    rebuilt = c1[0]["chunk_text"] + "".join(r["chunk_text"][20:] for r in c1[1:])
+    assert rebuilt == text
+    # short doc: exactly one (short) chunk
+    assert [(r["chunk_start"], r["chunk_text"]) for r in by_doc[2]] == [(1, "tiny")]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from us_dot_flights_lakehouse_spark.llm.curation import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "x")]), chunk_chars=10, overlap=10)
+
+
+def test_source_caps_deterministic_cap(spark):
+    from us_dot_flights_lakehouse_spark.llm.curation import source_caps
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(20)], "doc_id long, source string"
+    )
+    out = source_caps(docs, cap=3, source_col="source").collect()
+    kept = [r for r in out if r["kept"]]
+    assert len(out) == 20  # nothing dropped, verdict column instead
+    assert len(kept) == 6 and all(r["slot"] <= 3 for r in kept)
+    # deterministic: a second run keeps the identical subset
+    again = {r["doc_id"] for r in source_caps(docs, cap=3, source_col="source").collect() if r["kept"]}
+    assert {r["doc_id"] for r in kept} == again
+
+
+def test_wav_meta_parses_canonical_header(spark):
+    import struct
+
+    from us_dot_flights_lakehouse_spark.llm.multimodal import wav_meta
+
+    # canonical 44-byte PCM header: 2ch, 44100 Hz, 16-bit, 1000 frames
+    channels, rate, bits, frames = 2, 44100, 16, 1000
+    block = channels * bits // 8
+    data = frames * block
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + data) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, bits)
+        + b"data" + struct.pack("<I", data)
+    )
+    df = spark.createDataFrame([(1, bytearray(hdr))], "id long, payload binary")
+    row = df.select(wav_meta("payload").alias("m")).collect()[0]["m"]
+    assert (row["channels"], row["sample_rate"], row["bits_per_sample"]) == (2, 44100, 16)
+    assert row["data_bytes"] == data and row["n_frames"] == frames
+    assert row["duration_ms"] == frames * 1000 // rate

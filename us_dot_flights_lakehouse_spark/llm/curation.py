@@ -191,6 +191,76 @@ def contamination_report(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 200,
+    overlap: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style overlapping character chunking: cut each document into
+    windows of ``chunk_chars`` characters whose starts advance by
+    ``chunk_chars - overlap`` (so consecutive chunks share ``overlap``
+    characters). Every document yields at least one chunk; the last chunk
+    may be short.
+
+    Chunk starts are 1-based positions ``1, 1+stride, ...`` up to and
+    including the largest start <= max(1, n_chars - overlap) — the upper
+    bound stops a trailing chunk that would sit entirely inside the
+    previous one.
+
+    Scale: sequence + posexplode + substring, all codegen'd JVM
+    expressions — row-local fan-out with no shuffle. Output size is
+    input_chars * (1 + overlap/stride); partition count follows the scan,
+    so a repartition after heavy fan-out is the caller's lever. Returns
+    (id, chunk_idx, chunk_start, chunk_text, chunk_len)."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.length(F.col(text_col)) - overlap),
+        F.lit(stride),
+    )
+    exploded = docs.select(
+        F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_idx", "chunk_start")
+    )
+    chunk = F.substring(F.col(text_col), F.col("chunk_start"), chunk_chars)
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+    )
+
+
+def source_caps(
+    docs: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source document cap: keep at most ``cap`` documents from each
+    source, chosen by a deterministic pseudo-random order (``hash28`` of
+    the id — so the kept subset is stable across runs, engines, and
+    cluster sizes, unlike rand()-ordered row_number).
+
+    The classic corpus-balancing guard: one crawl domain contributing
+    10^9 near-identical pages gets clamped to ``cap`` while small sources
+    pass through whole. One shuffle (the per-source window); skewed
+    sources are exactly the rows the window drops, and AQE handles the
+    partition skew. Returns (id, source, slot, kept) without dropping
+    rows, so reject-rate audits stay possible."""
+    order_key = hash28(F.concat(F.lit("cap:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(order_key.asc(), F.col(id_col).asc())
+    return docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.row_number().over(w).cast("int").alias("slot"),
+    ).select("*", (F.col("slot") <= cap).alias("kept"))
+
+
 def dup_clusters(
     nodes: DataFrame,
     pairs: DataFrame,

@@ -153,6 +153,42 @@ def gif_dims(bin_col: str | Column) -> Column:
     return F.struct(le16(7).alias("width"), le16(9).alias("height"))
 
 
+def wav_meta(bin_col: str | Column) -> Column:
+    """WAV (RIFF/PCM canonical layout) audio metadata as a pure Column
+    expression — NO codec: channels / sample rate / bits-per-sample from
+    the little-endian ``fmt `` chunk fields at fixed offsets, data-chunk
+    byte count at offset 40, and two integer-arithmetic derived fields
+    (frame count and duration_ms via integer division — bit-stable across
+    engines, unlike float seconds). Assumes the canonical 44-byte header
+    (fmt chunk first, then data); non-canonical chunk orders need a
+    marker-walking kernel like ``decode_image_headers``'s JPEG path."""
+    c = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+
+    def le(off: int, nbytes: int) -> Column:
+        # little-endian uint at 1-indexed byte offset `off`: reverse the
+        # byte order hex-wise, then base-16 -> base-10
+        parts = [F.hex(F.substring(c, off + i, 1)) for i in range(nbytes - 1, -1, -1)]
+        return F.conv(F.concat(*parts), 16, 10).cast("long")
+
+    channels = le(23, 2)
+    sample_rate = le(25, 4)
+    bits = le(35, 2)
+    data_bytes = le(41, 4)
+    block_align = le(33, 2)
+    n_frames = F.when(block_align > 0, F.floor(data_bytes / block_align)).cast("long")
+    duration_ms = F.when(sample_rate > 0, F.floor(n_frames * 1000 / sample_rate)).cast(
+        "long"
+    )
+    return F.struct(
+        channels.cast("int").alias("channels"),
+        sample_rate.cast("int").alias("sample_rate"),
+        bits.cast("int").alias("bits_per_sample"),
+        data_bytes.alias("data_bytes"),
+        n_frames.alias("n_frames"),
+        duration_ms.alias("duration_ms"),
+    )
+
+
 IMAGE_HEADER_SCHEMA = "id long, media_type string, width int, height int"
 
 

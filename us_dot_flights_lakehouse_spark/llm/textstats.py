@@ -68,6 +68,102 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+#: rule thresholds for ``quality_filters`` (Gopher/C4-style heuristics,
+#: scaled to the short synthetic corpus; production corpora retune them)
+QF_MIN_WORDS = 10
+QF_MAX_WORDS = 100_000
+QF_MIN_MEAN_WORD_LEN = 2.0
+QF_MAX_MEAN_WORD_LEN = 10.0
+QF_MIN_ALPHA_WORD_FRAC = 0.8
+QF_MAX_DUP_BIGRAM_FRAC = 0.9
+QF_MIN_DISTINCT_STOPWORDS = 2
+
+
+def quality_filters(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rule-based document quality filtering in the Gopher / C4 style:
+    per-document heuristic signals plus a conjunctive ``keep`` verdict.
+
+    Signals (all built-in Column expressions — scan-local, no shuffle,
+    parquet-scan speed at 100 TB):
+
+    - ``n_words``             whitespace word count
+    - ``mean_word_len``       non-space chars per word (Gopher: 3..10)
+    - ``alpha_word_frac``     fraction of words containing a letter
+                              (Gopher: >= 0.8 "words with an alphabetic
+                              character")
+    - ``dup_bigram_frac``     1 - distinct/total word bigrams (repetition
+                              signal; Gopher's duplicate n-gram family)
+    - ``n_distinct_stopwords``distinct English stopwords present (Gopher:
+                              "hard stopword" evidence the text is prose)
+    - ``ellipsis_word_frac``  words that are '...' or '…' (C4 drops
+                              ellipsis-heavy boilerplate)
+    - ``keep``                conjunction of the thresholds above
+
+    Rows are never dropped here — returning the verdict keeps the filter
+    auditable (rejected-rate dashboards) and lets callers route rejects to
+    quarantine instead of silently shrinking the corpus."""
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    # adjacent word bigrams: zip the array against itself shifted by one
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stop_arr = F.array(*[F.lit(w) for w in LANG_LEXICONS["en"]])
+    base = docs.select(
+        F.col(id_col),
+        n.cast("int").alias("n_words"),
+        F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+        .cast("int")
+        .alias("n_nonspace_chars"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        .cast("int")
+        .alias("n_alpha_words"),
+        F.size(bigrams).cast("int").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("int").alias("n_distinct_bigrams"),
+        F.size(F.array_distinct(F.filter(toks, lambda t: F.array_contains(stop_arr, t))))
+        .cast("int")
+        .alias("n_distinct_stopwords"),
+        F.size(F.filter(toks, lambda t: (t == "...") | (t == "…")))
+        .cast("int")
+        .alias("n_ellipsis_words"),
+    )
+    mean_word_len = F.col("n_nonspace_chars").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    alpha_frac = F.col("n_alpha_words").cast("double") / F.col("n_words").cast("double")
+    dup_bigram_frac = F.when(F.col("n_bigrams") > 0, (
+        (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+        / F.col("n_bigrams").cast("double")
+    )).otherwise(F.lit(0.0))
+    ellipsis_frac = F.col("n_ellipsis_words").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    keep = (
+        (F.col("n_words") >= QF_MIN_WORDS)
+        & (F.col("n_words") <= QF_MAX_WORDS)
+        & (mean_word_len >= QF_MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= QF_MAX_MEAN_WORD_LEN)
+        & (alpha_frac >= QF_MIN_ALPHA_WORD_FRAC)
+        & (dup_bigram_frac <= QF_MAX_DUP_BIGRAM_FRAC)
+        & (F.col("n_distinct_stopwords") >= QF_MIN_DISTINCT_STOPWORDS)
+    )
+    return base.select(
+        "*",
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        dup_bigram_frac.alias("dup_bigram_frac"),
+        ellipsis_frac.alias("ellipsis_word_frac"),
+        keep.alias("keep"),
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-lexicon language ID: count lexicon hits per language, pick
     the max with deterministic priority (en > es > fr > de), 'und' when no

@@ -775,6 +775,174 @@ SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+# ---------------------------------------------------------------------------
+# Quality-filter rules, chunking, source caps, audio metadata
+# ---------------------------------------------------------------------------
+
+
+def ts_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule-based quality filtering: per-doc heuristic
+    signals (word count, mean word length, alphabetic-word fraction,
+    duplicate-bigram fraction, distinct stopwords, ellipsis fraction) and
+    the conjunctive keep verdict. All scan-local expressions."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    return textstats.quality_filters(docs)
+
+
+def _quality_filters_oracle() -> str:
+    en = ", ".join(f"'{w}'" for w in textstats.LANG_LEXICONS["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKENS} AS toks FROM documents
+), b AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INTEGER) AS n_words,
+    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INTEGER) AS n_nonspace_chars,
+    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS INTEGER) AS n_alpha_words,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END AS bigrams,
+    CAST(len(list_distinct(list_filter(toks, x -> x IN ({en})))) AS INTEGER) AS n_distinct_stopwords,
+    CAST(len(list_filter(toks, x -> x = '...' OR x = '…')) AS INTEGER) AS n_ellipsis_words
+  FROM t
+), c AS (
+  SELECT doc_id, n_words, n_nonspace_chars, n_alpha_words,
+    CAST(len(bigrams) AS INTEGER) AS n_bigrams,
+    CAST(len(list_distinct(bigrams)) AS INTEGER) AS n_distinct_bigrams,
+    n_distinct_stopwords, n_ellipsis_words
+  FROM b
+)
+SELECT doc_id, n_words, n_nonspace_chars, n_alpha_words, n_bigrams,
+       n_distinct_bigrams, n_distinct_stopwords, n_ellipsis_words,
+       CAST(n_nonspace_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+       CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_word_frac,
+       CASE WHEN n_bigrams > 0
+            THEN CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac,
+       CAST(n_ellipsis_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS ellipsis_word_frac,
+       (n_words >= {textstats.QF_MIN_WORDS} AND n_words <= {textstats.QF_MAX_WORDS}
+        AND CAST(n_nonspace_chars AS DOUBLE) / CAST(n_words AS DOUBLE) >= {textstats.QF_MIN_MEAN_WORD_LEN}
+        AND CAST(n_nonspace_chars AS DOUBLE) / CAST(n_words AS DOUBLE) <= {textstats.QF_MAX_MEAN_WORD_LEN}
+        AND CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= {textstats.QF_MIN_ALPHA_WORD_FRAC}
+        AND (CASE WHEN n_bigrams > 0
+             THEN CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END) <= {textstats.QF_MAX_DUP_BIGRAM_FRAC}
+        AND n_distinct_stopwords >= {textstats.QF_MIN_DISTINCT_STOPWORDS}) AS keep
+FROM c
+"""
+
+
+CHUNK_CHARS = 120
+CHUNK_OVERLAP = 30
+
+
+def tp_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping character chunking (sequence + posexplode +
+    substring, zero UDF). Chunk starts advance by chunk-overlap."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    return curation.chunk_documents(docs, CHUNK_CHARS, CHUNK_OVERLAP)
+
+
+TP_CHUNK_ORACLE = f"""
+SELECT doc_id,
+       CAST((s - 1) // {CHUNK_CHARS - CHUNK_OVERLAP} AS INTEGER) AS chunk_idx,
+       CAST(s AS INTEGER) AS chunk_start,
+       substring(text, CAST(s AS INTEGER), {CHUNK_CHARS}) AS chunk_text,
+       CAST(length(substring(text, CAST(s AS INTEGER), {CHUNK_CHARS})) AS INTEGER) AS chunk_len
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(1, length(text) - {CHUNK_OVERLAP}),
+                                {CHUNK_CHARS - CHUNK_OVERLAP})) AS s
+  FROM documents
+)
+"""
+
+
+SOURCE_CAP = 10
+
+
+def tp_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (corpus balancing): deterministic
+    hash-ordered row_number per source, keep the first SOURCE_CAP."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    return curation.source_caps(docs, SOURCE_CAP)
+
+
+TP_SOURCE_CAPS_ORACLE = f"""
+SELECT doc_id, source, slot, slot <= {SOURCE_CAP} AS kept
+FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT ASC,
+                    doc_id ASC
+         ) AS INTEGER) AS slot
+  FROM documents
+)
+"""
+
+
+def mm_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: WAV/RIFF audio metadata from header byte arithmetic — NO codec:
+    synthesizes canonical 44-byte PCM WAV headers with rate/channels/bits
+    derived from doc_id, then recovers them (plus integer frame count and
+    duration_ms) with ``multimodal.wav_meta`` Column expressions. The
+    oracle recomputes every field arithmetically, so any little-endian
+    offset bug hash-fails."""
+    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
+    channels = (F.col("doc_id") % 2 + 1).cast("long")
+    rate = (F.col("doc_id") % 5 * 4000 + 8000).cast("long")
+    bits = (F.col("doc_id") % 3 * 8 + 8).cast("long")
+    block_align = channels * (bits / 8).cast("long")
+    n_frames = (F.col("doc_id") % 1000 + 100).cast("long")
+    data_bytes = n_frames * block_align
+    byte_rate = rate * block_align
+
+    def le(v, nbytes: int):
+        be = F.lpad(F.hex(v), nbytes * 2, "0")
+        return F.concat(
+            *[F.substring(be, 2 * i + 1, 2) for i in range(nbytes - 1, -1, -1)]
+        )
+
+    header = F.concat(
+        F.lit("52494646"),            # 'RIFF'
+        le(data_bytes + 36, 4),       # riff chunk size
+        F.lit("57415645666D7420"),    # 'WAVE' + 'fmt '
+        le(F.lit(16), 4),             # fmt chunk size (PCM)
+        le(F.lit(1), 2),              # audio format = PCM
+        le(channels, 2),
+        le(rate, 4),
+        le(byte_rate, 4),
+        le(block_align, 2),
+        le(bits, 2),
+        F.lit("64617461"),            # 'data'
+        le(data_bytes, 4),
+    )
+    wavs = docs.select("doc_id", F.unhex(header).alias("payload"))
+    meta = multimodal.wav_meta("payload")
+    return wavs.select(
+        "doc_id",
+        meta["channels"].alias("channels"),
+        meta["sample_rate"].alias("sample_rate"),
+        meta["bits_per_sample"].alias("bits_per_sample"),
+        meta["data_bytes"].alias("data_bytes"),
+        meta["n_frames"].alias("n_frames"),
+        meta["duration_ms"].alias("duration_ms"),
+    )
+
+
+MM_WAV_ORACLE = """
+SELECT doc_id,
+       CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+       CAST(doc_id % 5 * 4000 + 8000 AS INTEGER) AS sample_rate,
+       CAST(doc_id % 3 * 8 + 8 AS INTEGER) AS bits_per_sample,
+       CAST((doc_id % 1000 + 100) * ((doc_id % 2 + 1) * ((doc_id % 3 * 8 + 8) // 8)) AS BIGINT) AS data_bytes,
+       CAST(doc_id % 1000 + 100 AS BIGINT) AS n_frames,
+       CAST((doc_id % 1000 + 100) * 1000 // (doc_id % 5 * 4000 + 8000) AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
 QUERIES = {
     "dd_exact_dedup": dd_exact_dedup,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -798,6 +966,10 @@ QUERIES = {
     "ts_tfidf_keywords": ts_tfidf_keywords,
     "dd_dup_clusters": dd_dup_clusters,
     "tp_contamination": tp_contamination,
+    "ts_quality_filters": ts_quality_filters,
+    "tp_doc_chunking": tp_doc_chunking,
+    "tp_source_caps": tp_source_caps,
+    "mm_wav_meta": mm_wav_meta,
 }
 
 ORACLES = {
@@ -821,4 +993,8 @@ ORACLES = {
     "ts_tfidf_keywords": TS_TFIDF_ORACLE,
     "dd_dup_clusters": DD_CLUSTERS_ORACLE,
     "tp_contamination": TP_CONTAM_ORACLE,
+    "ts_quality_filters": _quality_filters_oracle(),
+    "tp_doc_chunking": TP_CHUNK_ORACLE,
+    "tp_source_caps": TP_SOURCE_CAPS_ORACLE,
+    "mm_wav_meta": MM_WAV_ORACLE,
 }
