@@ -349,3 +349,56 @@ def test_zorder_write_narrows_footer_ranges_on_both_columns(spark, tmp_path_fact
         avg = sum(spans[col]) / len(spans[col])
         assert avg < 0.6, (col, avg, spans[col])
     assert spark.read.parquet(path).count() == 20_000
+
+
+def test_snapshot_versioning_time_travel(spark, tmp_path):
+    from us_dot_flights_lakehouse_spark.sources import versioned
+
+    path = str(tmp_path / "vtab")
+    v1 = versioned.write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, s string"), path
+    )
+    v2 = versioned.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"), path
+    )
+    assert (v1, v2) == (1, 2)
+    assert versioned.snapshot_versions(spark, path) == [1, 2]
+    assert versioned.read_snapshot(spark, path).count() == 2  # latest
+    assert versioned.read_snapshot(spark, path, version=1).count() == 1  # travel
+
+
+def test_snapshot_crash_windows_invisible(spark, tmp_path):
+    import os
+
+    from us_dot_flights_lakehouse_spark.sources import versioned
+
+    path = str(tmp_path / "vtab")
+    versioned.write_snapshot(spark.createDataFrame([(1,)], "id long"), path)
+    # crash window A: staging dir left behind (writer died mid-write)
+    os.makedirs(f"{path}/_staging_v00099")
+    # crash window B: renamed v-dir without its _COMMITTED marker
+    os.makedirs(f"{path}/v=00098")
+    assert versioned.snapshot_versions(spark, path) == [1]
+    assert versioned.read_snapshot(spark, path).count() == 1
+    # next writer cleans both orphans and commits as v2
+    v = versioned.write_snapshot(spark.createDataFrame([(2,)], "id long"), path)
+    assert v == 2
+    assert not os.path.exists(f"{path}/_staging_v00099")
+    assert not os.path.exists(f"{path}/v=00098")
+
+
+def test_snapshot_rollback_and_vacuum(spark, tmp_path):
+    from us_dot_flights_lakehouse_spark.sources import versioned
+
+    path = str(tmp_path / "vtab")
+    for n in (1, 2, 3, 4):
+        versioned.write_snapshot(
+            spark.range(n).withColumnRenamed("id", "x"), path
+        )
+    versioned.rollback_snapshot(spark, path, version=2)
+    assert versioned.snapshot_versions(spark, path) == [1, 2]
+    assert versioned.read_snapshot(spark, path).count() == 2
+    # writes continue from the restored head
+    assert versioned.write_snapshot(spark.range(5), path) == 3
+    assert versioned.vacuum_snapshots(spark, path, keep=1) == [1, 2]
+    assert versioned.snapshot_versions(spark, path) == [3]

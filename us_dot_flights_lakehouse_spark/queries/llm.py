@@ -775,6 +775,50 @@ SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication end-to-end: embedding-cosine
+    near-dup pairs → connected components → keep the minimum vec_id per
+    semantic cluster. Returns (vec_id, cluster_id, is_keeper) for every
+    vector — downstream filters ``is_keeper`` to drop semantic
+    duplicates while keeping the selection auditable.
+
+    Scale: the pair stage is the bucketed executor-side block cogroup
+    (never all-pairs), the component stage iterates only the pair graph,
+    and the keeper flag is a column comparison — no additional shuffle
+    beyond ``dup_clusters``'s per-round join."""
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=COSINE_THRESHOLD)
+    labels = curation.dup_clusters(
+        emb.select("vec_id"),
+        pairs,
+        id_col="vec_id",
+        a_col="vec_id_a",
+        b_col="vec_id_b",
+    )
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+DD_SEMANTIC_ORACLE = f"""
+WITH RECURSIVE pairs AS ({DD_EMB_ORACLE}),
+edges AS (
+  SELECT vec_id_a AS a, vec_id_b AS b FROM pairs
+  UNION ALL
+  SELECT vec_id_b, vec_id_a FROM pairs
+),
+reach AS (
+  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS vec_id, MIN(dst) AS cluster_id, src = MIN(dst) AS is_keeper
+FROM reach GROUP BY src
+"""
+
+
 # ---------------------------------------------------------------------------
 # Quality-filter rules, chunking, source caps, audio metadata
 # ---------------------------------------------------------------------------
@@ -970,6 +1014,7 @@ QUERIES = {
     "tp_doc_chunking": tp_doc_chunking,
     "tp_source_caps": tp_source_caps,
     "mm_wav_meta": mm_wav_meta,
+    "dd_semantic_dedup": dd_semantic_dedup,
 }
 
 ORACLES = {
@@ -997,4 +1042,5 @@ ORACLES = {
     "tp_doc_chunking": TP_CHUNK_ORACLE,
     "tp_source_caps": TP_SOURCE_CAPS_ORACLE,
     "mm_wav_meta": MM_WAV_ORACLE,
+    "dd_semantic_dedup": DD_SEMANTIC_ORACLE,
 }

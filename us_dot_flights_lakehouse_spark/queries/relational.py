@@ -1808,6 +1808,142 @@ FROM nation
 """
 
 
+def w3_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (extension): time-based RANGE window frame — trailing 1-hour
+    event count and exact-decimal value sum per user, ordered by event
+    time. The frame is expressed on integer epoch MICROSECONDS
+    (``rangeBetween(-3_600_000_000, 0)``) so Spark and the oracle share
+    the same exact frame arithmetic at full timestamp precision (a
+    seconds-granularity cast would silently merge sub-second peers).
+
+    One shuffle on user_id serves both frame aggregates; the RANGE frame
+    is evaluated with a sliding accumulator per partition — linear, not
+    quadratic, so the trailing-window pattern survives bot-grade per-user
+    event counts. Skewed users are an AQE-skew concern, same as any
+    window."""
+    events = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_last_hour"),
+        F.sum(F.col("value").cast(MONEY)).over(w).cast("double").alias("val_last_hour"),
+    )
+
+
+W3_ORACLE = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS val_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def a18_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 (extension): correlation / covariance / stddev via EXACT
+    decimal moment accumulation — sum(x), sum(y), sum(x²), sum(y²),
+    sum(xy) in DECIMAL (order-independent under parallel merge), then the
+    closed-form double arithmetic both engines evaluate identically.
+    Spark's built-in corr()/covar_samp() are float-merge aggregates whose
+    results depend on partition merge order — this formulation is the
+    same single-pass mergeable shape but bit-stable, and it is how you
+    get deterministic statistics out of a 1000-executor job."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(MONEY)
+    y = F.col("l_extendedprice").cast(MONEY)
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        ((n * sxy - sx * sy)
+         / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+        .alias("qty_price_corr"),
+        ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("qty_price_covar"),
+        F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))).alias("qty_std"),
+        F.sqrt((syy - sy * sy / n) / (n - F.lit(1.0))).alias("price_std"),
+    )
+
+
+# moment sums are routed DECIMAL -> VARCHAR -> DOUBLE: DuckDB's direct
+# decimal->double cast double-rounds (int128 / 10^scale in float), which
+# is 1 ulp off the correctly-rounded value once the sum exceeds 2^53;
+# parsing the exact decimal string is correctly rounded in both engines
+# and bit-matches Spark's BigDecimal.doubleValue()
+A18_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n_rows,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS qty_price_corr,
+       (sxy - sx * sy / n) / (n - 1.0) AS qty_price_covar,
+       sqrt((sxx - sx * sx / n) / (n - 1.0)) AS qty_std,
+       sqrt((syy - sy * sy / n) / (n - 1.0)) AS price_std
+FROM m
+"""
+
+
+def j13_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 (extension): null-safe equality join (``<=>`` / IS NOT
+    DISTINCT FROM) — two grouped views of orders keyed by a NULLIF-derived
+    key join so that the NULL group on each side pairs up instead of
+    silently dropping (plain ``=`` never matches NULL). The null-safe
+    predicate stays a hash-join key (both engines hash NULL as a regular
+    value under null-safe semantics) — no fallback to nested-loop."""
+    orders = read_table(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    a = orders.groupBy(key.alias("prio_key")).agg(
+        F.count("*").cast("bigint").alias("n_all")
+    )
+    b = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(key.alias("prio_key"))
+        .agg(F.count("*").cast("bigint").alias("n_f"))
+    )
+    return a.join(b, a["prio_key"].eqNullSafe(b["prio_key"]), "left").select(
+        a["prio_key"].alias("prio_key"),
+        "n_all",
+        F.coalesce(F.col("n_f"), F.lit(0)).cast("bigint").alias("n_f"),
+    )
+
+
+J13_ORACLE = """
+WITH a AS (
+  SELECT nullif(o_orderpriority, '1-URGENT') AS prio_key, COUNT(*) AS n_all
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT nullif(o_orderpriority, '1-URGENT') AS prio_key, COUNT(*) AS n_f
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+)
+SELECT a.prio_key, a.n_all, COALESCE(b.n_f, 0) AS n_f
+FROM a LEFT JOIN b ON a.prio_key IS NOT DISTINCT FROM b.prio_key
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -1859,6 +1995,9 @@ QUERIES = {
     "p7_try_functions": p7_try_functions,
     "f_string_suite2": f_string_suite2,
     "f_xml_suite": f_xml_suite,
+    "w3_time_range_window": w3_time_range_window,
+    "a18_stat_moments": a18_stat_moments,
+    "j13_nullsafe_join": j13_nullsafe_join,
 }
 
 ORACLES = {
@@ -1911,4 +2050,7 @@ ORACLES = {
     "p7_try_functions": P7_ORACLE,
     "f_string_suite2": F_STRING2_ORACLE,
     "f_xml_suite": F_XML_ORACLE,
+    "w3_time_range_window": W3_ORACLE,
+    "a18_stat_moments": A18_ORACLE,
+    "j13_nullsafe_join": J13_ORACLE,
 }

@@ -9,6 +9,7 @@ streaming aggregation semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from us_dot_flights_lakehouse_spark.sources.readers import read_table
 from us_dot_flights_lakehouse_spark.streaming.events import (
@@ -59,6 +60,58 @@ SELECT user_id, session_idx,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
 FROM numbered GROUP BY 1, 2
+"""
+
+
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` gap-based sessionization (the streaming
+    session operator, here in batch mode — identical semantics, which is
+    what makes the SQL oracle valid). Each event opens a window
+    ``[ts, ts + gap)``; overlapping windows per user merge, so a new
+    session starts exactly when the gap to the previous event is >= the
+    gap (end-exclusive window overlap). session_end is last event + gap —
+    the operator's native convention, unlike ``sessionize``'s max-ts."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("win"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+ST_SESSION_WINDOW_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {SESSION_GAP_MINUTES * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), numbered AS (
+  SELECT *,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {SESSION_GAP_MINUTES} MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM numbered GROUP BY user_id, session_idx
 """
 
 
@@ -142,6 +195,7 @@ ST_DEDUP_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
 QUERIES = {
     "st_windowed_events": st_windowed_events,
     "st_sessionize": st_sessionize,
+    "st_session_window": st_session_window,
     "st_running_totals": st_running_totals,
     "st_stream_dedup": st_stream_dedup,
 }
@@ -149,5 +203,6 @@ QUERIES = {
 ORACLES = {
     "st_windowed_events": ST_WINDOW_ORACLE,
     "st_sessionize": ST_SESSION_ORACLE,
+    "st_session_window": ST_SESSION_WINDOW_ORACLE,
     "st_stream_dedup": ST_DEDUP_ORACLE,
 }
