@@ -35,7 +35,10 @@ WHITELIST: dict[str, set[str]] = {
     "dd_minhash_lsh": {"SMJ"},           # band-bucket self-join
     "dd_simhash_pairs": {"SMJ"},         # band-bucket self-join
     "dd_dup_clusters": {"SMJ"},          # label-propagation joins
-    "ts_tfidf_keywords": {"SMJ"},        # token df join (both sides row-scale)
+    "ts_tfidf_keywords": {"SMJ", "ONE_PART"},  # token df join (both sides
+    #   row-scale) + the deliberate 1-row corpus-count aggregate that rides
+    #   the plan as a broadcast instead of an eager driver count()
+    "dd_semantic_dedup": {"SMJ"},        # label-propagation joins (pair graph)
     "j8_asof_purchase_attribution": {"SMJ", "ONE_PART"},  # as-of union-window
     "j11_clickstream_interval_join": {"SMJ"},  # interval join
     "j12_lateral_topk_orders": {"SMJ"},  # per-customer lateral

@@ -47,20 +47,12 @@ _PRIORITY = (
     "a8_describe_orders",
     "a11_exact_quantiles",
     "a12_approx_sketches",
-    # flagship + representative relational spread
+    # queries new this round (no prior driver rows)
+    "w3_time_range_window",
+    "a18_stat_moments",
+    "j13_nullsafe_join",
+    # flagship
     "daily_segment_performance",
-    "j1_enrich_lookup_join",
-    "j2_star_fact_build",
-    "j4_outer_merge_daily_flow",
-    "j6_semi_high_value_customers",
-    "j7_anti_customers_without_orders",
-    "j9_range_join_price_bands",
-    "j10_regional_revenue",
-    "a3_global_summary",
-    "a5_topk_parts",
-    "a9_rollup_segment_status",
-    "w1_topk_per_group",
-    "w2_window_suite",
 )
 
 
