@@ -353,3 +353,41 @@ def test_wav_meta_parses_canonical_header(spark):
     assert (row["channels"], row["sample_rate"], row["bits_per_sample"]) == (2, 44100, 16)
     assert row["data_bytes"] == data and row["n_frames"] == frames
     assert row["duration_ms"] == frames * 1000 // rate
+
+
+def test_shard_assign_uniform_and_deterministic(spark):
+    from us_dot_flights_lakehouse_spark.llm.curation import shard_assign
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = shard_assign(docs, n_shards=8).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    assert set(by_shard) == set(range(8))
+    # positions are dense 1..n within each shard
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic across runs
+    again = {(r["doc_id"], r["shard"], r["pos_in_shard"])
+             for r in shard_assign(docs, n_shards=8).collect()}
+    assert {(r["doc_id"], r["shard"], r["pos_in_shard"]) for r in out} == again
+
+
+def test_bigram_commonality_scores(spark):
+    from us_dot_flights_lakehouse_spark.llm.textstats import bigram_commonality
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c"),        # bigrams: "a b", "b c"
+            (2, "a b d"),        # bigrams: "a b", "b d"
+            (3, "x"),            # no bigrams -> no output row
+        ],
+    )
+    rows = {r["id"]: r for r in bigram_commonality(docs).collect()}
+    assert set(rows) == {1, 2}
+    # "a b" occurs twice in the corpus; "b c"/"b d" once each
+    assert rows[1]["n_bigrams"] == 2 and rows[1]["total_freq"] == 3
+    assert rows[1]["avg_bigram_freq"] == 1.5
+    assert rows[2]["total_freq"] == 3

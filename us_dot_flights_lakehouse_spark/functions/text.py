@@ -44,6 +44,21 @@ def shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
+def word_bigrams(tokens: Column) -> Column:
+    """Adjacent word bigrams ('w1 w2') of a token array, NON-distinct (the
+    repetition signal needs multiplicity); empty when fewer than 2 tokens.
+    Pure zip of the array against itself shifted by one — codegen'd."""
+    n = F.size(tokens)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(tokens, 1, n - 1),
+            F.slice(tokens, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def hash28(col: str | Column) -> Column:
     """28-bit deterministic hash shared with the DuckDB oracle (see module
     docstring)."""

@@ -261,6 +261,38 @@ def source_caps(
     ).select("*", (F.col("slot") <= cap).alias("kept"))
 
 
+def shard_assign(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    layout: shard = ``hash28('shard:' || id) % n_shards`` (the shuffle),
+    position-in-shard = hash-ordered row_number within the shard.
+
+    Deliberately NOT a global ``row_number() OVER (ORDER BY hash)`` — a
+    global order window funnels the corpus through ONE task; per-shard
+    windows keep parallelism equal to shard count while delivering the
+    same statistical shuffle (hash placement is uniform and id-keyed, so
+    the interleaving is as random as the global sort's and reproducible
+    across runs, engines, and cluster sizes). One shuffle total. Returns
+    (id, shard, pos_in_shard)."""
+    h = hash28(F.concat(F.lit("shard:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        docs.select(
+            F.col(id_col),
+            F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+            h.alias("_h"),
+        )
+        .select(
+            id_col,
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+        )
+    )
+
+
 def dup_clusters(
     nodes: DataFrame,
     pairs: DataFrame,

@@ -16,6 +16,7 @@ from us_dot_flights_lakehouse_spark.functions.text import (
     bpe_ish_tokens,
     normalized_fingerprint,
     tokenize,
+    word_bigrams,
 )
 
 #: tiny per-language stopword lexicons for the n-gram/stopword language-ID
@@ -105,16 +106,7 @@ def quality_filters(
     auditable (rejected-rate dashboards) and lets callers route rejects to
     quarantine instead of silently shrinking the corpus."""
     toks = tokenize(text_col)
-    n = F.size(toks)
-    # adjacent word bigrams: zip the array against itself shifted by one
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = word_bigrams(toks)
     stop_arr = F.array(*[F.lit(w) for w in LANG_LEXICONS["en"]])
     base = docs.select(
         F.col(id_col),
@@ -161,6 +153,43 @@ def quality_filters(
         dup_bigram_frac.alias("dup_bigram_frac"),
         ellipsis_frac.alias("ellipsis_word_frac"),
         keep.alias("keep"),
+    )
+
+
+def bigram_commonality(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-relative commonality score: for each document, the average
+    corpus frequency of its word bigrams (multiplicity-weighted). High
+    score = the document is built from corpus-common word transitions
+    (boilerplate/templates); low = rare phrasing. The integer-sum /
+    single-division formulation keeps the score bit-stable cross-engine —
+    the usual n-gram LM log-prob variant is not, because libm log()
+    differs in the last ulp across platforms.
+
+    Scale: two hash aggregates (corpus bigram counts, per-doc rollup) and
+    one join. The count side is bigram-cardinality (vocabulary²-bounded,
+    zipf-concentrated), typically far smaller than the corpus — broadcast
+    when it fits, shuffle-join otherwise; Spark's AQE decides from runtime
+    stats. Returns (id, n_bigrams, total_freq, avg_bigram_freq)."""
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_bigrams(tokenize(text_col))).alias("bg"),
+    )
+    counts = grams.groupBy("bg").agg(F.count("*").cast("bigint").alias("corpus_freq"))
+    return (
+        grams.join(counts, "bg")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("corpus_freq").cast("bigint").alias("total_freq"),
+        )
+        .select(
+            "*",
+            (F.col("total_freq").cast("double") / F.col("n_bigrams").cast("double")).alias(
+                "avg_bigram_freq"
+            ),
+        )
     )
 
 

@@ -819,6 +819,54 @@ FROM reach GROUP BY src
 """
 
 
+N_SHARDS = 16
+
+
+def tp_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment (training layout):
+    hash-placed shard, hash-ordered position within shard — one shuffle,
+    parallelism = shard count, reproducible across engines."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    return curation.shard_assign(docs, N_SHARDS)
+
+
+TP_SHARD_ORACLE = f"""
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC)
+            AS BIGINT) AS pos_in_shard
+FROM (
+  SELECT doc_id,
+         CAST({_HASH28.format(x="'shard:' || CAST(doc_id AS VARCHAR)")} % {N_SHARDS}
+              AS INTEGER) AS shard,
+         {_HASH28.format(x="'shard:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+)
+"""
+
+
+def ts_bigram_commonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative bigram commonality (boilerplate/template signal):
+    per-doc average corpus frequency of its word bigrams, integer-exact.
+    Docs with fewer than 2 words have no bigrams and emit no row."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    return textstats.bigram_commonality(docs)
+
+
+TS_BIGRAM_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id AS id,
+         unnest(CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                ELSE [] END) AS bg
+  FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+), c AS (SELECT bg, COUNT(*) AS corpus_freq FROM g GROUP BY 1)
+SELECT id, COUNT(*) AS n_bigrams,
+       CAST(SUM(corpus_freq) AS BIGINT) AS total_freq,
+       CAST(SUM(corpus_freq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bigram_freq
+FROM g JOIN c USING (bg) GROUP BY id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Quality-filter rules, chunking, source caps, audio metadata
 # ---------------------------------------------------------------------------
@@ -1015,6 +1063,8 @@ QUERIES = {
     "tp_source_caps": tp_source_caps,
     "mm_wav_meta": mm_wav_meta,
     "dd_semantic_dedup": dd_semantic_dedup,
+    "tp_shard_shuffle": tp_shard_shuffle,
+    "ts_bigram_commonality": ts_bigram_commonality,
 }
 
 ORACLES = {
@@ -1043,4 +1093,6 @@ ORACLES = {
     "tp_source_caps": TP_SOURCE_CAPS_ORACLE,
     "mm_wav_meta": MM_WAV_ORACLE,
     "dd_semantic_dedup": DD_SEMANTIC_ORACLE,
+    "tp_shard_shuffle": TP_SHARD_ORACLE,
+    "ts_bigram_commonality": TS_BIGRAM_ORACLE,
 }
