@@ -391,3 +391,35 @@ def test_bigram_commonality_scores(spark):
     assert rows[1]["n_bigrams"] == 2 and rows[1]["total_freq"] == 3
     assert rows[1]["avg_bigram_freq"] == 1.5
     assert rows[2]["total_freq"] == 3
+
+
+def test_mp4_meta_kernel_and_malformed(spark):
+    import struct
+
+    from us_dot_flights_lakehouse_spark.llm.multimodal import mp4_meta
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    mvhd_v0 = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(">II", 90000, 450000),
+    )
+    good = (
+        box(b"ftyp", b"isom" + b"\x00" * 4)
+        + box(b"free", b"")
+        + box(b"moov", mvhd_v0)
+    )
+    rows = {r["id"]: r for r in mp4_meta(spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(b"\x00\x00\x00\x02bad!")),  # size < 8: malformed
+            (3, bytearray(b"RIFF....")),               # not an mp4 at all
+        ],
+        "id long, payload binary",
+    )).collect()}
+    assert rows[1]["major_brand"] == "isom"
+    assert (rows[1]["timescale"], rows[1]["duration"]) == (90000, 450000)
+    assert rows[1]["duration_ms"] == 450000 * 1000 // 90000
+    for i in (2, 3):
+        assert rows[i]["timescale"] is None and rows[i]["duration_ms"] is None

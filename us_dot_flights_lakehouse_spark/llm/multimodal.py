@@ -255,6 +255,78 @@ def decode_image_headers(
     )
 
 
+MP4_META_SCHEMA = (
+    "id long, major_brand string, timescale int, duration bigint, duration_ms bigint"
+)
+
+
+def mp4_meta(df: DataFrame, id_col: str = "id", bin_col: str = "payload") -> DataFrame:
+    """MP4/ISO-BMFF video metadata from header byte arithmetic — NO codec:
+    walk the top-level boxes to ``ftyp`` (major brand) and ``moov/mvhd``
+    (timescale + duration, both mvhd version 0 and 1 layouts), derive
+    integer ``duration_ms``. Box sizes are variable, so this is a loop —
+    an Arrow-batched mapInPandas kernel like the JPEG marker walk, not a
+    fixed Column expression. Malformed/truncated payloads yield NULLs.
+
+    Scale: scan-local, zero shuffle; only header bytes are touched. The
+    ``moov`` box can trail the media data in real files — at 100 TB keep
+    payload columns lazy (parquet binary chunks) so the kernel reads the
+    row's bytes, never a remote seek per box."""
+
+    def be(b: bytes) -> int:
+        return int.from_bytes(b, "big")
+
+    def parse(blob: bytes):
+        brand, timescale, duration = None, None, None
+        i, n = 0, len(blob)
+        while i + 8 <= n:
+            size, btype = be(blob[i + 0 : i + 4]), blob[i + 4 : i + 8]
+            if size < 8:  # size==1 (64-bit largesize) / 0 (to-EOF): unsupported
+                break
+            if btype == b"ftyp" and i + 12 <= n:
+                brand = blob[i + 8 : i + 12].decode("ascii", "replace")
+            elif btype == b"moov":
+                j, end = i + 8, min(i + size, n)
+                while j + 8 <= end:
+                    csize, ctype = be(blob[j : j + 4]), blob[j + 4 : j + 8]
+                    if csize < 8:
+                        break
+                    if ctype == b"mvhd" and j + 9 <= end:
+                        ver = blob[j + 8]
+                        if ver == 0 and j + 28 <= end:
+                            timescale = be(blob[j + 20 : j + 24])
+                            duration = be(blob[j + 24 : j + 28])
+                        elif ver == 1 and j + 40 <= end:
+                            timescale = be(blob[j + 28 : j + 32])
+                            duration = be(blob[j + 32 : j + 40])
+                        break
+                    j += csize
+            i += size
+        ms = (
+            duration * 1000 // timescale
+            if duration is not None and timescale
+            else None
+        )
+        return brand, timescale, duration, ms
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["id"], pdf[bin_col]):
+                if blob is None:
+                    rows.append((i, None, None, None, None))
+                else:
+                    rows.append((i, *parse(bytes(blob))))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "major_brand", "timescale", "duration", "duration_ms"],
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(bin_col)).mapInPandas(
+        extract, schema=MP4_META_SCHEMA
+    )
+
+
 DECODED_IMAGE_SCHEMA = "id long, width int, height int, mode string, pixels binary"
 
 

@@ -1035,6 +1035,75 @@ FROM documents
 """
 
 
+#: mvhd timescales exercised by mm_mp4_meta, indexed by doc_id % 4
+_MP4_TIMESCALES = (600, 1000, 24000, 90000)
+
+
+def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: MP4/ISO-BMFF video metadata from header box walking — NO
+    codec: synthesizes minimal ftyp + free + moov(mvhd) files (both mvhd
+    v0 32-bit and v1 64-bit layouts, brand and timescale derived from
+    doc_id, and a 'free' box in the middle so the kernel must actually
+    walk variable-size boxes), then recovers brand / timescale / duration
+    with ``multimodal.mp4_meta``. The oracle recomputes every field
+    arithmetically, so a box-offset bug hash-fails."""
+    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
+    be32 = lambda c: F.lpad(F.hex(c.cast("long")), 8, "0")  # noqa: E731
+    be64 = lambda c: F.lpad(F.hex(c.cast("long")), 16, "0")  # noqa: E731
+    brand_hex = F.when(F.col("doc_id") % 2 == 0, "69736F6D").otherwise("6D703432")
+    ts = F.element_at(
+        F.array(*[F.lit(t) for t in _MP4_TIMESCALES]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    dur = F.col("doc_id") % 100000 + 1000
+    ftyp = F.concat(F.lit("0000001066747970"), brand_hex, F.lit("00000000"))
+    free = F.lit("0000000866726565")
+    mvhd_v0 = F.concat(
+        F.lit("0000001C6D766864"),  # size 28, 'mvhd'
+        F.lit("00000000"),          # version 0 + flags
+        F.lit("00000000" * 2),      # ctime, mtime
+        be32(ts),
+        be32(dur),
+    )
+    mvhd_v1 = F.concat(
+        F.lit("000000286D766864"),  # size 40, 'mvhd'
+        F.lit("01000000"),          # version 1 + flags
+        F.lit("0" * 32),            # 64-bit ctime, mtime
+        be32(ts),
+        be64(dur),
+    )
+    mvhd = F.when(F.col("doc_id") % 2 == 0, mvhd_v0).otherwise(mvhd_v1)
+    moov_size = F.when(F.col("doc_id") % 2 == 0, F.lit(36)).otherwise(F.lit(48))
+    moov = F.concat(be32(moov_size), F.lit("6D6F6F76"), mvhd)
+    payload = F.unhex(F.concat(ftyp, free, moov))
+    vids = docs.select("doc_id", payload.alias("payload"))
+    meta = multimodal.mp4_meta(vids, id_col="doc_id")
+    return meta.select(
+        F.col("id").alias("doc_id"),
+        "major_brand",
+        "timescale",
+        "duration",
+        "duration_ms",
+    )
+
+
+MM_MP4_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS major_brand,
+       CAST(CASE doc_id % 4 WHEN 0 THEN {_MP4_TIMESCALES[0]}
+                            WHEN 1 THEN {_MP4_TIMESCALES[1]}
+                            WHEN 2 THEN {_MP4_TIMESCALES[2]}
+                            ELSE {_MP4_TIMESCALES[3]} END AS INTEGER) AS timescale,
+       CAST(doc_id % 100000 + 1000 AS BIGINT) AS duration,
+       CAST((doc_id % 100000 + 1000) * 1000 //
+            (CASE doc_id % 4 WHEN 0 THEN {_MP4_TIMESCALES[0]}
+                             WHEN 1 THEN {_MP4_TIMESCALES[1]}
+                             WHEN 2 THEN {_MP4_TIMESCALES[2]}
+                             ELSE {_MP4_TIMESCALES[3]} END) AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
 QUERIES = {
     "dd_exact_dedup": dd_exact_dedup,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -1065,6 +1134,7 @@ QUERIES = {
     "dd_semantic_dedup": dd_semantic_dedup,
     "tp_shard_shuffle": tp_shard_shuffle,
     "ts_bigram_commonality": ts_bigram_commonality,
+    "mm_mp4_meta": mm_mp4_meta,
 }
 
 ORACLES = {
@@ -1095,4 +1165,5 @@ ORACLES = {
     "dd_semantic_dedup": DD_SEMANTIC_ORACLE,
     "tp_shard_shuffle": TP_SHARD_ORACLE,
     "ts_bigram_commonality": TS_BIGRAM_ORACLE,
+    "mm_mp4_meta": MM_MP4_ORACLE,
 }
