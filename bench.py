@@ -39,33 +39,40 @@ def main() -> None:
 
     # warmup: spin up JVM, codegen, parquet footer caches
     first = next(iter(qs.values()))
-    force(first(spark, sf_dir))
+    try:
+        force(first(spark, sf_dir))
+    except Exception:
+        pass
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | str] = {}
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
         runs = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            force(fn(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 4)
+        try:
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                force(fn(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(runs), 4)
+        except Exception as exc:  # one broken query must not kill the run
+            timings[name] = "ERR"
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         # per-query isolation: queries that cache()/checkpoint internally
         # must not leak storage blocks into later queries' measurements —
         # a 76-query x3-rep session otherwise degrades the tail
         spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "sum_median_sec_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    total = round(sum(v for v in timings.values() if isinstance(v, float)), 4)
+    out = {
+        "metric": "sum_median_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -214,8 +214,10 @@ def chunk_documents(
     input_chars * (1 + overlap/stride); partition count follows the scan,
     so a repartition after heavy fan-out is the caller's lever. Returns
     (id, chunk_idx, chunk_start, chunk_text, chunk_len)."""
-    if overlap >= chunk_chars:
-        raise ValueError("overlap must be smaller than chunk_chars")
+    if chunk_chars <= 0:
+        raise ValueError("chunk_chars must be positive")
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_chars")
     stride = chunk_chars - overlap
     starts = F.sequence(
         F.lit(1),

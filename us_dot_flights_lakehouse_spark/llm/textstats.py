@@ -106,6 +106,7 @@ def quality_filters(
     auditable (rejected-rate dashboards) and lets callers route rejects to
     quarantine instead of silently shrinking the corpus."""
     toks = tokenize(text_col)
+    n = F.size(toks)
     bigrams = word_bigrams(toks)
     stop_arr = F.array(*[F.lit(w) for w in LANG_LEXICONS["en"]])
     base = docs.select(

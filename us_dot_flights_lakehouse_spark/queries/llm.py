@@ -401,8 +401,8 @@ WITH base AS (
 )
 SELECT lang_pred,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
-       SUM(n_bpe_tokens) AS total_bpe_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens
 FROM gated WHERE doc_id IN (SELECT keeper_doc_id FROM keepers)
 GROUP BY lang_pred
 """

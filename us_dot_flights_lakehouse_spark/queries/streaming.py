@@ -93,7 +93,7 @@ def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ST_SESSION_WINDOW_ORACLE = f"""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {SESSION_GAP_MINUTES * 60 * 1_000_000}
               THEN 1 ELSE 0 END AS new_session
   FROM events
@@ -101,7 +101,7 @@ WITH flagged AS (
 ), numbered AS (
   SELECT *,
          SUM(new_session) OVER (
-           PARTITION BY user_id ORDER BY ts ASC
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS session_idx
   FROM flagged

@@ -68,7 +68,15 @@ def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
 def write_snapshot(df: DataFrame, path: str) -> int:
     """Commit ``df`` as the next snapshot of the table at ``path`` and
     return the new version number. The previous snapshot stays readable
-    at every instant (see module docstring for the crash analysis)."""
+    at every instant (see module docstring for the crash analysis).
+
+    SINGLE WRITER REQUIRED: the orphan cleanup below deletes any v-dir
+    that lacks a ``_COMMITTED`` marker and any ``_staging_v*`` dir, so a
+    second concurrent writer racing between its rename and marker-create
+    would have its in-flight commit destroyed. Serialize writers
+    externally (scheduler lock / one producing job per table) — this
+    format deliberately trades Delta/Iceberg-style optimistic concurrency
+    for zero sidecar dependencies."""
     spark = df.sparkSession
     fs, jvm = _hadoop_fs(spark, path)
     hpath = jvm.org.apache.hadoop.fs.Path
