@@ -423,3 +423,44 @@ def test_mp4_meta_kernel_and_malformed(spark):
     assert rows[1]["duration_ms"] == 450000 * 1000 // 90000
     for i in (2, 3):
         assert rows[i]["timescale"] is None and rows[i]["duration_ms"] is None
+
+
+def test_lsh_neardup_subset_and_full_recall_on_true_duplicates(spark, sf_small):
+    """Two contracts of the LSH-pruned pair stage:
+    1. SUBSET of the exact all-pairs set — verification is exact, so
+       pruning can only lose pairs, never invent them.
+    2. ~Full recall on TRUE duplicates (the SemDeDup target): planted
+       near-identical vectors (cos ~0.9997) agree on (almost) every
+       sign bit, so they share buckets in essentially every table. The
+       8x8 layout's partial recall on borderline 63-degree pairs is
+       deliberate, oracle-replicated semantics."""
+    from pyspark.sql import functions as F
+
+    from us_dot_flights_lakehouse_spark.llm.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    # plant 20 exact-duplicate partners: same vector, one flipped low bit
+    dups = (
+        emb.filter(F.col("vec_id") < 20)
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+        .withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: (x + F.lit(1e-4)).cast("float")),
+        )
+    )
+    corpus = emb.unionByName(dups)
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_neardup_pairs(corpus, threshold=0.45).collect()
+    }
+    pruned = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_neardup_pairs_lsh(corpus, threshold=0.45, dim=64).collect()
+    }
+    assert pruned <= exact
+    planted = {(i, i + 1_000_000) for i in range(20)}
+    assert planted <= exact
+    assert len(planted & pruned) >= 19  # >= 95% recall on true duplicates

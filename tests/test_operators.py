@@ -294,3 +294,28 @@ def test_bucketed_range_join_plans_equi_join(spark):
     )
     # the bin trick must hash-join on the bucket key, not nested-loop
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_a12_sketch_error_bounds(spark, sf_small):
+    """Numeric companion to the a12 boolean assertions: the HLL counts land
+    within 3-sigma of their rsd against exact distincts, and the GK
+    percentile values sit at most a few ranks off the exact quantile."""
+    from us_dot_flights_lakehouse_spark.sources.readers import read_table
+
+    lineitem = read_table(spark, sf_small, "lineitem")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("asu"),
+        F.count_distinct("l_partkey").alias("ep"),
+        F.count_distinct("l_suppkey").alias("es"),
+        F.percentile_approx("l_extendedprice", F.lit([0.5, 0.9, 0.99]), 10000).alias("qs"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("eq"),
+    )
+    for r in agg.collect():
+        assert abs(r["ap"] - r["ep"]) <= 0.15 * r["ep"]
+        assert abs(r["asu"] - r["es"]) <= 0.03 * r["es"]
+        # GK with accuracy=10000 on sf0.001 groups (< 10000 rows) is exact
+        # up to interpolation: approx returns a data value, exact
+        # interpolates — allow the one-rank gap
+        for approx_v, exact_v in zip(r["qs"], r["eq"]):
+            assert abs(float(approx_v) - float(exact_v)) <= 0.01 * max(1.0, float(exact_v))

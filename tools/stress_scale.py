@@ -135,6 +135,22 @@ def main():
         flush=True,
     )
 
+    # LSH-pruned variant: FLOPs are candidate-bound, not n² — report the
+    # pruning ratio alongside the timing so the growth has a denominator
+    from us_dot_flights_lakehouse_spark.llm.dedup import embedding_neardup_pairs_lsh
+
+    for label, e, n in (("1x", emb1, None), (f"{factor}x", embN, None)):
+        rows = e.count()
+        t = timed(
+            f"emb_neardup_lsh@{label}",
+            embedding_neardup_pairs_lsh(e, threshold=0.45, dim=64),
+        )
+        all_pairs = rows * (rows - 1) // 2
+        print(
+            f"emb_neardup_lsh@{label}: {rows} vecs, all-pairs {all_pairs}",
+            flush=True,
+        )
+
     skew_bench(spark)
     spark.stop()
 

@@ -35,6 +35,7 @@ from us_dot_flights_lakehouse_spark.functions.vectors import (
     norm,
     to_double_array,
 )
+from us_dot_flights_lakehouse_spark.llm.similarity import lsh_bucket
 
 # --- shared MinHash parameters (mirrored into the DuckDB oracle SQL) -------
 MINHASH_PRIME = 1_000_000_007
@@ -420,6 +421,110 @@ def embedding_neardup_pairs(
         .cogroup(right.groupBy("bi", "bj"))
         .applyInPandas(compare, schema="vec_id_a long, vec_id_b long")
     )
+
+
+def embedding_neardup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup with LSH candidate pruning — the 100×
+    scale path for semantic dedup. The exact block cogroup above spends
+    O(n²) FLOPs no matter how it's partitioned; this variant spends FLOPs
+    only on CANDIDATE pairs:
+
+    1. Each vector gets ``n_tables`` independent sign-bit signatures
+       (table t = planes [t*n_planes, (t+1)*n_planes) of the
+       deterministic md5 family — similarity.lsh_bucket).
+    2. Candidates = pairs sharing a bucket in ANY table. A pair sharing
+       several tables is emitted from its FIRST shared table only (the
+       same trick simhash_pairs uses), so no distinct shuffle.
+    3. Exact cosine verification on candidates, via the sequential-fold
+       expression dot product (bit-identical to the DuckDB oracle's
+       list_sum).
+
+    Recall for cos >= t is 1-(1-p^r)^L with p = 1 - arccos(t)/pi — at
+    t=0.95, r=8, L=8 that is ~0.99, while a random pair survives a table
+    with probability ~2^-8, so candidate volume (and FLOPs) is
+    ~L/2^r · n² ≈ 3% of all-pairs. Tune L up for recall, r up for
+    pruning. The candidate join shuffles ids+signatures only (the
+    vectors re-join afterwards by id), so shuffle volume is
+    candidate-bound, not all-pairs-bound.
+
+    Both hot loops run as Arrow-batched numpy (signatures: one
+    V @ planes.T per batch; verification: one row-wise dot per candidate
+    batch) — the same BLAS kernels the exact block cogroup uses, whose
+    bit-agreement with the oracle's sequential list_sum is established by
+    ``dd_embedding_neardup``'s green hash row (sign/threshold decisions
+    sit ~1e13 ULPs away from the boundary for real data)."""
+    import numpy as np
+
+    from us_dot_flights_lakehouse_spark.llm.similarity import _plane
+
+    planes = np.array(
+        [_plane(j, dim) for j in range(n_tables * n_planes)], dtype=np.float64
+    )
+    pow2 = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    v = emb.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
+
+    def signatures(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            bits = (V @ planes.T) > 0  # (n, L*r)
+            sigs = [
+                (bits[:, t * n_planes : (t + 1) * n_planes] @ pow2).astype(np.int32)
+                for t in range(n_tables)
+            ]
+            pdf = pdf[["id"]].copy()
+            pdf["sigs"] = list(np.stack(sigs, axis=1))
+            yield pdf
+
+    sig = v.mapInPandas(signatures, schema="id long, sigs array<int>")
+    expl = sig.select("id", "sigs", F.posexplode("sigs").alias("t", "bucket"))
+    a, b = expl.alias("a"), expl.alias("b")
+    # first-shared-table: no earlier table already produced this pair
+    no_earlier = ~F.array_contains(
+        F.zip_with(
+            F.slice(F.col("a.sigs"), F.lit(1), F.col("a.t")),
+            F.slice(F.col("b.sigs"), F.lit(1), F.col("b.t")),
+            lambda x, y: x == y,
+        ),
+        F.lit(True),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(no_earlier)
+        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+    )
+    va = v.select(F.col("id").alias("ida"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("idb"), F.col("v").alias("vb"))
+    joined = cand.join(va, "ida").join(vb, "idb")
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.asarray(pdf["va"].tolist(), dtype=np.float64)
+            B = np.asarray(pdf["vb"].tolist(), dtype=np.float64)
+            cos = (A * B).sum(axis=1) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            out = pdf.loc[cos >= threshold, ["ida", "idb"]]
+            yield out.rename(columns={"ida": "vec_id_a", "idb": "vec_id_b"})
+
+    return joined.mapInPandas(verify, schema="vec_id_a long, vec_id_b long")
 
 
 def fuzzy_pairs(

@@ -82,18 +82,25 @@ def _plane(j: int, dim: int) -> list[float]:
     return out
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = LSH_PLANES) -> Column:
+def lsh_bucket(
+    vec: Column, dim: int, n_planes: int = LSH_PLANES, first_plane: int = 0
+) -> Column:
     """Sign-bit bucket id of a double-array column under the deterministic
-    hyperplane family (expression-only: literal plane arrays + zip_with)."""
+    hyperplane family (expression-only: literal plane arrays + zip_with).
+    ``first_plane`` selects a disjoint slice of the family so callers can
+    build multiple independent hash tables (multi-table LSH: table t uses
+    planes [t*n_planes, (t+1)*n_planes))."""
     bucket = F.lit(0)
-    for j in range(n_planes):
+    for j in range(first_plane, first_plane + n_planes):
         plane = F.array(*[F.lit(w) for w in _plane(j, dim)])
         proj = F.aggregate(
             F.zip_with(vec, plane, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bucket = bucket + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
+        bucket = bucket + F.when(proj > 0, F.lit(2 ** (j - first_plane))).otherwise(
+            F.lit(0)
+        )
     return bucket
 
 

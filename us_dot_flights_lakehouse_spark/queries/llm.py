@@ -254,13 +254,62 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (LSH-bucketed) variant — registered without an oracle:
-    bucket membership depends on sign(projection), which is not stable
-    enough across engines to hash-compare; recall-vs-bruteforce is covered
-    by unit tests instead."""
+    """Approximate (LSH-bucketed) top-k. Oracle-able after all: the
+    hyperplane family is deterministic md5 (similarity._plane), so the
+    oracle embeds the 8 plane vectors as DuckDB double-list literals and
+    replicates sign-bit bucketing + exact in-bucket cosine rank. Both
+    engines fold the projection left-to-right over doubles (list_sum vs
+    F.aggregate — bit-identical, proven by SIM_TOPK_ORACLE), so the sign
+    decisions agree exactly."""
     emb = read_corpus(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return similarity.lsh_cosine_topk(emb, qs, k=TOPK_K, dim=64)
+
+
+def _lsh_planes_sql(
+    dim: int = 64, n_planes: int = similarity.LSH_PLANES, n_tables: int = 1
+) -> str:
+    """The deterministic hyperplane family as a DuckDB inline relation:
+    one row per plane with its hash table id, bit weight, and double[]
+    literal (table t uses family planes [t*n_planes, (t+1)*n_planes) —
+    the lsh_bucket(first_plane=...) contract). Python's repr() is
+    shortest-round-trip, so DuckDB parses the exact doubles Spark uses."""
+    rows = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            j = t * n_planes + p
+            lit = "[" + ", ".join(repr(x) for x in similarity._plane(j, dim)) + "]"
+            rows.append(
+                f"SELECT {t} AS t, {2 ** p} AS w, CAST({lit} AS DOUBLE[]) AS plane"
+            )
+    return "\n  UNION ALL ".join(rows)
+
+
+SIM_LSH_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (SELECT vec_id, v, {_VEC_NORM} AS nrm FROM e),
+planes AS (
+  {{planes}}
+), b AS (
+  SELECT n.vec_id, n.v, n.nrm,
+         CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65), i -> n.v[i] * p.plane[i])) > 0
+                       THEN p.w ELSE 0 END) AS INTEGER) AS bucket
+  FROM n CROSS JOIN planes p
+  GROUP BY n.vec_id, n.v, n.nrm
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+         list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERY_VECS}
+)
+SELECT query_id, rank, neighbor_id, bucket FROM (
+  SELECT query_id, neighbor_id, bucket,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOPK_K}
+""".format(planes=_lsh_planes_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -775,19 +824,42 @@ SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
-def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic deduplication end-to-end: embedding-cosine
-    near-dup pairs → connected components → keep the minimum vec_id per
-    semantic cluster. Returns (vec_id, cluster_id, is_keeper) for every
-    vector — downstream filters ``is_keeper`` to drop semantic
-    duplicates while keeping the selection auditable.
+#: multi-table LSH layout for semantic dedup: 8 tables x 8 planes.
+#: At cos>=0.95 recall is 1-(1-p^8)^8 ~ 0.99 (p = 1-arccos(0.95)/pi)
+#: while random pairs survive a table w.p. ~2^-8 -> ~3% of n^2 FLOPs.
+SEMANTIC_LSH_TABLES = 8
+SEMANTIC_LSH_PLANES = 8
 
-    Scale: the pair stage is the bucketed executor-side block cogroup
-    (never all-pairs), the component stage iterates only the pair graph,
-    and the keeper flag is a column comparison — no additional shuffle
-    beyond ``dup_clusters``'s per-round join."""
+
+def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication end-to-end: LSH-pruned
+    embedding-cosine near-dup pairs → connected components → keep the
+    minimum vec_id per semantic cluster. Returns
+    (vec_id, cluster_id, is_keeper) for every vector — downstream filters
+    ``is_keeper`` to drop semantic duplicates while keeping the selection
+    auditable.
+
+    Scale: the pair stage prunes candidates through 8 independent LSH
+    tables and verifies ONLY candidates with exact cosine
+    (llm/dedup.py::embedding_neardup_pairs_lsh) — FLOPs and shuffle are
+    candidate-bound (~3% of all-pairs at this layout), not O(n²) like the
+    exact block cogroup that ``dd_embedding_neardup`` keeps for
+    exhaustive-recall runs. The component stage iterates only the pair
+    graph, and the keeper flag is a column comparison. The oracle
+    replicates the SAME pruning (plane literals in SQL), so recall loss
+    is part of the checked semantics, not silent error. Recall profile
+    at this layout: ~100% on true duplicates (near-identical vectors
+    agree on every sign bit — the SemDeDup target; unit-tested on
+    planted dups), partial on borderline 63-degree pairs (for those,
+    ``dd_embedding_neardup``'s exact kernel is the tool)."""
     emb = read_corpus(spark, sf_dir, "embeddings")
-    pairs = dedup.embedding_neardup_pairs(emb, threshold=COSINE_THRESHOLD)
+    pairs = dedup.embedding_neardup_pairs_lsh(
+        emb,
+        threshold=COSINE_THRESHOLD,
+        dim=64,
+        n_tables=SEMANTIC_LSH_TABLES,
+        n_planes=SEMANTIC_LSH_PLANES,
+    )
     labels = curation.dup_clusters(
         emb.select("vec_id"),
         pairs,
@@ -803,7 +875,27 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DD_SEMANTIC_ORACLE = f"""
-WITH RECURSIVE pairs AS ({DD_EMB_ORACLE}),
+WITH RECURSIVE e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (SELECT vec_id, v, {_VEC_NORM} AS nrm FROM e),
+planes AS (
+  {{planes}}
+), bkt AS (
+  SELECT n.vec_id, p.t,
+         CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65), i -> n.v[i] * p.plane[i])) > 0
+                       THEN p.w ELSE 0 END) AS INTEGER) AS bucket
+  FROM n CROSS JOIN planes p
+  GROUP BY n.vec_id, p.t
+), cand AS (
+  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+  FROM bkt x JOIN bkt y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+), pairs AS (
+  SELECT c.a_id AS vec_id_a, c.b_id AS vec_id_b
+  FROM cand c JOIN n na ON c.a_id = na.vec_id JOIN n nb ON c.b_id = nb.vec_id
+  WHERE list_sum(list_transform(range(1, 65), i -> na.v[i] * nb.v[i])) / (na.nrm * nb.nrm)
+        >= {COSINE_THRESHOLD}
+),
 edges AS (
   SELECT vec_id_a AS a, vec_id_b AS b FROM pairs
   UNION ALL
@@ -812,11 +904,15 @@ edges AS (
 reach AS (
   SELECT vec_id AS src, vec_id AS dst FROM embeddings
   UNION
-  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a
 )
 SELECT src AS vec_id, MIN(dst) AS cluster_id, src = MIN(dst) AS is_keeper
 FROM reach GROUP BY src
-"""
+""".format(
+    planes=_lsh_planes_sql(
+        n_planes=SEMANTIC_LSH_PLANES, n_tables=SEMANTIC_LSH_TABLES
+    )
+)
 
 
 N_SHARDS = 16
@@ -1145,6 +1241,7 @@ ORACLES = {
     "dd_simhash_pairs": _simhash_pairs_oracle(),
     "dd_embedding_neardup": DD_EMB_ORACLE,
     "sim_topk_cosine": SIM_TOPK_ORACLE,
+    "sim_lsh_topk": SIM_LSH_ORACLE,
     "sim_quantize_int8": SIM_QUANT_ORACLE,
     "ts_text_stats": TS_STATS_ORACLE,
     "ts_lang_id": _lang_oracle(),

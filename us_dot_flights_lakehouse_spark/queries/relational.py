@@ -904,13 +904,23 @@ GROUP BY c_mktsegment
 
 
 def a12_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12: approximate sketch aggregates — HyperLogLog++ distinct counts and
-    GK-sketch percentiles. Registered rows-only: sketch outputs are
-    deterministic within Spark but implementation-defined, so no
-    cross-engine value oracle (DuckDB's approx functions use different
-    sketches). These are the 100 TB path: memory-bounded, single-pass,
+    """A12: approximate sketch aggregates — HyperLogLog++ distinct counts
+    and GK-sketch percentiles — ORACLE-CHECKED via exact companions. The
+    sketch values themselves are implementation-defined (DuckDB's approx
+    functions use different sketches), so the output emits (a) the exact
+    aggregates both engines can compute, and (b) booleans asserting the
+    sketches landed within their documented error bounds relative to the
+    in-query exact companions (HLL rsd*3 sigma; GK values inside
+    [min, max] and monotone across quantiles). The oracle reproduces the
+    exact columns and asserts the booleans are TRUE — so a sketch drifting
+    out of tolerance fails the value hash. Numeric error bounds are also
+    unit-asserted in tests/test_operators.py::test_a12_sketch_error_bounds.
+
+    Sketches remain the 100 TB path: memory-bounded, single-pass,
     mergeable — exact distinct over 10^12 keys is a full shuffle; HLL is a
-    fixed 1.5 KB per group."""
+    fixed 1.5 KB per group. The exact companions here are affordable
+    because the group count is tiny; at the full scale you'd ship the
+    sketch columns alone."""
     lineitem = read_table(spark, sf_dir, "lineitem")
     # ONE GK sketch per group (array percentiles), flattened to scalars —
     # the harness canonicalizer hashes cell values and array cells are
@@ -919,20 +929,49 @@ def a12_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = lineitem.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
         F.percentile_approx(
             "l_extendedprice", F.lit([0.5, 0.9, 0.99]), 10000
         ).alias("qs"),
+        F.min("l_extendedprice").alias("price_min"),
+        F.max("l_extendedprice").alias("price_max"),
         F.count("*").alias("n_items"),
     )
+
+    def _within(approx, exact, rel):
+        return (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= F.lit(rel) * exact.cast("double")
+        )
+
     return agg.select(
         "l_returnflag",
-        "approx_parts",
-        "approx_supps",
-        F.col("qs")[0].alias("approx_price_p50"),
-        F.col("qs")[1].alias("approx_price_p90"),
-        F.col("qs")[2].alias("approx_price_p99"),
+        "n_parts",
+        "n_supps",
         "n_items",
+        # default HLL rsd = 0.05 -> 3 sigma = 15%; explicit rsd=0.01 -> 3%
+        _within(F.col("approx_parts"), F.col("n_parts"), 0.15).alias("parts_sketch_ok"),
+        _within(F.col("approx_supps"), F.col("n_supps"), 0.03).alias("supps_sketch_ok"),
+        (
+            (F.col("qs")[0] >= F.col("price_min"))
+            & (F.col("qs")[0] <= F.col("qs")[1])
+            & (F.col("qs")[1] <= F.col("qs")[2])
+            & (F.col("qs")[2] <= F.col("price_max"))
+        ).alias("quantiles_sketch_ok"),
     )
+
+
+A12_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_items,
+       TRUE AS parts_sketch_ok,
+       TRUE AS supps_sketch_ok,
+       TRUE AS quantiles_sketch_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 
@@ -2024,6 +2063,7 @@ ORACLES = {
     "a9_rollup_segment_status": A9_ORACLE,
     "a10_cube_returnflag_status": A10_ORACLE,
     "a11_exact_quantiles": A11_ORACLE,
+    "a12_approx_sketches": A12_ORACLE,
     "a13_pivot_status_by_segment": A13_ORACLE,
     "a14_unpivot_status_counts": A14_ORACLE,
     "j8_asof_purchase_attribution": J8_ORACLE,

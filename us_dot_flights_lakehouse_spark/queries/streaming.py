@@ -118,11 +118,15 @@ FROM numbered GROUP BY user_id, session_idx
 def st_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator end-to-end: readStream over the
     events parquet → per-user applyInPandasWithState running totals →
-    memory sink, returning the final per-user state emissions.
+    memory sink, returning the FINAL per-user state (one row per user).
 
-    Registered rows-only: the totals accumulate float sums in state-store
-    order, which is not cross-engine hashable; state carry-over semantics
-    are asserted exactly in tests/test_streaming.py."""
+    Oracle-able because the state accumulates integer cents (order
+    independent — see streaming/stateful.py), so the final emission per
+    user equals the batch SUM exactly. The memory sink in update mode
+    appends one emission per (user, micro-batch); n_events is monotone
+    within a user, so max-by-n_events selects the final state without
+    assuming a single micro-batch. State carry-over across micro-batches
+    is asserted separately in tests/test_streaming.py."""
     from us_dot_flights_lakehouse_spark.sources.readers import normalize_nano_ts
     from us_dot_flights_lakehouse_spark.streaming.stateful import running_user_totals
 
@@ -148,7 +152,24 @@ def st_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.processAllAvailable()
     finally:
         query.stop()
-    return spark.table(name)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("final"))
+        .select(
+            "user_id",
+            F.col("final.n_events").alias("n_events"),
+            F.col("final.total_value").alias("total_value"),
+        )
+    )
+
+
+ST_RUNNING_TOTALS_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""
 
 
 def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,5 +225,6 @@ ORACLES = {
     "st_windowed_events": ST_WINDOW_ORACLE,
     "st_sessionize": ST_SESSION_ORACLE,
     "st_session_window": ST_SESSION_WINDOW_ORACLE,
+    "st_running_totals": ST_RUNNING_TOTALS_ORACLE,
     "st_stream_dedup": ST_DEDUP_ORACLE,
 }

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 RUNNING_TOTALS_OUTPUT = "user_id long, n_events long, total_value double"
-RUNNING_TOTALS_STATE = "n long, total double"
+RUNNING_TOTALS_STATE = "n long, total_cents long"
 
 
 def running_user_totals(events: DataFrame, user_col: str = "user_id") -> DataFrame:
@@ -35,20 +35,28 @@ def running_user_totals(events: DataFrame, user_col: str = "user_id") -> DataFra
 
     Works on a streaming DataFrame grouped by ``user_col``; each batch's
     Arrow frames for a key arrive as an iterator, state is a single
-    (n, total) tuple."""
+    (n, total_cents) tuple. The total accumulates as INTEGER CENTS, not a
+    float: integer addition is order-independent across arrival order /
+    partitioning, so the emitted ``total_value`` (cents / 100 as double)
+    is bit-stable and cross-engine comparable — a float accumulator would
+    drift with micro-batch boundaries and state-store iteration order."""
 
     def update(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            total_cents += int(pdf["value"].mul(100).round().sum())
+        state.update((n, total_cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total_cents / 100.0],
+            }
         )
 
     return events.groupBy(user_col).applyInPandasWithState(
