@@ -156,3 +156,28 @@ def test_dup_clusters_long_chain_converges(spark):
     )
     got = curation.dup_clusters(nodes, pairs).collect()
     assert {r["cluster_id"] for r in got} == {0}
+
+
+def test_dup_clusters_two_star_equivalent_on_chain(spark):
+    """large-star/small-star must produce the same labeling as min-label
+    on the adversarial case it exists for: a long path graph (diameter =
+    n-1), plus a separate blob and singletons."""
+    n = 16
+    nodes = spark.createDataFrame([(i,) for i in range(n + 4)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)]  # path 0-..-15
+        + [(n, n + 1), (n + 1, n + 2), (n, n + 2)],  # triangle 16-17-18; 19 single
+        "doc_id_a long, doc_id_b long",
+    )
+    base = {
+        r["node"]: r["cluster_id"]
+        for r in curation.dup_clusters(nodes, pairs, max_iter=30).collect()
+    }
+    star = {
+        r["node"]: r["cluster_id"]
+        for r in curation.dup_clusters(
+            nodes, pairs, max_iter=10, variant="two_star"
+        ).collect()
+    }
+    assert base == star
+    assert star[n - 1] == 0 and star[n + 2] == n and star[n + 3] == n + 3
