@@ -925,12 +925,14 @@ def a12_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE GK sketch per group (array percentiles), flattened to scalars —
     # the harness canonicalizer hashes cell values and array cells are
     # unhashable in pandas; three separate sketches would triple the
-    # aggregation state
-    agg = lineitem.groupBy("l_returnflag").agg(
+    # aggregation state.
+    # Sketches and exact DISTINCTs aggregate in SEPARATE groupBys joined
+    # on the tiny group key: mixing them in one agg makes Catalyst expand
+    # the input once per distinct column and re-evaluate the sketches on
+    # every expanded copy (measured 13x slower than the two-pass plan)
+    sketches = lineitem.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
-        F.count_distinct("l_partkey").alias("n_parts"),
-        F.count_distinct("l_suppkey").alias("n_supps"),
         F.percentile_approx(
             "l_extendedprice", F.lit([0.5, 0.9, 0.99]), 10000
         ).alias("qs"),
@@ -938,6 +940,11 @@ def a12_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_extendedprice").alias("price_max"),
         F.count("*").alias("n_items"),
     )
+    exacts = lineitem.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+    )
+    agg = sketches.join(exacts, "l_returnflag")
 
     def _within(approx, exact, rel):
         return (
