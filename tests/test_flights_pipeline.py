@@ -189,3 +189,26 @@ def test_run_pipeline_gate_failure_halts_without_retry(spark, tmp_path_factory):
     assert "QualityGateError" in by_name["silver_transform"].error
     assert by_name["build_dimensions"].status == "skipped"
     assert by_name["build_aggregates"].status == "skipped"
+
+
+def test_run_pipeline_writes_data_docs(spark, tmp_path_factory):
+    from us_dot_flights_lakehouse_spark.flights.pipeline import run_pipeline
+
+    root = str(tmp_path_factory.mktemp("dagdocs"))
+    docs_path = f"{root}/docs/index.html"
+    raw = synthetic_flights(spark, n=120)
+    results = run_pipeline(spark, raw, root, data_docs_path=docs_path)
+    assert all(r.status == "ok" for r in results)
+    html = open(docs_path).read()
+    # every gate that ran shows up, all passing
+    for suite in ("bronze_flights", "silver_flights", "dim_date", "fact_flights"):
+        assert suite in html
+    assert "ALL PASSING" in html
+
+    # gate failure still renders (the failing suite shows FAIL)
+    bad_root = str(tmp_path_factory.mktemp("dagdocsfail"))
+    bad_docs = f"{bad_root}/docs.html"
+    bad = spark.createDataFrame([_row(ORIGIN="TOOLONGCODE", DEST="X")], FLIGHT_SCHEMA)
+    run_pipeline(spark, bad, bad_root, retries=0, data_docs_path=bad_docs)
+    bad_html = open(bad_docs).read()
+    assert "silver_flights" in bad_html and "FAIL" in bad_html

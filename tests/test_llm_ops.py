@@ -217,9 +217,110 @@ def test_png_gif_dims_expressions(spark):
     assert r[3] == (320, 200)
 
 
-def test_decode_image_is_explicit_stub(spark):
+def test_png_roundtrip_all_modes():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for mode, shape in (
+        ("L", (5, 4)),
+        ("LA", (3, 6, 2)),
+        ("RGB", (4, 3, 3)),
+        ("RGBA", (2, 2, 4)),
+    ):
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, got_mode, px = multimodal.png_decode(multimodal.png_encode(a, mode))
+        assert (w, h, got_mode) == (shape[1], shape[0], mode)
+        assert np.array_equal(px.squeeze(), a.squeeze())
+
+
+def test_png_decode_sub_up_average_paeth_filters():
+    """Hand-build IDAT streams exercising filter types 1-4 and check the
+    unfiltered pixels against the spec recurrences."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def build(h, w, scanlines):
+        def chunk(typ, body):
+            return (
+                struct.pack(">I", len(body))
+                + typ
+                + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
+            + chunk(b"IEND", b"")
+        )
+
+    # 2x4 gray: row0 Sub(1), row1 Up(2)
+    data = build(2, 4, [bytes([1, 10, 5, 5, 5]), bytes([2, 1, 1, 1, 1])])
+    _, _, _, px = multimodal.png_decode(data)
+    assert px[:, :, 0].tolist() == [[10, 15, 20, 25], [11, 16, 21, 26]]
+    # 2x3 gray: row0 None, row1 Average(3): cur = raw + (left+up)//2
+    data = build(2, 3, [bytes([0, 8, 16, 24]), bytes([3, 4, 4, 4])])
+    _, _, _, px = multimodal.png_decode(data)
+    # row1: x0: 4+(0+8)//2=8; x1: 4+(8+16)//2=16; x2: 4+(16+24)//2=24
+    assert px[1, :, 0].tolist() == [8, 16, 24]
+    # 2x3 gray: row0 None, row1 Paeth(4)
+    data = build(2, 3, [bytes([0, 10, 20, 30]), bytes([4, 1, 2, 3])])
+    _, _, _, px = multimodal.png_decode(data)
+    # Paeth pred x0: a=0,b=10,c=0 -> p=10 -> nearest is b=10 -> 11
+    # x1: a=11,b=20,c=10 -> p=21: pa=10,pb=1,pc=11 -> b=20 -> 22
+    # x2: a=22,b=30,c=20 -> p=32: pa=10,pb=2,pc=12 -> b=30 -> 33
+    assert px[1, :, 0].tolist() == [11, 22, 33]
+    assert np.asarray(px).dtype == np.uint8
+
+
+def test_bmp_decode_24bit_bottom_up():
+    import numpy as np
+    import struct
+
+    # 2x2 24-bit BMP, bottom-up, rows padded to 4 bytes (2*3=6 -> pad 2)
+    w = h = 2
+    row_bytes = (w * 3 + 3) & ~3
+    # pixel (x,y) RGB = (x*10, y*10, 99); file stores bottom row first, BGR
+    def bgr(x, y):
+        return bytes([99, y * 10, x * 10])
+
+    pix = bgr(0, 1) + bgr(1, 1) + b"\x00\x00" + bgr(0, 0) + bgr(1, 0) + b"\x00\x00"
+    off = 54
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    )
+    gw, gh, mode, px = multimodal.bmp_decode(header + pix)
+    assert (gw, gh, mode) == (2, 2, "RGB")
+    assert px[0, 1].tolist() == [10, 0, 99]  # x=1,y=0
+    assert px[1, 0].tolist() == [0, 10, 99]  # x=0,y=1
+    assert np.asarray(px).flags["C_CONTIGUOUS"]
+
+
+def test_decode_image_operator_decodes_png_nulls_jpeg(spark):
+    import numpy as np
+
+    a = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    png = multimodal.png_encode(a, "L")
+    jpeg = bytes.fromhex("FFD8FFE0") + b"\x00" * 32  # codec-gated format
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(jpeg)), (3, None)],
+        "id long, payload binary",
+    )
+    rows = {r["id"]: r for r in multimodal.decode_image(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["mode"]) == (4, 3, "L")
+    assert list(bytes(rows[1]["pixels"])) == list(range(12))
+    assert rows[2]["pixels"] is None and rows[3]["pixels"] is None
+
+
+def test_sample_frames_is_explicit_stub(spark):
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(_media_df(spark))
+        multimodal.sample_frames(_media_df(spark), every_ms=40)
 
 
 def test_byte_features_custom_id_column(spark):

@@ -95,3 +95,25 @@ def test_observed_gate_rides_the_write_action(spark):
     got = {(r.check, r.column): r.passed for r in resolve()}
     want = {(r.check, r.column): r.passed for r in suite.run(df)}
     assert got == want and all(got.values())
+
+
+def test_render_html_data_docs(tmp_path):
+    from us_dot_flights_lakehouse_spark.quality.checks import (
+        CheckResult,
+        render_html,
+        write_data_docs,
+    )
+
+    results = {
+        "silver<&>": [
+            CheckResult("null_rate_at_most", "op_carrier", True, 0.0),
+            CheckResult("values_between", "dep_delay", False, 99999.0),
+        ],
+        "gold": [CheckResult("unique", "flight_key", True, 1.0)],
+    }
+    html = render_html(results)
+    assert "silver&lt;&amp;&gt;" in html  # suite names are escaped
+    assert "2/3 checks passed" in html and "1 FAILING" in html
+    assert html.count("<table>") == 2
+    out = write_data_docs(results, str(tmp_path / "docs" / "index.html"))
+    assert open(out).read() == html

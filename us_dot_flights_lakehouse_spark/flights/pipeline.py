@@ -38,6 +38,7 @@ from us_dot_flights_lakehouse_spark.flights.star import (
     build_fact_flights,
 )
 from us_dot_flights_lakehouse_spark.quality.checks import (
+    DataDocsCollector,
     QualityGateError,
     QualitySuite,
 )
@@ -274,6 +275,7 @@ def run_pipeline(
     carrier_lookup: DataFrame | None = None,
     start_at: str = "bronze_ingest",
     retries: int = 2,
+    data_docs_path: str | None = None,
 ) -> list[StageResult]:
     """The whole medallion as ONE callable mirroring the reference DAG:
     linear stage sequence, per-stage retries (reference default_args
@@ -287,7 +289,12 @@ def run_pipeline(
     ``start_at`` resumes mid-DAG after a fixed failure — each stage reads
     its inputs from the published tables of the previous one, exactly like
     the reference's independent spark-submit tasks; ``raw`` may be None
-    when resuming past bronze."""
+    when resuming past bronze.
+
+    ``data_docs_path`` renders every gate result that ran (passing or
+    failing, regardless of where the DAG stopped) to a static HTML
+    data-docs page — the native counterpart of the reference's GE
+    data-docs site."""
     import time
 
     paths = LakehousePaths(root)
@@ -306,31 +313,38 @@ def run_pipeline(
     results: list[StageResult] = []
     halted = False
     started = False
-    for name in PIPELINE_STAGES:
-        started = started or name == start_at
-        if not started or halted:
-            results.append(StageResult(name, "skipped", 0, 0.0))
-            continue
-        t0 = time.perf_counter()
-        attempts, err = 0, None
-        while attempts <= retries:
-            attempts += 1
-            try:
-                stages[name]()
-                err = None
-                break
-            except QualityGateError as exc:
-                # deterministic data failure — a retry cannot fix it
-                err = f"{type(exc).__name__}: {exc}"
-                break
-            except Exception as exc:  # noqa: BLE001 — stage boundary
-                err = f"{type(exc).__name__}: {exc}"
-        dt = time.perf_counter() - t0
-        if err is None:
-            results.append(StageResult(name, "ok", attempts, dt))
-        else:
-            results.append(StageResult(name, "failed", attempts, dt, err))
-            halted = True  # linear DAG: everything downstream is blocked
+    docs = DataDocsCollector()
+    docs.__enter__()
+    try:
+        for name in PIPELINE_STAGES:
+            started = started or name == start_at
+            if not started or halted:
+                results.append(StageResult(name, "skipped", 0, 0.0))
+                continue
+            t0 = time.perf_counter()
+            attempts, err = 0, None
+            while attempts <= retries:
+                attempts += 1
+                try:
+                    stages[name]()
+                    err = None
+                    break
+                except QualityGateError as exc:
+                    # deterministic data failure — a retry cannot fix it
+                    err = f"{type(exc).__name__}: {exc}"
+                    break
+                except Exception as exc:  # noqa: BLE001 — stage boundary
+                    err = f"{type(exc).__name__}: {exc}"
+            dt = time.perf_counter() - t0
+            if err is None:
+                results.append(StageResult(name, "ok", attempts, dt))
+            else:
+                results.append(StageResult(name, "failed", attempts, dt, err))
+                halted = True  # linear DAG: everything downstream is blocked
+    finally:
+        docs.__exit__()
+    if data_docs_path is not None:
+        docs.write(data_docs_path)
     return results
 
 

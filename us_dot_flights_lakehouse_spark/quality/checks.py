@@ -157,6 +157,7 @@ class QualitySuite:
 
     def validate(self, df: DataFrame, fail_closed: bool = True) -> list[CheckResult]:
         results = self.run(df)
+        DataDocsCollector.record(self.name, results)
         failures = [r for r in results if not r.passed]
         if failures and fail_closed:
             raise QualityGateError(failures)
@@ -212,3 +213,100 @@ def attach_observed(suite: QualitySuite, df: DataFrame):
         return out
 
     return observed_df, resolve
+
+
+def render_html(results_by_suite: dict[str, list[CheckResult]]) -> str:
+    """Static HTML data-docs for quality results — the native counterpart
+    of the reference's Great Expectations local data-docs site
+    (``expectations/great_expectations/great_expectations.yml:118-128``):
+    one summary strip plus one table per suite, pass/fail badged, no
+    external assets or JS. Pure string templating on already-computed
+    results: rendering never touches Spark, so docs generation is free at
+    any table scale."""
+    from html import escape
+
+    total = sum(len(v) for v in results_by_suite.values())
+    failed = sum(1 for v in results_by_suite.values() for r in v if not r.passed)
+    css = (
+        "body{font-family:sans-serif;margin:2em;color:#222}"
+        "table{border-collapse:collapse;margin:1em 0 2em}"
+        "td,th{border:1px solid #ccc;padding:4px 10px;text-align:left}"
+        ".pass{color:#086a2d;font-weight:bold}"
+        ".fail{color:#a11212;font-weight:bold}"
+        ".summary{padding:8px 12px;background:#f4f4f4;border-radius:6px}"
+    )
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+        f"<title>Data quality docs</title><style>{css}</style></head><body>",
+        "<h1>Data quality docs</h1>",
+        f"<p class='summary'>{total - failed}/{total} checks passed across "
+        f"{len(results_by_suite)} suites — "
+        + ("<span class='pass'>ALL PASSING</span>" if failed == 0 else f"<span class='fail'>{failed} FAILING</span>")
+        + "</p>",
+    ]
+    for suite, results in results_by_suite.items():
+        n_fail = sum(1 for r in results if not r.passed)
+        badge = (
+            "<span class='pass'>PASS</span>"
+            if n_fail == 0
+            else f"<span class='fail'>{n_fail} FAIL</span>"
+        )
+        parts.append(f"<h2>{escape(suite)} {badge}</h2>")
+        parts.append(
+            "<table><tr><th>check</th><th>column</th><th>status</th>"
+            "<th>observed</th></tr>"
+        )
+        for r in results:
+            status = (
+                "<span class='pass'>pass</span>"
+                if r.passed
+                else "<span class='fail'>FAIL</span>"
+            )
+            obs = "" if r.observed is None else f"{r.observed:g}"
+            parts.append(
+                f"<tr><td>{escape(r.check)}</td><td>{escape(r.column)}</td>"
+                f"<td>{status}</td><td>{obs}</td></tr>"
+            )
+        parts.append("</table>")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def write_data_docs(results_by_suite: dict[str, list[CheckResult]], path: str) -> str:
+    """Render ``render_html`` output to ``path`` (local file or any
+    directory the driver can write); returns the path for logging."""
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(render_html(results_by_suite))
+    return path
+
+
+class DataDocsCollector:
+    """Context manager capturing every ``QualitySuite.validate``/``run``
+    result produced while active, keyed by suite name — the pipeline's
+    one-stop feed for ``write_data_docs`` without threading result lists
+    through every stage (the same role GE's ValidationOperator store
+    plays for its data-docs site). Last-in wins per suite name; nesting
+    is LIFO."""
+
+    _stack: list["DataDocsCollector"] = []
+
+    def __init__(self) -> None:
+        self.results: dict[str, list[CheckResult]] = {}
+
+    def __enter__(self) -> "DataDocsCollector":
+        DataDocsCollector._stack.append(self)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        DataDocsCollector._stack.pop()
+
+    @classmethod
+    def record(cls, suite: str, results: list[CheckResult]) -> None:
+        if cls._stack:
+            cls._stack[-1].results[suite] = results
+
+    def write(self, path: str) -> str:
+        return write_data_docs(self.results, path)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+import pandas as pd
 
 from us_dot_flights_lakehouse_spark.llm import (
     curation,
@@ -577,6 +578,94 @@ SELECT doc_id,
        CAST(doc_id % 1024 + 16 AS INTEGER) AS width,
        CAST((doc_id * 7) % 1024 + 16 AS INTEGER) AS height
 FROM documents
+"""
+
+
+def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: REAL pixel-level decode end-to-end — synthesizes an actual 8x8
+    grayscale PNG per document (pixel i = (7*doc_id + i) % 256, encoded
+    with the stdlib-zlib PNG writer), decodes it back to pixels with the
+    codec-free ``multimodal.decode_image`` operator (zlib inflate + numpy
+    unfiltering), and aggregates per-image pixel statistics. The oracle
+    recomputes the stats from the closed form, so a bug anywhere in the
+    encode → chunk-walk → inflate → unfilter → stats chain hash-fails.
+    Mean divides by 64 (a power of two), so the double is exact in both
+    engines."""
+    import numpy as np
+
+    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import png_encode
+
+        for pdf in batches:
+            payloads = [
+                png_encode(
+                    ((7 * int(d) + np.arange(64)) % 256)
+                    .astype(np.uint8)
+                    .reshape(8, 8),
+                    "L",
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(synth, schema="id long, payload binary")
+    decoded = multimodal.decode_image(imgs)
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, w, h, mode, px in zip(
+                pdf["id"], pdf["width"], pdf["height"], pdf["mode"], pdf["pixels"]
+            ):
+                a = np.frombuffer(px, np.uint8)
+                rows.append(
+                    (
+                        i,
+                        int(w),
+                        int(h),
+                        mode,
+                        float(int(a.sum()) / 64),
+                        int(a.min()),
+                        int(a.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "mode",
+                    "mean_px",
+                    "min_px",
+                    "max_px",
+                ],
+            )
+
+    return decoded.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, width int, height int, mode string, "
+            "mean_px double, min_px int, max_px int"
+        ),
+    )
+
+
+MM_PIXEL_ORACLE = """
+WITH px AS (
+  SELECT doc_id, list_transform(range(0, 64), i -> (7 * doc_id + i) % 256) AS p
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       'L' AS mode,
+       list_sum(p) / 64.0 AS mean_px,
+       CAST(list_aggregate(p, 'min') AS INTEGER) AS min_px,
+       CAST(list_aggregate(p, 'max') AS INTEGER) AS max_px
+FROM px
 """
 
 
@@ -1217,6 +1306,7 @@ QUERIES = {
     "mm_media_manifest": mm_media_manifest,
     "mm_byte_features": mm_byte_features,
     "mm_image_dims": mm_image_dims,
+    "mm_pixel_stats": mm_pixel_stats,
     "tp_sequence_packing": tp_sequence_packing,
     "tp_training_mix": tp_training_mix,
     "ts_pii_scrub": ts_pii_scrub,
@@ -1249,6 +1339,7 @@ ORACLES = {
     "mm_media_manifest": _mm_manifest_oracle(),
     "mm_byte_features": MM_BYTES_ORACLE,
     "mm_image_dims": MM_DIMS_ORACLE,
+    "mm_pixel_stats": MM_PIXEL_ORACLE,
     "tp_sequence_packing": TP_PACK_ORACLE,
     "tp_training_mix": TP_MIX_ORACLE,
     "ts_pii_scrub": _pii_oracle(),
