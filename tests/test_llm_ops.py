@@ -318,9 +318,52 @@ def test_decode_image_operator_decodes_png_nulls_jpeg(spark):
     assert rows[2]["pixels"] is None and rows[3]["pixels"] is None
 
 
-def test_sample_frames_is_explicit_stub(spark):
-    with pytest.raises(NotImplementedError):
-        multimodal.sample_frames(_media_df(spark), every_ms=40)
+def test_avi_roundtrip_and_frame_sampling(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(6, 3, 5, 3), dtype=np.uint8)
+    avi = multimodal.avi_encode(frames, us_per_frame=40_000)  # 25 fps
+    us, w, h, raw = multimodal.avi_parse(avi)
+    assert (us, w, h, len(raw)) == (40_000, 5, 3, 6)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"RIFF\x00\x00\x00\x00WAVE")), (3, None)],
+        "id long, payload binary",
+    )
+    # every_ms=80 at 40ms period -> stride 2 -> frames 0, 2, 4
+    rows = multimodal.sample_frames(df, every_ms=80).collect()
+    sampled = sorted(
+        (r["frame_idx"], r["ts_ms"]) for r in rows if r["id"] == 1
+    )
+    assert sampled == [(0, 0), (2, 80), (4, 160)]
+    got0 = next(r for r in rows if r["id"] == 1 and r["frame_idx"] == 0)
+    assert (got0["width"], got0["height"], got0["mode"]) == (5, 3, "RGB")
+    px = np.frombuffer(bytes(got0["pixels"]), np.uint8).reshape(3, 5, 3)
+    assert np.array_equal(px, frames[0])
+    # non-AVI RIFF and null payloads produce null-pixel rows, not errors
+    for other in (2, 3):
+        (row,) = [r for r in rows if r["id"] == other]
+        assert row["pixels"] is None and row["frame_idx"] is None
+
+
+def test_sample_frames_gates_compressed_frames(spark):
+    import struct
+
+    import numpy as np
+
+    frames = np.zeros((2, 2, 2, 3), dtype=np.uint8)
+    avi = bytearray(multimodal.avi_encode(frames, us_per_frame=40_000))
+    # flip both '00db' fourccs to '00dc' (compressed) in place
+    pos = 0
+    while True:
+        pos = avi.find(b"00db", pos)
+        if pos < 0:
+            break
+        avi[pos : pos + 4] = b"00dc"
+    df = spark.createDataFrame([(1, bytes(avi))], "id long, payload binary")
+    (row,) = multimodal.sample_frames(df, every_ms=40).collect()
+    assert row["pixels"] is None  # codec-gated, not mis-decoded
 
 
 def test_byte_features_custom_id_column(spark):

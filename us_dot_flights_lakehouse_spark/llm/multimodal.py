@@ -7,12 +7,12 @@ via ``mapInPandas`` (byte-length / byte-entropy / mean-byte are genuine,
 deterministic binary features needing no codec).
 
 Pixel-level decode is REAL for PNG (stdlib zlib inflate + numpy scanline
-unfiltering, all five filter types) and uncompressed BMP — no imaging
-library needed; ``png_encode`` provides the round-trip proof. STUBBED:
-formats that genuinely need a codec (JPEG entropy decode, GIF LZW →
-null pixel rows from ``decode_image``) and video frame sampling
-(``sample_frames`` raises NotImplementedError with the intended
-contract documented — no ffmpeg in the container).
+unfiltering, all five filter types) and uncompressed BMP; video frame
+sampling is REAL for uncompressed AVI ('00db' DIB frames) — no imaging
+or codec library needed; ``png_encode``/``avi_encode`` provide the
+round-trip proofs. CODEC-GATED (null rows, documented): JPEG entropy
+decode, GIF LZW, compressed video frames ('00dc'), MP4 tracks — those
+genuinely need codec libraries the container doesn't ship.
 
 Scale notes (100 TB):
 - Binary payloads ride the normal columnar path; keep payload columns OUT
@@ -512,12 +512,128 @@ def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "payload") ->
     )
 
 
+def avi_encode(frames, us_per_frame: int) -> bytes:
+    """Minimal uncompressed AVI writer (RIFF 'AVI ' / LIST hdrl+avih /
+    LIST movi with '00db' DIB frames; stdlib struct only). ``frames`` is
+    (n, h, w, 3) RGB uint8; frames store bottom-up padded BGR rows like
+    BMP. Test/fixture counterpart of ``sample_frames``."""
+    import struct
+
+    import numpy as np
+
+    fr = np.asarray(frames, dtype=np.uint8)
+    n, h, w, ch = fr.shape
+    if ch != 3:
+        raise ValueError("avi_encode expects RGB frames")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack("<14I", us_per_frame, 0, 0, 0, n, 0, 1, 0, w, h, 0, 0, 0, 0)
+    row_pad = b"\x00" * (((w * 3 + 3) & ~3) - w * 3)
+    movi = b""
+    for f in fr:
+        bgr = f[:, :, ::-1]
+        rows = b"".join(bgr[y].tobytes() + row_pad for y in range(h - 1, -1, -1))
+        movi += chunk(b"00db", rows)
+    body = b"AVI " + lst(b"hdrl", chunk(b"avih", avih)) + lst(b"movi", movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_parse(data: bytes):
+    """RIFF/AVI box walk (same kernel family as ``mp4_meta``'s ISO-BMFF
+    walk): returns (us_per_frame, width, height, frames) where frames is
+    a list of (fourcc, payload_bytes) in stream order. Raises ValueError
+    on non-AVI bytes."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI stream")
+    us = w = h = None
+    frames: list[tuple[str, bytes]] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal us, w, h
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(buf, body_start + 4, body_start + size)
+            elif tag == b"avih" and size >= 40:
+                us = int.from_bytes(buf[body_start : body_start + 4], "little")
+                w = int.from_bytes(buf[body_start + 32 : body_start + 36], "little")
+                h = int.from_bytes(buf[body_start + 36 : body_start + 40], "little")
+            elif tag[2:4] in (b"db", b"dc"):
+                frames.append((tag.decode("latin1"), buf[body_start : body_start + size]))
+            pos = body_start + size + (size & 1)  # RIFF chunks pad to even
+
+    walk(data, 12, len(data))
+    if us is None:
+        raise ValueError("AVI missing avih header")
+    return us, w, h, frames
+
+
+SAMPLED_FRAME_SCHEMA = (
+    "id long, frame_idx int, ts_ms long, width int, height int, "
+    "mode string, pixels binary"
+)
+
+
 def sample_frames(
     df: DataFrame, every_ms: int, id_col: str = "id", bin_col: str = "payload"
 ) -> DataFrame:
-    """STUB — video frame sampling (needs ffmpeg; see decode_image)."""
-    raise NotImplementedError(
-        "sample_frames requires ffmpeg bindings not present in this "
-        "environment; intended output: one row per sampled frame "
-        "(id, frame_idx, ts_ms, frame binary)"
+    """Video frame sampling as a DataFrame operator — REAL for
+    uncompressed AVI ('00db' DIB frames: RIFF walk + the BMP row kernel,
+    no codec): one output row per sampled frame with decoded RGB pixels.
+    Codec-bearing frames ('00dc' — MJPEG/H.264 etc.) and non-AVI
+    containers (MP4 — needs an H.264 decoder) yield a single null-pixel
+    row per input, keeping the operator total over mixed corpora.
+
+    Sampling: stride = max(1, round(every_ms / frame_period_ms)) — frame
+    indices 0, stride, 2*stride, ...; ts_ms = frame_idx * period.
+
+    100 TB: scan-local (zero shuffle); one input blob fans out to
+    ~duration/every_ms rows, so budget Arrow batch sizes by OUTPUT frame
+    bytes, not input count."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["id"], pdf[bin_col]):
+                emitted = False
+                if blob is not None:
+                    b = bytes(blob)
+                    try:
+                        us, w, h, frames = avi_parse(b)
+                        period_ms = max(1, us // 1000)
+                        stride = max(1, round(every_ms / period_ms))
+                        row_bytes = (w * 3 + 3) & ~3
+                        for idx in range(0, len(frames), stride):
+                            tag, payload = frames[idx]
+                            if not tag.endswith("db"):
+                                continue  # codec-gated frame
+                            px = np.frombuffer(
+                                payload, np.uint8, h * row_bytes
+                            ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+                            px = np.ascontiguousarray(px[::-1, :, ::-1])  # flip+BGR->RGB
+                            rows.append(
+                                (i, idx, idx * period_ms, w, h, "RGB", px.tobytes())
+                            )
+                            emitted = True
+                    except ValueError:
+                        pass
+                if not emitted:
+                    rows.append((i, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "frame_idx", "ts_ms", "width", "height", "mode", "pixels",
+                ],
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(bin_col)).mapInPandas(
+        extract, schema=SAMPLED_FRAME_SCHEMA
     )

@@ -669,6 +669,85 @@ FROM px
 """
 
 
+def mm_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: REAL video frame sampling end-to-end — synthesizes a 6-frame
+    4x4 uncompressed AVI per document (gray pixel g = (11*doc_id + 17*f
+    + 5*i) % 256 on all three channels, 25 fps), samples every 80 ms
+    (stride 2 → frames 0/2/4) through ``multimodal.sample_frames``'s
+    RIFF-walk + DIB decode, and aggregates per-frame stats. The oracle
+    recomputes from the closed form, so the encode → RIFF walk → row
+    unpad/flip/BGR swap → sample-stride chain is hash-checked. Mean
+    divides by 48 = 3*16 with equal channels → sum/48 is exact."""
+    import numpy as np
+
+    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import avi_encode
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                g = (
+                    11 * int(d)
+                    + 17 * np.arange(6)[:, None]
+                    + 5 * np.arange(16)[None, :]
+                ) % 256
+                frames = np.repeat(
+                    g.astype(np.uint8).reshape(6, 4, 4, 1), 3, axis=3
+                )
+                payloads.append(avi_encode(frames, us_per_frame=40_000))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    vids = docs.mapInPandas(synth, schema="id long, payload binary")
+    sampled = multimodal.sample_frames(vids, every_ms=80)
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, f, ts, w, h, px in zip(
+                pdf["id"], pdf["frame_idx"], pdf["ts_ms"], pdf["width"],
+                pdf["height"], pdf["pixels"],
+            ):
+                a = np.frombuffer(px, np.uint8)
+                rows.append(
+                    (i, int(f), int(ts), int(w), int(h),
+                     float(int(a.sum()) / a.size), int(a.min()), int(a.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "ts_ms", "width", "height",
+                         "mean_px", "min_px", "max_px"],
+            )
+
+    return sampled.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, frame_idx int, ts_ms long, width int, height int, "
+            "mean_px double, min_px int, max_px int"
+        ),
+    )
+
+
+MM_FRAME_ORACLE = """
+WITH fr AS (SELECT unnest([0, 2, 4]) AS f),
+px AS (
+  SELECT doc_id, f,
+         list_transform(range(0, 16), i -> (11 * doc_id + 17 * f + 5 * i) % 256) AS p
+  FROM documents CROSS JOIN fr
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(f * 40 AS BIGINT) AS ts_ms,
+       CAST(4 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       list_sum(p) / 16.0 AS mean_px,
+       CAST(list_aggregate(p, 'min') AS INTEGER) AS min_px,
+       CAST(list_aggregate(p, 'max') AS INTEGER) AS max_px
+FROM px
+"""
+
+
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding compression: symmetric int8 scalar quantization with
     per-vector scale + exact reconstruction-error accounting. All
@@ -1307,6 +1386,7 @@ QUERIES = {
     "mm_byte_features": mm_byte_features,
     "mm_image_dims": mm_image_dims,
     "mm_pixel_stats": mm_pixel_stats,
+    "mm_frame_stats": mm_frame_stats,
     "tp_sequence_packing": tp_sequence_packing,
     "tp_training_mix": tp_training_mix,
     "ts_pii_scrub": ts_pii_scrub,
@@ -1340,6 +1420,7 @@ ORACLES = {
     "mm_byte_features": MM_BYTES_ORACLE,
     "mm_image_dims": MM_DIMS_ORACLE,
     "mm_pixel_stats": MM_PIXEL_ORACLE,
+    "mm_frame_stats": MM_FRAME_ORACLE,
     "tp_sequence_packing": TP_PACK_ORACLE,
     "tp_training_mix": TP_MIX_ORACLE,
     "ts_pii_scrub": _pii_oracle(),
