@@ -330,6 +330,17 @@ def dup_clusters(
         .union(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
         .cache()
     )
+    # size the ITERATION's parallelism to the pair graph, not the session
+    # default: the rounds below shuffle only edges+labels, and a dup graph
+    # is usually orders of magnitude smaller than the corpus — spreading a
+    # few thousand edges over the corpus-sized partition count makes every
+    # round pay full task-scheduling overhead for empty partitions. The
+    # count also materializes the edge cache exactly once. Large graphs
+    # keep full parallelism (≈200K edges per partition).
+    n_edges = edges.count()
+    sc = nodes.sparkSession.sparkContext
+    parts = max(1, min(sc.defaultParallelism, n_edges // 200_000 + 1))
+    edges = edges.coalesce(parts)
     # iterate ONLY over nodes that appear in some pair: the near-dup graph
     # is a tiny fraction of the corpus, and singletons cannot change label
     # — at scale this shrinks every propagation round from corpus-sized to
