@@ -33,7 +33,7 @@ from us_dot_flights_lakehouse_spark.llm.dedup import (
     SIMHASH_BANDS,
     SIMHASH_BITS,
 )
-from us_dot_flights_lakehouse_spark.sources.readers import read_corpus
+from us_dot_flights_lakehouse_spark.sources.readers import read_corpus, read_table
 
 # corpus-calibrated thresholds (see module docstring)
 JACCARD_THRESHOLD = 0.02
@@ -593,7 +593,10 @@ def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     import numpy as np
 
-    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
+    # read_table, not read_corpus: the pixel kernels are microseconds per
+    # row, so the 32-way repartition costs more in per-partition Python
+    # runner round-trips (3 chained mapInPandas stages) than it buys
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
         from us_dot_flights_lakehouse_spark.llm.multimodal import png_encode
@@ -680,7 +683,8 @@ def mm_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     divides by 48 = 3*16 with equal channels → sum/48 is exact."""
     import numpy as np
 
-    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
+    # read_table for the same reason as mm_pixel_stats: tiny per-row kernels
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
         from us_dot_flights_lakehouse_spark.llm.multimodal import avi_encode
