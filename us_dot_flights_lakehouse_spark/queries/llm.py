@@ -74,7 +74,10 @@ def _band_keys_sql() -> str:
 # ---------------------------------------------------------------------------
 
 def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_corpus(spark, sf_dir, "documents")
+    # read_table: one regex+md5 per row is map-side-cheap, and the
+    # repartition's full-text shuffle cost 3x the whole query (0.3s vs
+    # 1.0s at sf0.1) — read_corpus's fan-out is for the shingling family
+    docs = read_table(spark, sf_dir, "documents")
     return dedup.exact_dedup_groups(docs)
 
 
