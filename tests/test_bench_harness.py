@@ -1,0 +1,47 @@
+"""The r2 round lost its entire perf signal because bench.py had no
+per-query fault isolation — one NameError killed the run. These tests pin
+the harness contract itself."""
+
+import json
+import subprocess
+import sys
+
+
+def test_bench_isolates_query_failures(tmp_path, monkeypatch):
+    """A registry with one broken query must still produce a parseable
+    JSON line, an ERR marker, and timings for the healthy queries."""
+    import bench
+    from pyspark.sql import functions as F
+
+    def fake_queries():
+        return {
+            "ok_one": lambda spark, sf: spark.range(10).select(F.col("id")),
+            "broken": lambda spark, sf: (_ for _ in ()).throw(
+                NameError("name 'n' is not defined")
+            ),
+            "ok_two": lambda spark, sf: spark.range(5).select((F.col("id") * 2).alias("x")),
+        }
+
+    monkeypatch.setattr(bench.registry, "queries", fake_queries)
+    monkeypatch.setenv("BENCH_REPS", "1")
+    printed = []
+    monkeypatch.setattr("builtins.print", lambda s: printed.append(s))
+    stopped = {}
+    import us_dot_flights_lakehouse_spark.session as sess
+
+    real_get = sess.get_spark
+
+    def keep_alive(*a, **k):
+        spark = real_get(*a, **k)
+        stopped["spark"] = spark
+        spark.stop = lambda: None  # session is shared with other tests
+        return spark
+
+    monkeypatch.setattr(bench, "get_spark", keep_alive)
+    bench.main()
+    out = json.loads(printed[-1])
+    assert out["queries"]["broken"] == "ERR"
+    assert "NameError" in out["errors"]["broken"]
+    assert isinstance(out["queries"]["ok_one"], float)
+    assert isinstance(out["queries"]["ok_two"], float)
+    assert out["value"] > 0
