@@ -608,3 +608,26 @@ def test_lsh_neardup_subset_and_full_recall_on_true_duplicates(spark, sf_small):
     planted = {(i, i + 1_000_000) for i in range(20)}
     assert planted <= exact
     assert len(planted & pruned) >= 19  # >= 95% recall on true duplicates
+
+
+def test_line_dedup_keeps_first_occurrence_and_blanks(spark):
+    """Global line dedup: repeated lines survive only at the smallest
+    (doc, line_idx); whitespace-only lines always survive; docs
+    reassemble in original line order."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared footer\nbeta"),
+            (2, "shared footer\ngamma\n\ndelta"),
+            (3, "shared footer\nalpha"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in dedup.line_dedup(docs).collect()}
+    assert got[1]["text_deduped"] == "alpha\nshared footer\nbeta"
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (3, 3)
+    # doc 2 loses its copy of the footer but keeps its blank line
+    assert got[2]["text_deduped"] == "gamma\n\ndelta"
+    assert (got[2]["n_lines"], got[2]["n_kept"]) == (4, 3)
+    # doc 3 loses both lines (footer first seen in doc 1, alpha too)
+    assert got[3]["text_deduped"] == ""
+    assert (got[3]["n_lines"], got[3]["n_kept"]) == (2, 0)

@@ -527,6 +527,72 @@ def embedding_neardup_pairs_lsh(
     return joined.mapInPandas(verify, schema="vec_id_a long, vec_id_b long")
 
 
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    join_sep: str = "\n",
+) -> DataFrame:
+    """C4-style GLOBAL line-level deduplication: every line that occurs
+    more than once anywhere in the corpus survives only at its first
+    occurrence (lexicographically smallest (doc, line index)); all other
+    copies are dropped and each document is reassembled without them.
+    This is the pass that strips boilerplate headers/footers/nav text
+    that exact-document dedup can't touch (C4 does exactly this with
+    "three-sentence spans"; the separator is a parameter).
+
+    Whitespace-only lines are always kept — deduping them would delete
+    every blank line in the corpus but one.
+
+    Returns (id, n_lines, n_kept, text_deduped). First-occurrence choice
+    is encoded as one BIGINT ``doc_id * 1e6 + line_idx`` (documents are
+    assumed under 1M lines — assert at ingest if that can break), so the
+    global keeper election is a single MIN groupBy on the line hash: two
+    shuffles total (hash groupBy + reassembly groupBy) regardless of
+    corpus size, both key-bounded."""
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("line_idx", "line"),
+    )
+    occ = lines.select(
+        "id",
+        "line_idx",
+        "line",
+        F.md5(F.trim(F.lower(F.col("line")))).alias("h"),
+        (F.col("id") * F.lit(1_000_000) + F.col("line_idx")).alias("pos"),
+        (F.trim(F.col("line")) == "").alias("blank"),
+    )
+    first = (
+        occ.filter(~F.col("blank"))
+        .groupBy("h")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    flagged = occ.join(first, "h", "left").select(
+        "id",
+        "line_idx",
+        "line",
+        (F.col("blank") | (F.col("pos") == F.col("first_pos"))).alias("kept"),
+    )
+    return flagged.groupBy("id").agg(
+        F.count("*").cast("int").alias("n_lines"),
+        F.sum(F.col("kept").cast("int")).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("kept"), F.struct("line_idx", "line")
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            join_sep,
+        ).alias("text_deduped"),
+    )
+
+
 def fuzzy_pairs(
     docs: DataFrame,
     col: str,

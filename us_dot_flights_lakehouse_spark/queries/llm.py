@@ -999,6 +999,74 @@ SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+LINE_CHUNK_WORDS = 8
+
+
+def dd_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line-level dedup end-to-end. The synthetic corpus
+    is single-line, so the query first re-chunks each document into
+    deterministic 8-word lines (pure expressions), then runs
+    ``dedup.line_dedup``: every repeated line survives only at its first
+    (doc, line) occurrence corpus-wide and documents are reassembled
+    without the dropped copies — the boilerplate-stripping pass that
+    document-level dedup can't express. The corpus's planted near-dup
+    documents share word runs, so the dedup genuinely fires."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(LINE_CHUNK_WORDS))
+    chunked = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * LINE_CHUNK_WORDS + 1, LINE_CHUNK_WORDS), " "
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return dedup.line_dedup(chunked).withColumnRenamed("id", "doc_id")
+
+
+DD_LINE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), chunked AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, CAST(ceil(len(t) / {LINE_CHUNK_WORDS}.0) AS BIGINT)),
+           i -> array_to_string(
+                  list_slice(t, i * {LINE_CHUNK_WORDS} + 1, i * {LINE_CHUNK_WORDS} + {LINE_CHUNK_WORDS}),
+                  ' ')
+         ) AS lines
+  FROM d
+), l AS (
+  SELECT doc_id,
+         unnest(lines) AS line,
+         unnest(range(0, len(lines))) AS line_idx
+  FROM chunked
+), occ AS (
+  SELECT doc_id, line_idx, line,
+         md5(trim(lower(line))) AS h,
+         doc_id * 1000000 + line_idx AS pos,
+         trim(line) = '' AS blank
+  FROM l
+), first AS (
+  SELECT h, MIN(pos) AS first_pos FROM occ WHERE NOT blank GROUP BY h
+), flagged AS (
+  SELECT o.doc_id, o.line_idx, o.line,
+         (o.blank OR o.pos = f.first_pos) AS kept
+  FROM occ o LEFT JOIN first f ON o.h = f.h
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_lines,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+       coalesce(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY line_idx), '') AS text_deduped
+FROM flagged GROUP BY doc_id
+"""
+
+
 #: multi-table LSH layout for semantic dedup: 8 tables x 8 planes.
 #: At cos>=0.95 recall is 1-(1-p^8)^8 ~ 0.99 (p = 1-arccos(0.95)/pi)
 #: while random pairs survive a table w.p. ~2^-8 -> ~3% of n^2 FLOPs.
@@ -1399,6 +1467,7 @@ QUERIES = {
     "ts_pii_scrub": ts_pii_scrub,
     "ts_tfidf_keywords": ts_tfidf_keywords,
     "dd_dup_clusters": dd_dup_clusters,
+    "dd_line_dedup": dd_line_dedup,
     "tp_contamination": tp_contamination,
     "ts_quality_filters": ts_quality_filters,
     "tp_doc_chunking": tp_doc_chunking,
@@ -1433,6 +1502,7 @@ ORACLES = {
     "ts_pii_scrub": _pii_oracle(),
     "ts_tfidf_keywords": TS_TFIDF_ORACLE,
     "dd_dup_clusters": DD_CLUSTERS_ORACLE,
+    "dd_line_dedup": DD_LINE_ORACLE,
     "tp_contamination": TP_CONTAM_ORACLE,
     "ts_quality_filters": _quality_filters_oracle(),
     "tp_doc_chunking": TP_CHUNK_ORACLE,
