@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import shutil
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -306,3 +307,41 @@ def test_foreach_batch_streaming_merge_upsert(spark, tmp_path_factory):
         tuple(r) for r in spark.read.parquet(dest).select("k", "pt", "v").collect()
     )
     assert got == [(1, 0, 1.0), (2, 0, 20.0), (3, 1, 3.0), (9, 0, 9.0)]
+
+
+def test_typed_event_counts_transform_with_state(spark, tmp_path_factory):
+    """Spark 4 transformWithStateInPandas MapState operator — runs only
+    where the streaming python runner's protobuf dependency exists."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState runner needs protobuf"
+    )
+    from us_dot_flights_lakehouse_spark.streaming.stateful import typed_event_counts
+
+    base = tmp_path_factory.mktemp("tws")
+    src = base / "src"
+    src.mkdir()
+    schema = "user_id long, event_type string, ts timestamp"
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, "click", t0), (1, "click", t0), (1, "buy", t0), (2, "click", t0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        typed_event_counts(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_out")
+        .option("checkpointLocation", str(base / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM tws_out").collect()
+    }
+    assert got == {(1, "click"): 2, (1, "buy"): 1, (2, "click"): 1}
+    shutil.rmtree(str(base), ignore_errors=True)

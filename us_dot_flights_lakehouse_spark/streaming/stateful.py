@@ -83,3 +83,64 @@ def stream_dedup(
     arriving later than the watermark are dropped rather than matched;
     widen the watermark to widen the match window."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+TYPED_COUNTS_OUTPUT = "user_id long, event_type string, n_events long"
+
+
+def typed_event_counts(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Per-user per-event-type running counts on Spark 4's
+    ``transformWithStateInPandas`` (arbitrary-stateful v2): MapState keyed
+    by event_type inside each user's state partition — the shape the v1
+    ``applyInPandasWithState`` API above cannot express without packing
+    the whole map into one value blob. Each micro-batch re-emits the
+    user's full current map (update semantics), and counts are integers,
+    so emissions are bit-stable and the FINAL state equals the batch
+    GROUP BY — which is what makes a SQL oracle possible.
+
+    State size is bounded by (active users x event-type cardinality);
+    add ``ttlDurationMs`` on the MapState for unbounded-key streams.
+
+    ENVIRONMENT-GATED: Spark's transformWithState Python runner talks to
+    the JVM over protobuf, so this operator needs the ``protobuf``
+    package at runtime (this container doesn't ship it — the unit test
+    skips; the v1 operators above run everywhere). The plumbing is the
+    real production shape either way."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for etype, c in pdf["event_type"].value_counts().items():
+                    k = (etype,)
+                    cur = self._counts.getValue(k)
+                    n = (cur[0] if cur is not None else 0) + int(c)
+                    self._counts.updateValue(k, (n,))
+            items = sorted(
+                (k[0], v[0]) for k, v in self._counts.iterator()
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(items),
+                    "event_type": [t for t, _ in items],
+                    "n_events": [n for _, n in items],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(user_col).transformWithStateInPandas(
+        statefulProcessor=TypeCounts(),
+        outputStructType=TYPED_COUNTS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
