@@ -631,3 +631,32 @@ def test_line_dedup_keeps_first_occurrence_and_blanks(spark):
     # doc 3 loses both lines (footer first seen in doc 1, alpha too)
     assert got[3]["text_deduped"] == ""
     assert (got[3]["n_lines"], got[3]["n_kept"]) == (2, 0)
+
+
+def test_decoders_survive_malformed_bytes(spark):
+    """Fuzz contract: arbitrary/truncated bytes — including ones that
+    start with valid magics — must produce null rows, never task
+    failures."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    png_sig = b"\x89PNG\r\n\x1a\n"
+    blobs = [
+        bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+        for n in (0, 1, 7, 64, 513)
+    ]
+    blobs += [
+        png_sig,  # magic, no chunks
+        png_sig + b"\x00\x00\x00\x0dIHDR" + b"\x00" * 13,  # depth 0 -> unsupported
+        b"BM" + b"\x00" * 20,  # truncated BMP header
+        b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 8,  # AVI, no avih
+        multimodal.png_encode(np.zeros((2, 2), np.uint8))[:-8],  # truncated IEND
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(blobs)], "id long, payload binary"
+    )
+    img_rows = multimodal.decode_image(df).collect()
+    assert len(img_rows) == len(blobs)
+    vid_rows = multimodal.sample_frames(df, every_ms=40).collect()
+    assert len(vid_rows) == len(blobs)
+    assert all(r["pixels"] is None for r in vid_rows)

@@ -30,6 +30,7 @@ WHITELIST: dict[str, set[str]] = {
     "o4_recursive_month_spine": {"ONE_PART"},  # 24-row spine
     "a8_describe_orders": {"ONE_PART"},  # 1-row global aggregate
     "a3_global_summary": {"ONE_PART"},   # 1-row global aggregate
+    "a19_sketch_rollup": {"ONE_PART"},   # 1-row union of ~80 monthly HLL blobs
     # big-big joins that are genuinely shuffle joins (both sides large)
     "dd_ngram_jaccard": {"SMJ"},         # inverted-index self-join
     "dd_minhash_lsh": {"SMJ"},           # band-bucket self-join

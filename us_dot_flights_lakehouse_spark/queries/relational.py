@@ -969,6 +969,64 @@ def a12_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a19_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: MERGEABLE sketch rollup (DataSketches HLL via Spark 4's
+    hll_sketch_agg / hll_union_agg) — per-month customer sketches union
+    into a corpus-wide distinct estimate without re-touching raw rows.
+    This is the 100 TB pattern a12's plain approx_count_distinct can't
+    do: persist one ~KB sketch blob per partition next to the data, and
+    any rollup window (month, quarter, all-time) is a sketch union, not
+    a rescan; a new partition's arrival costs one partition scan.
+
+    Output contract mirrors a12: exact companions (COUNT DISTINCT) are
+    the oracle-checked values, in-query booleans assert the sketch
+    estimates landed within tolerance (HLL lgConfigK=12 → rsd ~1.6%,
+    3-sigma ~5%), so estimator drift fails the value hash. The 'ALL' row
+    is estimated from the UNION of the monthly sketches — merge error is
+    checked against the true global distinct."""
+    orders = read_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    monthly = orders.groupBy(month.alias("order_month")).agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+    )
+
+    def _ok(est, exact):
+        return (
+            F.abs(est.cast("double") - exact.cast("double"))
+            <= F.lit(0.05) * exact.cast("double")
+        )
+
+    per_month = monthly.select(
+        "order_month",
+        "n_customers",
+        _ok(F.hll_sketch_estimate("sk"), F.col("n_customers")).alias("sketch_ok"),
+    )
+    exact_all = orders.agg(F.count_distinct("o_custkey").alias("n_customers"))
+    global_row = (
+        monthly.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+        .crossJoin(exact_all)
+        .select(
+            F.lit("ALL").alias("order_month"),
+            "n_customers",
+            _ok(F.col("est"), F.col("n_customers")).alias("sketch_ok"),
+        )
+    )
+    return per_month.unionByName(global_row)
+
+
+A19_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       TRUE AS sketch_ok
+FROM orders GROUP BY 1
+UNION ALL
+SELECT 'ALL', COUNT(DISTINCT o_custkey), TRUE FROM orders
+"""
+
+
 A12_ORACLE = """
 SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS n_parts,
@@ -2015,6 +2073,7 @@ QUERIES = {
     "a10_cube_returnflag_status": a10_cube_returnflag_status,
     "a11_exact_quantiles": a11_exact_quantiles,
     "a12_approx_sketches": a12_approx_sketches,
+    "a19_sketch_rollup": a19_sketch_rollup,
     "a13_pivot_status_by_segment": a13_pivot_status_by_segment,
     "a14_unpivot_status_counts": a14_unpivot_status_counts,
     "j8_asof_purchase_attribution": j8_asof_purchase_attribution,
@@ -2071,6 +2130,7 @@ ORACLES = {
     "a10_cube_returnflag_status": A10_ORACLE,
     "a11_exact_quantiles": A11_ORACLE,
     "a12_approx_sketches": A12_ORACLE,
+    "a19_sketch_rollup": A19_ORACLE,
     "a13_pivot_status_by_segment": A13_ORACLE,
     "a14_unpivot_status_counts": A14_ORACLE,
     "j8_asof_purchase_attribution": J8_ORACLE,
