@@ -755,6 +755,49 @@ FROM px
 """
 
 
+def src_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC: WebDataset tar-shard format end-to-end on the Python
+    DataSource API (sources/wds.py) — export the documents table to tar
+    shards (one per partition, WebDataset ``key.member`` naming,
+    deterministic bytes), read the shards back (one input partition per
+    shard), and project per-member byte lengths. The oracle recomputes
+    key/byte-length from the table, so a fault anywhere in the tar
+    write → tar scan chain (truncation, naming, payload corruption)
+    hash-fails."""
+    import tempfile
+
+    from us_dot_flights_lakehouse_spark.sources import wds
+
+    wds.register(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"{tempfile.gettempdir()}/us_dot_wds_{sf_tag}_v1"
+    (
+        docs.select(
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("key"),
+            F.lit("txt").alias("member"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+        .repartition(4)
+        .write.format("webdataset")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = spark.read.format("webdataset").load(out)
+    return back.select(
+        F.col("key").cast("long").alias("doc_id"),
+        "member",
+        F.length("payload").cast("int").alias("n_bytes"),
+    )
+
+
+SRC_WDS_ORACLE = """
+SELECT doc_id, 'txt' AS member,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+FROM documents
+"""
+
+
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding compression: symmetric int8 scalar quantization with
     per-vector scale + exact reconstruction-error accounting. All
@@ -1462,6 +1505,7 @@ QUERIES = {
     "mm_image_dims": mm_image_dims,
     "mm_pixel_stats": mm_pixel_stats,
     "mm_frame_stats": mm_frame_stats,
+    "src_wds_roundtrip": src_wds_roundtrip,
     "tp_sequence_packing": tp_sequence_packing,
     "tp_training_mix": tp_training_mix,
     "ts_pii_scrub": ts_pii_scrub,
@@ -1497,6 +1541,7 @@ ORACLES = {
     "mm_image_dims": MM_DIMS_ORACLE,
     "mm_pixel_stats": MM_PIXEL_ORACLE,
     "mm_frame_stats": MM_FRAME_ORACLE,
+    "src_wds_roundtrip": SRC_WDS_ORACLE,
     "tp_sequence_packing": TP_PACK_ORACLE,
     "tp_training_mix": TP_MIX_ORACLE,
     "ts_pii_scrub": _pii_oracle(),

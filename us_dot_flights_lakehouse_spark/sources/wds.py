@@ -1,0 +1,158 @@
+"""WebDataset-style tar-shard source/sink on Spark 4's Python DataSource
+API (``pyspark.sql.datasource``).
+
+Large training corpora — especially multimodal ones — ship as directories
+of tar shards whose members are named ``<sample key>.<field ext>``
+(WebDataset convention: ``000123.jpg``, ``000123.txt``, ``000123.json``
+belong to one sample). This module makes those shards a first-class Spark
+format in both directions:
+
+- ``spark.read.format("webdataset").load("/corpus/shards")`` → one row
+  per tar member: (shard, key, member, payload binary).
+- ``df.write.format("webdataset").save("/out")`` → one tar shard per
+  input partition (control shard count/size with the usual
+  repartition-before-write), members written as ``key.member``.
+
+Scale design:
+- One INPUT PARTITION per shard: tars don't split (sequential headers),
+  but shard directories are made of thousands of ~100MB-1GB files, so
+  parallelism = shard count — exactly how WebDataset training jobs
+  consume them. Member bytes stream through ``tarfile``'s sequential
+  reader; nothing buffers a whole shard.
+- The writer emits one shard per task and commits via per-task messages;
+  a task retry overwrites its own shard file (names derive from the
+  task-stable partition id Spark feeds the writer, not a RNG).
+
+Everything is stdlib (``tarfile``, ``glob``) + the DataSource API — no
+codecs, no external packages.
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import os
+import tarfile
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WDS_SCHEMA = StructType(
+    [
+        StructField("shard", StringType()),
+        StructField("key", StringType()),
+        StructField("member", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def _split_key(name: str) -> tuple[str, str]:
+    """WebDataset member naming: everything up to the FIRST dot of the
+    basename is the sample key, the rest is the field name
+    (``000123.seg.png`` → key ``000123``, member ``seg.png``)."""
+    base = os.path.basename(name)
+    key, _, member = base.partition(".")
+    return key, member
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _WdsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("webdataset reader requires a path")
+        pattern = path if path.endswith(".tar") else os.path.join(path, "*.tar")
+        self._shards = sorted(glob.glob(pattern))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_ShardPartition(p) for p in self._shards]
+
+    def read(self, partition: _ShardPartition) -> Iterator[tuple]:
+        shard = os.path.basename(partition.path)
+        with tarfile.open(partition.path, "r") as tf:
+            for info in tf:
+                if not info.isfile():
+                    continue
+                key, member = _split_key(info.name)
+                buf = tf.extractfile(info)
+                yield (shard, key, member, buf.read() if buf else b"")
+
+
+class _WdsCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class _WdsWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("webdataset writer requires a path")
+        self._overwrite = overwrite
+
+    def write(self, iterator: Iterator) -> _WdsCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._dir, exist_ok=True)
+        path = os.path.join(self._dir, f"shard-{pid:06d}.tar")
+        n = 0
+        with tarfile.open(path, "w") as tf:
+            for row in iterator:
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                info = tarfile.TarInfo(name=f"{row['key']}.{row['member']}")
+                info.size = len(payload)
+                info.mtime = 0  # deterministic shard bytes
+                tf.addfile(info, io.BytesIO(payload))
+                n += 1
+        return _WdsCommit(path, n)
+
+    def commit(self, messages) -> None:
+        pass  # shards are task-complete files; nothing global to publish
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class WebDatasetSource(DataSource):
+    """``format("webdataset")`` — register once per session via
+    ``spark.dataSource.register(WebDatasetSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "webdataset"
+
+    def schema(self) -> StructType:
+        return WDS_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _WdsReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _WdsWriter(self.options, overwrite)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the webdataset format."""
+    spark.dataSource.register(WebDatasetSource)
