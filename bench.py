@@ -59,7 +59,7 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         # per-query isolation: queries that cache()/checkpoint internally
         # must not leak storage blocks into later queries' measurements —
-        # a 76-query x3-rep session otherwise degrades the tail
+        # a 90-query x3-rep session otherwise degrades the tail
         spark.catalog.clearCache()
 
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 4)
