@@ -14,6 +14,7 @@ exercised.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 import pandas as pd
 
@@ -33,6 +34,7 @@ from us_dot_flights_lakehouse_spark.llm.dedup import (
     SIMHASH_BANDS,
     SIMHASH_BITS,
 )
+from us_dot_flights_lakehouse_spark.functions.text import tokenize
 from us_dot_flights_lakehouse_spark.sources.readers import read_corpus, read_table
 
 # corpus-calibrated thresholds (see module docstring)
@@ -753,6 +755,54 @@ SELECT doc_id,
        CAST(list_aggregate(p, 'max') AS INTEGER) AS max_px
 FROM px
 """
+
+
+HH_TOPK = 10
+
+
+def ts_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: corpus-wide frequent-token detection — the heavy-hitters
+    sketch (Spark 4 ``approx_top_k``) next to its exact companion. At
+    100 TB the sketch is the only affordable path (fixed-size state,
+    single pass, mergeable across partitions: boilerplate tokens /
+    template n-grams surface without a full token groupBy); here the
+    exact top-k ranking is the oracle-checked output and a boolean
+    asserts the sketch reproduced each top token's count (maxItemsTracked
+    far exceeds this corpus's vocabulary, so the sketch is provably
+    exact on it — the assertion pins that contract)."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    ranked = (
+        exact.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("tok"))
+            ),
+        )
+        .filter(F.col("rank") <= HH_TOPK)
+    )
+    sketch = (
+        toks.agg(F.expr("approx_top_k(tok, 100, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("tok"), F.col("e.count").alias("n_sketch"))
+    )
+    return ranked.join(F.broadcast(sketch), "tok", "left").select(
+        "rank",
+        "tok",
+        "n",
+        (F.col("n_sketch") == F.col("n")).alias("sketch_ok"),
+    )
+
+
+TS_HH_ORACLE = """
+WITH tok AS (SELECT unnest({toks}) AS tok FROM documents),
+c AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+r AS (SELECT tok, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS INTEGER) AS rank
+      FROM c)
+SELECT rank, tok, n, TRUE AS sketch_ok FROM r WHERE rank <= {HH_TOPK}
+""".format(toks=_TOKENS, HH_TOPK=HH_TOPK)
 
 
 def src_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1506,6 +1556,7 @@ QUERIES = {
     "mm_pixel_stats": mm_pixel_stats,
     "mm_frame_stats": mm_frame_stats,
     "src_wds_roundtrip": src_wds_roundtrip,
+    "ts_heavy_hitters": ts_heavy_hitters,
     "tp_sequence_packing": tp_sequence_packing,
     "tp_training_mix": tp_training_mix,
     "ts_pii_scrub": ts_pii_scrub,
@@ -1542,6 +1593,7 @@ ORACLES = {
     "mm_pixel_stats": MM_PIXEL_ORACLE,
     "mm_frame_stats": MM_FRAME_ORACLE,
     "src_wds_roundtrip": SRC_WDS_ORACLE,
+    "ts_heavy_hitters": TS_HH_ORACLE,
     "tp_sequence_packing": TP_PACK_ORACLE,
     "tp_training_mix": TP_MIX_ORACLE,
     "ts_pii_scrub": _pii_oracle(),
