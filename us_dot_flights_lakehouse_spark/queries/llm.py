@@ -757,6 +757,72 @@ FROM px
 """
 
 
+INCR_HISTORY_CUTOFF = 250
+
+
+def tp_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: INCREMENTAL dedup — the shape a production pipeline actually
+    runs: yesterday's corpus is already published (here: doc_id <
+    cutoff), today's batch must drop (a) anything colliding with the
+    published fingerprint set and (b) within-batch duplicates beyond the
+    first. Returns every new-batch doc with its verdict + reason so the
+    drop is auditable.
+
+    Scale: the history side reduces to DISTINCT fingerprints (store them
+    as a bucketed table in production and this anti-join is
+    shuffle-free); the within-batch election is one groupBy. Nothing
+    rescans the historical corpus text."""
+    docs = read_table(spark, sf_dir, "documents")
+    from us_dot_flights_lakehouse_spark.functions.text import normalized_fingerprint
+
+    fp = normalized_fingerprint("text").alias("fp")
+    history_fps = (
+        docs.filter(F.col("doc_id") < INCR_HISTORY_CUTOFF).select(fp).distinct()
+    )
+    batch = docs.filter(F.col("doc_id") >= INCR_HISTORY_CUTOFF).select("doc_id", fp)
+    first_in_batch = batch.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
+    verdict = (
+        batch.join(
+            F.broadcast(history_fps.withColumn("in_history", F.lit(True))),
+            "fp",
+            "left",
+        )
+        .join(first_in_batch, "fp")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("in_history"), F.lit(False)).alias("dup_of_history"),
+            (F.col("doc_id") != F.col("first_id")).alias("dup_in_batch"),
+        )
+    )
+    return verdict.select(
+        "doc_id",
+        "dup_of_history",
+        "dup_in_batch",
+        (~F.col("dup_of_history") & ~F.col("dup_in_batch")).alias("keep"),
+    )
+
+
+TP_INCR_ORACLE = f"""
+WITH fps AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), hist AS (
+  SELECT DISTINCT fp FROM fps WHERE doc_id < {INCR_HISTORY_CUTOFF}
+), batch AS (
+  SELECT doc_id, fp FROM fps WHERE doc_id >= {INCR_HISTORY_CUTOFF}
+), firsts AS (
+  SELECT fp, MIN(doc_id) AS first_id FROM batch GROUP BY fp
+)
+SELECT b.doc_id,
+       (h.fp IS NOT NULL) AS dup_of_history,
+       b.doc_id != f.first_id AS dup_in_batch,
+       (h.fp IS NULL AND b.doc_id = f.first_id) AS keep
+FROM batch b
+LEFT JOIN hist h ON b.fp = h.fp
+JOIN firsts f ON b.fp = f.fp
+"""
+
+
 HH_TOPK = 10
 
 
@@ -1557,6 +1623,7 @@ QUERIES = {
     "mm_frame_stats": mm_frame_stats,
     "src_wds_roundtrip": src_wds_roundtrip,
     "ts_heavy_hitters": ts_heavy_hitters,
+    "tp_incremental_dedup": tp_incremental_dedup,
     "tp_sequence_packing": tp_sequence_packing,
     "tp_training_mix": tp_training_mix,
     "ts_pii_scrub": ts_pii_scrub,
@@ -1594,6 +1661,7 @@ ORACLES = {
     "mm_frame_stats": MM_FRAME_ORACLE,
     "src_wds_roundtrip": SRC_WDS_ORACLE,
     "ts_heavy_hitters": TS_HH_ORACLE,
+    "tp_incremental_dedup": TP_INCR_ORACLE,
     "tp_sequence_packing": TP_PACK_ORACLE,
     "tp_training_mix": TP_MIX_ORACLE,
     "ts_pii_scrub": _pii_oracle(),
