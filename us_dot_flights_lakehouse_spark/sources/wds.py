@@ -85,15 +85,42 @@ class _WdsReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         return [_ShardPartition(p) for p in self._shards]
 
-    def read(self, partition: _ShardPartition) -> Iterator[tuple]:
+    def read(self, partition: _ShardPartition) -> Iterator:
+        """Yields Arrow RecordBatches (the DataSource API's fast path —
+        row tuples would serialize one by one through Python pickling);
+        batches of ~1000 members bound memory while amortizing the Arrow
+        conversion."""
+        import pyarrow as pa
+
         shard = os.path.basename(partition.path)
+        cols: list[list] = [[], [], [], []]
+
+        def flush():
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[0], pa.string()),
+                    pa.array(cols[1], pa.string()),
+                    pa.array(cols[2], pa.string()),
+                    pa.array(cols[3], pa.binary()),
+                ],
+                names=["shard", "key", "member", "payload"],
+            )
+
         with tarfile.open(partition.path, "r") as tf:
             for info in tf:
                 if not info.isfile():
                     continue
                 key, member = _split_key(info.name)
                 buf = tf.extractfile(info)
-                yield (shard, key, member, buf.read() if buf else b"")
+                cols[0].append(shard)
+                cols[1].append(key)
+                cols[2].append(member)
+                cols[3].append(buf.read() if buf else b"")
+                if len(cols[0]) >= 1000:
+                    yield flush()
+                    cols = [[], [], [], []]
+        if cols[0]:
+            yield flush()
 
 
 class _WdsCommit(WriterCommitMessage):
