@@ -3,10 +3,17 @@ that declares an oracle — a fast local replica of the driver's gate."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
+from tests.conftest import SF_SMALL
 from us_dot_flights_lakehouse_spark import queries as registry
 from us_dot_flights_lakehouse_spark.testing import assert_df_equal
+
+# data-dependent oracles (literal-centroid IVF) must train on the sf
+# this suite runs at
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_SMALL
 
 QUERIES = registry.queries()
 ORACLES = registry.oracle_sql()

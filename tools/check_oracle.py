@@ -40,6 +40,11 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     sys.path.insert(0, "/root/repo")
+    import os
+
+    # data-dependent oracles (literal-centroid IVF) must train on the
+    # same sf the Spark side runs at
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     import __spark_entry__ as e
     from us_dot_flights_lakehouse_spark.session import get_spark
 

@@ -104,39 +104,17 @@ def lsh_bucket(
     return bucket
 
 
-def ivf_cosine_topk(
-    emb: DataFrame,
-    queries: DataFrame,
-    k: int,
-    nlist: int = 16,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 42,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
-    partitions the corpus into ``nlist`` cells; each query probes only its
-    ``nprobe`` nearest cells, then ranks exact cosine inside them.
+#: default cap on IVF training vectors (FAISS-style bounded sample)
+IVF_TRAIN_CAP = 10_000
 
-    Scale path: the corpus is scanned ONCE to assign cells (training runs
-    on the corpus via MLlib k-means — at 100 TB, fit on a sample); the
-    per-query candidate set shrinks ~nlist/nprobe-fold, and the probe join
-    is an equi-join on cell id (shuffle keyed by a small int). Recall
-    degrades gracefully via nprobe, unlike single-bucket LSH probing.
-    Returns (query_id, rank, neighbor_id, cell_id)."""
+
+def train_centroids(train, nlist: int, seed: int = 42):
+    """Seeded numpy Lloyd's over a float64 training matrix — the ONE
+    k-means implementation shared by the Spark query and the DuckDB
+    oracle builder (queries/llm._ivf_oracle), so both derive bitwise-
+    identical centroids from the same training rows."""
     import numpy as np
 
-    corpus = _prep(emb, id_col, vec_col)
-
-    # Train the coarse quantizer on a bounded, deterministically-ordered
-    # sample DRIVER-SIDE (numpy Lloyd's): a quantizer only needs rough
-    # cells, and at 100 TB you fit on a sample regardless — while an
-    # MLlib fit launches maxIter+ full Spark jobs whose fixed overhead
-    # dominates (this was the slowest query in the catalog before the
-    # switch). FAISS trains its IVF lists the same way.
-    train = np.array(
-        corpus.orderBy("id").limit(10_000).select("v").toPandas()["v"].tolist()
-    )
     rng = np.random.default_rng(seed)
     cents = train[rng.choice(len(train), size=nlist, replace=False)]
     for _ in range(8):
@@ -146,22 +124,112 @@ def ivf_cosine_topk(
             m = labels == c
             if m.any():
                 cents[c] = train[m].mean(axis=0)
+    return cents
 
-    # cell assignment: Arrow-batched numpy argmin (one narrow scan, no
-    # shuffle, centroids ride the closure — no 16x row expansion)
-    cents_list = cents.tolist()
 
-    def assign(pdf):
-        C = np.array(cents_list)
-        V = np.array(pdf["v"].tolist())
-        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        pdf["cell_id"] = d2.argmin(axis=1).astype("int32")
-        return pdf
+def _md5_mod_keep(i, sample_mod: int) -> bool:
+    """Python replica of ``hash28(id) % sample_mod == 0`` (functions/text)."""
+    import hashlib
 
-    cells = corpus.mapInPandas(
-        lambda it: (assign(pdf) for pdf in it),
-        schema="id bigint, v array<double>, nrm double, cell_id int",
-    )
+    return int(hashlib.md5(str(i).encode()).hexdigest()[:7], 16) % sample_mod == 0
+
+
+def _training_matrix(pdf, id_name: str, cap: int):
+    """Canonical sample→matrix step: sort the (already hash-pruned, hence
+    small) sample by id DRIVER-side and take the first ``cap`` rows. No
+    Spark sort anywhere — determinism comes from the local sort of the
+    bounded survivor set."""
+    import numpy as np
+
+    pdf = pdf.sort_values(id_name).head(cap)
+    return np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+
+
+def ivf_centroids_from_parquet(
+    path: str,
+    nlist: int = 16,
+    seed: int = 42,
+    cap: int = IVF_TRAIN_CAP,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spark-free centroid derivation straight from the parquet file —
+    used by the DuckDB oracle builder to emit the same centroids the
+    Spark query trains at runtime (float32→float64 widening is exact,
+    the md5 sample gate and local sort mirror ``ivf_cosine_topk``)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=[id_col, vec_col]).to_pandas()
+    t = t.rename(columns={vec_col: "v"})
+    if sample_mod > 1:
+        t = t[t[id_col].map(lambda i: _md5_mod_keep(i, sample_mod))]
+    return train_centroids(_training_matrix(t, id_col, cap), nlist, seed)
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_cap: int = IVF_TRAIN_CAP,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into ``nlist`` cells; each query probes only its
+    ``nprobe`` nearest cells, then ranks exact cosine inside them.
+
+    Scale path: the corpus is scanned ONCE to assign cells (the quantizer
+    trains driver-side on a bounded sample — at 100 TB pass ``sample_mod``
+    so the deterministic md5-gate keeps ~``train_cap`` survivors; only
+    those are collected and locally sorted, no Spark-side global sort);
+    the per-query candidate set shrinks ~nlist/nprobe-fold, and the probe
+    join is an equi-join on cell id (shuffle keyed by a small int). Recall
+    degrades gracefully via nprobe, unlike single-bucket LSH probing.
+
+    Cell assignment is a pure Column expression (literal centroid arrays,
+    sequential-fold squared distance, array_min over (dist, cell) structs)
+    so every float the query produces is bit-reproducible by the DuckDB
+    oracle's list_sum folds. FAISS trains its IVF lists on a bounded
+    sample the same way. Returns (query_id, rank, neighbor_id, cell_id)."""
+    corpus = _prep(emb, id_col, vec_col)
+
+    train_df = corpus.select("id", "v")
+    if sample_mod > 1:
+        train_df = train_df.filter(
+            hash28(F.col("id").cast("string")) % sample_mod == 0
+        )
+    train = _training_matrix(train_df.toPandas(), "id", train_cap)
+    cents = train_centroids(train, nlist, seed)
+    cents_list = [[float(x) for x in c] for c in cents]
+
+    # cell assignment: argmin over literal centroids, expression-only —
+    # one narrow scan, whole-stage JVM evaluation, no Python in the path,
+    # and sequential-fold math the SQL oracle reproduces bit-for-bit.
+    def _sqdist(vec: Column, cent: list[float]) -> Column:
+        carr = F.array(*[F.lit(x) for x in cent])
+        return F.aggregate(
+            F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    cell_expr = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sqdist(F.col("v"), c).alias("d"),
+                    F.lit(j).cast("int").alias("c"),
+                )
+                for j, c in enumerate(cents_list)
+            ]
+        )
+    )["c"]
+    cells = corpus.withColumn("cell_id", cell_expr)
 
     spark = emb.sparkSession
     centroids = spark.createDataFrame(

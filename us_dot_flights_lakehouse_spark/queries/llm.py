@@ -250,13 +250,80 @@ SELECT query_id, rank, neighbor_id FROM (
 """
 
 
+IVF_NLIST = 16
+IVF_NPROBE = 4
+IVF_SEED = 42
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means coarse quantizer) approximate top-k — registered
-    without an oracle: cell assignments come from MLlib k-means, not
-    SQL-expressible; recall-vs-bruteforce is covered by unit tests."""
+    """IVF (k-means coarse quantizer) approximate top-k. Oracle-able:
+    the quantizer trains driver-side with seeded numpy Lloyd's on a
+    deterministic sample, so ``_ivf_oracle`` re-derives the SAME
+    centroids from the parquet (shared similarity.train_centroids code)
+    and embeds them as DuckDB double-list literals — assignment, probe
+    ranking, and cosine scoring are all sequential folds on both sides."""
     emb = read_corpus(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    return similarity.ivf_cosine_topk(emb, qs, k=TOPK_K, nlist=16, nprobe=4)
+    return similarity.ivf_cosine_topk(
+        emb, qs, k=TOPK_K, nlist=IVF_NLIST, nprobe=IVF_NPROBE, seed=IVF_SEED
+    )
+
+
+def _ivf_oracle() -> str:
+    """Literal-centroid DuckDB oracle for sim_ivf_topk (the plane-literal
+    technique from SIM_LSH_ORACLE, but data-dependent: centroids are
+    re-trained from the parquet at oracle-build time via the shared numpy
+    code path, then emitted as shortest-round-trip double literals).
+    Resolved lazily by queries.oracle_sql(); the sf dir comes from
+    $SPARK_GRAFT_ORACLE_SF_DIR (driver checks run at sf0.01)."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = similarity.ivf_centroids_from_parquet(
+        f"{sf_dir}/embeddings.parquet", nlist=IVF_NLIST, seed=IVF_SEED
+    )
+    rows = []
+    for j, c in enumerate(cents.tolist()):
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        rows.append(f"SELECT {j} AS cell_id, CAST({lit} AS DOUBLE[]) AS c")
+    cents_sql = "\n  UNION ALL ".join(rows)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (SELECT vec_id, v, {_VEC_NORM} AS nrm FROM e),
+cents AS (
+  {cents_sql}
+), assigned AS (
+  SELECT vec_id, v, nrm, cell_id FROM (
+    SELECT n.vec_id, n.v, n.nrm, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65), i -> (n.v[i] - c.c[i]) * (n.v[i] - c.c[i]))) ASC,
+             c.cell_id ASC) AS rn
+    FROM n CROSS JOIN cents c
+  ) WHERE rn = 1
+), probe AS (
+  SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cell_id FROM (
+    SELECT n.vec_id, n.v, n.nrm, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65), i -> n.v[i] * c.c[i]))
+               / (n.nrm * sqrt(list_sum(list_transform(c.c, x -> x * x)))) DESC,
+             c.cell_id ASC) AS cr
+    FROM n CROSS JOIN cents c
+    WHERE n.vec_id < {N_QUERY_VECS}
+  ) WHERE cr <= {IVF_NPROBE}
+), scored AS (
+  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+         CAST(a.cell_id AS INTEGER) AS cell_id,
+         list_sum(list_transform(range(1, 65), i -> p.qv[i] * a.v[i])) / (p.qnrm * a.nrm) AS cos
+  FROM probe p JOIN assigned a ON p.cell_id = a.cell_id AND p.qid != a.vec_id
+)
+SELECT query_id, rank, neighbor_id, cell_id FROM (
+  SELECT query_id, neighbor_id, cell_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOPK_K}
+"""
 
 
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1650,6 +1717,7 @@ ORACLES = {
     "dd_embedding_neardup": DD_EMB_ORACLE,
     "sim_topk_cosine": SIM_TOPK_ORACLE,
     "sim_lsh_topk": SIM_LSH_ORACLE,
+    "sim_ivf_topk": _ivf_oracle,
     "sim_quantize_int8": SIM_QUANT_ORACLE,
     "ts_text_stats": TS_STATS_ORACLE,
     "ts_lang_id": _lang_oracle(),
