@@ -181,3 +181,76 @@ def test_dup_clusters_two_star_equivalent_on_chain(spark):
     }
     assert base == star
     assert star[n - 1] == 0 and star[n + 2] == n and star[n + 3] == n + 3
+
+
+def test_incremental_dedup_verdict_semantics(spark):
+    from us_dot_flights_lakehouse_spark.llm import dedup
+
+    batch = spark.createDataFrame(
+        [(10, "a"), (11, "b"), (12, "b"), (13, "c")], "doc_id long, fp string"
+    )
+    hist = spark.createDataFrame([("a",), ("a",), ("z",)], "fp string")
+    got = {
+        r["doc_id"]: (r["dup_of_history"], r["dup_in_batch"], r["keep"])
+        for r in dedup.incremental_dedup_verdict(batch, hist).collect()
+    }
+    assert got == {
+        10: (True, False, False),   # collides with published history
+        11: (False, False, True),   # first of its fp in the batch
+        12: (False, True, False),   # within-batch dup beyond the first
+        13: (False, False, True),
+    }
+
+
+def test_incremental_dedup_no_forced_history_broadcast(spark):
+    """The history side must NOT carry a broadcast hint: with the
+    broadcast threshold off, the optimized plan may not contain a
+    broadcast exchange (at 100 TB the history is billions of rows —
+    a forced hint would OOM instead of letting AQE pick)."""
+    from us_dot_flights_lakehouse_spark.llm import dedup
+
+    batch = spark.range(0, 1000).selectExpr("id AS doc_id", "md5(string(id)) AS fp")
+    hist = spark.range(0, 1000).selectExpr("md5(string(id * 7)) AS fp")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            dedup.incremental_dedup_verdict(batch, hist)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Broadcast" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_incremental_dedup_is_exchange_free(spark, tmp_path_factory):
+    """Production layout: history fingerprints published bucketed on fp
+    (publish_history_fingerprints) and the day's batch bucket-written the
+    same way → the full verdict (history join, first-id election join)
+    plans with ZERO Exchange nodes."""
+    from us_dot_flights_lakehouse_spark.llm import dedup
+    from us_dot_flights_lakehouse_spark.sources.writers import write_bucketed
+
+    base = tmp_path_factory.mktemp("incr_bkt")
+    hist = spark.range(0, 2000).selectExpr("md5(string(id)) AS fp")
+    batch = spark.range(1500, 3000).selectExpr(
+        "id AS doc_id", "md5(string(id)) AS fp"
+    )
+    dedup.publish_history_fingerprints(hist, "t_hist_fp", 8, path=str(base / "h"))
+    write_bucketed(batch, "t_batch_fp", ["fp"], 8, path=str(base / "b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        verdict = dedup.incremental_dedup_verdict(
+            spark.table("t_batch_fp"), spark.table("t_hist_fp")
+        )
+        rows = verdict.collect()
+        assert len(rows) == 1500
+        assert sum(r["dup_of_history"] for r in rows) == 500
+        assert all(not r["dup_in_batch"] for r in rows)  # batch fps unique
+        plan = verdict._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_hist_fp")
+        spark.sql("DROP TABLE IF EXISTS t_batch_fp")

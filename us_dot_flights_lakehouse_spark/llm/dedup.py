@@ -625,3 +625,71 @@ def fuzzy_pairs(
         )
         .filter(F.col("dist") <= max_distance)
     )
+
+
+def incremental_dedup_verdict(
+    batch: DataFrame,
+    history_fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental-dedup core: given today's batch as (id, fingerprint)
+    rows and the published history fingerprint set, return every batch
+    doc with (dup_of_history, dup_in_batch, keep) — min-id wins the
+    within-batch election, so the verdict is deterministic.
+
+    Scale (100 TB): NO broadcast hint on the history side — in
+    production that set is billions of fingerprints, far past any
+    broadcast threshold, and a forced hint turns into an executor OOM.
+    Left declarative, AQE broadcasts small histories at runtime on its
+    own and falls back to a shuffle join for big ones. The shuffle-free
+    path is ``publish_history_fingerprints``: with history AND batch
+    bucketed on the fingerprint, this whole verdict (both joins and the
+    first-id election) plans with zero Exchange nodes
+    (tests/test_curation.py::test_bucketed_incremental_dedup_is_exchange_free).
+    """
+    first = batch.groupBy(fp_col).agg(F.min(id_col).alias("_first_id"))
+    hist = (
+        history_fps.select(fp_col)
+        .distinct()
+        .withColumn("_in_history", F.lit(True))
+    )
+    return (
+        batch.join(hist, fp_col, "left")
+        .join(first, fp_col)
+        .select(
+            id_col,
+            F.coalesce(F.col("_in_history"), F.lit(False)).alias("dup_of_history"),
+            (F.col(id_col) != F.col("_first_id")).alias("dup_in_batch"),
+        )
+        .select(
+            id_col,
+            "dup_of_history",
+            "dup_in_batch",
+            (~F.col("dup_of_history") & ~F.col("dup_in_batch")).alias("keep"),
+        )
+    )
+
+
+def publish_history_fingerprints(
+    fps: DataFrame,
+    table_name: str,
+    n_buckets: int,
+    path: str | None = None,
+    fp_col: str = "fp",
+) -> None:
+    """Publish the deduped corpus' fingerprint set as a table BUCKETED on
+    the fingerprint — the production layout for incremental dedup: pay
+    one shuffle at publish time, then every nightly batch verdict
+    (anti/left join on fp) reads the multi-billion-row history with no
+    Exchange. Re-publishing appends only the kept batch fingerprints."""
+    from us_dot_flights_lakehouse_spark.sources.writers import write_bucketed
+
+    write_bucketed(
+        fps.select(fp_col).distinct(),
+        table_name,
+        [fp_col],
+        n_buckets,
+        sort_cols=[fp_col],
+        path=path,
+    )

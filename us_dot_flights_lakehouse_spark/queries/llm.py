@@ -835,9 +835,12 @@ def tp_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first. Returns every new-batch doc with its verdict + reason so the
     drop is auditable.
 
-    Scale: the history side reduces to DISTINCT fingerprints (store them
-    as a bucketed table in production and this anti-join is
-    shuffle-free); the within-batch election is one groupBy. Nothing
+    Scale: the history side reduces to DISTINCT fingerprints and carries
+    NO broadcast hint — AQE broadcasts a small history at runtime and
+    shuffle-joins a billion-row one (a forced hint would OOM there); the
+    production layout buckets history and batch on the fingerprint
+    (dedup.publish_history_fingerprints), making the whole verdict
+    exchange-free. The within-batch election is one groupBy. Nothing
     rescans the historical corpus text."""
     docs = read_table(spark, sf_dir, "documents")
     from us_dot_flights_lakehouse_spark.functions.text import normalized_fingerprint
@@ -847,26 +850,7 @@ def tp_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < INCR_HISTORY_CUTOFF).select(fp).distinct()
     )
     batch = docs.filter(F.col("doc_id") >= INCR_HISTORY_CUTOFF).select("doc_id", fp)
-    first_in_batch = batch.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
-    verdict = (
-        batch.join(
-            F.broadcast(history_fps.withColumn("in_history", F.lit(True))),
-            "fp",
-            "left",
-        )
-        .join(first_in_batch, "fp")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("in_history"), F.lit(False)).alias("dup_of_history"),
-            (F.col("doc_id") != F.col("first_id")).alias("dup_in_batch"),
-        )
-    )
-    return verdict.select(
-        "doc_id",
-        "dup_of_history",
-        "dup_in_batch",
-        (~F.col("dup_of_history") & ~F.col("dup_in_batch")).alias("keep"),
-    )
+    return dedup.incremental_dedup_verdict(batch, history_fps)
 
 
 TP_INCR_ORACLE = f"""
