@@ -345,3 +345,59 @@ def test_typed_event_counts_transform_with_state(spark, tmp_path_factory):
     }
     assert got == {(1, "click"): 2, (1, "buy"): 1, (2, "click"): 1}
     shutil.rmtree(str(base), ignore_errors=True)
+
+
+def test_schema_evolution_adds_new_columns_across_batches(spark, tmp_path_factory):
+    """addNewColumns contract: batch 2's file carries an extra column;
+    the second run widens the logged schema (new column appended), both
+    batches land in ONE sink table, old rows null-backfilled, and the
+    checkpoint still skips already-ingested files."""
+    import csv
+    import os
+    import time
+
+    from us_dot_flights_lakehouse_spark.streaming.ingest import (
+        stream_file_ingest_evolving,
+    )
+
+    base = tmp_path_factory.mktemp("evolve")
+    src, dest, ckpt, slog = (
+        str(base / "landing"),
+        str(base / "bronze"),
+        str(base / "ckpt"),
+        str(base / "schemas"),
+    )
+    os.makedirs(src)
+    with open(f"{src}/batch1.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "day"])
+        w.writerows([(1, "2024-01-01"), (2, "2024-01-02")])
+
+    q1, s1 = stream_file_ingest_evolving(spark, src, dest, ckpt, slog)
+    q1.awaitTermination()
+    assert [f.name for f in s1.fields] == ["id", "day"]
+
+    time.sleep(1.1)  # distinct mtime so inference sampling sees batch2 as newest
+    with open(f"{src}/batch2.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "day", "cancellation_code"])
+        w.writerows([(3, "2024-01-03", "A"), (4, "2024-01-03", "B")])
+
+    q2, s2 = stream_file_ingest_evolving(spark, src, dest, ckpt, slog)
+    q2.awaitTermination()
+    # new column APPENDED, existing order preserved
+    assert [f.name for f in s2.fields] == ["id", "day", "cancellation_code"]
+    # schema log recorded both versions
+    assert len(os.listdir(slog)) == 2
+
+    merged = spark.read.option("mergeSchema", "true").parquet(dest)
+    rows = {r["id"]: r["cancellation_code"] for r in merged.collect()}
+    # checkpoint: batch1 not re-ingested (4 rows total, not 6)
+    assert rows == {1: None, 2: None, 3: "A", 4: "B"}
+
+    # third run, no new files: schema stable, no new log version
+    q3, s3 = stream_file_ingest_evolving(spark, src, dest, ckpt, slog)
+    q3.awaitTermination()
+    assert [f.name for f in s3.fields] == [f.name for f in s2.fields]
+    assert len(os.listdir(slog)) == 2
+    assert spark.read.option("mergeSchema", "true").parquet(dest).count() == 4
