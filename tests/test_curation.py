@@ -254,3 +254,15 @@ def test_bucketed_incremental_dedup_is_exchange_free(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_hist_fp")
         spark.sql("DROP TABLE IF EXISTS t_batch_fp")
+
+
+def test_line_dedup_rejects_encoding_violations(spark):
+    """The doc_id*1e6+line_idx keeper encoding must raise on a negative
+    doc_id instead of silently electing the wrong keeper."""
+    import pytest
+
+    from us_dot_flights_lakehouse_spark.llm import dedup
+
+    bad = spark.createDataFrame([(-1, "x\ny")], "doc_id long, text string")
+    with pytest.raises(Exception, match="line_dedup"):
+        dedup.line_dedup(bad).collect()

@@ -117,3 +117,31 @@ def test_render_html_data_docs(tmp_path):
     assert html.count("<table>") == 2
     out = write_data_docs(results, str(tmp_path / "docs" / "index.html"))
     assert open(out).read() == html
+
+
+def test_data_docs_collector_is_thread_isolated(spark):
+    """Two threads validating concurrently must record into their OWN
+    collectors (the active stack is a ContextVar, not process-global)."""
+    import threading
+
+    from us_dot_flights_lakehouse_spark.quality.checks import (
+        CheckResult,
+        DataDocsCollector,
+    )
+
+    seen = {}
+
+    def run(tag):
+        with DataDocsCollector() as docs:
+            DataDocsCollector.record(
+                f"suite_{tag}", [CheckResult(f"c_{tag}", "col", True, 1.0)]
+            )
+            seen[tag] = dict(docs.results)
+
+    ts = [threading.Thread(target=run, args=(t,)) for t in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert set(seen["a"]) == {"suite_a"}
+    assert set(seen["b"]) == {"suite_b"}

@@ -444,3 +444,29 @@ def test_webdataset_roundtrip_and_partitioning(spark, tmp_path_factory):
         "txt",
         "json",
     }
+
+
+def test_webdataset_overwrite_removes_stale_shards(spark, tmp_path_factory):
+    """mode=overwrite with FEWER partitions must not leave stale
+    shard-NNNN.tar files behind for the reader to silently include."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+    from us_dot_flights_lakehouse_spark.sources import wds
+
+    wds.register(spark)
+    out = str(tmp_path_factory.mktemp("wds_ow") / "shards")
+    df = spark.range(0, 8).select(
+        F.format_string("%06d", "id").alias("key"),
+        F.lit("txt").alias("member"),
+        F.encode(F.format_string("payload-%d", "id"), "utf-8").alias("payload"),
+    )
+    df.repartition(4).write.format("webdataset").mode("overwrite").save(out)
+    assert len(_glob.glob(f"{out}/*.tar")) == 4
+
+    df.limit(4).repartition(1).write.format("webdataset").mode(
+        "overwrite"
+    ).save(out)
+    assert len(_glob.glob(f"{out}/*.tar")) == 1
+    assert not _glob.glob(f"{out}/*.tmp-*")
+    assert spark.read.format("webdataset").load(out).count() == 4

@@ -313,9 +313,7 @@ def run_pipeline(
     results: list[StageResult] = []
     halted = False
     started = False
-    docs = DataDocsCollector()
-    docs.__enter__()
-    try:
+    with DataDocsCollector() as docs:
         for name in PIPELINE_STAGES:
             started = started or name == start_at
             if not started or halted:
@@ -341,8 +339,6 @@ def run_pipeline(
             else:
                 results.append(StageResult(name, "failed", attempts, dt, err))
                 halted = True  # linear DAG: everything downstream is blocked
-    finally:
-        docs.__exit__()
     if data_docs_path is not None:
         docs.write(data_docs_path)
     return results

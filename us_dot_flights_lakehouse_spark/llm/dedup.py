@@ -443,9 +443,10 @@ def embedding_neardup_pairs_lsh(
     2. Candidates = pairs sharing a bucket in ANY table. A pair sharing
        several tables is emitted from its FIRST shared table only (the
        same trick simhash_pairs uses), so no distinct shuffle.
-    3. Exact cosine verification on candidates, via the sequential-fold
-       expression dot product (bit-identical to the DuckDB oracle's
-       list_sum).
+    3. Exact cosine verification on candidates — Arrow-batched numpy
+       row-wise dot (NOT the sequential-fold expression: numpy sums
+       pairwise, so the last few ULPs can differ from the oracle's
+       list_sum fold; see the tolerance argument below).
 
     Recall for cos >= t is 1-(1-p^r)^L with p = 1 - arccos(t)/pi — at
     t=0.95, r=8, L=8 that is ~0.99, while a random pair survives a table
@@ -457,10 +458,17 @@ def embedding_neardup_pairs_lsh(
 
     Both hot loops run as Arrow-batched numpy (signatures: one
     V @ planes.T per batch; verification: one row-wise dot per candidate
-    batch) — the same BLAS kernels the exact block cogroup uses, whose
-    bit-agreement with the oracle's sequential list_sum is established by
-    ``dd_embedding_neardup``'s green hash row (sign/threshold decisions
-    sit ~1e13 ULPs away from the boundary for real data)."""
+    batch). Tolerance argument, stated honestly: numpy's pairwise
+    summation and norm-product division are NOT bit-identical to the
+    oracle's sequential list_sum fold — a pair whose cosine lands within
+    a few ULPs of ``threshold`` (or a projection within ULPs of 0) could
+    in principle flip. The catalog stays hash-green because measured
+    sign/threshold margins on real embedding data sit ~1e13 ULPs from
+    the boundary (same argument, and same BLAS kernels, as the exact
+    block cogroup behind ``dd_embedding_neardup``'s green row). For a
+    corpus where adversarially boundary-exact cosines matter, swap the
+    verify step for the expression-fold kernel in
+    ``functions/vectors.cosine``."""
     import numpy as np
 
     from us_dot_flights_lakehouse_spark.llm.similarity import _plane
@@ -546,21 +554,35 @@ def line_dedup(
     every blank line in the corpus but one.
 
     Returns (id, n_lines, n_kept, text_deduped). First-occurrence choice
-    is encoded as one BIGINT ``doc_id * 1e6 + line_idx`` (documents are
-    assumed under 1M lines — assert at ingest if that can break), so the
-    global keeper election is a single MIN groupBy on the line hash: two
-    shuffles total (hash groupBy + reassembly groupBy) regardless of
-    corpus size, both key-bounded."""
+    is encoded as one BIGINT ``doc_id * 1e6 + line_idx``; the encoding's
+    preconditions (doc_id >= 0, under 1M lines per doc) are ENFORCED
+    row-level — a violating row raises instead of silently electing the
+    wrong keeper. The global keeper election is then a single MIN groupBy
+    on the line hash: two shuffles total (hash groupBy + reassembly
+    groupBy) regardless of corpus size, both key-bounded."""
     lines = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("line_idx", "line"),
+    )
+    pos = F.when(
+        (F.col("id") >= 0) & (F.col("line_idx") < 1_000_000),
+        F.col("id") * F.lit(1_000_000) + F.col("line_idx"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "line_dedup: pos encoding needs doc_id >= 0 and < 1e6 "
+                "lines per doc; got doc_id=%s line_idx=%s",
+                F.col("id"),
+                F.col("line_idx"),
+            )
+        )
     )
     occ = lines.select(
         "id",
         "line_idx",
         "line",
         F.md5(F.trim(F.lower(F.col("line")))).alias("h"),
-        (F.col("id") * F.lit(1_000_000) + F.col("line_idx")).alias("pos"),
+        pos.alias("pos"),
         (F.trim(F.col("line")) == "").alias("blank"),
     )
     first = (

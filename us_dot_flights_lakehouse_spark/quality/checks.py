@@ -19,6 +19,7 @@ failure (silver, ``flights_silver_transform.py:157-162``);
 
 from __future__ import annotations
 
+from contextvars import ContextVar
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -289,24 +290,30 @@ class DataDocsCollector:
     one-stop feed for ``write_data_docs`` without threading result lists
     through every stage (the same role GE's ValidationOperator store
     plays for its data-docs site). Last-in wins per suite name; nesting
-    is LIFO."""
+    is LIFO. The active stack is a ``ContextVar``, so two pipelines
+    validating concurrently (threads or asyncio tasks) each record into
+    their OWN collector instead of cross-recording into whichever was
+    entered last."""
 
-    _stack: list["DataDocsCollector"] = []
+    _stack: ContextVar[tuple["DataDocsCollector", ...]] = ContextVar(
+        "data_docs_stack", default=()
+    )
 
     def __init__(self) -> None:
         self.results: dict[str, list[CheckResult]] = {}
 
     def __enter__(self) -> "DataDocsCollector":
-        DataDocsCollector._stack.append(self)
+        DataDocsCollector._stack.set(DataDocsCollector._stack.get() + (self,))
         return self
 
     def __exit__(self, *exc) -> None:
-        DataDocsCollector._stack.pop()
+        DataDocsCollector._stack.set(DataDocsCollector._stack.get()[:-1])
 
     @classmethod
     def record(cls, suite: str, results: list[CheckResult]) -> None:
-        if cls._stack:
-            cls._stack[-1].results[suite] = results
+        stack = cls._stack.get()
+        if stack:
+            stack[-1].results[suite] = results
 
     def write(self, path: str) -> str:
         return write_data_docs(self.results, path)

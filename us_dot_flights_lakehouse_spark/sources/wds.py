@@ -139,27 +139,54 @@ class _WdsWriter(DataSourceWriter):
     def write(self, iterator: Iterator) -> _WdsCommit:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         os.makedirs(self._dir, exist_ok=True)
         path = os.path.join(self._dir, f"shard-{pid:06d}.tar")
+        # attempt-unique temp + rename: a task that dies mid-write leaves
+        # only a .tmp-* file (swept at commit/abort), never a truncated
+        # .tar a reader would pick up; the rename publishes atomically,
+        # and concurrent speculative attempts can't clobber each other's
+        # in-progress bytes.
+        tmp = f"{path}.tmp-{ctx.taskAttemptId()}"
         n = 0
-        with tarfile.open(path, "w") as tf:
-            for row in iterator:
-                payload = bytes(row["payload"]) if row["payload"] is not None else b""
-                info = tarfile.TarInfo(name=f"{row['key']}.{row['member']}")
-                info.size = len(payload)
-                info.mtime = 0  # deterministic shard bytes
-                tf.addfile(info, io.BytesIO(payload))
-                n += 1
+        try:
+            with tarfile.open(tmp, "w") as tf:
+                for row in iterator:
+                    payload = (
+                        bytes(row["payload"]) if row["payload"] is not None else b""
+                    )
+                    info = tarfile.TarInfo(name=f"{row['key']}.{row['member']}")
+                    info.size = len(payload)
+                    info.mtime = 0  # deterministic shard bytes
+                    tf.addfile(info, io.BytesIO(payload))
+                    n += 1
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
         return _WdsCommit(path, n)
 
+    def _sweep_tmp(self) -> None:
+        for leftover in glob.glob(os.path.join(self._dir, "*.tar.tmp-*")):
+            os.remove(leftover)
+
     def commit(self, messages) -> None:
-        pass  # shards are task-complete files; nothing global to publish
+        # honor overwrite: a rewrite with fewer partitions must not leave
+        # stale shard-NNNNNN.tar files for the reader to silently include
+        committed = {m.path for m in messages if m is not None}
+        if self._overwrite:
+            for old in glob.glob(os.path.join(self._dir, "*.tar")):
+                if old not in committed:
+                    os.remove(old)
+        self._sweep_tmp()
 
     def abort(self, messages) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
+        self._sweep_tmp()
 
 
 class WebDatasetSource(DataSource):
