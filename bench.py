@@ -34,7 +34,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark("bench")
+    # progress bars write \r-frames to stdout and have twice corrupted the
+    # driver-recorded JSON tail — keep the bench channel clean
+    spark = get_spark(
+        "bench", extra_confs={"spark.ui.showConsoleProgress": "false"}
+    )
     qs = registry.queries()
 
     # warmup: spin up JVM, codegen, parquet footer caches
@@ -72,7 +76,19 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # stdout for the driver, plus a file copy so a truncated/noisy pipe
+    # can't lose the result ($BENCH_OUT, default bench_out.json)
+    with open(
+        os.environ.get(
+            "BENCH_OUT",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
+        ),
+        "w",
+    ) as fh:
+        fh.write(line + "\n")
+    print(line)
+    sys.stdout.flush()
     spark.stop()
 
 

@@ -39,18 +39,15 @@ _MODULES = (llm, streaming, quality, flights, relational)
 #: come first; the long tail of f_* function suites — all driver-green in
 #: round 1 and unchanged since — absorbs any truncation.
 _PRIORITY = (
-    # round-2 fixes needing fresh driver verification
-    "f_json_suite",
-    "j8_asof_purchase_attribution",
-    "j11_clickstream_interval_join",
-    "f_variant_suite",
-    "a8_describe_orders",
-    "a11_exact_quantiles",
-    "a12_approx_sketches",
-    # queries new this round (no prior driver rows)
-    "w3_time_range_window",
-    "a18_stat_moments",
-    "j13_nullsafe_join",
+    # round-4 changes needing fresh driver verification
+    "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
+    "tp_incremental_dedup",  # broadcast hint dropped
+    "dd_line_dedup",  # row-level encoding guard added
+    "src_wds_roundtrip",  # writer temp-file+rename / overwrite sweep
+    # judge-green but never driver-sampled (VERDICT r3 item 6)
+    "a19_sketch_rollup",
+    "st_running_totals",
+    "st_stream_dedup",
     # flagship
     "daily_segment_performance",
 )
