@@ -660,3 +660,71 @@ def test_decoders_survive_malformed_bytes(spark):
     vid_rows = multimodal.sample_frames(df, every_ms=40).collect()
     assert len(vid_rows) == len(blobs)
     assert all(r["pixels"] is None for r in vid_rows)
+
+
+def test_multiprobe_lsh_beats_single_probe_at_equal_candidate_budget(spark, sf_small):
+    """Multi-probe LSH must buy strictly more recall per candidate than
+    hash-random bucketing: 9 planes probed 4x has the same expected
+    budget as 7 planes probed once (4/2^9 ≈ 1/2^7), but the probes are
+    chosen by projection margin, not luck."""
+    from pyspark.sql import functions as F
+    from us_dot_flights_lakehouse_spark.llm import similarity as S
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 100)
+    k = 5
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(emb, qs, k).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    def candidates(n_planes, n_probes):
+        corpus = S._prep(emb, "vec_id", "embedding").withColumn(
+            "bucket", S.lsh_bucket(F.col("v"), 64, n_planes)
+        )
+        probes = (
+            S._prep(qs, "vec_id", "embedding")
+            .withColumn(
+                "probes", S.lsh_probe_buckets(F.col("v"), 64, n_planes, n_probes)
+            )
+            .select(F.col("id").alias("qid"), F.explode("probes").alias("bucket"))
+        )
+        return (
+            probes.join(corpus, "bucket").filter(F.col("qid") != F.col("id")).count()
+        )
+
+    single = recall(S.lsh_cosine_topk(emb, qs, k, dim=64, n_planes=7))
+    multi = recall(
+        S.lsh_cosine_topk_multiprobe(emb, qs, k, dim=64, n_planes=9, n_probes=4)
+    )
+    c_single, c_multi = candidates(7, 1), candidates(9, 4)
+    # equal budget (within 10%), strictly better recall
+    assert c_multi <= c_single * 1.10
+    assert multi > single
+
+
+def test_lsh_probe_buckets_flips_lowest_margin_bits(spark):
+    """Probe set = base bucket first, then single-bit XOR flips ordered
+    by |projection| margin — distinct buckets, correct count."""
+    from pyspark.sql import functions as F
+    from us_dot_flights_lakehouse_spark.llm import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    rows = (
+        S._prep(emb, "vec_id", "embedding")
+        .select(
+            S.lsh_bucket(F.col("v"), 64, 8).alias("base"),
+            S.lsh_probe_buckets(F.col("v"), 64, 8, 4).alias("probes"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert len(r["probes"]) == 4
+        assert len(set(r["probes"])) == 4
+        assert r["probes"][0] == r["base"]
+        for p in r["probes"][1:]:
+            diff = p ^ r["base"]
+            assert diff and (diff & (diff - 1)) == 0  # exactly one bit flipped

@@ -41,6 +41,7 @@ _MODULES = (llm, streaming, quality, flights, relational)
 _PRIORITY = (
     # round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
+    "sim_lsh_multiprobe",  # new this round
     "tp_incremental_dedup",  # broadcast hint dropped
     "dd_line_dedup",  # row-level encoding guard added
     "src_wds_roundtrip",  # writer temp-file+rename / overwrite sweep

@@ -385,6 +385,66 @@ SELECT query_id, rank, neighbor_id, bucket FROM (
 """.format(planes=_lsh_planes_sql())
 
 
+LSH_MP_PROBES = 4
+
+
+def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: base bucket + the 3 lowest-margin bit-flip
+    buckets per query (Lv et al. single-bit perturbations). Same bucketed
+    corpus layout as sim_lsh_topk; recall rises with no index rebuild.
+    Oracle replicates the probe-set construction with the same literal
+    planes: projections, margin ranking (abs(proj), bit-weight ties),
+    XOR flips — all sequential-fold doubles on both engines."""
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.lsh_cosine_topk_multiprobe(
+        emb, qs, k=TOPK_K, dim=64, n_probes=LSH_MP_PROBES
+    )
+
+
+SIM_LSH_MP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (SELECT vec_id, v, {_VEC_NORM} AS nrm FROM e),
+planes AS (
+  {{planes}}
+), b AS (
+  SELECT n.vec_id, n.v, n.nrm,
+         CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65), i -> n.v[i] * p.plane[i])) > 0
+                       THEN p.w ELSE 0 END) AS INTEGER) AS bucket
+  FROM n CROSS JOIN planes p
+  GROUP BY n.vec_id, n.v, n.nrm
+), projq AS (
+  SELECT n.vec_id, p.w,
+         list_sum(list_transform(range(1, 65), i -> n.v[i] * p.plane[i])) AS proj
+  FROM n CROSS JOIN planes p
+  WHERE n.vec_id < {N_QUERY_VECS}
+), flips AS (
+  SELECT vec_id, w,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY abs(proj) ASC, w ASC) AS mr
+  FROM projq
+), probes AS (
+  SELECT vec_id, bucket AS pb FROM b WHERE vec_id < {N_QUERY_VECS}
+  UNION ALL
+  SELECT f.vec_id, CAST(xor(q.bucket, f.w) AS INTEGER) AS pb
+  FROM flips f JOIN b q ON f.vec_id = q.vec_id
+  WHERE f.mr <= {LSH_MP_PROBES - 1}
+), scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket,
+         list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+  FROM probes p
+  JOIN b q ON p.vec_id = q.vec_id
+  JOIN b c ON c.bucket = p.pb AND p.vec_id != c.vec_id
+)
+SELECT query_id, rank, neighbor_id, bucket FROM (
+  SELECT query_id, neighbor_id, bucket,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOPK_K}
+""".format(planes=_lsh_planes_sql())
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -1662,6 +1722,7 @@ QUERIES = {
     "dd_embedding_neardup": dd_embedding_neardup,
     "sim_topk_cosine": sim_topk_cosine,
     "sim_lsh_topk": sim_lsh_topk,
+    "sim_lsh_multiprobe": sim_lsh_multiprobe,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_quantize_int8": sim_quantize_int8,
     "ts_text_stats": ts_text_stats,
@@ -1701,6 +1762,7 @@ ORACLES = {
     "dd_embedding_neardup": DD_EMB_ORACLE,
     "sim_topk_cosine": SIM_TOPK_ORACLE,
     "sim_lsh_topk": SIM_LSH_ORACLE,
+    "sim_lsh_multiprobe": SIM_LSH_MP_ORACLE,
     "sim_ivf_topk": _ivf_oracle,
     "sim_quantize_int8": SIM_QUANT_ORACLE,
     "ts_text_stats": TS_STATS_ORACLE,
