@@ -473,11 +473,13 @@ def bmp_decode(data: bytes):
 
 def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "payload") -> DataFrame:
     """Pixel-level image decode as a DataFrame operator — REAL for PNG
-    (stdlib zlib + numpy unfiltering) and uncompressed BMP; formats that
-    genuinely need a codec library (JPEG entropy decode, GIF LZW) yield
-    null pixel rows rather than failing the batch, keeping the operator
-    total over mixed corpora. Arrow-batched mapInPandas, one row per
-    input: (id, width, height, mode, pixels) with ``pixels`` the raw
+    (stdlib zlib + numpy unfiltering), uncompressed BMP, and baseline
+    JPEG (pure-numpy huffman + dequant + IDCT in ``llm/jpeg.py``, incl.
+    4:2:0/4:2:2 chroma upsampling and YCbCr→RGB); variants that still
+    need a codec library (progressive JPEG, GIF LZW) yield null pixel
+    rows rather than failing the batch, keeping the operator total over
+    mixed corpora. Arrow-batched mapInPandas, one row per input:
+    (id, width, height, mode, pixels) with ``pixels`` the raw
     ``h*w*ch`` uint8 buffer (row-major, mode-ordered channels).
 
     100 TB: decode is scan-local (zero shuffle); blob memory is bounded
@@ -496,6 +498,12 @@ def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "payload") ->
                             decoded = png_decode(b)
                         elif b[:2] == b"BM":
                             decoded = bmp_decode(b)
+                        elif b[:2] == b"\xff\xd8":
+                            from us_dot_flights_lakehouse_spark.llm.jpeg import (
+                                jpeg_decode,
+                            )
+
+                            decoded = jpeg_decode(b)
                     except (ValueError, NotImplementedError):
                         decoded = None
                 if decoded is None:

@@ -804,6 +804,96 @@ FROM px
 """
 
 
+def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: REAL baseline-JPEG decode end-to-end — synthesizes a 16x16
+    grayscale JPEG per document (four 8x8 constant blocks, block b =
+    2*((7*doc_id + 37*b) % 128)) with the pure-numpy encoder, decodes it
+    back through ``decode_image``'s jpeg path (huffman entropy decode →
+    dequant → IDCT), and aggregates pixel stats. Even-valued constant
+    blocks quantize EXACTLY under the Annex K table (DC = (c-128)/2, all
+    ACs zero), so the decode is bit-lossless and the oracle recomputes
+    the stats from the closed form — any bug in either direction of the
+    huffman/quant/DCT chain hash-fails. Mean divides by 256 (power of
+    two): exact double both engines."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.jpeg import jpeg_encode_gray
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                img = np.zeros((16, 16), np.uint8)
+                for b in range(4):
+                    by, bx = divmod(b, 2)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        2 * ((7 * int(d) + 37 * b) % 128)
+                    )
+                payloads.append(jpeg_encode_gray(img))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(synth, schema="id long, payload binary")
+    decoded = multimodal.decode_image(imgs)
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, w, h, mode, px in zip(
+                pdf["id"], pdf["width"], pdf["height"], pdf["mode"], pdf["pixels"]
+            ):
+                a = np.frombuffer(px, np.uint8)
+                rows.append(
+                    (
+                        i,
+                        int(w),
+                        int(h),
+                        mode,
+                        float(int(a.sum()) / 256),
+                        int(a.min()),
+                        int(a.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "mode",
+                    "mean_px",
+                    "min_px",
+                    "max_px",
+                ],
+            )
+
+    return decoded.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, width int, height int, mode string, "
+            "mean_px double, min_px int, max_px int"
+        ),
+    )
+
+
+MM_JPEG_ORACLE = """
+WITH blocks AS (
+  SELECT doc_id,
+         list_transform(range(0, 4), b -> 2 * ((7 * doc_id + 37 * b) % 128)) AS c
+  FROM documents
+)
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       'L' AS mode,
+       list_sum(c) * 64 / 256.0 AS mean_px,
+       CAST(list_aggregate(c, 'min') AS INTEGER) AS min_px,
+       CAST(list_aggregate(c, 'max') AS INTEGER) AS max_px
+FROM blocks
+"""
+
+
 def mm_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM: REAL video frame sampling end-to-end — synthesizes a 6-frame
     4x4 uncompressed AVI per document (gray pixel g = (11*doc_id + 17*f
@@ -1732,6 +1822,7 @@ QUERIES = {
     "mm_byte_features": mm_byte_features,
     "mm_image_dims": mm_image_dims,
     "mm_pixel_stats": mm_pixel_stats,
+    "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
     "mm_frame_stats": mm_frame_stats,
     "src_wds_roundtrip": src_wds_roundtrip,
     "ts_heavy_hitters": ts_heavy_hitters,
@@ -1772,6 +1863,7 @@ ORACLES = {
     "mm_byte_features": MM_BYTES_ORACLE,
     "mm_image_dims": MM_DIMS_ORACLE,
     "mm_pixel_stats": MM_PIXEL_ORACLE,
+    "mm_jpeg_roundtrip": MM_JPEG_ORACLE,
     "mm_frame_stats": MM_FRAME_ORACLE,
     "src_wds_roundtrip": SRC_WDS_ORACLE,
     "ts_heavy_hitters": TS_HH_ORACLE,
