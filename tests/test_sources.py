@@ -470,3 +470,66 @@ def test_webdataset_overwrite_removes_stale_shards(spark, tmp_path_factory):
     assert len(_glob.glob(f"{out}/*.tar")) == 1
     assert not _glob.glob(f"{out}/*.tmp-*")
     assert spark.read.format("webdataset").load(out).count() == 4
+
+
+def test_clustered_layouts_enable_file_skipping(spark, tmp_path_factory):
+    """Footer-stats proof of the clustering payoff: for a selective
+    predicate, count the files whose parquet min/max could contain it.
+    Range clustering collapses the 1-key case to ~1 file; z-order keeps
+    BOTH columns selective while a single-key range layout degenerates
+    to a full scan on the other column."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from us_dot_flights_lakehouse_spark.sources.writers import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    base = tmp_path_factory.mktemp("skip")
+    # x, y independent & shuffled so an unclustered layout has no luck
+    df = (
+        spark.range(0, 20_000)
+        .select(
+            F.col("id"),
+            ((F.col("id") * 2654435761) % 20_000).cast("long").alias("x"),
+            ((F.col("id") * 40503 + 7) % 20_000).cast("long").alias("y"),
+        )
+    )
+    paths = {
+        "plain": str(base / "plain"),
+        "range_x": str(base / "range_x"),
+        "zorder": str(base / "zorder"),
+    }
+    df.repartition(16).write.parquet(paths["plain"])
+    write_range_clustered(df, paths["range_x"], ["x"], n_files=16)
+    write_zorder_clustered(df, paths["zorder"], ["x", "y"], n_files=16, bits=4)
+
+    def files_touched(path, col, lo, hi):
+        touched, total = 0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            overlap = False
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st.min <= hi and st.max >= lo:
+                    overlap = True
+            total += 1
+            touched += overlap
+        return touched, total
+
+    # 2.5%-selectivity predicate on x
+    px_plain, n_plain = files_touched(paths["plain"], "x", 1000, 1500)
+    px_range, _ = files_touched(paths["range_x"], "x", 1000, 1500)
+    px_z, _ = files_touched(paths["zorder"], "x", 1000, 1500)
+    assert px_plain == n_plain  # shuffled layout: every file overlaps
+    assert px_range <= 2  # contiguous ranges: predicate hits ~1 file
+    assert px_z < n_plain // 2  # z-order: most files skipped on x too
+
+    # same predicate on y: range-on-x cannot skip, z-order still can
+    py_range, n_range = files_touched(paths["range_x"], "y", 1000, 1500)
+    py_z, n_z = files_touched(paths["zorder"], "y", 1000, 1500)
+    assert py_range == n_range  # degenerates to full scan
+    assert py_z < n_z // 2  # both z-order columns stay selective
