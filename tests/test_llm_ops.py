@@ -915,3 +915,59 @@ def test_jpeg_restart_markers():
     assert (w, h) == (16, 8)
     assert np.array_equal(np.unique(px[:, :8]), [200])
     assert np.array_equal(np.unique(px[:, 8:]), [64])
+
+
+def test_mjpeg_omitted_dht_quirk_decodes():
+    """The classic MJPG quirk: frames ship without DHT, implying the
+    Annex K default tables — ensure_huffman_tables splices them in."""
+    import numpy as np
+    import pytest
+
+    from us_dot_flights_lakehouse_spark.llm.jpeg import (
+        ensure_huffman_tables,
+        jpeg_decode,
+        jpeg_encode_gray,
+    )
+
+    img = np.full((8, 8), 150, np.uint8)
+    blob = jpeg_encode_gray(img)
+    # strip both DHT segments the encoder wrote
+    out = bytearray()
+    pos = 0
+    while pos < len(blob):
+        if blob[pos] == 0xFF and pos + 1 < len(blob) and blob[pos + 1] == 0xC4:
+            pos += 2 + int.from_bytes(blob[pos + 2 : pos + 4], "big")
+            continue
+        if blob[pos] == 0xFF and blob[pos + 1] == 0xDA:
+            out += blob[pos:]
+            break
+        out += blob[pos : pos + 1]
+        pos += 1
+    stripped = bytes(out)
+    with pytest.raises(ValueError):
+        jpeg_decode(stripped)  # no tables -> huffman lookup fails
+    w, h, mode, px = jpeg_decode(ensure_huffman_tables(stripped))
+    assert (w, h, mode) == (8, 8, "L")
+    assert np.array_equal(np.unique(px), [150])
+    # streams that carry their own tables pass through untouched
+    assert ensure_huffman_tables(blob) == blob
+
+
+def test_sample_frames_decodes_mjpeg_avi(spark):
+    import numpy as np
+
+    from us_dot_flights_lakehouse_spark.llm import multimodal
+
+    vals = [2 * ((5 * 7 + 29 * f) % 128) for f in range(6)]
+    frames = np.stack([np.full((8, 8), v, np.uint8) for v in vals])
+    blob = multimodal.avi_encode_mjpeg(frames, us_per_frame=40_000)
+    df = spark.createDataFrame([(1, blob)], "id long, payload binary")
+    rows = sorted(
+        multimodal.sample_frames(df, every_ms=80).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    for r in rows:
+        assert (r["width"], r["height"], r["mode"]) == (8, 8, "L")
+        a = np.frombuffer(r["pixels"], np.uint8)
+        assert set(a.tolist()) == {vals[r["frame_idx"]]}

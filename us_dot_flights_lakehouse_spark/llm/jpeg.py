@@ -271,6 +271,15 @@ def _strip_stuffing(data: bytes, start: int) -> list[bytes]:
 
 def _decode_scan(data, start, frame, scan_map, quant, huff_dc, huff_ac, dri):
     w, h, comps = frame
+    for c in comps:
+        if c["id"] not in scan_map:
+            raise ValueError(f"JPEG scan missing component {c['id']}")
+        dc_t, ac_t = scan_map[c["id"]]
+        if dc_t not in huff_dc or ac_t not in huff_ac or c["tq"] not in quant:
+            raise ValueError(
+                "JPEG scan references undefined huffman/quant tables "
+                "(MJPG streams omit DHT — see ensure_huffman_tables)"
+            )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -448,3 +457,70 @@ def jpeg_encode_gray(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     )
     sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+#: DC chrominance Huffman spec (Annex K)
+STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+
+#: AC chrominance Huffman spec (Annex K)
+STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def ensure_huffman_tables(data: bytes) -> bytes:
+    """The classic MJPG quirk: motion-JPEG frames routinely OMIT the DHT
+    segment, implying the Annex K default tables (luma on slot 0, chroma
+    on slot 1). If the stream carries no DHT, splice the four standard
+    tables in just before SOS; streams with their own tables pass
+    through untouched."""
+    if data[:2] != b"\xff\xd8":
+        return data
+    pos, sos_at = 2, None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return data  # malformed; let the decoder raise
+        marker = data[pos + 1]
+        if marker == 0xC4:
+            return data  # has its own tables
+        if marker == 0xDA:
+            sos_at = pos
+            break
+        if marker == 0xD9:
+            return data
+        pos += 2 + int.from_bytes(data[pos + 2 : pos + 4], "big")
+    if sos_at is None:
+        return data
+
+    def dht(tc_th: int, spec) -> bytes:
+        bits, vals = spec
+        body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+
+    tables = (
+        dht(0x00, STD_DC_LUMA)
+        + dht(0x10, STD_AC_LUMA)
+        + dht(0x01, STD_DC_CHROMA)
+        + dht(0x11, STD_AC_CHROMA)
+    )
+    return data[:sos_at] + tables + data[sos_at:]

@@ -551,6 +551,33 @@ def avi_encode(frames, us_per_frame: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def avi_encode_mjpeg(frames_gray, us_per_frame: int) -> bytes:
+    """Minimal MJPEG AVI writer: each frame is a baseline grayscale JPEG
+    ('00dc' codec chunks). ``frames_gray`` is (n, h, w) uint8.
+    Test/fixture counterpart of ``sample_frames``'s MJPEG path."""
+    import struct
+
+    import numpy as np
+
+    from us_dot_flights_lakehouse_spark.llm.jpeg import jpeg_encode_gray
+
+    fr = np.asarray(frames_gray, dtype=np.uint8)
+    n, h, w = fr.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack("<14I", us_per_frame, 0, 0, 0, n, 0, 1, 0, w, h, 0, 0, 0, 0)
+    movi = b"".join(chunk(b"00dc", jpeg_encode_gray(f)) for f in fr)
+    body = b"AVI " + lst(b"hdrl", chunk(b"avih", avih)) + lst(b"movi", movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def avi_parse(data: bytes):
     """RIFF/AVI box walk (same kernel family as ``mp4_meta``'s ISO-BMFF
     walk): returns (us_per_frame, width, height, frames) where frames is
@@ -593,10 +620,12 @@ def sample_frames(
     df: DataFrame, every_ms: int, id_col: str = "id", bin_col: str = "payload"
 ) -> DataFrame:
     """Video frame sampling as a DataFrame operator — REAL for
-    uncompressed AVI ('00db' DIB frames: RIFF walk + the BMP row kernel,
-    no codec): one output row per sampled frame with decoded RGB pixels.
-    Codec-bearing frames ('00dc' — MJPEG/H.264 etc.) and non-AVI
-    containers (MP4 — needs an H.264 decoder) yield a single null-pixel
+    uncompressed AVI ('00db' DIB frames: RIFF walk + the BMP row kernel)
+    AND for MJPEG AVI ('00dc' chunks that are baseline JPEGs — decoded
+    by the pure-numpy ``llm/jpeg.py`` codec, including the classic MJPG
+    omitted-DHT quirk via ``ensure_huffman_tables``): one output row per
+    sampled frame with decoded pixels. Frames needing a real video codec
+    (H.264 etc.) and non-AVI containers (MP4) yield a single null-pixel
     row per input, keeping the operator total over mixed corpora.
 
     Sampling: stride = max(1, round(every_ms / frame_period_ms)) — frame
@@ -621,16 +650,41 @@ def sample_frames(
                         row_bytes = (w * 3 + 3) & ~3
                         for idx in range(0, len(frames), stride):
                             tag, payload = frames[idx]
-                            if not tag.endswith("db"):
-                                continue  # codec-gated frame
-                            px = np.frombuffer(
-                                payload, np.uint8, h * row_bytes
-                            ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
-                            px = np.ascontiguousarray(px[::-1, :, ::-1])  # flip+BGR->RGB
-                            rows.append(
-                                (i, idx, idx * period_ms, w, h, "RGB", px.tobytes())
-                            )
-                            emitted = True
+                            if tag.endswith("db"):
+                                px = np.frombuffer(
+                                    payload, np.uint8, h * row_bytes
+                                ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+                                px = np.ascontiguousarray(
+                                    px[::-1, :, ::-1]
+                                )  # flip+BGR->RGB
+                                rows.append(
+                                    (i, idx, idx * period_ms, w, h, "RGB", px.tobytes())
+                                )
+                                emitted = True
+                            elif payload[:2] == b"\xff\xd8":  # MJPEG frame
+                                from us_dot_flights_lakehouse_spark.llm.jpeg import (
+                                    ensure_huffman_tables,
+                                    jpeg_decode,
+                                )
+
+                                try:
+                                    fw, fh, mode, px = jpeg_decode(
+                                        ensure_huffman_tables(payload)
+                                    )
+                                except (ValueError, NotImplementedError):
+                                    continue  # codec-gated frame
+                                rows.append(
+                                    (
+                                        i,
+                                        idx,
+                                        idx * period_ms,
+                                        fw,
+                                        fh,
+                                        mode,
+                                        px.tobytes(),
+                                    )
+                                )
+                                emitted = True
                     except ValueError:
                         pass
                 if not emitted:

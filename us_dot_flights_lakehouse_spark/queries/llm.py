@@ -974,6 +974,82 @@ FROM px
 """
 
 
+def mm_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: REAL compressed-codec frame sampling — synthesizes a 6-frame
+    8x8 MJPEG AVI per document ('00dc' chunks, each a baseline JPEG;
+    frame f is the constant even gray g = 2*((5*doc_id + 29*f) % 128),
+    25 fps), samples every 80 ms (stride 2 → frames 0/2/4) through
+    ``sample_frames``'s jpeg path, and aggregates per-frame stats.
+    DC-only even-valued frames decode bit-losslessly, so the oracle is
+    closed form and the whole RIFF walk → huffman → dequant → IDCT
+    chain hash-fails on any defect. Lifts the '00dc is always gated'
+    limitation for the dominant MJPEG case."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import avi_encode_mjpeg
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                g = 2 * ((5 * int(d) + 29 * np.arange(6)) % 128)
+                frames = np.repeat(
+                    g.astype(np.uint8)[:, None, None], 64, axis=1
+                ).reshape(6, 8, 8)
+                payloads.append(avi_encode_mjpeg(frames, us_per_frame=40_000))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    vids = docs.mapInPandas(synth, schema="id long, payload binary")
+    sampled = multimodal.sample_frames(vids, every_ms=80)
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, f, ts, w, h, mode, px in zip(
+                pdf["id"], pdf["frame_idx"], pdf["ts_ms"], pdf["width"],
+                pdf["height"], pdf["mode"], pdf["pixels"],
+            ):
+                a = np.frombuffer(px, np.uint8)
+                rows.append(
+                    (i, int(f), int(ts), int(w), int(h), mode,
+                     float(int(a.sum()) / a.size), int(a.min()), int(a.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "ts_ms", "width", "height",
+                         "mode", "mean_px", "min_px", "max_px"],
+            )
+
+    return sampled.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, frame_idx int, ts_ms long, width int, height int, "
+            "mode string, mean_px double, min_px int, max_px int"
+        ),
+    )
+
+
+MM_MJPEG_ORACLE = """
+WITH fr AS (SELECT unnest([0, 2, 4]) AS f),
+g AS (
+  SELECT doc_id, f, 2 * ((5 * doc_id + 29 * f) % 128) AS v
+  FROM documents CROSS JOIN fr
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(f * 40 AS BIGINT) AS ts_ms,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       'L' AS mode,
+       CAST(v AS DOUBLE) AS mean_px,
+       CAST(v AS INTEGER) AS min_px,
+       CAST(v AS INTEGER) AS max_px
+FROM g
+"""
+
+
 INCR_HISTORY_CUTOFF = 250
 
 
@@ -1824,6 +1900,7 @@ QUERIES = {
     "mm_pixel_stats": mm_pixel_stats,
     "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
     "mm_frame_stats": mm_frame_stats,
+    "mm_mjpeg_frame_stats": mm_mjpeg_frame_stats,
     "src_wds_roundtrip": src_wds_roundtrip,
     "ts_heavy_hitters": ts_heavy_hitters,
     "tp_incremental_dedup": tp_incremental_dedup,
@@ -1865,6 +1942,7 @@ ORACLES = {
     "mm_pixel_stats": MM_PIXEL_ORACLE,
     "mm_jpeg_roundtrip": MM_JPEG_ORACLE,
     "mm_frame_stats": MM_FRAME_ORACLE,
+    "mm_mjpeg_frame_stats": MM_MJPEG_ORACLE,
     "src_wds_roundtrip": SRC_WDS_ORACLE,
     "ts_heavy_hitters": TS_HH_ORACLE,
     "tp_incremental_dedup": TP_INCR_ORACLE,
