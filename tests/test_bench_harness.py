@@ -24,6 +24,9 @@ def test_bench_isolates_query_failures(tmp_path, monkeypatch):
 
     monkeypatch.setattr(bench.registry, "queries", fake_queries)
     monkeypatch.setenv("BENCH_REPS", "1")
+    # keep the file mirror out of the repo root — a real bench_out.json from a
+    # driver run must not be clobbered with these fake-query timings
+    monkeypatch.setenv("BENCH_OUT", str(tmp_path / "bench_out.json"))
     printed = []
     monkeypatch.setattr("builtins.print", lambda s: printed.append(s))
     stopped = {}
