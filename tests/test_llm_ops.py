@@ -971,3 +971,54 @@ def test_sample_frames_decodes_mjpeg_avi(spark):
         assert (r["width"], r["height"], r["mode"]) == (8, 8, "L")
         a = np.frombuffer(r["pixels"], np.uint8)
         assert set(a.tolist()) == {vals[r["frame_idx"]]}
+
+
+def test_wav_roundtrip_16bit_stereo_with_chunk_walk(spark):
+    import numpy as np
+
+    samples = np.stack(
+        [np.arange(-500, 500, dtype=np.int16), np.arange(500, -500, -1, dtype=np.int16)],
+        axis=1,
+    )  # (1000, 2) stereo
+    blob = multimodal.wav_encode(
+        samples, 44100, extra_chunks=[(b"LIST", b"INFO" + b"\x00" * 7)]  # odd size: pad path
+    )
+    ch, rate, bits, decoded = multimodal.wav_parse(blob)
+    assert (ch, rate, bits) == (2, 44100, 16)
+    assert np.array_equal(decoded.reshape(-1, 2), samples)
+
+    df = spark.createDataFrame([(7, bytearray(blob))], "id long, payload binary")
+    row = multimodal.decode_audio(df).collect()[0]
+    assert (row["channels"], row["sample_rate"], row["n_frames"]) == (2, 44100, 1000)
+    assert np.array_equal(np.frombuffer(row["samples"], "<i2").reshape(-1, 2), samples)
+
+
+def test_wav_8bit_lifted_to_int16():
+    import numpy as np
+
+    # 8-bit storage keeps only the high byte: values must be multiples of 256
+    samples = (np.arange(-128, 128, dtype=np.int16) * 256).astype(np.int16)
+    blob = multimodal.wav_encode(samples, 8000, bits=8)
+    ch, rate, bits, decoded = multimodal.wav_parse(blob)
+    assert (ch, rate, bits) == (1, 8000, 8)
+    assert np.array_equal(decoded, samples)
+
+
+def test_decode_audio_gates_non_pcm_and_non_wav(spark):
+    import struct
+
+    import numpy as np
+
+    good = multimodal.wav_encode(np.array([1, -1, 2, -2], dtype=np.int16), 8000)
+    # same container, format tag 3 (IEEE float) -> codec-gated null row
+    nonpcm = bytearray(good)
+    fmt_off = good.index(b"fmt ") + 8
+    nonpcm[fmt_off : fmt_off + 2] = struct.pack("<H", 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, nonpcm), (3, bytearray(b"not audio at all"))],
+        "id long, payload binary",
+    )
+    rows = {r["id"]: r for r in multimodal.decode_audio(df).collect()}
+    assert rows[1]["n_frames"] == 4
+    assert rows[2]["samples"] is None and rows[2]["channels"] is None
+    assert rows[3]["samples"] is None

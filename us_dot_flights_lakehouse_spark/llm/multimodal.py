@@ -699,3 +699,141 @@ def sample_frames(
     return df.select(F.col(id_col).alias("id"), F.col(bin_col)).mapInPandas(
         extract, schema=SAMPLED_FRAME_SCHEMA
     )
+
+
+def wav_encode(samples, sample_rate: int, bits: int = 16, extra_chunks=()) -> bytes:
+    """Minimal RIFF/WAVE PCM writer (stdlib struct only). ``samples`` is
+    int16 values shaped (n,) mono or (n, channels) interleaved-on-write;
+    ``bits=8`` stores the classic unsigned-8 layout (value>>8 offset by
+    128). ``extra_chunks`` = iterable of (fourcc, body_bytes) inserted
+    between ``fmt `` and ``data`` so readers are forced to actually walk
+    chunks instead of trusting the canonical 44-byte offsets.
+    Test/fixture counterpart of ``wav_parse``/``decode_audio``."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_frames, channels = arr.shape
+    if bits == 16:
+        raw = arr.astype("<i2").tobytes()
+    elif bits == 8:
+        raw = ((arr.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+    else:
+        raise ValueError(f"wav_encode supports 8/16-bit PCM, got {bits}")
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    body = chunk(b"fmt ", fmt)
+    for tag, extra in extra_chunks:
+        body += chunk(tag if isinstance(tag, bytes) else tag.encode(), extra)
+    body += chunk(b"data", raw)
+    return b"RIFF" + struct.pack("<I", len(body) + 4) + b"WAVE" + body
+
+
+def wav_parse(data: bytes):
+    """RIFF/WAVE chunk walk + PCM sample decode: returns
+    (channels, sample_rate, bits, samples) with ``samples`` an int16
+    numpy array of n_frames*channels interleaved values (8-bit unsigned
+    sources are lifted to int16 via ``(v-128)<<8`` so downstream stats
+    are layout-independent). Unlike ``wav_meta``'s fixed-offset Column
+    expressions this walks chunks, so LIST/fact/cue chunks before
+    ``data`` parse correctly. Raises ValueError on non-WAV bytes,
+    NotImplementedError on non-PCM encodings (the codec gate — IEEE
+    float, A-law, MP3-in-WAV etc. need a codec table)."""
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAVE stream")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # RIFF chunks pad to even
+    if fmt is None or raw is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    if audio_format != 1:
+        raise NotImplementedError(f"non-PCM WAV format {audio_format}")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if bits == 16:
+        samples = np.frombuffer(raw[: len(raw) & ~1], dtype="<i2")
+    elif bits == 8:
+        samples = (
+            (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) << 8
+        )
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM unsupported")
+    return channels, rate, bits, samples
+
+
+DECODED_AUDIO_SCHEMA = (
+    "id long, channels int, sample_rate int, bits_per_sample int, "
+    "n_frames long, samples binary"
+)
+
+
+def decode_audio(df: DataFrame, id_col: str = "id", bin_col: str = "payload") -> DataFrame:
+    """Sample-level audio decode as a DataFrame operator — REAL for
+    RIFF/WAVE PCM (8/16-bit, any channel count, arbitrary chunk order via
+    ``wav_parse``); compressed encodings (non-PCM format tags) yield null
+    sample rows rather than failing the batch, keeping the operator total
+    over mixed corpora — the same contract as ``decode_image``. One row
+    per input: ``samples`` is the interleaved int16 little-endian buffer
+    (8-bit sources lifted to int16), ``n_frames`` = samples/channels.
+
+    100 TB: decode is scan-local (zero shuffle); derive features from
+    ``samples`` immediately and drop the buffer before any shuffle."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["id"], pdf[bin_col]):
+                decoded = None
+                if blob is not None:
+                    try:
+                        decoded = wav_parse(bytes(blob))
+                    except (ValueError, NotImplementedError):
+                        decoded = None
+                if decoded is None:
+                    rows.append((i, None, None, None, None, None))
+                else:
+                    ch, rate, bits, samples = decoded
+                    rows.append(
+                        (
+                            i,
+                            ch,
+                            rate,
+                            bits,
+                            len(samples) // ch if ch else None,
+                            samples.astype("<i2").tobytes(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "channels", "sample_rate", "bits_per_sample",
+                    "n_frames", "samples",
+                ],
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(bin_col)).mapInPandas(
+        extract, schema=DECODED_AUDIO_SCHEMA
+    )

@@ -1810,6 +1810,95 @@ FROM documents
 """
 
 
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: REAL sample-level PCM audio decode end-to-end — synthesizes a
+    mono 16-bit WAV per document (256 samples, sample i =
+    (doc_id*31 + i*7919) % 4001 - 2000, written by ``wav_encode`` with a
+    filler LIST chunk between fmt and data so the reader must walk chunks
+    rather than trust the canonical 44-byte offsets), decodes it back
+    with ``multimodal.decode_audio`` (RIFF chunk walk + numpy int16
+    PCM), and aggregates integer-exact amplitude statistics. The oracle
+    recomputes them from the closed form, so a bug anywhere in the
+    encode → chunk-walk → sample-decode → stats chain hash-fails.
+    mean_abs divides by 256 (a power of two): exact double both engines.
+    Reference counterpart: the lakehouse stops at header metadata
+    (`wav_meta`); this is the training-pipeline extension that actually
+    touches samples."""
+    import numpy as np
+
+    # read_table, not read_corpus: microsecond-per-row kernels — see
+    # mm_pixel_stats for why the 32-way repartition would cost more than
+    # it buys across 3 chained mapInPandas stages
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import wav_encode
+
+        for pdf in batches:
+            payloads = [
+                wav_encode(
+                    ((int(d) * 31 + np.arange(256) * 7919) % 4001 - 2000).astype(
+                        np.int16
+                    ),
+                    8000,
+                    extra_chunks=[(b"LIST", b"INFO" + b"\x00" * 12)],
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    wavs = docs.mapInPandas(synth, schema="id long, payload binary")
+    decoded = multimodal.decode_audio(wavs)
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, nf, buf in zip(pdf["id"], pdf["n_frames"], pdf["samples"]):
+                v = np.frombuffer(buf, "<i2").astype(np.int64)
+                rows.append(
+                    (
+                        i,
+                        int(nf),
+                        int(np.abs(v).sum()),
+                        int(np.abs(v).max()),
+                        int(((v[:-1] * v[1:]) < 0).sum()),
+                        float(int(np.abs(v).sum()) / 256),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sum_abs", "peak",
+                    "zero_crossings", "mean_abs",
+                ],
+            )
+
+    return decoded.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, n_samples bigint, sum_abs bigint, peak int, "
+            "zero_crossings bigint, mean_abs double"
+        ),
+    )
+
+
+MM_AUDIO_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(0, 256),
+                        i -> (doc_id * 31 + i * 7919) % 4001 - 2000) AS v
+  FROM documents
+)
+SELECT doc_id,
+       CAST(256 AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(v, x -> abs(x))) AS BIGINT) AS sum_abs,
+       CAST(list_aggregate(list_transform(v, x -> abs(x)), 'max') AS INTEGER) AS peak,
+       CAST(len(list_filter(range(0, 255), i -> v[i+1] * v[i+2] < 0)) AS BIGINT) AS zero_crossings,
+       CAST(list_sum(list_transform(v, x -> abs(x))) AS DOUBLE) / 256.0 AS mean_abs
+FROM s
+"""
+
+
 #: mvhd timescales exercised by mm_mp4_meta, indexed by doc_id % 4
 _MP4_TIMESCALES = (600, 1000, 24000, 90000)
 
@@ -1915,6 +2004,7 @@ QUERIES = {
     "tp_doc_chunking": tp_doc_chunking,
     "tp_source_caps": tp_source_caps,
     "mm_wav_meta": mm_wav_meta,
+    "mm_audio_stats": mm_audio_stats,
     "dd_semantic_dedup": dd_semantic_dedup,
     "tp_shard_shuffle": tp_shard_shuffle,
     "ts_bigram_commonality": ts_bigram_commonality,
@@ -1957,6 +2047,7 @@ ORACLES = {
     "tp_doc_chunking": TP_CHUNK_ORACLE,
     "tp_source_caps": TP_SOURCE_CAPS_ORACLE,
     "mm_wav_meta": MM_WAV_ORACLE,
+    "mm_audio_stats": MM_AUDIO_ORACLE,
     "dd_semantic_dedup": DD_SEMANTIC_ORACLE,
     "tp_shard_shuffle": TP_SHARD_ORACLE,
     "ts_bigram_commonality": TS_BIGRAM_ORACLE,
