@@ -275,6 +275,173 @@ def ivf_cosine_topk(
     )
 
 
+#: PQ defaults: M sub-quantizers over dim/M-dim slices, ksub codes each —
+#: an 8-byte code per 64-dim float32 vector (32x compression)
+PQ_M = 8
+PQ_KSUB = 16
+
+
+def train_pq_codebooks(train, dim: int, m: int = PQ_M, ksub: int = PQ_KSUB, seed: int = 42):
+    """Per-subspace seeded Lloyd's (shared ``train_centroids`` kernel, one
+    independent seed per subspace) over a float64 training matrix, after
+    L2-normalizing each training row IN NUMPY (so the Spark query and the
+    DuckDB oracle builder — which both call this on the same raw sample —
+    hold bitwise-identical codebooks regardless of either engine's fold
+    order). PQ ranks by squared L2 on the normalized sphere, where the
+    ordering is exactly cosine's: ||a-b||^2 = 2 - 2*cos(a,b)."""
+    import numpy as np
+
+    dsub = dim // m
+    if dsub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    norms = np.sqrt((train * train).sum(axis=1, keepdims=True))
+    norms[norms == 0] = 1.0
+    train = train / norms
+    return [
+        train_centroids(train[:, j * dsub : (j + 1) * dsub], ksub, seed + j)
+        for j in range(m)
+    ]
+
+
+def pq_codebooks_from_parquet(
+    path: str,
+    dim: int,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    seed: int = 42,
+    cap: int = IVF_TRAIN_CAP,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spark-free codebook derivation straight from the parquet file —
+    used by the DuckDB oracle builder to emit the same codebooks the
+    Spark query trains at runtime (mirrors ``ivf_centroids_from_parquet``)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=[id_col, vec_col]).to_pandas()
+    t = t.rename(columns={vec_col: "v"})
+    if sample_mod > 1:
+        t = t[t[id_col].map(lambda i: _md5_mod_keep(i, sample_mod))]
+    return train_pq_codebooks(_training_matrix(t, id_col, cap), dim, m, ksub, seed)
+
+
+def pq_cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_cap: int = IVF_TRAIN_CAP,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jegou et al., TPAMI'11,
+    asymmetric distance / ADC): each corpus vector is encoded as ``m``
+    small codes (argmin sub-centroid per dim/m-dim slice); queries rank
+    candidates by squared L2 distance to the RECONSTRUCTED vector —
+    original corpus vectors are never touched after encoding.
+
+    Scale path: the corpus is scanned once to encode, then the search
+    works entirely on the code table — m bytes/vector vs 4*dim, a 32x
+    shrink at the defaults, which is the difference between an in-memory
+    scan and a disk-bound one at 100 TB. The ADC scan is scan-local
+    (codebooks are literals, queries broadcast); the only shuffle is the
+    per-query top-k window. Compose with ``ivf_cosine_topk``'s cell
+    pruning (IVF-PQ) when even a compressed full scan is too much.
+
+    Vectors are L2-normalized before encoding, so squared-L2 ADC ranking
+    IS cosine ranking (||a-b||^2 = 2 - 2*cos on the unit sphere).
+    Encoding and scoring are pure Column expressions (literal codebook
+    arrays, element_at reconstruction, sequential-fold squared distances,
+    left-associated subspace sum) so every float is bit-reproducible by
+    the DuckDB oracle. Training mirrors IVF: driver-side seeded numpy on
+    a bounded, deterministically hash-gated sample — no Spark-side sort.
+    Returns (query_id, rank, neighbor_id); rank ascending ADC distance,
+    ties broken by neighbor id (identical codes reconstruct identically)."""
+    dsub = dim // m
+    if dsub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    corpus = _prep(emb, id_col, vec_col).withColumn(
+        "v", F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    )
+
+    # raw sample collected BEFORE Spark-side normalization: the codebook
+    # trainer normalizes in numpy so the oracle builder (numpy on the
+    # same parquet rows) derives bit-identical codebooks
+    train_df = _prep(emb, id_col, vec_col).select("id", "v")
+    if sample_mod > 1:
+        train_df = train_df.filter(
+            hash28(F.col("id").cast("string")) % sample_mod == 0
+        )
+    train = _training_matrix(train_df.toPandas(), "id", train_cap)
+    books = train_pq_codebooks(train, dim, m, ksub, seed)
+    book_lits = [
+        F.array(*[F.array(*[F.lit(float(x)) for x in cent]) for cent in b])
+        for b in books
+    ]
+
+    def _sub_sqdist(vec_slice: Column, cent: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(vec_slice, cent, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    # encode: per-subspace argmin over the literal codebook — expression-
+    # only, one narrow scan, no Python in the path
+    code_cols = []
+    for j in range(m):
+        sl = F.slice(F.col("v"), j * dsub + 1, dsub)
+        code = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sub_sqdist(
+                            sl, F.array(*[F.lit(float(x)) for x in books[j][c]])
+                        ).alias("d"),
+                        F.lit(c).cast("int").alias("c"),
+                    )
+                    for c in range(ksub)
+                ]
+            )
+        )["c"]
+        code_cols.append(code.alias(f"code{j}"))
+    codes = corpus.select("id", *code_cols)
+
+    qs = (
+        _prep(queries, id_col, vec_col)
+        .withColumn("v", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
+        .select(F.col("id").alias("qid"), F.col("v").alias("qv"))
+    )
+    # ADC by reconstruction: left-associated sum of per-subspace folds so
+    # the SQL oracle's textual d0 + d1 + ... matches bit-for-bit
+    adc = None
+    for j in range(m):
+        recon = F.element_at(book_lits[j], F.col(f"code{j}") + 1)
+        d = _sub_sqdist(F.slice(F.col("qv"), j * dsub + 1, dsub), recon)
+        adc = d if adc is None else adc + d
+    scored = (
+        F.broadcast(qs)
+        .crossJoin(codes)
+        .filter(F.col("qid") != F.col("id"))
+        .select("qid", "id", adc.alias("adc"))
+    )
+    w = W.partitionBy("qid").orderBy(F.asc("adc"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("id").alias("neighbor_id"),
+        )
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -45,6 +45,7 @@ _PRIORITY = (
     "mm_jpeg_roundtrip",  # new this round (baseline JPEG codec)
     "mm_mjpeg_frame_stats",  # new this round (MJPEG AVI frames)
     "mm_audio_stats",  # new this round (PCM sample decode)
+    "sim_pq_topk",  # new this round (product-quantization ADC)
     "tp_incremental_dedup",  # broadcast hint dropped
     "dd_line_dedup",  # row-level encoding guard added
     "src_wds_roundtrip",  # writer temp-file+rename / overwrite sweep

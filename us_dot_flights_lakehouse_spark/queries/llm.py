@@ -326,6 +326,99 @@ SELECT query_id, rank, neighbor_id, cell_id FROM (
 """
 
 
+PQ_SEED = 42
+PQ_DIM = 64
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k. Oracle-able the same way as IVF:
+    per-subspace codebooks train driver-side with seeded numpy Lloyd's
+    on the deterministic sample, so ``_pq_oracle`` re-derives the SAME
+    codebooks from the parquet (shared similarity.train_pq_codebooks)
+    and embeds them as DuckDB double-list literals — encoding argmin,
+    reconstruction, and the left-associated subspace distance sum are
+    sequential folds on both sides."""
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.pq_cosine_topk(emb, qs, k=TOPK_K, dim=PQ_DIM, seed=PQ_SEED)
+
+
+def _pq_oracle() -> str:
+    """Literal-codebook DuckDB oracle for sim_pq_topk (the literal-
+    centroid technique from _ivf_oracle, per subspace): codebooks are
+    re-trained from the parquet at oracle-build time via the shared
+    numpy path, then emitted as DOUBLE[] literals keyed (sub, code).
+    Encoding = per-(vector, subspace) argmin; scoring joins the m chosen
+    codewords wide and sums the per-subspace folds textually left-to-
+    right, matching the Spark Column ``+`` chain bit-for-bit."""
+    import os
+
+    from us_dot_flights_lakehouse_spark.llm.similarity import PQ_KSUB, PQ_M
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    books = similarity.pq_codebooks_from_parquet(
+        f"{sf_dir}/embeddings.parquet", dim=PQ_DIM, seed=PQ_SEED
+    )
+    dsub = PQ_DIM // PQ_M
+    rows = []
+    for j, book in enumerate(books):
+        for c, cent in enumerate(book.tolist()):
+            lit = "[" + ", ".join(repr(x) for x in cent) + "]"
+            rows.append(
+                f"SELECT {j} AS sub, {c} AS code, CAST({lit} AS DOUBLE[]) AS c"
+            )
+    cents_sql = "\n  UNION ALL ".join(rows)
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN sub = {j} THEN code END) AS code{j}" for j in range(PQ_M)
+    )
+    cw_joins = "\n  ".join(
+        f"JOIN cents c{j} ON c{j}.sub = {j} AND c{j}.code = w.code{j}"
+        for j in range(PQ_M)
+    )
+    sub_dists = [
+        f"list_sum(list_transform(range(1, {dsub + 1}), "
+        f"i -> (q.v[{j * dsub} + i] - c{j}.c[i]) * (q.v[{j * dsub} + i] - c{j}.c[i])))"
+        for j in range(PQ_M)
+    ]
+    adc = " + ".join(sub_dists)
+    return f"""
+WITH e0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), e AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+  FROM e0
+),
+cents AS (
+  {cents_sql}
+), assigned AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT e.vec_id, c.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.sub ORDER BY
+             list_sum(list_transform(range(1, {dsub + 1}),
+               i -> (e.v[c.sub * {dsub} + i] - c.c[i]) * (e.v[c.sub * {dsub} + i] - c.c[i]))) ASC,
+             c.code ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+), wide AS (
+  SELECT vec_id, {code_cols} FROM assigned GROUP BY vec_id
+), scored AS (
+  SELECT q.vec_id AS query_id, w.vec_id AS neighbor_id,
+         {adc} AS adc
+  FROM e q
+  CROSS JOIN wide w
+  {cw_joins}
+  WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id != w.vec_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOPK_K}
+"""
+
+
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (LSH-bucketed) top-k. Oracle-able after all: the
     hyperplane family is deterministic md5 (similarity._plane), so the
@@ -1979,6 +2072,7 @@ QUERIES = {
     "sim_lsh_topk": sim_lsh_topk,
     "sim_lsh_multiprobe": sim_lsh_multiprobe,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_pq_topk": sim_pq_topk,
     "sim_quantize_int8": sim_quantize_int8,
     "ts_text_stats": ts_text_stats,
     "ts_lang_id": ts_lang_id,
@@ -2022,6 +2116,7 @@ ORACLES = {
     "sim_lsh_topk": SIM_LSH_ORACLE,
     "sim_lsh_multiprobe": SIM_LSH_MP_ORACLE,
     "sim_ivf_topk": _ivf_oracle,
+    "sim_pq_topk": _pq_oracle,
     "sim_quantize_int8": SIM_QUANT_ORACLE,
     "ts_text_stats": TS_STATS_ORACLE,
     "ts_lang_id": _lang_oracle(),
