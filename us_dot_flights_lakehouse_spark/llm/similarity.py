@@ -392,23 +392,15 @@ def pq_cosine_topk(
         )
 
     # encode: per-subspace argmin over the literal codebook — expression-
-    # only, one narrow scan, no Python in the path
+    # only, one narrow scan, no Python in the path. One transform lambda
+    # per subspace (not ksub unrolled branches) keeps the Catalyst tree
+    # small; array_position of the min picks the LOWEST code on exact
+    # ties, matching the oracle's ORDER BY dist ASC, code ASC
     code_cols = []
     for j in range(m):
         sl = F.slice(F.col("v"), j * dsub + 1, dsub)
-        code = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sub_sqdist(
-                            sl, F.array(*[F.lit(float(x)) for x in books[j][c]])
-                        ).alias("d"),
-                        F.lit(c).cast("int").alias("c"),
-                    )
-                    for c in range(ksub)
-                ]
-            )
-        )["c"]
+        dists = F.transform(book_lits[j], lambda c: _sub_sqdist(sl, c))
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         code_cols.append(code.alias(f"code{j}"))
     codes = corpus.select("id", *code_cols)
 
