@@ -1084,3 +1084,58 @@ def test_pq_rejects_indivisible_subspaces(spark, sf_small):
     emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
     with pytest.raises(ValueError, match="not divisible"):
         pq_cosine_topk(emb, emb.limit(1), k=5, dim=64, m=7)
+
+
+def test_gif_roundtrip_plain_interlaced_and_clear_resets():
+    import numpy as np
+
+    pal = [(i, i, i) for i in range(256)]
+    idx = ((7 * np.arange(64)) % 256).astype(np.uint8).reshape(8, 8)
+    for interlace in (False, True):
+        w, h, mode, px = multimodal.gif_decode(
+            multimodal.gif_encode(idx, pal, interlace=interlace)
+        )
+        assert (w, h, mode) == (8, 8, "RGB")
+        assert np.array_equal(px[:, :, 0], idx)
+    # 2-bit palette on a 40x40 image: the fixed-width LZW stream must
+    # emit clear codes before the decoder would widen
+    pal4 = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    idx4 = (np.arange(1600) % 4).astype(np.uint8).reshape(40, 40)
+    w, h, mode, px = multimodal.gif_decode(multimodal.gif_encode(idx4, pal4))
+    assert np.array_equal(px, np.array(pal4, dtype=np.uint8)[idx4])
+
+
+def test_gif_decode_animated_first_frame_and_malformed():
+    import numpy as np
+
+    pal = [(i, i, i) for i in range(256)]
+    a = np.full((4, 4), 10, np.uint8)
+    b = np.full((4, 4), 200, np.uint8)
+    one = multimodal.gif_encode(a, pal)
+    two = multimodal.gif_encode(b, pal)
+    # splice frame 2's descriptor+data after frame 1 (strip header/GCT
+    # /trailer of the second, drop trailer of the first), and prepend a
+    # graphic-control extension so the skip path runs too
+    gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+    animated = one[:-1] + gce + two[6 + 7 + 768 : ]
+    w, h, mode, px = multimodal.gif_decode(animated)
+    assert (w, h) == (4, 4)
+    assert px[0, 0, 0] == 10  # FIRST frame wins
+    with pytest.raises(ValueError):
+        multimodal.gif_decode(b"GIF87a" + b"\x00" * 4)
+    with pytest.raises(ValueError):
+        multimodal.gif_decode(b"nope")
+
+
+def test_decode_image_handles_gif(spark):
+    import numpy as np
+
+    pal = [(i, 0, 255 - i) for i in range(256)]
+    idx = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = multimodal.gif_encode(idx, pal)
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, payload binary")
+    row = multimodal.decode_image(df).collect()[0]
+    assert (row["width"], row["height"], row["mode"]) == (8, 8, "RGB")
+    px = np.frombuffer(row["pixels"], np.uint8).reshape(8, 8, 3)
+    assert np.array_equal(px[:, :, 0], idx)
+    assert np.array_equal(px[:, :, 2], 255 - idx)

@@ -471,14 +471,215 @@ def bmp_decode(data: bytes):
     return w, h, "RGB" if ch == 3 else "RGBA", np.ascontiguousarray(px)
 
 
+#: GIF 89a interlace pass layout: (row start, row stride) per pass
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_encode(indices, palette, interlace: bool = False) -> bytes:
+    """Minimal GIF89a writer (stdlib only): one frame, global color
+    table, real variable-width-ready LZW stream emitted at fixed width
+    via clear-code resets (each pixel a literal code; a CLEAR is sent
+    just before the decoder's next-entry counter would widen the code).
+    ``indices`` is (h, w) uint8 palette indices; ``palette`` is a list
+    of (r, g, b). Test/fixture counterpart of ``gif_decode``."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    nbits = max(2, (len(palette) - 1).bit_length())
+    table_size = 1 << nbits
+    if len(palette) > 256 or idx.max(initial=0) >= len(palette):
+        raise ValueError("palette must cover all indices, max 256 entries")
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (nbits - 1), 0, 0])  # GCT flag+size, bg, aspect
+    for i in range(table_size):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        out += bytes([r, g, b])
+    flags = 0x40 if interlace else 0
+    out += b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([flags])
+    cs = nbits  # LZW minimum code size
+    clear, end = 1 << cs, (1 << cs) + 1
+    out += bytes([cs])
+
+    bits = bitpos = 0
+    stream = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bits, bitpos
+        bits |= code << bitpos
+        bitpos += width
+        while bitpos >= 8:
+            stream.append(bits & 0xFF)
+            bits >>= 8
+            bitpos -= 8
+
+    rows = idx
+    if interlace:
+        order = [y for start, step in _GIF_INTERLACE for y in range(start, h, step)]
+        rows = idx[order]
+    width = cs + 1
+    emit(clear, width)
+    next_entry = end + 1
+    first_after_clear = True
+    for p in rows.reshape(-1).tolist():
+        # decoder adds one table entry per code after the first since the
+        # last clear; reset before it would grow past the current width
+        if not first_after_clear:
+            next_entry += 1
+            if next_entry >= (1 << width) - 1:
+                emit(clear, width)
+                next_entry = end + 1
+                first_after_clear = True
+                emit(int(p), width)
+                first_after_clear = False
+                continue
+        emit(int(p), width)
+        first_after_clear = False
+    emit(end, width)
+    if bitpos:
+        stream.append(bits & 0xFF)
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def gif_decode(data: bytes):
+    """REAL pixel-level GIF decode with no imaging library: full
+    variable-width LZW decompression (clear codes, KwKwK case, code
+    widening to 12 bits) + palette expansion, both interlaced and
+    sequential row order, local color tables, GCE/comment/application
+    extension skipping. Animated GIFs decode their FIRST frame (the
+    standard thumbnail/feature-extraction contract). Returns
+    (width, height, "RGB", pixels_ndarray[h, w, 3]). Raises ValueError
+    on non-GIF/corrupt bytes."""
+    import numpy as np
+
+    if data[:4] != b"GIF8" or len(data) < 13:
+        raise ValueError("not a GIF stream")
+    gct_flag = data[10] & 0x80
+    gct_bits = (data[10] & 0x07) + 1
+    pos = 13
+    gct = None
+    if gct_flag:
+        n = 1 << gct_bits
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(data) and data[p]:
+            p += 1 + data[p]
+        return p + 1
+
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: GCE / comment / app — skip
+            pos = skip_subblocks(pos + 2)
+        elif b == 0x2C:  # image descriptor — decode this (first) frame
+            w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            flags = data[pos + 9]
+            pos += 10
+            pal = gct
+            if flags & 0x80:  # local color table
+                n = 1 << ((flags & 0x07) + 1)
+                pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF frame without a color table")
+            cs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos]:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pixels = _lzw_decode(bytes(lzw), cs, w * h)
+            idx = np.asarray(pixels, dtype=np.int32)
+            if idx.max(initial=0) >= len(pal):
+                raise ValueError("GIF index outside color table")
+            img = pal[idx].reshape(h, w, 3)
+            if flags & 0x40:  # interlaced: undo the 4-pass row order
+                order = [
+                    y for start, step in _GIF_INTERLACE for y in range(start, h, step)
+                ]
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            return w, h, "RGB", np.ascontiguousarray(img)
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def _lzw_decode(stream: bytes, min_code_size: int, expect: int) -> list[int]:
+    """GIF-flavor LZW: little-endian bit packing, clear/end codes, width
+    grows to 12 bits, fresh table on clear. Raises ValueError on corrupt
+    streams or when fewer than ``expect`` pixels decode."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+    width = min_code_size + 1
+    prev: list[int] | None = None
+    acc = nbits = 0
+    i = 0
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [[c] for c in range(1 << min_code_size)] + [[], []]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if i >= len(stream):
+                raise ValueError("LZW stream truncated")
+            acc |= stream[i] << nbits
+            nbits += 8
+            i += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # KwKwK
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) >= expect:
+            break
+    if len(out) < expect:
+        raise ValueError("LZW decoded fewer pixels than the frame needs")
+    return out[:expect]
+
+
 def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "payload") -> DataFrame:
     """Pixel-level image decode as a DataFrame operator — REAL for PNG
-    (stdlib zlib + numpy unfiltering), uncompressed BMP, and baseline
-    JPEG (pure-numpy huffman + dequant + IDCT in ``llm/jpeg.py``, incl.
-    4:2:0/4:2:2 chroma upsampling and YCbCr→RGB); variants that still
-    need a codec library (progressive JPEG, GIF LZW) yield null pixel
-    rows rather than failing the batch, keeping the operator total over
-    mixed corpora. Arrow-batched mapInPandas, one row per input:
+    (stdlib zlib + numpy unfiltering), uncompressed BMP, baseline JPEG
+    (pure-numpy huffman + dequant + IDCT in ``llm/jpeg.py``, incl.
+    4:2:0/4:2:2 chroma upsampling and YCbCr→RGB), and GIF (full
+    variable-width LZW + palette expansion, interlace supported, first
+    frame of animations); variants that still need a codec library
+    (progressive JPEG) yield null pixel rows rather than failing the
+    batch, keeping the operator total over mixed corpora.
+    Arrow-batched mapInPandas, one row per input:
     (id, width, height, mode, pixels) with ``pixels`` the raw
     ``h*w*ch`` uint8 buffer (row-major, mode-ordered channels).
 
@@ -498,6 +699,8 @@ def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "payload") ->
                             decoded = png_decode(b)
                         elif b[:2] == b"BM":
                             decoded = bmp_decode(b)
+                        elif b[:4] == b"GIF8":
+                            decoded = gif_decode(b)
                         elif b[:2] == b"\xff\xd8":
                             from us_dot_flights_lakehouse_spark.llm.jpeg import (
                                 jpeg_decode,

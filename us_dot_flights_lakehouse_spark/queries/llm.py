@@ -1903,6 +1903,94 @@ FROM documents
 """
 
 
+def mm_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: REAL GIF LZW decode end-to-end — synthesizes an 8x8
+    gray-palette GIF per document (pixel i = (11*doc_id + 3*i) % 256,
+    written by ``gif_encode``'s clear-code-reset LZW; odd doc_ids write
+    INTERLACED frames so the 4-pass row reorder is exercised), decodes
+    it back through ``decode_image``'s gif path (variable-width LZW +
+    palette expansion + deinterlace), and aggregates pixel statistics
+    including a POSITION-WEIGHTED sum (sum of i * pixel_i) — mean/min/
+    max are permutation-invariant, so only the weighted sum would catch
+    an interlace-order bug. The oracle recomputes everything from the
+    closed form; mean divides by 64 (power of two): exact double."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import gif_encode
+
+        pal = [(i, i, i) for i in range(256)]
+        for pdf in batches:
+            payloads = [
+                gif_encode(
+                    ((11 * int(d) + 3 * np.arange(64)) % 256)
+                    .astype(np.uint8)
+                    .reshape(8, 8),
+                    pal,
+                    interlace=bool(int(d) % 2),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(synth, schema="id long, payload binary")
+    decoded = multimodal.decode_image(imgs)
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, w, h, mode, px in zip(
+                pdf["id"], pdf["width"], pdf["height"], pdf["mode"], pdf["pixels"]
+            ):
+                a = np.frombuffer(px, np.uint8).reshape(64, 3)[:, 0].astype(np.int64)
+                rows.append(
+                    (
+                        i,
+                        int(w),
+                        int(h),
+                        mode,
+                        float(int(a.sum()) / 64),
+                        int(a.min()),
+                        int(a.max()),
+                        int((np.arange(64) * a).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "mode",
+                    "mean_px", "min_px", "max_px", "weighted_sum",
+                ],
+            )
+
+    return decoded.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, width int, height int, mode string, "
+            "mean_px double, min_px int, max_px int, weighted_sum bigint"
+        ),
+    )
+
+
+MM_GIF_ORACLE = """
+WITH px AS (
+  SELECT doc_id, list_transform(range(0, 64), i -> (11 * doc_id + 3 * i) % 256) AS p
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       'RGB' AS mode,
+       list_sum(p) / 64.0 AS mean_px,
+       CAST(list_aggregate(p, 'min') AS INTEGER) AS min_px,
+       CAST(list_aggregate(p, 'max') AS INTEGER) AS max_px,
+       CAST(list_sum(list_transform(range(0, 64), i -> i * p[i + 1])) AS BIGINT) AS weighted_sum
+FROM px
+"""
+
+
 def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM: REAL sample-level PCM audio decode end-to-end — synthesizes a
     mono 16-bit WAV per document (256 samples, sample i =
@@ -2099,6 +2187,7 @@ QUERIES = {
     "tp_source_caps": tp_source_caps,
     "mm_wav_meta": mm_wav_meta,
     "mm_audio_stats": mm_audio_stats,
+    "mm_gif_roundtrip": mm_gif_roundtrip,
     "dd_semantic_dedup": dd_semantic_dedup,
     "tp_shard_shuffle": tp_shard_shuffle,
     "ts_bigram_commonality": ts_bigram_commonality,
@@ -2143,6 +2232,7 @@ ORACLES = {
     "tp_source_caps": TP_SOURCE_CAPS_ORACLE,
     "mm_wav_meta": MM_WAV_ORACLE,
     "mm_audio_stats": MM_AUDIO_ORACLE,
+    "mm_gif_roundtrip": MM_GIF_ORACLE,
     "dd_semantic_dedup": DD_SEMANTIC_ORACLE,
     "tp_shard_shuffle": TP_SHARD_ORACLE,
     "ts_bigram_commonality": TS_BIGRAM_ORACLE,
