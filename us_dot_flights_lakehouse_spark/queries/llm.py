@@ -907,10 +907,15 @@ def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ACs zero), so the decode is bit-lossless and the oracle recomputes
     the stats from the closed form — any bug in either direction of the
     huffman/quant/DCT chain hash-fails. Mean divides by 256 (power of
-    two): exact double both engines."""
+    two): exact double both engines.
+
+    read_corpus, not read_table: the JPEG codec kernel is ~1 ms/row —
+    unlike mm_pixel_stats' microsecond PNG kernels, the 32-way
+    repartition buys back far more than the Python-runner round-trips
+    cost (measured 1.8 -> 1.0 s at sf0.1)."""
     import numpy as np
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
         from us_dot_flights_lakehouse_spark.llm.jpeg import jpeg_encode_gray
@@ -1076,10 +1081,14 @@ def mm_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     DC-only even-valued frames decode bit-losslessly, so the oracle is
     closed form and the whole RIFF walk → huffman → dequant → IDCT
     chain hash-fails on any defect. Lifts the '00dc is always gated'
-    limitation for the dominant MJPEG case."""
+    limitation for the dominant MJPEG case.
+
+    read_corpus, not read_table: 6 JPEG encodes + 3 decodes ≈ 2.3 ms of
+    Python per row — the single-split scan serializes that on one core
+    (measured 4.5 -> 1.3 s at sf0.1 with the 32-way repartition)."""
     import numpy as np
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
         from us_dot_flights_lakehouse_spark.llm.multimodal import avi_encode_mjpeg
