@@ -1139,3 +1139,34 @@ def test_decode_image_handles_gif(spark):
     px = np.frombuffer(row["pixels"], np.uint8).reshape(8, 8, 3)
     assert np.array_equal(px[:, :, 0], idx)
     assert np.array_equal(px[:, :, 2], 255 - idx)
+
+
+def test_random_projection_preserves_distances_jl(spark):
+    import numpy as np
+
+    from us_dot_flights_lakehouse_spark.llm.similarity import random_project
+
+    # 5 far-apart centers, 2 near-identical members each: true pairwise
+    # distances are bimodal (tiny intra-cluster, huge inter-cluster) —
+    # the structure JL provably preserves. (On isotropic gaussians all
+    # distances concentrate at sqrt(2*dim), so rank tests are noise.)
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(5, 64)) * 10
+    vecs = np.stack([c + rng.normal(size=64) * 0.05 for c in centers for _ in range(2)])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    proj = {
+        r["id"]: np.array(r["proj"])
+        for r in random_project(emb, out_dim=16, dim=64).collect()
+    }
+    assert all(len(p) == 16 for p in proj.values())
+    intra = [np.linalg.norm(proj[2 * c] - proj[2 * c + 1]) for c in range(5)]
+    inter = [
+        np.linalg.norm(proj[a] - proj[b])
+        for a in range(10)
+        for b in range(a + 1, 10)
+        if a // 2 != b // 2
+    ]
+    assert max(intra) < min(inter)

@@ -275,6 +275,35 @@ def ivf_cosine_topk(
     )
 
 
+def random_project(
+    emb: DataFrame,
+    out_dim: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    first_plane: int = 1000,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: component k of the output
+    is the dot product with deterministic pseudo-random plane
+    ``first_plane + k`` (same md5-derived family as the LSH planes, a
+    disjoint slice by default). Distances are preserved within the JL
+    epsilon for out_dim = O(log n / eps^2), so downstream ANN / dedup
+    runs on dim/out_dim-times smaller vectors.
+
+    Scale: expression-only (literal plane arrays, sequential folds) —
+    scan-local projection with zero shuffle and no Python in the path;
+    the oracle replays each fold bit-for-bit from the same plane
+    literals. Returns (id, proj array<double>)."""
+    corpus = emb.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+    )
+    comps = [
+        _dot("v", F.array(*[F.lit(w) for w in _plane(first_plane + k, dim)]))
+        for k in range(out_dim)
+    ]
+    return corpus.select("id", F.array(*comps).alias("proj"))
+
+
 #: PQ defaults: M sub-quantizers over dim/M-dim slices, ksub codes each —
 #: an 8-byte code per 64-dim float32 vector (32x compression)
 PQ_M = 8

@@ -47,6 +47,7 @@ _PRIORITY = (
     "mm_audio_stats",  # new this round (PCM sample decode)
     "sim_pq_topk",  # new this round (product-quantization ADC)
     "mm_gif_roundtrip",  # new this round (GIF LZW pixel decode)
+    "sim_random_projection",  # new this round (JL projection)
     "tp_incremental_dedup",  # broadcast hint dropped
     "dd_line_dedup",  # row-level encoding guard added
     "src_wds_roundtrip",  # writer temp-file+rename / overwrite sweep

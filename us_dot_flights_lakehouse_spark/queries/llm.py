@@ -419,6 +419,47 @@ SELECT query_id, rank, neighbor_id FROM (
 """
 
 
+RP_OUT_DIM = 16
+RP_FIRST_PLANE = 1000
+
+
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64 -> 16 dims, exploded to one row per
+    output component so the hash compares scalar doubles (not list
+    formatting). Planes come from the deterministic md5 family, emitted
+    as SQL literals by the oracle — the plane-literal technique from
+    sim_lsh_topk applied to dimensionality reduction."""
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    proj = similarity.random_project(
+        emb, out_dim=RP_OUT_DIM, dim=64, first_plane=RP_FIRST_PLANE
+    )
+    return proj.select(
+        F.col("id").alias("vec_id"),
+        F.posexplode("proj").alias("k", "proj"),
+    )
+
+
+def _rp_oracle() -> str:
+    from us_dot_flights_lakehouse_spark.llm.similarity import _plane
+
+    rows = []
+    for k in range(RP_OUT_DIM):
+        lit = "[" + ", ".join(repr(x) for x in _plane(RP_FIRST_PLANE + k, 64)) + "]"
+        rows.append(f"SELECT {k} AS k, CAST({lit} AS DOUBLE[]) AS p")
+    planes_sql = "\n  UNION ALL ".join(rows)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), planes AS (
+  {planes_sql}
+)
+SELECT e.vec_id, CAST(pl.k AS INTEGER) AS k,
+       list_sum(list_transform(range(1, 65), i -> pl.p[i] * e.v[i])) AS proj
+FROM e CROSS JOIN planes pl
+"""
+
+
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (LSH-bucketed) top-k. Oracle-able after all: the
     hyperplane family is deterministic md5 (similarity._plane), so the
@@ -2170,6 +2211,7 @@ QUERIES = {
     "sim_lsh_multiprobe": sim_lsh_multiprobe,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_pq_topk": sim_pq_topk,
+    "sim_random_projection": sim_random_projection,
     "sim_quantize_int8": sim_quantize_int8,
     "ts_text_stats": ts_text_stats,
     "ts_lang_id": ts_lang_id,
@@ -2215,6 +2257,7 @@ ORACLES = {
     "sim_lsh_multiprobe": SIM_LSH_MP_ORACLE,
     "sim_ivf_topk": _ivf_oracle,
     "sim_pq_topk": _pq_oracle,
+    "sim_random_projection": _rp_oracle,
     "sim_quantize_int8": SIM_QUANT_ORACLE,
     "ts_text_stats": TS_STATS_ORACLE,
     "ts_lang_id": _lang_oracle(),
