@@ -1170,3 +1170,47 @@ def test_random_projection_preserves_distances_jl(spark):
         if a // 2 != b // 2
     ]
     assert max(intra) < min(inter)
+
+
+def test_mp4_mjpeg_roundtrip_and_frame_sampling(spark):
+    import numpy as np
+
+    g = 2 * ((5 * 3 + 29 * np.arange(6)) % 128)
+    frames = np.repeat(g.astype(np.uint8)[:, None, None], 64, axis=1).reshape(6, 8, 8)
+    blob = multimodal.mp4_encode_mjpeg(frames, frame_ms=40)
+
+    # the header-metadata kernel still reads the same file
+    meta = multimodal.mp4_meta(
+        spark.createDataFrame([(1, bytearray(blob))], "id long, payload binary")
+    ).collect()[0]
+    assert meta["major_brand"] == "isom"
+    assert meta["timescale"] == 1000 and meta["duration_ms"] == 240
+
+    period, w, h, codec, samples = multimodal.mp4_parse_frames(blob)
+    assert (period, w, h, codec, len(samples)) == (40, 8, 8, "jpeg", 6)
+
+    df = spark.createDataFrame([(9, bytearray(blob))], "id long, payload binary")
+    rows = multimodal.sample_frames(df, every_ms=80).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    assert [r["ts_ms"] for r in rows] == [0, 80, 160]
+    for r in rows:
+        px = np.frombuffer(r["pixels"], np.uint8)
+        assert (r["width"], r["height"], r["mode"]) == (8, 8, "L")
+        assert px.min() == px.max() == g[r["frame_idx"]]
+
+
+def test_mp4_non_jpeg_samples_gate_to_null_row(spark):
+    import numpy as np
+
+    frames = np.zeros((2, 8, 8), np.uint8)
+    blob = bytearray(multimodal.mp4_encode_mjpeg(frames, frame_ms=40))
+    # corrupt both samples' SOI markers so they read as a foreign codec
+    soi = bytes(blob).find(b"\xff\xd8")
+    while soi != -1:
+        blob[soi : soi + 2] = b"\x00\x00"
+        soi = bytes(blob).find(b"\xff\xd8")
+    df = spark.createDataFrame([(1, blob)], "id long, payload binary")
+    rows = multimodal.sample_frames(df, every_ms=40).collect()
+    assert len(rows) == 1 and rows[0]["pixels"] is None
+    with pytest.raises(ValueError):
+        multimodal.mp4_parse_frames(b"\x00\x00\x00\x08free")

@@ -151,6 +151,70 @@ def main():
             flush=True,
         )
 
+    # round-4 families: PQ ANN (encode linear, ADC scan linear on the
+    # compressed code table), JL projection (narrow scan), and the
+    # media-decode kernels (per-row Python, embarrassingly parallel)
+    from us_dot_flights_lakehouse_spark.llm.similarity import (
+        pq_cosine_topk,
+        random_project,
+    )
+
+    t1 = timed("pq_topk@1x", pq_cosine_topk(emb1, q1, k=5, dim=64))
+    tN = timed(f"pq_topk@{factor}x", pq_cosine_topk(embN, q1, k=5, dim=64))
+    print(f"pq_topk: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
+
+    t1 = timed("random_project@1x", random_project(emb1, out_dim=16, dim=64))
+    tN = timed(
+        f"random_project@{factor}x", random_project(embN, out_dim=16, dim=64)
+    )
+    print(f"random_project: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
+
+    import numpy as np
+    import pandas as pd
+
+    from us_dot_flights_lakehouse_spark.llm import multimodal
+
+    def wav_synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import wav_encode
+
+        for pdf in batches:
+            payloads = [
+                wav_encode(
+                    ((int(d) * 31 + np.arange(256) * 7919) % 4001 - 2000).astype(
+                        np.int16
+                    ),
+                    8000,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    def gif_synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import gif_encode
+
+        pal = [(i, i, i) for i in range(256)]
+        for pdf in batches:
+            payloads = [
+                gif_encode(
+                    ((11 * int(d) + 3 * np.arange(64)) % 256)
+                    .astype(np.uint8)
+                    .reshape(8, 8),
+                    pal,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    for label, synth, op in (
+        ("audio_decode", wav_synth, multimodal.decode_audio),
+        ("gif_decode", gif_synth, multimodal.decode_image),
+    ):
+        d1 = docs1.select("doc_id").mapInPandas(synth, "id long, payload binary")
+        dN = docsN.select("doc_id").mapInPandas(synth, "id long, payload binary")
+        t1 = timed(f"{label}@1x", op(d1))
+        tN = timed(f"{label}@{factor}x", op(dN))
+        print(f"{label}: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
+
     skew_bench(spark)
     spark.stop()
 

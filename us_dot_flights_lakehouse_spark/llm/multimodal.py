@@ -823,13 +823,15 @@ def sample_frames(
     df: DataFrame, every_ms: int, id_col: str = "id", bin_col: str = "payload"
 ) -> DataFrame:
     """Video frame sampling as a DataFrame operator — REAL for
-    uncompressed AVI ('00db' DIB frames: RIFF walk + the BMP row kernel)
-    AND for MJPEG AVI ('00dc' chunks that are baseline JPEGs — decoded
-    by the pure-numpy ``llm/jpeg.py`` codec, including the classic MJPG
-    omitted-DHT quirk via ``ensure_huffman_tables``): one output row per
-    sampled frame with decoded pixels. Frames needing a real video codec
-    (H.264 etc.) and non-AVI containers (MP4) yield a single null-pixel
-    row per input, keeping the operator total over mixed corpora.
+    uncompressed AVI ('00db' DIB frames: RIFF walk + the BMP row kernel),
+    MJPEG AVI ('00dc' chunks that are baseline JPEGs — decoded by the
+    pure-numpy ``llm/jpeg.py`` codec, including the classic MJPG
+    omitted-DHT quirk via ``ensure_huffman_tables``), AND MJPEG MP4
+    (ISO-BMFF stco/stsc/stsz sample-table walk via ``mp4_parse_frames``,
+    JPEG samples decoded the same way): one output row per sampled frame
+    with decoded pixels. Frames needing a real video codec (H.264 etc.)
+    yield a single null-pixel row per input, keeping the operator total
+    over mixed corpora.
 
     Sampling: stride = max(1, round(every_ms / frame_period_ms)) — frame
     indices 0, stride, 2*stride, ...; ts_ms = frame_idx * period.
@@ -844,6 +846,35 @@ def sample_frames(
             rows = []
             for i, blob in zip(pdf["id"], pdf[bin_col]):
                 emitted = False
+                if blob is not None and bytes(blob)[4:8] == b"ftyp":
+                    b = bytes(blob)
+                    try:
+                        period_ms, fw0, fh0, codec, samples = mp4_parse_frames(b)
+                        stride = max(1, round(every_ms / period_ms))
+                        for idx in range(0, len(samples), stride):
+                            payload = samples[idx]
+                            if payload[:2] != b"\xff\xd8":
+                                continue  # codec-gated sample (H.264 etc.)
+                            from us_dot_flights_lakehouse_spark.llm.jpeg import (
+                                ensure_huffman_tables,
+                                jpeg_decode,
+                            )
+
+                            try:
+                                fw, fh, mode, px = jpeg_decode(
+                                    ensure_huffman_tables(payload)
+                                )
+                            except (ValueError, NotImplementedError):
+                                continue
+                            rows.append(
+                                (i, idx, idx * period_ms, fw, fh, mode, px.tobytes())
+                            )
+                            emitted = True
+                    except ValueError:
+                        pass
+                    if not emitted:
+                        rows.append((i, None, None, None, None, None, None))
+                    continue
                 if blob is not None:
                     b = bytes(blob)
                     try:
@@ -902,6 +933,201 @@ def sample_frames(
     return df.select(F.col(id_col).alias("id"), F.col(bin_col)).mapInPandas(
         extract, schema=SAMPLED_FRAME_SCHEMA
     )
+
+
+def mp4_encode_mjpeg(frames_gray, frame_ms: int, timescale: int = 1000) -> bytes:
+    """Minimal ISO-BMFF/MP4 writer with one MJPEG video track (stdlib
+    struct only): ftyp + mdat (concatenated baseline JPEGs) + moov with a
+    real sample table — stsd 'jpeg' visual sample entry, stts (constant
+    delta), stsc/stsz/stco (single chunk, per-sample sizes, absolute
+    file offset). ``frames_gray`` is (n, h, w) uint8.
+    Test/fixture counterpart of ``mp4_parse_frames``/``sample_frames``."""
+    import struct
+
+    import numpy as np
+
+    from us_dot_flights_lakehouse_spark.llm.jpeg import jpeg_encode_gray
+
+    fr = np.asarray(frames_gray, dtype=np.uint8)
+    n, h, w = fr.shape
+    jpegs = [jpeg_encode_gray(f) for f in fr]
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    def full(tag: bytes, body: bytes, version: int = 0, flags: int = 0) -> bytes:
+        return box(tag, struct.pack(">I", (version << 24) | flags) + body)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42")
+    mdat_payload_off = len(ftyp) + 8  # first sample's absolute file offset
+    mdat = box(b"mdat", b"".join(jpegs))
+
+    delta = frame_ms * timescale // 1000
+    duration = n * delta
+    mvhd = full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = full(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 16
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+        flags=7,
+    )
+    mdhd = full(
+        b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0)
+    )
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00")
+    # visual sample entry 'jpeg': 6 reserved + data_ref_index, then the
+    # 70-byte video-specific tail (width/height at offsets 24/26 of the
+    # entry body after the 8-byte entry header)
+    entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0)
+        + b"\x00" * 12
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x480000, 0x480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = full(b"stsd", struct.pack(">I", 1) + box(b"jpeg", entry))
+    stts = full(b"stts", struct.pack(">III", 1, n, delta))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    stsz = full(
+        b"stsz",
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(j)) for j in jpegs),
+    )
+    stco = full(b"stco", struct.pack(">II", 1, mdat_payload_off))
+    dref = full(b"dref", struct.pack(">I", 1) + full(b"url ", b"", flags=1))
+    dinf = box(b"dinf", dref)
+    vmhd = full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def mp4_parse_frames(data: bytes):
+    """ISO-BMFF sample-table walk: returns (frame_period_ms, width,
+    height, codec_fourcc, samples) with ``samples`` the per-frame byte
+    payloads sliced out of the file via stco/stsc/stsz. Handles multi-
+    chunk layouts (stsc run-length chunk map) and moov before OR after
+    mdat. Raises ValueError on non-MP4 bytes or a missing/inconsistent
+    sample table."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF stream")
+
+    def be(b: bytes) -> int:
+        return int.from_bytes(b, "big")
+
+    def children(start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size, tag = be(data[i : i + 4]), data[i + 4 : i + 8]
+            if size < 8:
+                break
+            yield tag, i + 8, min(i + size, end)
+            i += size
+
+    def find(tag: bytes, start: int, end: int):
+        for t, s, e in children(start, end):
+            if t == tag:
+                return s, e
+        return None
+
+    moov = find(b"moov", 0, len(data))
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    trak = find(b"trak", *moov)
+    if trak is None:
+        raise ValueError("MP4 missing trak")
+    mdia = find(b"mdia", *trak)
+    if mdia is None:
+        raise ValueError("MP4 missing mdia")
+    mdhd = find(b"mdhd", *mdia)
+    if mdhd is None:
+        raise ValueError("MP4 missing mdhd")
+    s, _ = mdhd
+    ver = data[s]
+    timescale = be(data[s + 12 : s + 16]) if ver == 0 else be(data[s + 20 : s + 24])
+    minf = find(b"minf", *mdia)
+    stbl = find(b"stbl", *minf) if minf else None
+    if stbl is None:
+        raise ValueError("MP4 missing stbl")
+    stsd = find(b"stsd", *stbl)
+    stts = find(b"stts", *stbl)
+    stsz = find(b"stsz", *stbl)
+    stco = find(b"stco", *stbl) or find(b"co64", *stbl)
+    stsc = find(b"stsc", *stbl)
+    if not all((stsd, stts, stsz, stco, stsc)):
+        raise ValueError("MP4 sample table incomplete")
+
+    s, e = stsd
+    codec = data[s + 12 : s + 16].decode("latin1")
+    entry_body = s + 16
+    w = be(data[entry_body + 24 : entry_body + 26])
+    h = be(data[entry_body + 26 : entry_body + 28])
+
+    s, _ = stts
+    delta = be(data[s + 12 : s + 16]) if be(data[s + 4 : s + 8]) >= 1 else 0
+    period_ms = max(1, delta * 1000 // timescale) if timescale else 1
+
+    s, _ = stsz
+    fixed = be(data[s + 4 : s + 8])
+    count = be(data[s + 8 : s + 12])
+    sizes = (
+        [fixed] * count
+        if fixed
+        else [be(data[s + 12 + 4 * i : s + 16 + 4 * i]) for i in range(count)]
+    )
+
+    s, _ = stco
+    is64 = data[s - 4 : s] == b"co64"  # tag sits just before the body
+    nchunk = be(data[s + 4 : s + 8])
+    step = 8 if is64 else 4
+    offsets = [
+        be(data[s + 8 + step * i : s + 8 + step * (i + 1)]) for i in range(nchunk)
+    ]
+
+    s, _ = stsc
+    nruns = be(data[s + 4 : s + 8])
+    runs = [
+        (
+            be(data[s + 8 + 12 * i : s + 12 + 12 * i]),  # first_chunk (1-based)
+            be(data[s + 12 + 12 * i : s + 16 + 12 * i]),  # samples_per_chunk
+        )
+        for i in range(nruns)
+    ]
+
+    samples: list[bytes] = []
+    si = 0
+    for ci, off in enumerate(offsets, start=1):
+        per = 0
+        for first, n_per in runs:
+            if ci >= first:
+                per = n_per
+        pos = off
+        for _ in range(per):
+            if si >= count:
+                break
+            samples.append(data[pos : pos + sizes[si]])
+            pos += sizes[si]
+            si += 1
+    if si != count:
+        raise ValueError("MP4 chunk map does not cover all samples")
+    return period_ms, w, h, codec, samples
 
 
 def wav_encode(samples, sample_rate: int, bits: int = 16, extra_chunks=()) -> bytes:

@@ -48,6 +48,7 @@ _PRIORITY = (
     "sim_pq_topk",  # new this round (product-quantization ADC)
     "mm_gif_roundtrip",  # new this round (GIF LZW pixel decode)
     "sim_random_projection",  # new this round (JL projection)
+    "mm_mp4_frame_stats",  # new this round (ISO-BMFF sample-table walk)
     "tp_incremental_dedup",  # broadcast hint dropped
     "dd_line_dedup",  # row-level encoding guard added
     "src_wds_roundtrip",  # writer temp-file+rename / overwrite sweep

@@ -2041,6 +2041,84 @@ FROM px
 """
 
 
+def mm_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: REAL MP4 frame sampling — synthesizes a 6-frame 8x8 MJPEG
+    MP4 per document (ISO-BMFF with a real stco/stsc/stsz sample table;
+    frame f is the constant even gray g = 2*((3*doc_id + 41*f) % 128),
+    25 fps), samples every 80 ms (stride 2 → frames 0/2/4) through
+    ``sample_frames``'s ISO-BMFF path, and aggregates per-frame stats.
+    DC-only even-valued frames decode bit-losslessly, so the oracle is
+    closed form and the box-walk → sample-table slicing → huffman →
+    IDCT chain hash-fails on any defect. Lifts the 'MP4 is always
+    gated' limitation for the dominant video container.
+
+    read_corpus: same millisecond-codec argument as mm_mjpeg_frame_stats."""
+    import numpy as np
+
+    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import mp4_encode_mjpeg
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                g = 2 * ((3 * int(d) + 41 * np.arange(6)) % 128)
+                frames = np.repeat(
+                    g.astype(np.uint8)[:, None, None], 64, axis=1
+                ).reshape(6, 8, 8)
+                payloads.append(mp4_encode_mjpeg(frames, frame_ms=40))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    vids = docs.mapInPandas(synth, schema="id long, payload binary")
+    sampled = multimodal.sample_frames(vids, every_ms=80)
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, f, ts, w, h, mode, px in zip(
+                pdf["id"], pdf["frame_idx"], pdf["ts_ms"], pdf["width"],
+                pdf["height"], pdf["mode"], pdf["pixels"],
+            ):
+                a = np.frombuffer(px, np.uint8)
+                rows.append(
+                    (i, int(f), int(ts), int(w), int(h), mode,
+                     float(int(a.sum()) / a.size), int(a.min()), int(a.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "ts_ms", "width", "height",
+                    "mode", "mean_px", "min_px", "max_px",
+                ],
+            )
+
+    return sampled.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, frame_idx int, ts_ms bigint, width int, height int, "
+            "mode string, mean_px double, min_px int, max_px int"
+        ),
+    )
+
+
+MM_MP4_FRAMES_ORACLE = """
+WITH f AS (
+  SELECT doc_id, unnest([0, 2, 4]) AS frame_idx FROM documents
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       'L' AS mode,
+       CAST(2 * ((3 * doc_id + 41 * frame_idx) % 128) AS DOUBLE) AS mean_px,
+       CAST(2 * ((3 * doc_id + 41 * frame_idx) % 128) AS INTEGER) AS min_px,
+       CAST(2 * ((3 * doc_id + 41 * frame_idx) % 128) AS INTEGER) AS max_px
+FROM f
+"""
+
+
 def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM: REAL sample-level PCM audio decode end-to-end — synthesizes a
     mono 16-bit WAV per document (256 samples, sample i =
@@ -2239,6 +2317,7 @@ QUERIES = {
     "mm_wav_meta": mm_wav_meta,
     "mm_audio_stats": mm_audio_stats,
     "mm_gif_roundtrip": mm_gif_roundtrip,
+    "mm_mp4_frame_stats": mm_mp4_frame_stats,
     "dd_semantic_dedup": dd_semantic_dedup,
     "tp_shard_shuffle": tp_shard_shuffle,
     "ts_bigram_commonality": ts_bigram_commonality,
@@ -2285,6 +2364,7 @@ ORACLES = {
     "mm_wav_meta": MM_WAV_ORACLE,
     "mm_audio_stats": MM_AUDIO_ORACLE,
     "mm_gif_roundtrip": MM_GIF_ORACLE,
+    "mm_mp4_frame_stats": MM_MP4_FRAMES_ORACLE,
     "dd_semantic_dedup": DD_SEMANTIC_ORACLE,
     "tp_shard_shuffle": TP_SHARD_ORACLE,
     "ts_bigram_commonality": TS_BIGRAM_ORACLE,
