@@ -219,10 +219,6 @@ def main():
     spark.stop()
 
 
-if __name__ == "__main__":
-    main()
-
-
 def skew_bench(spark, n_rows=3_000_000, n_keys=50_000, hot_frac=0.3):
     """Measure a skewed equi-join three ways: AQE skew-split plain join,
     salted join, and (as the degenerate control) AQE off. One key owns
@@ -261,3 +257,7 @@ def skew_bench(spark, n_rows=3_000_000, n_keys=50_000, hot_frac=0.3):
         f"no-AQE {t_noaqe:.2f}s",
         flush=True,
     )
+
+
+if __name__ == "__main__":
+    main()
