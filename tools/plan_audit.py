@@ -48,6 +48,9 @@ WHITELIST: dict[str, set[str]] = {
     "tp_corpus_curation": {"SMJ"},       # stats⋈langs both row-scale (doc_id)
     "fl_fact_star": {"ONE_PART"},        # deliberate 1-row route-count agg
     "f_udtf_shingles": {"PY_ROW"},       # the query EXISTS to exercise Python UDTFs
+    "ts_heavy_hitters": {"ONE_PART"},    # global top-10 merge: mergeable
+    #   sketch partials reduce to one fixed-size state, then 10 rows
+
 }
 
 
