@@ -433,6 +433,35 @@ def test_quality_filters_signals_and_keep(spark):
     assert rows[3]["keep"] is False
 
 
+def test_repetition_stats_closed_form(spark):
+    from us_dot_flights_lakehouse_spark.llm.textstats import repetition_stats
+
+    diverse = " ".join(f"w{i}" for i in range(40))  # no repeated n-grams
+    rows = {r["doc_id"]: r for r in repetition_stats(
+        _docs(spark, [(1, "a b a b a b"), (2, diverse), (3, "hi")])
+    ).collect()}
+    r1 = rows[1]  # toks [a b a b a b]: token_chars 6
+    # "a b" x3 covers 3*2=6 of 6 chars; "a b a" x2 covers 2*3=6; the
+    # 4-gram "a b a b" x2 covers 2*4=8 -> capped at 1.0
+    assert r1["n_words"] == 6 and r1["token_chars"] == 6
+    assert r1["top_2gram_frac"] == 1.0
+    assert r1["top_3gram_frac"] == 1.0
+    assert r1["top_4gram_frac"] == 1.0
+    # both 5-grams occur once -> no duplicated-gram chars
+    assert r1["dup_5gram_frac"] == 0.0 and r1["dup_10gram_frac"] == 0.0
+    assert r1["rep_keep"] is False
+    r2 = rows[2]  # all n-grams unique: top fracs are single-gram coverage
+    assert r2["token_chars"] == 110  # 10 two-char + 30 three-char tokens
+    assert r2["dup_5gram_frac"] == 0.0 and r2["dup_10gram_frac"] == 0.0
+    assert 0 < r2["top_2gram_frac"] < 0.20
+    assert r2["rep_keep"] is True
+    # single-token doc: every gram list is empty, fracs 0, no crash; a
+    # repetition filter has no repetition evidence -> keep (shortness is
+    # quality_filters' verdict, not this one's)
+    r3 = rows[3]
+    assert r3["top_2gram_frac"] == 0.0 and r3["rep_keep"] is True
+
+
 def test_chunk_documents_boundaries(spark):
     from us_dot_flights_lakehouse_spark.llm.curation import chunk_documents
 

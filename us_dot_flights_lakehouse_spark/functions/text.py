@@ -44,6 +44,18 @@ def shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Adjacent word n-grams ('w1 .. wn') of a token array, NON-distinct
+    (repetition metrics need multiplicity); empty when fewer than n tokens
+    (guarded — Spark's sequence() would otherwise generate a *descending*
+    range). Pure array lambda, codegen'd, shuffle-free."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)))
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_bigrams(tokens: Column) -> Column:
     """Adjacent word bigrams ('w1 w2') of a token array, NON-distinct (the
     repetition signal needs multiplicity); empty when fewer than 2 tokens.

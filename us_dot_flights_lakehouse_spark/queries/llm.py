@@ -1842,6 +1842,75 @@ FROM c
 """
 
 
+def ts_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition family (Rae et al. 2021 table A1): fraction of
+    characters covered by the most frequent word {2,3,4}-gram and inside
+    duplicated {5,10}-grams, plus the conjunctive ``rep_keep`` verdict.
+    Complements ``ts_quality_filters`` (word-shape signals).  Pure per-row
+    array lambdas — zero shuffles."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    return textstats.repetition_stats(docs)
+
+
+def _repetition_oracle() -> str:
+    gram_defs, metric_defs, keeps, metric_names = [], [], [], []
+    for n in sorted(set(textstats.REP_TOP_MAX) | set(textstats.REP_DUP_MAX)):
+        gram_defs.append(
+            f"CASE WHEN n_words >= {n} THEN "
+            f"list_transform(range(1, n_words - {n} + 2), "
+            f"p -> array_to_string(toks[p : p + {n - 1}], ' ')) "
+            f"ELSE CAST([] AS VARCHAR[]) END AS grams_{n}"
+        )
+    for n, thr in textstats.REP_TOP_MAX.items():
+        cover = (
+            f"list_transform(list_distinct(grams_{n}), "
+            f"g -> len(list_filter(grams_{n}, x -> x = g)) * (length(g) - {n - 1}))"
+        )
+        frac = (
+            f"CASE WHEN token_chars > 0 AND len(grams_{n}) > 0 "
+            f"THEN least(CAST(1.0 AS DOUBLE), "
+            f"CAST(list_max({cover}) AS DOUBLE) / CAST(token_chars AS DOUBLE)) "
+            f"ELSE CAST(0.0 AS DOUBLE) END"
+        )
+        metric_defs.append(f"{frac} AS top_{n}gram_frac")
+        metric_names.append(f"top_{n}gram_frac")
+        keeps.append(f"top_{n}gram_frac <= {thr}")
+    for n, thr in textstats.REP_DUP_MAX.items():
+        dup = (
+            f"COALESCE(list_sum(list_transform(list_distinct(grams_{n}), "
+            f"g -> CASE WHEN len(list_filter(grams_{n}, x -> x = g)) >= 2 "
+            f"THEN len(list_filter(grams_{n}, x -> x = g)) * (length(g) - {n - 1}) "
+            f"ELSE 0 END)), 0)"
+        )
+        frac = (
+            f"CASE WHEN token_chars > 0 "
+            f"THEN least(CAST(1.0 AS DOUBLE), "
+            f"CAST({dup} AS DOUBLE) / CAST(token_chars AS DOUBLE)) "
+            f"ELSE CAST(0.0 AS DOUBLE) END"
+        )
+        metric_defs.append(f"{frac} AS dup_{n}gram_frac")
+        metric_names.append(f"dup_{n}gram_frac")
+        keeps.append(f"dup_{n}gram_frac <= {thr}")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents
+), sized AS (
+  SELECT doc_id, toks,
+    CAST(len(toks) AS INTEGER) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS INTEGER)
+      AS token_chars
+  FROM t
+), grams AS (
+  SELECT doc_id, n_words, token_chars, {", ".join(gram_defs)} FROM sized
+), metrics AS (
+  SELECT doc_id, n_words, token_chars, {", ".join(metric_defs)} FROM grams
+)
+SELECT doc_id, n_words, token_chars, {", ".join(metric_names)},
+       ({" AND ".join(keeps)}) AS rep_keep
+FROM metrics
+"""
+
+
 CHUNK_CHARS = 120
 CHUNK_OVERLAP = 30
 
@@ -2312,6 +2381,7 @@ QUERIES = {
     "dd_line_dedup": dd_line_dedup,
     "tp_contamination": tp_contamination,
     "ts_quality_filters": ts_quality_filters,
+    "ts_repetition_filters": ts_repetition_filters,
     "tp_doc_chunking": tp_doc_chunking,
     "tp_source_caps": tp_source_caps,
     "mm_wav_meta": mm_wav_meta,
@@ -2359,6 +2429,7 @@ ORACLES = {
     "dd_line_dedup": DD_LINE_ORACLE,
     "tp_contamination": TP_CONTAM_ORACLE,
     "ts_quality_filters": _quality_filters_oracle(),
+    "ts_repetition_filters": _repetition_oracle(),
     "tp_doc_chunking": TP_CHUNK_ORACLE,
     "tp_source_caps": TP_SOURCE_CAPS_ORACLE,
     "mm_wav_meta": MM_WAV_ORACLE,
