@@ -462,6 +462,57 @@ def test_repetition_stats_closed_form(spark):
     assert r3["top_2gram_frac"] == 0.0 and r3["rep_keep"] is True
 
 
+def _ref_bpe(word_freqs, n_merges):
+    """Reference BPE (Sennrich et al. 2016) with the same greedy
+    left-to-right merge application and (count desc, pair asc) tie-break
+    as llm/tokenizer.py."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, c))
+        newv = {}
+        for syms, f in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            newv[tuple(out)] = newv.get(tuple(out), 0) + f
+        vocab = newv
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from us_dot_flights_lakehouse_spark.llm.tokenizer import (
+        bpe_train,
+        merge_pair_counts,
+    )
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    text = " ".join(w for w, f in freqs.items() for _ in range(f))
+    docs = _docs(spark, [(1, text)])
+    # iteration-0 candidate table agrees with a hand count
+    counts = {
+        (r["left_sym"], r["right_sym"]): r["pair_count"]
+        for r in merge_pair_counts(docs).collect()
+    }
+    assert counts[("e", "s")] == 9  # newest x6 + widest x3
+    assert counts[("l", "o")] == 7  # low x5 + lower x2
+    assert counts[("s", "t")] == 9
+    # first merge has count 9; 'es' < 'st' so (e, s) wins the tie-break
+    merges = bpe_train(docs, n_merges=6)
+    assert merges == _ref_bpe(freqs, 6)
+    assert merges[0] == ("e", "s", 9)
+
+
 def test_chunk_documents_boundaries(spark):
     from us_dot_flights_lakehouse_spark.llm.curation import chunk_documents
 

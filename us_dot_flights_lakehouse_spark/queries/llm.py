@@ -24,6 +24,7 @@ from us_dot_flights_lakehouse_spark.llm import (
     multimodal,
     similarity,
     textstats,
+    tokenizer,
 )
 from us_dot_flights_lakehouse_spark.llm.dedup import (
     MINHASH_A,
@@ -1911,6 +1912,61 @@ FROM metrics
 """
 
 
+BPE_TOPK = 50
+
+
+def tp_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training iteration 0 (Sennrich et al. 2016): corpus-weighted
+    adjacent character-pair counts over the (word, freq) vocabulary table,
+    ranked; the argmax row is the first merge. The corpus text is touched
+    once (word-count aggregate); everything after is vocabulary-sized.
+    The full greedy merge loop is ``llm/tokenizer.py::bpe_train``
+    (driver-iterative, unit-tested against a reference implementation)."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    order = [F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")]
+    top = (
+        tokenizer.merge_pair_counts(docs)
+        .orderBy(*order)  # TakeOrdered reduce, no sort shuffle
+        .limit(BPE_TOPK)
+    )
+    w = Window.orderBy(*order)  # ranks 50 rows on one task, post-limit
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "left_sym",
+        "right_sym",
+        "pair_count",
+    )
+
+
+TP_BPE_ORACLE = f"""
+WITH words AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_TOKENS}) AS w FROM documents)
+  GROUP BY w
+), pairlists AS (
+  SELECT freq,
+    CASE WHEN length(word) >= 2
+         THEN list_transform(range(1, length(word)),
+                             i -> [substr(word, CAST(i AS INTEGER), 1),
+                                   substr(word, CAST(i AS INTEGER) + 1, 1)])
+         ELSE CAST([] AS VARCHAR[][]) END AS ps
+  FROM words
+), exploded AS (
+  SELECT freq, unnest(ps) AS p FROM pairlists
+), counts AS (
+  SELECT p[1] AS left_sym, p[2] AS right_sym,
+         CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM exploded GROUP BY p[1], p[2]
+)
+SELECT rank, left_sym, right_sym, pair_count FROM (
+  SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, left_sym ASC,
+                                 right_sym ASC) AS INTEGER) AS rank,
+         left_sym, right_sym, pair_count
+  FROM counts
+) WHERE rank <= {BPE_TOPK}
+"""
+
+
 CHUNK_CHARS = 120
 CHUNK_OVERLAP = 30
 
@@ -2382,6 +2438,7 @@ QUERIES = {
     "tp_contamination": tp_contamination,
     "ts_quality_filters": ts_quality_filters,
     "ts_repetition_filters": ts_repetition_filters,
+    "tp_bpe_pair_counts": tp_bpe_pair_counts,
     "tp_doc_chunking": tp_doc_chunking,
     "tp_source_caps": tp_source_caps,
     "mm_wav_meta": mm_wav_meta,
@@ -2430,6 +2487,7 @@ ORACLES = {
     "tp_contamination": TP_CONTAM_ORACLE,
     "ts_quality_filters": _quality_filters_oracle(),
     "ts_repetition_filters": _repetition_oracle(),
+    "tp_bpe_pair_counts": TP_BPE_ORACLE,
     "tp_doc_chunking": TP_CHUNK_ORACLE,
     "tp_source_caps": TP_SOURCE_CAPS_ORACLE,
     "mm_wav_meta": MM_WAV_ORACLE,
