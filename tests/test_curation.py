@@ -266,3 +266,56 @@ def test_line_dedup_rejects_encoding_violations(spark):
     bad = spark.createDataFrame([(-1, "x\ny")], "doc_id long, text string")
     with pytest.raises(Exception, match="line_dedup"):
         dedup.line_dedup(bad).collect()
+
+
+def test_bloom_filter_contract(spark):
+    """No false negatives ever; false-positive rate near the analytic
+    bound; literal-expression and broadcast-pandas probes agree."""
+    from us_dot_flights_lakehouse_spark.operators import bloom
+
+    members = spark.range(0, 1000).selectExpr("md5(string(id)) AS fp")
+    bitmap = bloom.build_bloom(members, "fp")  # m=2^16, k=5 -> fpr ~ 0.9%
+    # every member answers True (Bloom's hard guarantee)
+    hits = members.filter(bloom.might_contain(F.col("fp"), bitmap)).count()
+    assert hits == 1000
+    # non-members (disjoint hash universe) mostly answer False
+    others = spark.range(100_000, 110_000).selectExpr("md5(string(id)) AS fp")
+    fp_count = others.filter(bloom.might_contain(F.col("fp"), bitmap)).count()
+    assert fp_count / 10_000 < 0.03
+    # the Arrow-batched broadcast probe computes the identical verdict
+    both = others.unionAll(members)
+    expr_side = both.withColumn(
+        "m", bloom.might_contain(F.col("fp"), bitmap)
+    ).orderBy("fp")
+    bc_side = bloom.might_contain_broadcast(both, F.col("fp"), bitmap).orderBy("fp")
+    assert [r["m"] for r in expr_side.collect()] == [
+        r["_bloom_maybe"] for r in bc_side.collect()
+    ]
+
+
+def test_bloom_incremental_dedup_matches_plain(spark):
+    """The Bloom-prefiltered verdict is row-identical to the plain one on
+    a corpus with history dups, batch dups, and new docs."""
+    from us_dot_flights_lakehouse_spark.llm import dedup
+
+    hist = spark.range(0, 500).selectExpr("md5(string(id)) AS fp")
+    batch = spark.createDataFrame(
+        [(i, i % 7 == 0) for i in range(1000, 1300)], "doc_id long, is_dup boolean"
+    ).selectExpr(
+        "doc_id",
+        # every 7th doc collides with history fp (id mod 500); every 11th
+        # duplicates the previous batch row's fingerprint
+        "CASE WHEN is_dup THEN md5(string(doc_id % 500)) "
+        "     WHEN doc_id % 11 = 0 THEN md5('batchdup' || string(doc_id - doc_id % 11)) "
+        "     ELSE md5('new' || string(doc_id)) END AS fp",
+    )
+    plain = {
+        r["doc_id"]: (r["dup_of_history"], r["dup_in_batch"], r["keep"])
+        for r in dedup.incremental_dedup_verdict(batch, hist).collect()
+    }
+    bloomed = {
+        r["doc_id"]: (r["dup_of_history"], r["dup_in_batch"], r["keep"])
+        for r in dedup.incremental_dedup_verdict_bloom(batch, hist).collect()
+    }
+    assert plain == bloomed
+    assert any(v[0] for v in plain.values())  # history dups present

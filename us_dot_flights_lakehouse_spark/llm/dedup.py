@@ -693,6 +693,71 @@ def incremental_dedup_verdict(
     )
 
 
+def incremental_dedup_verdict_bloom(
+    batch: DataFrame,
+    history_fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    m_bits: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """``incremental_dedup_verdict`` with a Bloom-filter runtime prefilter
+    on the history join — identical output (the filter is
+    semantics-preserving: "definitely new" rows get their verdict without
+    joining; only the maybe-set — true dups plus the ~1% false-positive
+    sliver — pays the exact history join).
+
+    Scale (100 TB): in a nightly batch, the overwhelming majority of docs
+    are NEW — under the plain verdict every one of them shuffles to meet
+    the history table; here they are answered by a compact bitmap at scan
+    speed, so the history join's probe input shrinks to roughly the true
+    dup rate. The bitmap build is one hash aggregate over history
+    fingerprints and collects m/8 bytes (sized to history cardinality;
+    beyond ~2^22 bits switch the probe to
+    ``operators.bloom.might_contain_broadcast``). Composes with the
+    bucketed-history layout, which removes the remaining exchange on the
+    maybe-side join."""
+    from us_dot_flights_lakehouse_spark.operators import bloom as _bloom
+
+    hist_distinct = history_fps.select(fp_col).distinct()
+    bitmap = _bloom.build_bloom(
+        hist_distinct,
+        fp_col,
+        m_bits if m_bits is not None else _bloom.BLOOM_M_BITS,
+        k if k is not None else _bloom.BLOOM_K,
+    )
+    maybe = _bloom.might_contain(
+        F.col(fp_col), bitmap, k if k is not None else _bloom.BLOOM_K
+    )
+    # within-batch first-id election needs every row regardless of history
+    first = batch.groupBy(fp_col).agg(F.min(id_col).alias("_first_id"))
+    hist = hist_distinct.withColumn("_in_history", F.lit(True))
+    tagged = batch.withColumn("_maybe", maybe)
+    joined = (
+        tagged.filter(F.col("_maybe"))
+        .join(hist, fp_col, "left")
+        .select(fp_col, id_col, F.coalesce("_in_history", F.lit(False)).alias("_hist"))
+    )
+    definite = tagged.filter(~F.col("_maybe")).select(
+        fp_col, id_col, F.lit(False).alias("_hist")
+    )
+    return (
+        joined.unionByName(definite)
+        .join(first, fp_col)
+        .select(
+            id_col,
+            F.col("_hist").alias("dup_of_history"),
+            (F.col(id_col) != F.col("_first_id")).alias("dup_in_batch"),
+        )
+        .select(
+            id_col,
+            "dup_of_history",
+            "dup_in_batch",
+            (~F.col("dup_of_history") & ~F.col("dup_in_batch")).alias("keep"),
+        )
+    )
+
+
 def publish_history_fingerprints(
     fps: DataFrame,
     table_name: str,

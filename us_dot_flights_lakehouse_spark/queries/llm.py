@@ -1244,6 +1244,23 @@ JOIN firsts f ON b.fp = f.fp
 """
 
 
+def tp_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup with a Bloom-filter runtime prefilter
+    (operators/bloom.py): definitely-new docs skip the history join
+    entirely; only the maybe-set pays it. Shares
+    ``tp_incremental_dedup``'s oracle verbatim — the driver's hash match
+    IS the proof that the pruning is semantics-preserving."""
+    docs = read_table(spark, sf_dir, "documents")
+    from us_dot_flights_lakehouse_spark.functions.text import normalized_fingerprint
+
+    fp = normalized_fingerprint("text").alias("fp")
+    history_fps = (
+        docs.filter(F.col("doc_id") < INCR_HISTORY_CUTOFF).select(fp).distinct()
+    )
+    batch = docs.filter(F.col("doc_id") >= INCR_HISTORY_CUTOFF).select("doc_id", fp)
+    return dedup.incremental_dedup_verdict_bloom(batch, history_fps)
+
+
 HH_TOPK = 10
 
 
@@ -2429,6 +2446,7 @@ QUERIES = {
     "src_wds_roundtrip": src_wds_roundtrip,
     "ts_heavy_hitters": ts_heavy_hitters,
     "tp_incremental_dedup": tp_incremental_dedup,
+    "tp_bloom_incremental_dedup": tp_bloom_incremental_dedup,
     "tp_sequence_packing": tp_sequence_packing,
     "tp_training_mix": tp_training_mix,
     "ts_pii_scrub": ts_pii_scrub,
@@ -2478,6 +2496,7 @@ ORACLES = {
     "src_wds_roundtrip": SRC_WDS_ORACLE,
     "ts_heavy_hitters": TS_HH_ORACLE,
     "tp_incremental_dedup": TP_INCR_ORACLE,
+    "tp_bloom_incremental_dedup": TP_INCR_ORACLE,
     "tp_sequence_packing": TP_PACK_ORACLE,
     "tp_training_mix": TP_MIX_ORACLE,
     "ts_pii_scrub": _pii_oracle(),
