@@ -319,3 +319,70 @@ def test_a12_sketch_error_bounds(spark, sf_small):
         # interpolates — allow the one-rank gap
         for approx_v, exact_v in zip(r["qs"], r["eq"]):
             assert abs(float(approx_v) - float(exact_v)) <= 0.01 * max(1.0, float(exact_v))
+
+
+def test_scd2_from_changelog_collapses_repeats(spark):
+    from datetime import datetime
+
+    from us_dot_flights_lakehouse_spark.operators.scd import scd2_from_changelog
+
+    t = lambda m: datetime(2026, 1, 1, 0, m)
+    log = spark.createDataFrame(
+        [
+            (1, "A", t(0), 100),
+            (1, "A", t(5), 101),   # repeat -> collapsed
+            (1, "B", t(10), 102),
+            (1, "A", t(20), 103),  # back to A -> NEW version, not merged
+            (2, "X", t(3), 104),
+        ],
+        "k long, s string, ts timestamp, eid long",
+    )
+    rows = sorted(
+        scd2_from_changelog(log, ["k"], "s", "ts", "eid").collect(),
+        key=lambda r: (r["k"], r["version"]),
+    )
+    hist1 = [(r["state"], r["effective_from"], r["effective_to"], r["is_current"], r["version"])
+             for r in rows if r["k"] == 1]
+    assert hist1 == [
+        ("A", t(0), t(10), False, 1),
+        ("B", t(10), t(20), False, 2),
+        ("A", t(20), None, True, 3),
+    ]
+    assert [(r["state"], r["is_current"], r["version"]) for r in rows if r["k"] == 2] == [
+        ("X", True, 1)
+    ]
+
+
+def test_scd2_apply_updates_merge_semantics(spark):
+    from datetime import datetime
+
+    from us_dot_flights_lakehouse_spark.operators.scd import (
+        scd2_apply_updates,
+        scd2_from_changelog,
+    )
+
+    t = lambda m: datetime(2026, 1, 1, 0, m)
+    log = spark.createDataFrame(
+        [(1, "A", t(0), 1), (1, "B", t(10), 2), (2, "X", t(0), 3)],
+        "k long, s string, ts timestamp, eid long",
+    )
+    dim = scd2_from_changelog(log, ["k"], "s", "ts", "eid")
+    updates = spark.createDataFrame(
+        [
+            (1, "C", t(30)),  # state change -> close B, open C v3
+            (2, "X", t(30)),  # unchanged -> no-op
+            (3, "N", t(30)),  # brand-new key -> open v1
+        ],
+        "k long, state string, ts timestamp",
+    )
+    out = sorted(
+        scd2_apply_updates(dim, updates, ["k"]).collect(),
+        key=lambda r: (r["k"], r["version"]),
+    )
+    assert [(r["k"], r["state"], r["effective_to"], r["is_current"], r["version"]) for r in out] == [
+        (1, "A", t(10), False, 1),
+        (1, "B", t(30), False, 2),
+        (1, "C", None, True, 3),
+        (2, "X", None, True, 1),
+        (3, "N", None, True, 1),
+    ]

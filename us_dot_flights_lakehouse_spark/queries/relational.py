@@ -1950,6 +1950,41 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def w4_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 (extension): SCD2 dimension history rebuilt from a change log
+    (operators/scd.py) — treat each user's event_type stream as attribute
+    changes: collapse consecutive repeats (gaps-and-islands via lag), then
+    effective_from / effective_to / is_current / version per key. One
+    shuffle on the dimension key; event_id tiebreaks equal timestamps so
+    the history is deterministic."""
+    from us_dot_flights_lakehouse_spark.operators.scd import scd2_from_changelog
+
+    events = read_table(spark, sf_dir, "events")
+    return scd2_from_changelog(
+        events, ["user_id"], "event_type", "ts", "event_id"
+    )
+
+
+W4_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_state
+  FROM events
+), changes AS (
+  SELECT user_id, state, ts, event_id FROM ordered
+  WHERE prev_state IS NULL OR state != prev_state
+)
+SELECT user_id, state,
+       ts AS effective_from,
+       lead(ts) OVER w AS effective_to,
+       (lead(ts) OVER w IS NULL) AS is_current,
+       CAST(row_number() OVER w AS INTEGER) AS version
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def a18_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A18 (extension): correlation / covariance / stddev via EXACT
     decimal moment accumulation — sum(x), sum(y), sum(x²), sum(y²),
@@ -2101,6 +2136,7 @@ QUERIES = {
     "f_string_suite2": f_string_suite2,
     "f_xml_suite": f_xml_suite,
     "w3_time_range_window": w3_time_range_window,
+    "w4_scd2_history": w4_scd2_history,
     "a18_stat_moments": a18_stat_moments,
     "j13_nullsafe_join": j13_nullsafe_join,
 }
@@ -2158,6 +2194,7 @@ ORACLES = {
     "f_string_suite2": F_STRING2_ORACLE,
     "f_xml_suite": F_XML_ORACLE,
     "w3_time_range_window": W3_ORACLE,
+    "w4_scd2_history": W4_ORACLE,
     "a18_stat_moments": A18_ORACLE,
     "j13_nullsafe_join": J13_ORACLE,
 }
