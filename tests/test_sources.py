@@ -533,3 +533,32 @@ def test_clustered_layouts_enable_file_skipping(spark, tmp_path_factory):
     py_z, n_z = files_touched(paths["zorder"], "y", 1000, 1500)
     assert py_range == n_range  # degenerates to full scan
     assert py_z < n_z // 2  # both z-order columns stay selective
+
+
+def test_jsonl_and_orc_roundtrip_fidelity(spark, tmp_path_factory):
+    """Timestamps, floats, unicode, and embedded newlines survive both
+    formats; JSONL read uses the contract schema (no inference pass)."""
+    from datetime import datetime
+
+    from us_dot_flights_lakehouse_spark.sources.readers import read_jsonl, read_orc
+    from us_dot_flights_lakehouse_spark.sources.writers import write_jsonl, write_orc
+
+    base = tmp_path_factory.mktemp("fmt_rt")
+    rows = [
+        (1, 'quote " backslash \\ newline \n tab \t unicode é漢', 1.5, datetime(2026, 2, 3, 4, 5, 6, 789000)),
+        (2, "", -0.0, datetime(1999, 12, 31, 23, 59, 59)),
+        (3, None, float("inf"), None),
+    ]
+    df = spark.createDataFrame(rows, "id long, txt string, v double, ts timestamp")
+    write_jsonl(df, str(base / "j"))
+    back_j = read_jsonl(spark, str(base / "j"), df.schema)
+    assert sorted(back_j.collect()) == sorted(df.collect())
+    write_orc(df, str(base / "o"))
+    back_o = read_orc(spark, str(base / "o"))
+    assert sorted(back_o.collect()) == sorted(df.collect())
+    # ORC scan prunes to the projected column and pushes the filter
+    plan = (
+        back_o.filter("id = 2").select("txt")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "txt" in plan and "PushedFilters: [IsNotNull(id), EqualTo(id,2)]" in plan

@@ -1352,6 +1352,64 @@ FROM documents
 """
 
 
+def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC: JSON-lines round-trip — export the documents table as JSONL
+    (sources/writers.py::write_jsonl), scan it back with the mandatory
+    contract schema (readers.py::read_jsonl; no inference pass), and
+    project doc metadata + an md5 over the text. The md5 makes the oracle
+    sensitive to ANY fidelity loss in JSON escaping/encoding, not just
+    lengths."""
+    import tempfile
+
+    from us_dot_flights_lakehouse_spark.sources.readers import read_jsonl
+    from us_dot_flights_lakehouse_spark.sources.writers import write_jsonl
+
+    docs = read_table(spark, sf_dir, "documents")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"{tempfile.gettempdir()}/us_dot_jsonl_{sf_tag}_v1"
+    write_jsonl(docs, out)
+    back = read_jsonl(spark, out, docs.schema)
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+SRC_JSONL_ORACLE = """
+SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 FROM documents
+"""
+
+
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC: ORC round-trip through the built-in native columnar
+    reader/writer — same fidelity contract as the JSONL round-trip, plus
+    the read-back projection exercises ORC column pruning (only doc_id +
+    text + metadata columns are decoded)."""
+    import tempfile
+
+    from us_dot_flights_lakehouse_spark.sources.readers import read_orc
+    from us_dot_flights_lakehouse_spark.sources.writers import write_orc
+
+    docs = read_table(spark, sf_dir, "documents")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"{tempfile.gettempdir()}/us_dot_orc_{sf_tag}_v1"
+    write_orc(docs, out)
+    back = read_orc(spark, out)
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+SRC_ORC_ORACLE = SRC_JSONL_ORACLE
+
+
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding compression: symmetric int8 scalar quantization with
     per-vector scale + exact reconstruction-error accounting. All
@@ -2444,6 +2502,8 @@ QUERIES = {
     "mm_frame_stats": mm_frame_stats,
     "mm_mjpeg_frame_stats": mm_mjpeg_frame_stats,
     "src_wds_roundtrip": src_wds_roundtrip,
+    "src_jsonl_roundtrip": src_jsonl_roundtrip,
+    "src_orc_roundtrip": src_orc_roundtrip,
     "ts_heavy_hitters": ts_heavy_hitters,
     "tp_incremental_dedup": tp_incremental_dedup,
     "tp_bloom_incremental_dedup": tp_bloom_incremental_dedup,
@@ -2494,6 +2554,8 @@ ORACLES = {
     "mm_frame_stats": MM_FRAME_ORACLE,
     "mm_mjpeg_frame_stats": MM_MJPEG_ORACLE,
     "src_wds_roundtrip": SRC_WDS_ORACLE,
+    "src_jsonl_roundtrip": SRC_JSONL_ORACLE,
+    "src_orc_roundtrip": SRC_ORC_ORACLE,
     "ts_heavy_hitters": TS_HH_ORACLE,
     "tp_incremental_dedup": TP_INCR_ORACLE,
     "tp_bloom_incremental_dedup": TP_INCR_ORACLE,

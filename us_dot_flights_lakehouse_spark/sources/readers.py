@@ -116,6 +116,30 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSON-lines scan with a MANDATORY schema — the standard interchange
+    format for text-corpus pipelines. Schema inference on JSON is a full
+    extra pass over the data (ruinous at 100 TB), so it is not offered;
+    pass the contract schema and let malformed rows surface as nulls
+    (Spark's default PERMISSIVE mode). Uncompressed/zstd JSONL is
+    line-splittable, so Spark parallelizes within large files; gzip is
+    not — one task per .gz file regardless of size."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC columnar scan (built-in native reader). Same pushdown contract
+    as parquet: filters and column pruning reach the stripe reader."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def reconcile_schema(
     df: DataFrame,
     target: T.StructType,

@@ -56,6 +56,28 @@ def export_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None
     df.coalesce(1).write.format("csv").option("header", "true").mode(mode).save(path)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """JSON-lines export — the corpus interchange format. Prefer
+    ``compression='zstd'`` (or none) at scale: both stay line-splittable
+    for re-reads, gzip does not. Partition count = file count; coalesce
+    upstream if the consumer wants few files."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC export via the built-in native writer (zlib default; columnar,
+    stripe-level stats for pushdown on re-read)."""
+    df.write.mode(mode).orc(path)
+
+
 #: leaf-name prefix for the retired copy of a partition dir during an
 #: atomic publish — dot-prefixed so Spark/Hive listing ignores it (a
 #: ``day=X.__old`` SUFFIX would be parsed as a bogus partition value)
