@@ -2408,6 +2408,81 @@ FROM s
 """
 
 
+def mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: frequency-domain audio features — synthesizes a two-tone
+    16-bit WAV per document (dominant tone at bin 5 + doc_id%50 with
+    amplitude 10000, secondary at bin 60 + (doc_id*7)%50 with amplitude
+    3000, N=256 @ 8 kHz), decodes it through the real RIFF chunk walk
+    (``multimodal.decode_audio``), and recovers both planted bins from
+    the magnitude spectrum (numpy rfft, Arrow-batched). The oracle states
+    the closed-form bins/frequencies, so the whole synth → encode →
+    decode → FFT → argmax chain must be right to hash-match; bin_hz =
+    8000/256 = 31.25 is binary-exact, keeping the Hz columns bit-stable.
+    Scale: per-row kernels with no shuffle; a 256-point rfft is ~µs —
+    the corpus scan dominates, which is the right shape at 100 TB."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import wav_encode
+
+        i = np.arange(256)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                k = 5 + int(d) % 50
+                m = 60 + (int(d) * 7) % 50
+                wave = 10000 * np.sin(2 * np.pi * k * i / 256) + 3000 * np.sin(
+                    2 * np.pi * m * i / 256
+                )
+                payloads.append(
+                    wav_encode(np.round(wave).astype(np.int16), 8000)
+                )
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    wavs = docs.mapInPandas(synth, schema="id long, payload binary")
+    decoded = multimodal.decode_audio(wavs)
+
+    def spectral(batches):
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf["id"], pdf["samples"]):
+                v = np.frombuffer(buf, "<i2").astype(np.float64)
+                mag = np.abs(np.fft.rfft(v))
+                mag[0] = 0.0  # ignore DC
+                dom = int(np.argmax(mag))
+                mag2 = mag.copy()
+                mag2[dom] = 0.0
+                sec = int(np.argmax(mag2))
+                rows.append((i, dom, sec, dom * 31.25, sec * 31.25))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "dominant_bin", "second_bin",
+                    "dominant_hz", "second_hz",
+                ],
+            )
+
+    return decoded.mapInPandas(
+        spectral,
+        schema=(
+            "doc_id long, dominant_bin int, second_bin int, "
+            "dominant_hz double, second_hz double"
+        ),
+    )
+
+
+MM_SPECTRAL_ORACLE = """
+SELECT doc_id,
+       CAST(5 + doc_id % 50 AS INTEGER) AS dominant_bin,
+       CAST(60 + (doc_id * 7) % 50 AS INTEGER) AS second_bin,
+       CAST((5 + doc_id % 50) * 31.25 AS DOUBLE) AS dominant_hz,
+       CAST((60 + (doc_id * 7) % 50) * 31.25 AS DOUBLE) AS second_hz
+FROM documents
+"""
+
+
 #: mvhd timescales exercised by mm_mp4_meta, indexed by doc_id % 4
 _MP4_TIMESCALES = (600, 1000, 24000, 90000)
 
@@ -2521,6 +2596,7 @@ QUERIES = {
     "tp_source_caps": tp_source_caps,
     "mm_wav_meta": mm_wav_meta,
     "mm_audio_stats": mm_audio_stats,
+    "mm_audio_spectral": mm_audio_spectral,
     "mm_gif_roundtrip": mm_gif_roundtrip,
     "mm_mp4_frame_stats": mm_mp4_frame_stats,
     "dd_semantic_dedup": dd_semantic_dedup,
@@ -2573,6 +2649,7 @@ ORACLES = {
     "tp_source_caps": TP_SOURCE_CAPS_ORACLE,
     "mm_wav_meta": MM_WAV_ORACLE,
     "mm_audio_stats": MM_AUDIO_ORACLE,
+    "mm_audio_spectral": MM_SPECTRAL_ORACLE,
     "mm_gif_roundtrip": MM_GIF_ORACLE,
     "mm_mp4_frame_stats": MM_MP4_FRAMES_ORACLE,
     "dd_semantic_dedup": DD_SEMANTIC_ORACLE,
