@@ -215,6 +215,53 @@ def main():
         tN = timed(f"{label}@{factor}x", op(dN))
         print(f"{label}: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
 
+    # round-4 (continuation) families: repetition stats (per-row array
+    # lambdas — linear), BPE pair counts (corpus agg then
+    # vocabulary-bounded work — sublinear once vocab saturates),
+    # Bloom-prefiltered incremental dedup (bitmap probe at scan speed,
+    # history join fed only the maybe-set), SCD2 changelog collapse (one
+    # key-partitioned window, no global sort)
+    from us_dot_flights_lakehouse_spark.functions.text import (
+        normalized_fingerprint,
+    )
+    from us_dot_flights_lakehouse_spark.llm import dedup as _dedup
+    from us_dot_flights_lakehouse_spark.llm.textstats import repetition_stats
+    from us_dot_flights_lakehouse_spark.llm.tokenizer import merge_pair_counts
+    from us_dot_flights_lakehouse_spark.operators.scd import scd2_from_changelog
+
+    for label, fn in (
+        ("repetition_stats", repetition_stats),
+        ("bpe_pair_counts", merge_pair_counts),
+    ):
+        t1 = timed(f"{label}@1x", fn(docs1))
+        tN = timed(f"{label}@{factor}x", fn(docsN))
+        print(f"{label}: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
+
+    def bloom_incr(d):
+        fp = normalized_fingerprint("text").alias("fp")
+        hist = d.filter(F.col("doc_id") % 2 == 0).select(fp).distinct()
+        batch = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", fp)
+        return _dedup.incremental_dedup_verdict_bloom(
+            batch, hist, m_bits=1 << 20
+        )
+
+    t1 = timed("bloom_incr_dedup@1x", bloom_incr(docs1))
+    tN = timed(f"bloom_incr_dedup@{factor}x", bloom_incr(docsN))
+    print(f"bloom_incr_dedup: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
+
+    ev1 = scaled(spark, "events", 1, "event_id").cache()
+    evN = scaled(spark, "events", factor, "event_id").cache()
+    ev1.count(); evN.count()
+    t1 = timed(
+        "scd2_changelog@1x",
+        scd2_from_changelog(ev1, ["user_id"], "event_type", "ts", "event_id"),
+    )
+    tN = timed(
+        f"scd2_changelog@{factor}x",
+        scd2_from_changelog(evN, ["user_id"], "event_type", "ts", "event_id"),
+    )
+    print(f"scd2_changelog: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
+
     skew_bench(spark)
     spark.stop()
 

@@ -39,7 +39,15 @@ _MODULES = (llm, streaming, quality, flights, relational)
 #: come first; the long tail of f_* function suites — all driver-green in
 #: round 1 and unchanged since — absorbs any truncation.
 _PRIORITY = (
-    # round-4 changes needing fresh driver verification
+    # new this round-4 session — never driver-verified
+    "ts_repetition_filters",  # Gopher repetition family
+    "tp_bpe_pair_counts",  # BPE iteration-0 pair counts
+    "tp_bloom_incremental_dedup",  # Bloom-prefiltered dedup
+    "w4_scd2_history",  # SCD2 changelog collapse
+    "src_jsonl_roundtrip",  # JSONL source round-trip
+    "src_orc_roundtrip",  # ORC source round-trip
+    "mm_audio_spectral",  # FFT bin recovery
+    # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
     "sim_lsh_multiprobe",  # new this round
     "mm_jpeg_roundtrip",  # new this round (baseline JPEG codec)
