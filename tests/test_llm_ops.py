@@ -1294,3 +1294,24 @@ def test_mp4_non_jpeg_samples_gate_to_null_row(spark):
     assert len(rows) == 1 and rows[0]["pixels"] is None
     with pytest.raises(ValueError):
         multimodal.mp4_parse_frames(b"\x00\x00\x00\x08free")
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from us_dot_flights_lakehouse_spark.llm.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [1.0, 0.0], 0),   # identical but same label -> excluded
+            (2, [0.9, 0.1], 1),   # hardest valid negative
+            (3, [0.0, 1.0], 1),
+            (4, [0.8, 0.2], 0),   # same label -> excluded
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    qs = emb.filter("vec_id = 0")
+    rows = hard_negatives(emb, qs, k=2).collect()
+    assert [(r["rank"], r["neighbor_id"], r["neighbor_label"]) for r in rows] == [
+        (1, 2, 1),
+        (2, 3, 1),
+    ]

@@ -70,6 +70,64 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each anchor, the
+    top-k most-cosine-similar corpus vectors with a DIFFERENT label — the
+    negatives that sit closest to the decision boundary, which is what a
+    contrastive/triplet objective wants in the batch. Returns
+    (query_id, rank, neighbor_id, neighbor_label), rank deterministic via
+    (cosine desc, neighbor id asc).
+
+    Scale: identical shape to ``cosine_topk`` — broadcast the anchor set,
+    scan the corpus once, per-anchor top-k via window; the label
+    inequality is a scan-local filter fused into the same stage, so
+    mining costs exactly one corpus pass regardless of label count."""
+
+    def prep(df):
+        return df.select(
+            F.col(id_col).alias("id"),
+            to_double_array(vec_col).alias("v"),
+            F.col(label_col).alias("lbl"),
+        ).withColumn("nrm", norm(F.col("v")))
+
+    corpus = prep(emb)
+    qs = prep(queries).select(
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("lbl").alias("qlbl"),
+    )
+    scored = (
+        F.broadcast(qs)
+        .crossJoin(corpus)
+        .filter((F.col("qid") != F.col("id")) & (F.col("qlbl") != F.col("lbl")))
+        .select(
+            "qid",
+            "id",
+            "lbl",
+            (_dot("qv", "v") / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("id").alias("neighbor_id"),
+            F.col("lbl").alias("neighbor_label"),
+        )
+    )
+
+
 def _plane(j: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane j over `dim` dims, components
     in [-1, 1), derived from the shared md5 hash contract."""

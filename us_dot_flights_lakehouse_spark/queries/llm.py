@@ -251,6 +251,34 @@ SELECT query_id, rank, neighbor_id FROM (
 """
 
 
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (llm/similarity.py): per anchor,
+    the top-k most-similar vectors with a different label — one broadcast
+    × corpus-scan pass, label filter fused into the scan stage."""
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.hard_negatives(emb, qs, k=TOPK_K)
+
+
+SIM_HARDNEG_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (SELECT vec_id, label, v, {_VEC_NORM} AS nrm FROM e),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+  FROM n q JOIN n c ON q.vec_id != c.vec_id AND q.label != c.label
+  WHERE q.vec_id < {N_QUERY_VECS}
+)
+SELECT query_id, rank, neighbor_id, neighbor_label FROM (
+  SELECT query_id, neighbor_id, neighbor_label,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOPK_K}
+"""
+
+
 IVF_NLIST = 16
 IVF_NPROBE = 4
 IVF_SEED = 42
@@ -2560,6 +2588,7 @@ QUERIES = {
     "dd_simhash_pairs": dd_simhash_pairs,
     "dd_embedding_neardup": dd_embedding_neardup,
     "sim_topk_cosine": sim_topk_cosine,
+    "sim_hard_negatives": sim_hard_negatives,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_lsh_multiprobe": sim_lsh_multiprobe,
     "sim_ivf_topk": sim_ivf_topk,
@@ -2613,6 +2642,7 @@ ORACLES = {
     "dd_simhash_pairs": _simhash_pairs_oracle(),
     "dd_embedding_neardup": DD_EMB_ORACLE,
     "sim_topk_cosine": SIM_TOPK_ORACLE,
+    "sim_hard_negatives": SIM_HARDNEG_ORACLE,
     "sim_lsh_topk": SIM_LSH_ORACLE,
     "sim_lsh_multiprobe": SIM_LSH_MP_ORACLE,
     "sim_ivf_topk": _ivf_oracle,
