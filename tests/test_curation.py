@@ -319,3 +319,20 @@ def test_bloom_incremental_dedup_matches_plain(spark):
     }
     assert plain == bloomed
     assert any(v[0] for v in plain.values())  # history dups present
+
+
+def test_label_balance_clamps_to_smallest_class(spark):
+    from us_dot_flights_lakehouse_spark.llm.curation import label_balance
+
+    rows = [(i, "a") for i in range(5)] + [(10 + i, "b") for i in range(3)] + [
+        (20 + i, "c") for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string")
+    out = label_balance(df).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r["vec_id"])
+    assert {k: len(v) for k, v in by_label.items()} == {"a": 2, "b": 2, "c": 2}
+    # deterministic: a second run keeps the identical membership
+    again = {(r["vec_id"], r["label"]) for r in label_balance(df).collect()}
+    assert again == {(r["vec_id"], r["label"]) for r in out}

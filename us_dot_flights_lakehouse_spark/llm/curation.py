@@ -263,6 +263,39 @@ def source_caps(
     ).select("*", (F.col("slot") <= cap).alias("kept"))
 
 
+def label_balance(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Class-balance downsampling: clamp every label to the size of the
+    SMALLEST class, membership chosen by the deterministic ``hash28``
+    order (same reproducibility contract as ``source_caps``, which caps
+    at a FIXED size instead). Returns only the kept rows
+    (id, label, rank_in_label).
+
+    Scale: one per-label window shuffle; the min-class size is a
+    label-cardinality-sized aggregate reduced to one row and broadcast —
+    no driver round-trip, the whole thing stays one lazy plan."""
+    order_key = hash28(F.concat(F.lit("bal:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(label_col).orderBy(order_key.asc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.row_number().over(w).cast("int").alias("rank_in_label"),
+    )
+    min_n = (
+        df.groupBy(label_col)
+        .agg(F.count("*").alias("_n"))
+        .agg(F.min("_n").alias("_min_n"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(min_n))
+        .filter(F.col("rank_in_label") <= F.col("_min_n"))
+        .drop("_min_n")
+    )
+
+
 def shard_assign(
     docs: DataFrame,
     n_shards: int,

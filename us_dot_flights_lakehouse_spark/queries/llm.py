@@ -279,6 +279,33 @@ SELECT query_id, rank, neighbor_id, neighbor_label FROM (
 """
 
 
+def tp_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: class-balance downsampling over the embeddings table — every
+    label clamped to the smallest class's size, membership by the
+    deterministic hash28 order (llm/curation.py::label_balance)."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return curation.label_balance(emb)
+
+
+TP_BALANCE_ORACLE = """
+WITH ranked AS (
+  SELECT vec_id, label,
+         CAST(row_number() OVER (
+           PARTITION BY label
+           ORDER BY ('0x' || substr(md5('bal:' || CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT ASC,
+                    vec_id ASC
+         ) AS INTEGER) AS rank_in_label
+  FROM embeddings
+), m AS (
+  SELECT min(n) AS min_n FROM (
+    SELECT count(*) AS n FROM embeddings GROUP BY label
+  )
+)
+SELECT vec_id, label, rank_in_label FROM ranked, m
+WHERE rank_in_label <= m.min_n
+"""
+
+
 IVF_NLIST = 16
 IVF_NPROBE = 4
 IVF_SEED = 42
@@ -2589,6 +2616,7 @@ QUERIES = {
     "dd_embedding_neardup": dd_embedding_neardup,
     "sim_topk_cosine": sim_topk_cosine,
     "sim_hard_negatives": sim_hard_negatives,
+    "tp_label_balance": tp_label_balance,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_lsh_multiprobe": sim_lsh_multiprobe,
     "sim_ivf_topk": sim_ivf_topk,
@@ -2643,6 +2671,7 @@ ORACLES = {
     "dd_embedding_neardup": DD_EMB_ORACLE,
     "sim_topk_cosine": SIM_TOPK_ORACLE,
     "sim_hard_negatives": SIM_HARDNEG_ORACLE,
+    "tp_label_balance": TP_BALANCE_ORACLE,
     "sim_lsh_topk": SIM_LSH_ORACLE,
     "sim_lsh_multiprobe": SIM_LSH_MP_ORACLE,
     "sim_ivf_topk": _ivf_oracle,
