@@ -1315,3 +1315,36 @@ def test_hard_negatives_excludes_same_label(spark):
         (1, 2, 1),
         (2, 3, 1),
     ]
+
+
+def test_resize_image_nearest_box_and_null_rows(spark):
+    import numpy as np
+
+    from us_dot_flights_lakehouse_spark.llm.multimodal import resize_image
+
+    # 4x4 L gradient 0..15, plus an RGB 2x2, plus a codec-gated null row
+    l_px = bytes(range(16))
+    rgb_px = bytes(range(12))
+    df = spark.createDataFrame(
+        [
+            (1, 4, 4, "L", bytearray(l_px)),
+            (2, 2, 2, "RGB", bytearray(rgb_px)),
+            (3, None, None, None, None),
+        ],
+        "id long, width int, height int, mode string, pixels binary",
+    )
+    box = {r["id"]: r for r in resize_image(df.filter("id = 1"), 2, 2, "box").collect()}
+    # 2x2 block means of [[0..3],[4..7],[8..11],[12..15]]: (0+1+4+5)//4=2 etc
+    assert list(box[1]["pixels"]) == [2, 4, 10, 12]
+    near = {r["id"]: r for r in resize_image(df, 2, 2, "nearest").collect()}
+    # nearest 4->2 picks rows/cols 0 and 2: values 0,2,8,10
+    assert list(near[1]["pixels"]) == [0, 2, 8, 10]
+    # RGB 2x2 -> 2x2 is identity; channels preserved
+    assert list(near[2]["pixels"]) == list(rgb_px)
+    assert near[2]["mode"] == "RGB"
+    # null pixel row passes through as a null row
+    assert near[3]["pixels"] is None and near[3]["width"] is None
+    # nearest upscale 2->4 replicates each pixel 2x2
+    up = resize_image(df.filter("id = 1"), 8, 8, "nearest").collect()[0]
+    a = np.frombuffer(up["pixels"], np.uint8).reshape(8, 8)
+    assert a[0, 0] == a[1, 1] == 0 and a[7, 7] == 15

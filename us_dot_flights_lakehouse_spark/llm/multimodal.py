@@ -723,6 +723,67 @@ def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "payload") ->
     )
 
 
+_MODE_CHANNELS = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}
+
+
+def resize_image(
+    df: DataFrame, out_w: int, out_h: int, method: str = "nearest"
+) -> DataFrame:
+    """Resize decoded images (input/output schema = DECODED_IMAGE_SCHEMA,
+    so resizes chain after ``decode_image`` and after each other).
+
+    Methods are deliberately integer-exact (deterministic across engines
+    and SIMD layouts — no float accumulation):
+    - ``nearest``: index striding, src = floor(dst * in/out); any ratio.
+    - ``box``: block mean with integer division; requires integer
+      downscale ratios (the training-pipeline thumbnail path).
+
+    Null pixel rows (codec-gated inputs) pass through as null rows — the
+    same totality contract as ``decode_image``. Scale: scan-local
+    mapInPandas, zero shuffle; output blobs are out_w*out_h*ch, so
+    downsampling early is also the memory-footprint move before any
+    downstream shuffle."""
+    import numpy as np
+
+    if method not in ("nearest", "box"):
+        raise ValueError(f"unknown resize method: {method!r}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, w, h, mode, px in zip(
+                pdf["id"], pdf["width"], pdf["height"], pdf["mode"], pdf["pixels"]
+            ):
+                if px is None:
+                    rows.append((i, None, None, None, None))
+                    continue
+                w, h = int(w), int(h)
+                ch = _MODE_CHANNELS[mode]
+                arr = np.frombuffer(px, np.uint8).reshape(h, w, ch)
+                if method == "nearest":
+                    ys = (np.arange(out_h) * h) // out_h
+                    xs = (np.arange(out_w) * w) // out_w
+                    out = arr[ys][:, xs]
+                else:
+                    ky, kx = h // out_h, w // out_w
+                    if ky * out_h != h or kx * out_w != w:
+                        raise ValueError(
+                            f"box resize needs integer ratios: {w}x{h} -> "
+                            f"{out_w}x{out_h}"
+                        )
+                    out = (
+                        arr.reshape(out_h, ky, out_w, kx, ch)
+                        .sum(axis=(1, 3), dtype=np.int64)
+                        // (ky * kx)
+                    ).astype(np.uint8)
+                rows.append((i, out_w, out_h, mode, out.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "mode", "pixels"]
+            )
+
+    return df.mapInPandas(kernel, schema=DECODED_IMAGE_SCHEMA)
+
+
 def avi_encode(frames, us_per_frame: int) -> bytes:
     """Minimal uncompressed AVI writer (RIFF 'AVI ' / LIST hdrl+avih /
     LIST movi with '00db' DIB frames; stdlib struct only). ``frames`` is

@@ -994,6 +994,86 @@ FROM px
 """
 
 
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: image resize pipeline end-to-end — synthesizes a 16x16
+    grayscale PNG per document (pixel i = (7*doc_id + i) % 256), decodes
+    it (real zlib+unfilter path), then CHAINS two resizes: 2x box
+    downsample (integer block mean, the thumbnail path) to 8x8 and a
+    nearest-neighbor downsample to 4x4 — the composition proves resize
+    output re-enters the decoded-image schema. The oracle recomputes the
+    final 16 pixels arithmetically (each box mean from its four mod-256
+    source values — modular wrap breaks naive linearity, so a stride or
+    offset bug anywhere in the chain hash-fails)."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import png_encode
+
+        for pdf in batches:
+            payloads = [
+                png_encode(
+                    ((7 * int(d) + np.arange(256)) % 256)
+                    .astype(np.uint8)
+                    .reshape(16, 16),
+                    "L",
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(synth, schema="id long, payload binary")
+    small = multimodal.resize_image(
+        multimodal.resize_image(multimodal.decode_image(imgs), 8, 8, "box"),
+        4,
+        4,
+        "nearest",
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, w, h, px in zip(
+                pdf["id"], pdf["width"], pdf["height"], pdf["pixels"]
+            ):
+                a = np.frombuffer(px, np.uint8).astype(np.int64)
+                rows.append((i, int(w), int(h), int(a.sum()), int(a.min()), int(a.max())))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "sum_px", "min_px", "max_px"],
+            )
+
+    return small.mapInPandas(
+        stats,
+        schema="doc_id long, width int, height int, sum_px bigint, min_px bigint, max_px bigint",
+    )
+
+
+# final 4x4 pixel (y=j//4, x=j%4) <- box mean at 8x8 position (2y, 2x)
+# <- 2x2 source block with top-left (4y, 4x) of the 16x16 synth image:
+# base = 7*doc_id + 16*(4y) + 4x; mean of the four mod-256 values.
+MM_RESIZE_ORACLE = """
+WITH px AS (
+  SELECT doc_id,
+    list_transform(range(0, 16), j -> (
+      ((7 * doc_id + 64 * (j // 4) + 4 * (j % 4)) % 256
+       + (7 * doc_id + 64 * (j // 4) + 4 * (j % 4) + 1) % 256
+       + (7 * doc_id + 64 * (j // 4) + 4 * (j % 4) + 16) % 256
+       + (7 * doc_id + 64 * (j // 4) + 4 * (j % 4) + 17) % 256) // 4
+    )) AS p
+  FROM documents
+)
+SELECT doc_id,
+       CAST(4 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       CAST(list_sum(p) AS BIGINT) AS sum_px,
+       CAST(list_aggregate(p, 'min') AS BIGINT) AS min_px,
+       CAST(list_aggregate(p, 'max') AS BIGINT) AS max_px
+FROM px
+"""
+
+
 def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM: REAL baseline-JPEG decode end-to-end — synthesizes a 16x16
     grayscale JPEG per document (four 8x8 constant blocks, block b =
@@ -2631,6 +2711,7 @@ QUERIES = {
     "mm_image_dims": mm_image_dims,
     "mm_pixel_stats": mm_pixel_stats,
     "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
+    "mm_image_resize": mm_image_resize,
     "mm_frame_stats": mm_frame_stats,
     "mm_mjpeg_frame_stats": mm_mjpeg_frame_stats,
     "src_wds_roundtrip": src_wds_roundtrip,
@@ -2686,6 +2767,7 @@ ORACLES = {
     "mm_image_dims": MM_DIMS_ORACLE,
     "mm_pixel_stats": MM_PIXEL_ORACLE,
     "mm_jpeg_roundtrip": MM_JPEG_ORACLE,
+    "mm_image_resize": MM_RESIZE_ORACLE,
     "mm_frame_stats": MM_FRAME_ORACLE,
     "mm_mjpeg_frame_stats": MM_MJPEG_ORACLE,
     "src_wds_roundtrip": SRC_WDS_ORACLE,
