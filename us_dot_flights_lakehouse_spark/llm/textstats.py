@@ -191,11 +191,14 @@ def repetition_stats(
 
     Scale: pure per-row array lambdas — zero shuffles, runs at parquet-scan
     speed and trivially parallel at 100 TB.  Per-doc cost is
-    O(distinct_grams * grams) string compares; for web-scale docs (~10^3
-    words) that is ~10^6 short compares per doc inside codegen, still cheap
-    next to the scan, and it avoids the explode + groupBy(doc, gram)
-    shuffle of the naive formulation — at 100 TB the shuffle would move
-    ~n_words * 5 rows per doc while this moves nothing."""
+    O(grams log grams): each n-gram list is array_sort'ed and the
+    occurrence counts come from ONE fold over the sorted runs (Spark's
+    higher-order functions are interpreted, not codegen'd, so the naive
+    distinct × filter formulation is O(L²) interpreted compares — measured
+    51 s for the sf0.1 corpus vs ~2 s for this run-length fold). It also
+    avoids the explode + groupBy(doc, gram) shuffle of the aggregate
+    formulation — at 100 TB that shuffle would move ~n_words * 5 rows per
+    doc while this moves nothing."""
     toks = tokenize(text_col)
     base = docs.select(
         F.col(id_col),
@@ -208,17 +211,59 @@ def repetition_stats(
         .alias("token_chars"),
     )
     tc = F.col("token_chars").cast("double")
+
+    def run_fold(n: int):
+        """(top_cover, dup_chars) for the n-gram list via one pass over the
+        sorted grams: equal grams are adjacent, so occurrence counts are
+        run lengths; cover(run) = run_len * (chars of the gram minus the
+        n-1 joining spaces)."""
+        grams = F.array_sort(word_ngrams(F.col("toks"), n))
+        init = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("top"),
+            F.lit(0).alias("dup"),
+        )
+
+        def closed_cover(acc):
+            return acc["run"] * (F.length(acc["prev"]) - F.lit(n - 1))
+
+        def merge(acc, x):
+            return F.when(
+                x == acc["prev"],
+                F.struct(
+                    acc["prev"].alias("prev"),
+                    (acc["run"] + 1).alias("run"),
+                    acc["top"].alias("top"),
+                    acc["dup"].alias("dup"),
+                ),
+            ).otherwise(
+                F.struct(
+                    x.alias("prev"),
+                    F.lit(1).alias("run"),
+                    F.greatest(acc["top"], closed_cover(acc)).alias("top"),
+                    (
+                        acc["dup"]
+                        + F.when(acc["run"] >= 2, closed_cover(acc)).otherwise(0)
+                    ).alias("dup"),
+                )
+            )
+
+        def finish(acc):
+            return F.struct(
+                F.greatest(acc["top"], closed_cover(acc)).alias("top"),
+                (
+                    acc["dup"]
+                    + F.when(acc["run"] >= 2, closed_cover(acc)).otherwise(0)
+                ).alias("dup"),
+            )
+
+        return F.aggregate(grams, init, merge, finish)
+
     cols = []
     keep = F.lit(True)
     for n, thr in REP_TOP_MAX.items():
-        grams = word_ngrams(F.col("toks"), n)
-        dist = F.array_distinct(grams)
-        cover = F.transform(
-            dist,
-            lambda g: F.size(F.filter(grams, lambda x: x == g))
-            * (F.length(g) - F.lit(n - 1)),
-        )
-        top = F.when(F.size(dist) > 0, F.array_max(cover)).otherwise(F.lit(0))
+        top = run_fold(n)["top"]
         # overlapping occurrences multi-count chars, so cap — both the top
         # and dup metrics are honest fractions in [0, 1]
         frac = F.when(
@@ -228,18 +273,7 @@ def repetition_stats(
         cols.append(frac.alias(f"top_{n}gram_frac"))
         keep = keep & (frac <= F.lit(thr))
     for n, thr in REP_DUP_MAX.items():
-        grams = word_ngrams(F.col("toks"), n)
-        dist = F.array_distinct(grams)
-        dup_chars = F.aggregate(
-            dist,
-            F.lit(0),
-            lambda acc, g: acc
-            + F.when(
-                F.size(F.filter(grams, lambda x: x == g)) >= 2,
-                F.size(F.filter(grams, lambda x: x == g))
-                * (F.length(g) - F.lit(n - 1)),
-            ).otherwise(F.lit(0)),
-        )
+        dup_chars = run_fold(n)["dup"]
         frac = F.when(
             F.col("token_chars") > 0,
             F.least(F.lit(1.0), dup_chars.cast("double") / tc),

@@ -47,6 +47,9 @@ _PRIORITY = (
     "src_jsonl_roundtrip",  # JSONL source round-trip
     "src_orc_roundtrip",  # ORC source round-trip
     "mm_audio_spectral",  # FFT bin recovery
+    "sim_hard_negatives",  # cross-label top-k mining
+    "tp_label_balance",  # class-balance downsample
+    "mm_image_resize",  # chained box+nearest resize
     # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
     "sim_lsh_multiprobe",  # new this round
