@@ -10,6 +10,7 @@ JVM/codegen warmup pass.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -63,8 +64,15 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         # per-query isolation: queries that cache()/checkpoint internally
         # must not leak storage blocks into later queries' measurements —
-        # a 90-query x3-rep session otherwise degrades the tail
+        # a 90-query x3-rep session otherwise degrades the tail.
+        # clearCache drops named cache entries; localCheckpoint RDD blocks
+        # are only released once their Py4J refs are garbage-collected
+        # (ContextCleaner), so force a Python GC too — without it the
+        # iterative queries' checkpoint blocks pile up and the bench tail
+        # measures memory pressure, not the operators (dd_dup_clusters
+        # read 18 s in a full run vs 2.7 s isolated before this).
         spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 4)
     out = {

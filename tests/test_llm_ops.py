@@ -1348,3 +1348,23 @@ def test_resize_image_nearest_box_and_null_rows(spark):
     up = resize_image(df.filter("id = 1"), 8, 8, "nearest").collect()[0]
     a = np.frombuffer(up["pixels"], np.uint8).reshape(8, 8)
     assert a[0, 0] == a[1, 1] == 0 and a[7, 7] == 15
+
+
+def test_vocab_ids_and_token_encoding(spark):
+    from us_dot_flights_lakehouse_spark.llm.tokenizer import (
+        encode_token_ids,
+        vocab_ids,
+    )
+
+    docs = _docs(spark, [(1, "b a b"), (2, "a c b")])
+    vocab = vocab_ids(docs)
+    # freq ranking: b x3 -> 0, a x2 -> 1, c x1 -> 2
+    assert {(r["word"], r["token_id"]) for r in vocab.collect()} == {
+        ("b", 0), ("a", 1), ("c", 2)
+    }
+    enc = {r["doc_id"]: r for r in encode_token_ids(docs, vocab).collect()}
+    assert enc[1]["token_ids"] == [0, 1, 0] and enc[1]["n_tokens"] == 3
+    assert enc[2]["token_ids"] == [1, 2, 0]
+    # out-of-vocabulary tokens encode as -1
+    oov = encode_token_ids(_docs(spark, [(3, "a zz")]), vocab).collect()[0]
+    assert oov["token_ids"] == [1, -1]

@@ -91,6 +91,66 @@ def _merge_fold(symbols: Column, left: str, right: str) -> Column:
     )
 
 
+def vocab_ids(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Frequency-ranked vocabulary: (word, freq, token_id) with token_id
+    assigned by (freq desc, word asc) — rank 0 is the most common word,
+    ties broken lexicographically so the id table is deterministic.
+    Vocabulary-sized after the one corpus aggregation; the ranking window
+    is a single global order over the VOCAB (zipf-bounded), not the
+    corpus — at web scale that is millions of rows through one sort, still
+    driver-free and far below shuffle scale."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    return word_frequencies(docs, text_col).select(
+        "word",
+        "freq",
+        (F.row_number().over(w) - 1).cast("int").alias("token_id"),
+    )
+
+
+def encode_token_ids(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode each document's token stream as its vocabulary id sequence —
+    the text → training-tensor step (compose with ``curation.
+    pack_sequences`` for the full pipeline). Returns
+    (id, n_tokens, token_ids array<int>); out-of-vocabulary tokens encode
+    as -1 (the caller's UNK policy).
+
+    Scale: posexplode to (doc, pos, word), hash-join against the vocab
+    (AQE broadcasts a small vocab, shuffle-joins a huge one), then ONE
+    groupBy(doc) re-assembly where sort_array over (pos, id) structs
+    restores token order without a window. Corpus tokens pass through
+    exactly one shuffle pair (join + reassembly)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokenize(text_col)).alias("pos", "word"),
+    )
+    joined = toks.join(vocab.select("word", "token_id"), "word", "left")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos").alias("pos"),
+                            F.coalesce("token_id", F.lit(-1)).alias("tid"),
+                        )
+                    )
+                ),
+                lambda s: s["tid"],
+            ).alias("token_ids"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def bpe_train(
     docs: DataFrame, n_merges: int = 10, text_col: str = "text"
 ) -> list[tuple[str, str, int]]:

@@ -50,6 +50,7 @@ _PRIORITY = (
     "sim_hard_negatives",  # cross-label top-k mining
     "tp_label_balance",  # class-balance downsample
     "mm_image_resize",  # chained box+nearest resize
+    "tp_token_ids",  # vocab-id encoding
     # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
     "sim_lsh_multiprobe",  # new this round

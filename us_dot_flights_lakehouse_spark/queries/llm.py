@@ -2177,6 +2177,42 @@ SELECT rank, left_sym, right_sym, pair_count FROM (
 """
 
 
+def tp_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: text → training-tensor encoding — build the frequency-ranked
+    vocabulary (llm/tokenizer.py::vocab_ids) and encode every document's
+    token stream as its id sequence (posexplode → vocab join → ordered
+    reassembly via sort_array, no window). Composes with
+    tp_sequence_packing for the full tokenize→ids→pack path."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    vocab = tokenizer.vocab_ids(docs)
+    return tokenizer.encode_token_ids(docs, vocab)
+
+
+TP_TOKEN_IDS_ORACLE = f"""
+WITH words AS (
+  SELECT w AS word, count(*) AS freq
+  FROM (SELECT unnest({_TOKENS}) AS w FROM documents) GROUP BY w
+), vocab AS (
+  SELECT word,
+         CAST(row_number() OVER (ORDER BY freq DESC, word ASC) - 1 AS INTEGER)
+           AS token_id
+  FROM words
+), ex AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) + 1),
+                               i -> struct_pack(pos := i - 1, word := t[i]))) AS u
+  FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+), toks AS (
+  SELECT doc_id, u.pos AS pos, u.word AS word FROM ex
+)
+SELECT t.doc_id,
+       CAST(count(*) AS INTEGER) AS n_tokens,
+       list(COALESCE(v.token_id, -1) ORDER BY t.pos) AS token_ids
+FROM toks t LEFT JOIN vocab v USING (word)
+GROUP BY t.doc_id
+"""
+
+
 CHUNK_CHARS = 120
 CHUNK_OVERLAP = 30
 
@@ -2730,6 +2766,7 @@ QUERIES = {
     "ts_quality_filters": ts_quality_filters,
     "ts_repetition_filters": ts_repetition_filters,
     "tp_bpe_pair_counts": tp_bpe_pair_counts,
+    "tp_token_ids": tp_token_ids,
     "tp_doc_chunking": tp_doc_chunking,
     "tp_source_caps": tp_source_caps,
     "mm_wav_meta": mm_wav_meta,
@@ -2786,6 +2823,7 @@ ORACLES = {
     "ts_quality_filters": _quality_filters_oracle(),
     "ts_repetition_filters": _repetition_oracle(),
     "tp_bpe_pair_counts": TP_BPE_ORACLE,
+    "tp_token_ids": TP_TOKEN_IDS_ORACLE,
     "tp_doc_chunking": TP_CHUNK_ORACLE,
     "tp_source_caps": TP_SOURCE_CAPS_ORACLE,
     "mm_wav_meta": MM_WAV_ORACLE,
