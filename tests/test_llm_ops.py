@@ -1368,3 +1368,19 @@ def test_vocab_ids_and_token_encoding(spark):
     # out-of-vocabulary tokens encode as -1
     oov = encode_token_ids(_docs(spark, [(3, "a zz")]), vocab).collect()[0]
     assert oov["token_ids"] == [1, -1]
+
+
+def test_unicode_normalize_nfc_composition(spark):
+    from us_dot_flights_lakehouse_spark.llm.textstats import unicode_normalize
+
+    decomposed = "café naive"        # e + combining acute
+    composed = "café naive"
+    docs = _docs(spark, [(1, decomposed), (2, composed), (3, None)])
+    rows = {r["doc_id"]: r for r in unicode_normalize(docs).collect()}
+    assert rows[1]["norm_text"] == composed
+    assert rows[1]["changed"] is True and rows[1]["len_delta"] == -1
+    assert rows[2]["changed"] is False and rows[2]["len_delta"] == 0
+    assert rows[3]["norm_text"] is None
+    # NFKD decomposes compatibility chars like the ligature
+    nfkd = unicode_normalize(_docs(spark, [(1, "ﬁsh")]), form="NFKD").collect()[0]
+    assert nfkd["norm_text"] == "fish"

@@ -285,6 +285,48 @@ def repetition_stats(
     )
 
 
+def unicode_normalize(
+    docs: DataFrame,
+    form: str = "NFC",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode normalization for corpus canonicalization (NFC/NFKC/NFD/
+    NFKD) — the step before fingerprint-based dedup on multilingual
+    crawls, where 'é' as U+00E9 vs e+U+0301 would otherwise defeat exact
+    dedup. Spark has no built-in normalizer, so this is one of the few
+    places the engine deliberately enters Python: an Arrow-batched pandas
+    UDF over ``unicodedata.normalize`` (vectorized str accessor; no
+    row-at-a-time UDF). Returns (id, norm_text, changed, len_delta).
+
+    Scale: scan-local, zero shuffle; Arrow batch transfer is the cost, so
+    project (id, text) first and normalize before any shuffle-heavy
+    downstream op (the dedup pipelines consume ``norm_text``)."""
+    import pandas as pd
+
+    def _norm_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    # this module uses PEP 563 (stringified annotations), which pandas_udf
+    # cannot resolve — attach real type objects instead
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = F.pandas_udf(_norm_fn, "string")
+
+    out = docs.select(F.col(id_col), F.col(text_col).alias("_t")).withColumn(
+        "norm_text", _norm(F.col("_t"))
+    )
+    return out.select(
+        id_col,
+        "norm_text",
+        (F.col("norm_text") != F.col("_t")).alias("changed"),
+        (F.length("norm_text") - F.length("_t")).cast("int").alias("len_delta"),
+    )
+
+
 def bigram_commonality(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -2053,6 +2053,29 @@ FROM c
 """
 
 
+def ts_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: NFC unicode canonicalization (llm/textstats.py) — md5 of the
+    normalized text so the oracle (DuckDB ``nfc_normalize``) checks full
+    fidelity, not just lengths. The synthetic corpus is ASCII (changed =
+    false everywhere); the composed/decomposed cases are unit-tested."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    return textstats.unicode_normalize(docs).select(
+        "doc_id",
+        F.md5("norm_text").alias("norm_md5"),
+        "changed",
+        "len_delta",
+    )
+
+
+TS_UNICODE_ORACLE = """
+SELECT doc_id,
+       md5(nfc_normalize(text)) AS norm_md5,
+       nfc_normalize(text) != text AS changed,
+       CAST(length(nfc_normalize(text)) - length(text) AS INTEGER) AS len_delta
+FROM documents
+"""
+
+
 def ts_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition family (Rae et al. 2021 table A1): fraction of
     characters covered by the most frequent word {2,3,4}-gram and inside
@@ -2765,6 +2788,7 @@ QUERIES = {
     "tp_contamination": tp_contamination,
     "ts_quality_filters": ts_quality_filters,
     "ts_repetition_filters": ts_repetition_filters,
+    "ts_unicode_normalize": ts_unicode_normalize,
     "tp_bpe_pair_counts": tp_bpe_pair_counts,
     "tp_token_ids": tp_token_ids,
     "tp_doc_chunking": tp_doc_chunking,
@@ -2822,6 +2846,7 @@ ORACLES = {
     "tp_contamination": TP_CONTAM_ORACLE,
     "ts_quality_filters": _quality_filters_oracle(),
     "ts_repetition_filters": _repetition_oracle(),
+    "ts_unicode_normalize": TS_UNICODE_ORACLE,
     "tp_bpe_pair_counts": TP_BPE_ORACLE,
     "tp_token_ids": TP_TOKEN_IDS_ORACLE,
     "tp_doc_chunking": TP_CHUNK_ORACLE,
