@@ -18,6 +18,24 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def lit_doubles(vals) -> Column:
+    """Literal array<double> built as ONE parsed SQL expression.
+    ``F.array(*[F.lit(x) ...])`` issues a Py4J round-trip per element —
+    measured ~9 s of pure driver time for 16K elements (PQ codebooks) —
+    while a single array literal parses in milliseconds. ``repr(float)``
+    is the shortest round-tripping decimal, so the parsed double is
+    bit-identical to the python value."""
+    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
+
+
+def lit_double_matrix(rows) -> Column:
+    """Literal array<array<double>> (e.g. a codebook) as one expression."""
+    inner = [
+        "array(" + ",".join(repr(float(v)) + "D" for v in row) + ")" for row in rows
+    ]
+    return F.expr("array(" + ",".join(inner) + ")")
+
+
 def to_double_array(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))

@@ -20,7 +20,12 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from us_dot_flights_lakehouse_spark.functions.text import hash28
-from us_dot_flights_lakehouse_spark.functions.vectors import norm, to_double_array
+from us_dot_flights_lakehouse_spark.functions.vectors import (
+    lit_double_matrix,
+    lit_doubles,
+    norm,
+    to_double_array,
+)
 
 #: number of signed hyperplane projections = bits in the LSH bucket key
 LSH_PLANES = 8
@@ -150,7 +155,7 @@ def lsh_bucket(
     planes [t*n_planes, (t+1)*n_planes))."""
     bucket = F.lit(0)
     for j in range(first_plane, first_plane + n_planes):
-        plane = F.array(*[F.lit(w) for w in _plane(j, dim)])
+        plane = lit_doubles(_plane(j, dim))
         proj = F.aggregate(
             F.zip_with(vec, plane, lambda x, y: x * y),
             F.lit(0.0),
@@ -269,7 +274,7 @@ def ivf_cosine_topk(
     # one narrow scan, whole-stage JVM evaluation, no Python in the path,
     # and sequential-fold math the SQL oracle reproduces bit-for-bit.
     def _sqdist(vec: Column, cent: list[float]) -> Column:
-        carr = F.array(*[F.lit(x) for x in cent])
+        carr = lit_doubles(cent)
         return F.aggregate(
             F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
@@ -356,7 +361,7 @@ def random_project(
         F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
     )
     comps = [
-        _dot("v", F.array(*[F.lit(w) for w in _plane(first_plane + k, dim)]))
+        _dot("v", lit_doubles(_plane(first_plane + k, dim)))
         for k in range(out_dim)
     ]
     return corpus.select("id", F.array(*comps).alias("proj"))
@@ -466,10 +471,7 @@ def pq_cosine_topk(
         )
     train = _training_matrix(train_df.toPandas(), "id", train_cap)
     books = train_pq_codebooks(train, dim, m, ksub, seed)
-    book_lits = [
-        F.array(*[F.array(*[F.lit(float(x)) for x in cent]) for cent in b])
-        for b in books
-    ]
+    book_lits = [lit_double_matrix(b) for b in books]
 
     def _sub_sqdist(vec_slice: Column, cent: Column) -> Column:
         return F.aggregate(
@@ -590,7 +592,7 @@ def lsh_probe_buckets(
         raise ValueError(f"n_probes must be in [1, {n_planes + 1}]")
     projs = []
     for j in range(first_plane, first_plane + n_planes):
-        plane = F.array(*[F.lit(w) for w in _plane(j, dim)])
+        plane = lit_doubles(_plane(j, dim))
         projs.append(
             F.aggregate(
                 F.zip_with(vec, plane, lambda x, y: x * y),
