@@ -1384,3 +1384,20 @@ def test_unicode_normalize_nfc_composition(spark):
     # NFKD decomposes compatibility chars like the ligature
     nfkd = unicode_normalize(_docs(spark, [(1, "ﬁsh")]), form="NFKD").collect()[0]
     assert nfkd["norm_text"] == "fish"
+
+
+def test_html_to_text_extraction_rules(spark):
+    from us_dot_flights_lakehouse_spark.llm.textstats import html_to_text
+
+    cases = [
+        (1, "<p>hello <b>world</b></p>", "hello world"),
+        (2, "<script>if (a<b) { x('<p>'); }</script>real", "real"),
+        (3, "<style>p>span { }</style>text", "text"),
+        (4, "a<!-- <b>no</b> -->b", "a b"),
+        (5, "x &amp;lt;raw&amp;gt; &amp; &lt;tag&gt;", "x &lt;raw&gt; & <tag>"),
+        (6, "  lots\n\tof\r\n  space  ", "lots of space"),
+    ]
+    df = spark.createDataFrame([(i, h) for i, h, _ in cases], "id long, html string")
+    got = {r["id"]: r["t"] for r in df.select("id", html_to_text("html").alias("t")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)

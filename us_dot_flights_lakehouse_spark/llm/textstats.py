@@ -285,6 +285,33 @@ def repetition_stats(
     )
 
 
+def html_to_text(col: str | Column) -> Column:
+    """Boilerplate HTML → text extraction for crawl processing: drop
+    script/style blocks and comments, strip remaining tags, decode the
+    five standard XML entities, collapse whitespace. A pure
+    ``regexp_replace`` chain — scan-local, zero shuffle, codegen'd.
+
+    Patterns deliberately avoid backreferences (separate script/style
+    patterns instead of ``<(script|style)>.*?</\\1>``) so RE2-based
+    engines (the DuckDB oracle) run the identical regexes; entity
+    decoding replaces ``&amp;`` LAST so ``&amp;lt;`` decodes to the
+    literal ``&lt;`` as the HTML spec requires, not to ``<``."""
+    t = F.col(col) if isinstance(col, str) else col
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
 def unicode_normalize(
     docs: DataFrame,
     form: str = "NFC",

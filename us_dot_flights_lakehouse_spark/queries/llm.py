@@ -2053,6 +2053,54 @@ FROM c
 """
 
 
+def ts_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: HTML → text extraction — wraps each document's text in a
+    realistic page shell (head with script+style, title heading, body
+    paragraph, comment, and an entity-bearing footer paragraph), then
+    recovers the text with ``textstats.html_to_text``. The oracle states
+    the closed-form expected string, so tag-stripping, script/style
+    removal, comment removal, entity decoding (incl. the &amp;lt;
+    double-escape case), and whitespace collapse must all be right to
+    hash-match."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(
+            "<html><head><script>var x = '<p>trap</p>';</script>"
+            "<style>p { color: red; }</style></head><body><h1>T"
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1>\n  <p>"),
+        F.col("text"),
+        F.lit(
+            "</p><!-- hidden <b>comment</b> -->"
+            "<p>x &amp; y &lt;z&gt; &quot;q&quot; &#39;a&#39; &amp;lt;raw&amp;gt;</p>"
+            "</body></html>"
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        textstats.html_to_text(page).alias("extracted"),
+    ).select(
+        "doc_id",
+        F.md5("extracted").alias("extracted_md5"),
+        F.length("extracted").cast("int").alias("n_extracted_chars"),
+    )
+
+
+TS_HTML_ORACLE = """
+WITH expected AS (
+  SELECT doc_id,
+         'T' || CAST(doc_id AS VARCHAR) || ' ' || text ||
+         ' x & y <z> "q" ''a'' &lt;raw&gt;' AS extracted
+  FROM documents
+)
+SELECT doc_id,
+       md5(extracted) AS extracted_md5,
+       CAST(length(extracted) AS INTEGER) AS n_extracted_chars
+FROM expected
+"""
+
+
 def ts_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TS: NFC unicode canonicalization (llm/textstats.py) — md5 of the
     normalized text so the oracle (DuckDB ``nfc_normalize``) checks full
@@ -2789,6 +2837,7 @@ QUERIES = {
     "ts_quality_filters": ts_quality_filters,
     "ts_repetition_filters": ts_repetition_filters,
     "ts_unicode_normalize": ts_unicode_normalize,
+    "ts_html_extract": ts_html_extract,
     "tp_bpe_pair_counts": tp_bpe_pair_counts,
     "tp_token_ids": tp_token_ids,
     "tp_doc_chunking": tp_doc_chunking,
@@ -2847,6 +2896,7 @@ ORACLES = {
     "ts_quality_filters": _quality_filters_oracle(),
     "ts_repetition_filters": _repetition_oracle(),
     "ts_unicode_normalize": TS_UNICODE_ORACLE,
+    "ts_html_extract": TS_HTML_ORACLE,
     "tp_bpe_pair_counts": TP_BPE_ORACLE,
     "tp_token_ids": TP_TOKEN_IDS_ORACLE,
     "tp_doc_chunking": TP_CHUNK_ORACLE,
