@@ -53,6 +53,7 @@ _PRIORITY = (
     "tp_token_ids",  # vocab-id encoding
     "ts_unicode_normalize",  # NFC canonicalization
     "ts_html_extract",  # HTML boilerplate strip
+    "ts_url_parse",  # parse_url components
     # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
     "sim_lsh_multiprobe",  # new this round

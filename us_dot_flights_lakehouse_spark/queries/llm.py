@@ -2101,6 +2101,43 @@ FROM expected
 """
 
 
+def ts_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: URL component extraction with the built-in ``parse_url``
+    (host / path / query / single query-param) — the crawl-metadata step
+    before per-domain caps (``tp_source_caps`` keys on the host). URLs
+    are synthesized from the document row so the oracle can state each
+    component in closed form — a quoting or delimiter bug in the
+    extraction hash-fails."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&page="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page_param"),
+    )
+
+
+TS_URL_ORACLE = """
+SELECT doc_id,
+       source || '.example.com' AS host,
+       '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+       'lang=' || lang || '&page=' || CAST(doc_id % 7 AS VARCHAR) AS query,
+       CAST(doc_id % 7 AS VARCHAR) AS page_param
+FROM documents
+"""
+
+
 def ts_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TS: NFC unicode canonicalization (llm/textstats.py) — md5 of the
     normalized text so the oracle (DuckDB ``nfc_normalize``) checks full
@@ -2838,6 +2875,7 @@ QUERIES = {
     "ts_repetition_filters": ts_repetition_filters,
     "ts_unicode_normalize": ts_unicode_normalize,
     "ts_html_extract": ts_html_extract,
+    "ts_url_parse": ts_url_parse,
     "tp_bpe_pair_counts": tp_bpe_pair_counts,
     "tp_token_ids": tp_token_ids,
     "tp_doc_chunking": tp_doc_chunking,
@@ -2897,6 +2935,7 @@ ORACLES = {
     "ts_repetition_filters": _repetition_oracle(),
     "ts_unicode_normalize": TS_UNICODE_ORACLE,
     "ts_html_extract": TS_HTML_ORACLE,
+    "ts_url_parse": TS_URL_ORACLE,
     "tp_bpe_pair_counts": TP_BPE_ORACLE,
     "tp_token_ids": TP_TOKEN_IDS_ORACLE,
     "tp_doc_chunking": TP_CHUNK_ORACLE,
