@@ -54,6 +54,7 @@ _PRIORITY = (
     "ts_unicode_normalize",  # NFC canonicalization
     "ts_html_extract",  # HTML boilerplate strip
     "ts_url_parse",  # parse_url components
+    "w5_gapfill_resample",  # hourly spine zero-fill
     # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
     "sim_lsh_multiprobe",  # new this round

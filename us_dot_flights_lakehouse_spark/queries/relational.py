@@ -1950,6 +1950,60 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def w5_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 (extension): time-series gap filling — resample each user's
+    event stream to a dense hourly series: aggregate per (user, hour),
+    build the per-user hourly spine with sequence()+explode between the
+    user's first and last active hour, left-join the aggregates back and
+    zero-fill the gaps. The canonical prep for windowed ML features over
+    irregular event data.
+
+    Scale: one shuffle for the hourly aggregate; the spine generates from
+    a per-user 2-row bound (min/max), so its row count is active-span
+    hours, never raw events; the spine join is key-partitioned. No global
+    sort anywhere."""
+    events = read_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    hourly = events.groupBy(F.col("user_id"), hour).agg(
+        F.count("*").cast("bigint").alias("_n"),
+        dec_sum("value", "_val"),
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("_h0"), F.max("hour").alias("_h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("_h0", "_h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    return spine.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.coalesce("_n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("_val", F.lit(0.0)).alias("total_value"),
+    )
+
+
+W5_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS val
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM b
+)
+SELECT s.user_id, s.hour,
+       COALESCE(h.n, 0) AS n_events,
+       COALESCE(h.val, CAST(0.0 AS DOUBLE)) AS total_value
+FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+"""
+
+
 def w4_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 (extension): SCD2 dimension history rebuilt from a change log
     (operators/scd.py) — treat each user's event_type stream as attribute
@@ -2137,6 +2191,7 @@ QUERIES = {
     "f_xml_suite": f_xml_suite,
     "w3_time_range_window": w3_time_range_window,
     "w4_scd2_history": w4_scd2_history,
+    "w5_gapfill_resample": w5_gapfill_resample,
     "a18_stat_moments": a18_stat_moments,
     "j13_nullsafe_join": j13_nullsafe_join,
 }
@@ -2195,6 +2250,7 @@ ORACLES = {
     "f_xml_suite": F_XML_ORACLE,
     "w3_time_range_window": W3_ORACLE,
     "w4_scd2_history": W4_ORACLE,
+    "w5_gapfill_resample": W5_ORACLE,
     "a18_stat_moments": A18_ORACLE,
     "j13_nullsafe_join": J13_ORACLE,
 }
