@@ -2004,6 +2004,64 @@ FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
 """
 
 
+def w6_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 (extension): last-observation-carried-forward imputation over
+    the gap-filled hourly series — inactive hours inherit the previous
+    active hour's value (``last(..., ignorenulls=True)`` over an
+    unbounded-preceding frame), the standard prep for ML features that
+    must not see zeros where 'no reading' was meant. Composes directly on
+    ``w5_gapfill_resample``'s plan; the fill window rides the same
+    user_id partitioning as the spine join — no extra shuffle."""
+    events = read_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    hourly = events.groupBy(F.col("user_id"), hour).agg(
+        F.count("*").cast("bigint").alias("_n"),
+        dec_sum("value", "_val"),
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("_h0"), F.max("hour").alias("_h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("_h0", "_h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left")
+    w = W.partitionBy("user_id").orderBy("hour").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        (F.col("_n").isNotNull()).alias("observed"),
+        F.last("_val", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+W6_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS val
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM b
+), joined AS (
+  SELECT s.user_id, s.hour, h.n, h.val
+  FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+)
+SELECT user_id, hour,
+       n IS NOT NULL AS observed,
+       last_value(val IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value
+FROM joined
+"""
+
+
 def w4_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 (extension): SCD2 dimension history rebuilt from a change log
     (operators/scd.py) — treat each user's event_type stream as attribute
@@ -2192,6 +2250,7 @@ QUERIES = {
     "w3_time_range_window": w3_time_range_window,
     "w4_scd2_history": w4_scd2_history,
     "w5_gapfill_resample": w5_gapfill_resample,
+    "w6_forward_fill": w6_forward_fill,
     "a18_stat_moments": a18_stat_moments,
     "j13_nullsafe_join": j13_nullsafe_join,
 }
@@ -2251,6 +2310,7 @@ ORACLES = {
     "w3_time_range_window": W3_ORACLE,
     "w4_scd2_history": W4_ORACLE,
     "w5_gapfill_resample": W5_ORACLE,
+    "w6_forward_fill": W6_ORACLE,
     "a18_stat_moments": A18_ORACLE,
     "j13_nullsafe_join": J13_ORACLE,
 }
