@@ -56,6 +56,7 @@ _PRIORITY = (
     "ts_url_parse",  # parse_url components
     "w5_gapfill_resample",  # hourly spine zero-fill
     "w6_forward_fill",  # LOCF imputation
+    "w7_event_funnel",  # ordered funnel stages
     # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
     "sim_lsh_multiprobe",  # new this round

@@ -2062,6 +2062,83 @@ FROM joined
 """
 
 
+def w7_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 (extension): ordered funnel analysis — per user, the first
+    view, the first click AFTER that view, and the first purchase AFTER
+    that click (strict event-order matching, not mere presence), plus the
+    reached stage. ONE shuffle: events collect per user and the staged
+    first-timestamps derive from array expressions (each stage's filter
+    references the previous stage's timestamp; NULL propagates so a
+    missing stage nulls everything downstream).
+
+    Scale: per-user arrays are session-sized; a bot user with 10^7 events
+    would bloat its array — for adversarially skewed users, swap to the
+    3-aggregation conditional-min form (one extra shuffle, no arrays).
+    The synthetic corpus has ~20 events/user, the array form wins."""
+    events = read_table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.collect_list(
+            F.struct(F.col("ts").alias("ts"), F.col("event_type").alias("et"))
+        ).alias("evs")
+    )
+
+    def first_after(kind: str, prev):
+        cand = F.filter(
+            F.col("evs"),
+            (lambda e: e["et"] == kind)
+            if prev is None
+            else (lambda e: (e["et"] == kind) & (e["ts"] > prev)),
+        )
+        return F.array_min(F.transform(cand, lambda e: e["ts"]))
+
+    t_view = first_after("view", None)
+    staged = u.select("user_id", t_view.alias("t_view"), F.col("evs"))
+    t_click = first_after("click", F.col("t_view"))
+    staged = staged.select("user_id", "t_view", t_click.alias("t_click"), "evs")
+    t_purchase = first_after("purchase", F.col("t_click"))
+    staged = staged.select(
+        "user_id", "t_view", "t_click", t_purchase.alias("t_purchase")
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return staged.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        stage.cast("int").alias("funnel_stage"),
+    )
+
+
+W7_ORACLE = """
+WITH u AS (
+  SELECT user_id, list(struct_pack(ts := ts, et := event_type)) AS evs
+  FROM events GROUP BY user_id
+), f AS (
+  SELECT user_id,
+    list_min(list_transform(list_filter(evs, e -> e.et = 'view'),
+                            e -> e.ts)) AS t_view,
+    list_min(list_transform(list_filter(evs, e -> e.et = 'click'
+                                             AND e.ts > t_view),
+                            e -> e.ts)) AS t_click,
+    list_min(list_transform(list_filter(evs, e -> e.et = 'purchase'
+                                             AND e.ts > t_click),
+                            e -> e.ts)) AS t_purchase
+  FROM u
+)
+SELECT user_id, t_view, t_click, t_purchase,
+       CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                 WHEN t_click IS NOT NULL THEN 2
+                 WHEN t_view IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS funnel_stage
+FROM f
+"""
+
+
 def w4_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 (extension): SCD2 dimension history rebuilt from a change log
     (operators/scd.py) — treat each user's event_type stream as attribute
@@ -2251,6 +2328,7 @@ QUERIES = {
     "w4_scd2_history": w4_scd2_history,
     "w5_gapfill_resample": w5_gapfill_resample,
     "w6_forward_fill": w6_forward_fill,
+    "w7_event_funnel": w7_event_funnel,
     "a18_stat_moments": a18_stat_moments,
     "j13_nullsafe_join": j13_nullsafe_join,
 }
@@ -2311,6 +2389,7 @@ ORACLES = {
     "w4_scd2_history": W4_ORACLE,
     "w5_gapfill_resample": W5_ORACLE,
     "w6_forward_fill": W6_ORACLE,
+    "w7_event_funnel": W7_ORACLE,
     "a18_stat_moments": A18_ORACLE,
     "j13_nullsafe_join": J13_ORACLE,
 }
