@@ -2101,6 +2101,72 @@ FROM expected
 """
 
 
+FH_DIM = 64
+
+
+def sim_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM: the hashing trick (Weinberger et al. 2009 / Vowpal Wabbit) —
+    each document's tokens hash into a fixed {FH_DIM}-dim signed-count
+    vector: bucket = hash28('fh:'||token) % dim, sign from a second hash
+    stream (the sign hash keeps the estimator unbiased under
+    collisions). Zero shuffle: tokens hash ONCE into (bucket, sign)
+    pairs per row, then the dense vector assembles with per-bucket folds
+    — all scan-local array lambdas, the same md5 contract the oracle
+    replays. The fixed dimensionality regardless of vocabulary is the
+    point at 100 TB: no vocab table, no join, stream-friendly."""
+    from us_dot_flights_lakehouse_spark.functions.text import hash28
+
+    docs = read_corpus(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    pairs = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.pmod(hash28(F.concat(F.lit("fh:"), t)), F.lit(FH_DIM))
+            .cast("int")
+            .alias("b"),
+            (
+                F.lit(1)
+                - F.lit(2)
+                * F.pmod(hash28(F.concat(F.lit("fs:"), t)), F.lit(2)).cast("int")
+            ).alias("s"),
+        ),
+    )
+    tagged = docs.select("doc_id", pairs.alias("_pairs"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(FH_DIM - 1)),
+        lambda j: F.aggregate(
+            F.col("_pairs"),
+            F.lit(0),
+            lambda acc, p: acc + F.when(p["b"] == j, p["s"]).otherwise(0),
+        ),
+    )
+    return tagged.select(
+        "doc_id",
+        vec.alias("fvec"),
+        F.size("_pairs").cast("int").alias("n_tokens"),
+    )
+
+
+SIM_FH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents
+), p AS (
+  SELECT doc_id,
+    list_transform(toks, x -> struct_pack(
+      b := CAST(('0x' || substr(md5('fh:' || x), 1, 7))::BIGINT % {FH_DIM} AS INTEGER),
+      s := CAST(1 - 2 * (('0x' || substr(md5('fs:' || x), 1, 7))::BIGINT % 2) AS INTEGER)
+    )) AS pairs
+  FROM t
+)
+SELECT doc_id,
+  list_transform(range(0, {FH_DIM}),
+    j -> CAST(COALESCE(list_sum(list_transform(
+           list_filter(pairs, e -> e.b = j), e -> e.s)), 0) AS INTEGER)) AS fvec,
+  CAST(len(pairs) AS INTEGER) AS n_tokens
+FROM p
+"""
+
+
 def ts_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TS: URL component extraction with the built-in ``parse_url``
     (host / path / query / single query-param) — the crawl-metadata step
@@ -2876,6 +2942,7 @@ QUERIES = {
     "ts_unicode_normalize": ts_unicode_normalize,
     "ts_html_extract": ts_html_extract,
     "ts_url_parse": ts_url_parse,
+    "sim_feature_hash": sim_feature_hash,
     "tp_bpe_pair_counts": tp_bpe_pair_counts,
     "tp_token_ids": tp_token_ids,
     "tp_doc_chunking": tp_doc_chunking,
@@ -2936,6 +3003,7 @@ ORACLES = {
     "ts_unicode_normalize": TS_UNICODE_ORACLE,
     "ts_html_extract": TS_HTML_ORACLE,
     "ts_url_parse": TS_URL_ORACLE,
+    "sim_feature_hash": SIM_FH_ORACLE,
     "tp_bpe_pair_counts": TP_BPE_ORACLE,
     "tp_token_ids": TP_TOKEN_IDS_ORACLE,
     "tp_doc_chunking": TP_CHUNK_ORACLE,
