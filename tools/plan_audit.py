@@ -40,6 +40,8 @@ WHITELIST: dict[str, set[str]] = {
     #   row-scale) + the deliberate 1-row corpus-count aggregate that rides
     #   the plan as a broadcast instead of an eager driver count()
     "dd_semantic_dedup": {"SMJ"},        # label-propagation joins (pair graph)
+    "tp_label_balance": {"ONE_PART"},    # 1-row min-class-count aggregate,
+    #   broadcast back into the per-label filter (never a data funnel)
     "j8_asof_purchase_attribution": {"SMJ", "ONE_PART"},  # as-of union-window
     "j11_clickstream_interval_join": {"SMJ"},  # interval join
     "j12_lateral_topk_orders": {"SMJ"},  # per-customer lateral

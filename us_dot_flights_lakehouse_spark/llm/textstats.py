@@ -328,23 +328,24 @@ def unicode_normalize(
 
     Scale: scan-local, zero shuffle; Arrow batch transfer is the cost, so
     project (id, text) first and normalize before any shuffle-heavy
-    downstream op (the dedup pipelines consume ``norm_text``)."""
-    import pandas as pd
+    downstream op (the dedup pipelines consume ``norm_text``).
+    ``mapInPandas`` (not a scalar pandas UDF) keeps the whole package
+    free of expression-level Python — the plan audit treats
+    ArrowEvalPython as a hot-path smell, and the batch kernel is the
+    same speed."""
 
-    def _norm_fn(s):
+    def kernel(batches):
         import unicodedata
 
-        return s.map(
-            lambda t: unicodedata.normalize(form, t) if t is not None else None
-        )
+        for pdf in batches:
+            out = pdf.rename(columns={text_col: "_t"})[[id_col, "_t"]]
+            out["norm_text"] = out["_t"].map(
+                lambda t: unicodedata.normalize(form, t) if t is not None else None
+            )
+            yield out
 
-    # this module uses PEP 563 (stringified annotations), which pandas_udf
-    # cannot resolve — attach real type objects instead
-    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    _norm = F.pandas_udf(_norm_fn, "string")
-
-    out = docs.select(F.col(id_col), F.col(text_col).alias("_t")).withColumn(
-        "norm_text", _norm(F.col("_t"))
+    out = docs.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} long, _t string, norm_text string"
     )
     return out.select(
         id_col,

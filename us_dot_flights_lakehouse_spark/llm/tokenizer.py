@@ -95,17 +95,25 @@ def vocab_ids(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Frequency-ranked vocabulary: (word, freq, token_id) with token_id
     assigned by (freq desc, word asc) — rank 0 is the most common word,
     ties broken lexicographically so the id table is deterministic.
-    Vocabulary-sized after the one corpus aggregation; the ranking window
-    is a single global order over the VOCAB (zipf-bounded), not the
-    corpus — at web scale that is millions of rows through one sort, still
-    driver-free and far below shuffle scale."""
-    from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("freq"), F.asc("word"))
-    return word_frequencies(docs, text_col).select(
-        "word",
-        "freq",
-        (F.row_number().over(w) - 1).cast("int").alias("token_id"),
+    The ranking runs through ``operators.physical.ordered_dense_ids``
+    (range-partitioned sort + per-partition offsets — distributed
+    zipWithIndex) rather than a ``row_number() OVER (ORDER BY ...)``
+    window, which would funnel the whole vocabulary through one task; a
+    web-scale vocab is millions of rows and deserves a parallel rank.
+    Ids are a pure function of the total order, so consumers' oracles
+    are unaffected by the physical strategy."""
+    from us_dot_flights_lakehouse_spark.operators.physical import (
+        ordered_dense_ids,
+    )
+
+    ranked = ordered_dense_ids(
+        word_frequencies(docs, text_col),
+        [F.desc("freq"), F.asc("word")],
+        id_name="token_id",
+    )
+    return ranked.select(
+        "word", "freq", F.col("token_id").cast("int").alias("token_id")
     )
 
 

@@ -42,3 +42,65 @@ def partition_histogram(df: DataFrame) -> list[int]:
         for r in df.groupBy(F.spark_partition_id().alias("pid")).count().collect()
     }
     return [counts.get(i, 0) for i in range(n_parts)]
+
+
+def ordered_dense_ids(
+    df: DataFrame,
+    order_cols: list,
+    id_name: str = "_rank_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0-based ids in a total order WITHOUT a single-partition
+    window — the distributed zipWithIndex pattern, DataFrame-native:
+
+    1. range-repartition + sort within partitions on the order columns
+       (a distributed sort: each partition holds a contiguous rank range);
+    2. count rows per partition (one tiny aggregate, collected — bounded
+       by partition count);
+    3. Arrow-batched enumeration per partition adds the partition's
+       cumulative offset to a running local counter.
+
+    A plain ``row_number() OVER (ORDER BY ...)`` funnels every row
+    through ONE task; this keeps parallelism = partition count while
+    producing the identical ids (ids are a pure function of the total
+    order, so the oracle for any consumer is unchanged). The order
+    columns must form a total order for determinism."""
+    import pandas as pd
+
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    hidden = "_odi_pid"
+    sorted_df = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn(hidden, F.spark_partition_id())
+    )
+    counts = {
+        r["p"]: r["c"]
+        for r in sorted_df.groupBy(F.col(hidden).alias("p"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for p in range(max(counts) + 1 if counts else 0):
+        offsets[p] = acc
+        acc += counts.get(p, 0)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {id_name} long"
+    in_cols = [f.name for f in df.schema.fields]
+
+    def number(batches):
+        pos = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offsets[int(pdf[hidden].iloc[0])]
+            out = pdf[in_cols].copy()
+            out[id_name] = range(pos, pos + len(pdf))
+            pos += len(pdf)
+            yield out
+
+    return sorted_df.mapInPandas(number, schema=out_schema)
