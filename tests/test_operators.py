@@ -386,3 +386,19 @@ def test_scd2_apply_updates_merge_semantics(spark):
         (2, "X", None, True, 1),
         (3, "N", None, True, 1),
     ]
+
+
+def test_ordered_dense_ids_matches_global_rank(spark):
+    from pyspark.sql import functions as F
+
+    from us_dot_flights_lakehouse_spark.operators.physical import ordered_dense_ids
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("tie")
+    )
+    out = ordered_dense_ids(df, [F.asc("k"), F.asc("tie")], id_name="rid", n_partitions=8)
+    rows = out.orderBy("rid").collect()
+    # dense 0..n-1, and ids follow the (k, tie) total order exactly
+    assert [r["rid"] for r in rows] == list(range(5000))
+    keys = [(r["k"], r["tie"]) for r in rows]
+    assert keys == sorted(keys)

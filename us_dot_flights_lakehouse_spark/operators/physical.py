@@ -69,10 +69,15 @@ def ordered_dense_ids(
 
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     hidden = "_odi_pid"
+    # localCheckpoint pins the range boundaries: repartitionByRange SAMPLES
+    # per job, so without materialization the count job and the numbering
+    # job can see different partition boundaries (observed off-by-one
+    # duplicate ids at a boundary). One materialized layout serves both.
     sorted_df = (
         df.repartitionByRange(n, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn(hidden, F.spark_partition_id())
+        .localCheckpoint()
     )
     counts = {
         r["p"]: r["c"]
