@@ -58,6 +58,7 @@ _PRIORITY = (
     "w6_forward_fill",  # LOCF imputation
     "w7_event_funnel",  # ordered funnel stages
     "sim_feature_hash",  # hashing-trick vectors
+    "w8_rolling_anomaly",  # rolling z-score flags
     # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
     "sim_lsh_multiprobe",  # new this round

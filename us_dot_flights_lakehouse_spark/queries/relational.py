@@ -2139,6 +2139,84 @@ FROM f
 """
 
 
+def w8_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 (extension): rolling z-score anomaly flags — trailing 24-hour
+    mean/variance per user over the gap-filled hourly series, flagging
+    hours where (x - mean)^2 > 9 * var (|z| > 3 without the sqrt; the
+    square form keeps the float algebra to one shape both engines
+    reproduce bit-for-bit). Window sums accumulate in exact DECIMAL
+    (order-insensitive under parallelism) and surface as DOUBLE only for
+    the final scalar arithmetic.
+
+    Scale: same single user_id shuffle as the spine; the row frame is a
+    sliding accumulator (linear, not O(frame) per row)."""
+    events = read_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    hourly = events.groupBy(F.col("user_id"), hour).agg(
+        F.sum(F.col("value").cast(MONEY)).alias("_v")
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("_h0"), F.max("hour").alias("_h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("_h0", "_h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    dense = spine.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.coalesce("_v", F.lit(0).cast(MONEY)).alias("_v"),
+    )
+    w = W.partitionBy("user_id").orderBy("hour").rowsBetween(-23, W.currentRow)
+    n = F.count("*").over(w).cast("double")
+    s = F.sum("_v").over(w).cast("double")
+    sq = F.sum(F.col("_v") * F.col("_v")).over(w).cast("double")
+    x = F.col("_v").cast("double")
+    mean = s / n
+    var = sq / n - mean * mean
+    return dense.select(
+        "user_id",
+        "hour",
+        x.alias("total_value"),
+        mean.alias("mean_24h"),
+        var.alias("var_24h"),
+        ((x - mean) * (x - mean) > F.lit(9.0) * var).alias("is_anomaly"),
+    )
+
+
+W8_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hour,
+         SUM(CAST(value AS DECIMAL(28,2))) AS v
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM b
+), dense AS (
+  SELECT s.user_id, s.hour,
+         COALESCE(h.v, CAST(0 AS DECIMAL(28,2))) AS v
+  FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+), rolled AS (
+  SELECT user_id, hour,
+         CAST(v AS DOUBLE) AS x,
+         CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+         CAST(SUM(v) OVER w AS DOUBLE) AS s,
+         CAST(SUM(v * v) OVER w AS DOUBLE) AS sq
+  FROM dense
+  WINDOW w AS (PARTITION BY user_id ORDER BY hour
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, hour, x AS total_value,
+       s / n AS mean_24h,
+       sq / n - (s / n) * (s / n) AS var_24h,
+       (x - s / n) * (x - s / n) > 9.0 * (sq / n - (s / n) * (s / n))
+         AS is_anomaly
+FROM rolled
+"""
+
+
 def w4_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 (extension): SCD2 dimension history rebuilt from a change log
     (operators/scd.py) — treat each user's event_type stream as attribute
@@ -2329,6 +2407,7 @@ QUERIES = {
     "w5_gapfill_resample": w5_gapfill_resample,
     "w6_forward_fill": w6_forward_fill,
     "w7_event_funnel": w7_event_funnel,
+    "w8_rolling_anomaly": w8_rolling_anomaly,
     "a18_stat_moments": a18_stat_moments,
     "j13_nullsafe_join": j13_nullsafe_join,
 }
@@ -2390,6 +2469,7 @@ ORACLES = {
     "w5_gapfill_resample": W5_ORACLE,
     "w6_forward_fill": W6_ORACLE,
     "w7_event_funnel": W7_ORACLE,
+    "w8_rolling_anomaly": W8_ORACLE,
     "a18_stat_moments": A18_ORACLE,
     "j13_nullsafe_join": J13_ORACLE,
 }
