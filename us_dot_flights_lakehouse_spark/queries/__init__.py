@@ -59,6 +59,8 @@ _PRIORITY = (
     "w7_event_funnel",  # ordered funnel stages
     "sim_feature_hash",  # hashing-trick vectors
     "w8_rolling_anomaly",  # rolling z-score flags
+    "ts_countmin_sketch",  # CM estimate vs exact
+    "ts_source_similarity",  # cross-source vocab Jaccard
     # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
     "sim_lsh_multiprobe",  # new this round

@@ -2101,6 +2101,165 @@ FROM expected
 """
 
 
+CM_DEPTH = 4
+CM_WIDTH = 256
+CM_PROBE_TOKENS = ("table", "query", "row", "spark", "the", "zebra")
+
+
+def ts_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: count-min sketch (Cormode-Muthukrishnan) built as a plain
+    aggregation — token counts fold into a {CM_DEPTH}x{CM_WIDTH} table
+    (row d buckets by hash28('cm<d>:'||token) % width); a point estimate
+    is the MIN over the d cells a token hashes to. The table is just a
+    grouped count, so it is mergeable across partitions/days by
+    construction — the property that makes CM the streaming/telemetry
+    workhorse. The query probes a fixed token set and emits the estimate
+    next to the exact count plus the two CM invariants (estimate >=
+    exact always; bounded overestimate), so the driver hash-checks the
+    sketch math, not just its shape.
+
+    Scale: one corpus-token aggregate into at most depth*width cells —
+    fixed-size state regardless of vocabulary, exactly like the
+    ``approx_top_k`` heavy-hitters path but with a queryable table."""
+    from us_dot_flights_lakehouse_spark.functions.text import hash28
+
+    docs = read_corpus(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("tok"))
+    # sketch rows d=0..depth-1: (d, bucket) -> count
+    cells = None
+    for d in range(CM_DEPTH):
+        row = toks.groupBy(
+            F.lit(d).alias("d"),
+            F.pmod(hash28(F.concat(F.lit(f"cm{d}:"), F.col("tok"))), F.lit(CM_WIDTH))
+            .cast("int")
+            .alias("bucket"),
+        ).agg(F.count("*").cast("bigint").alias("c"))
+        cells = row if cells is None else cells.unionByName(row)
+    probes = spark.createDataFrame(
+        [(t,) for t in CM_PROBE_TOKENS], "tok string"
+    ).select(
+        "tok",
+        *[
+            F.pmod(
+                hash28(F.concat(F.lit(f"cm{d}:"), F.col("tok"))), F.lit(CM_WIDTH)
+            )
+            .cast("int")
+            .alias(f"b{d}")
+            for d in range(CM_DEPTH)
+        ],
+    )
+    est = probes
+    for d in range(CM_DEPTH):
+        side = cells.filter(F.col("d") == d).select(
+            F.col("bucket").alias(f"b{d}"), F.col("c").alias(f"c{d}")
+        )
+        est = est.join(F.broadcast(side), f"b{d}", "left")
+    exact = toks.groupBy(F.col("tok")).agg(F.count("*").cast("bigint").alias("exact"))
+    estimate = F.least(*[F.coalesce(F.col(f"c{d}"), F.lit(0)) for d in range(CM_DEPTH)])
+    return (
+        est.join(exact, "tok", "left")
+        .select(
+            "tok",
+            estimate.alias("cm_estimate"),
+            F.coalesce("exact", F.lit(0)).alias("exact_count"),
+        )
+        .select(
+            "tok",
+            "cm_estimate",
+            "exact_count",
+            (F.col("cm_estimate") >= F.col("exact_count")).alias("never_undercounts"),
+        )
+    )
+
+
+def _cm_oracle() -> str:
+    h = lambda d: (  # noqa: E731
+        f"CAST(('0x' || substr(md5('cm{d}:' || tok), 1, 7))::BIGINT "
+        f"% {CM_WIDTH} AS INTEGER)"
+    )
+    probe_vals = ", ".join(f"('{t}')" for t in CM_PROBE_TOKENS)
+    ests = ", ".join(
+        f"COALESCE((SELECT CAST(count(*) AS BIGINT) FROM toks t "
+        f"WHERE {h(d).replace('tok', 't.tok')} = {h(d).replace('tok', 'p.tok')}), 0)"
+        for d in range(CM_DEPTH)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS}) AS tok FROM documents
+), p AS (
+  SELECT * FROM (VALUES {probe_vals}) AS v(tok)
+), est AS (
+  SELECT p.tok, least({ests}) AS cm_estimate
+  FROM p
+), exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_count FROM toks GROUP BY tok
+)
+SELECT e.tok, e.cm_estimate,
+       COALESCE(x.exact_count, 0) AS exact_count,
+       e.cm_estimate >= COALESCE(x.exact_count, 0) AS never_undercounts
+FROM est e LEFT JOIN exact x ON e.tok = x.tok
+"""
+
+
+def ts_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: cross-source vocabulary overlap — Jaccard similarity between
+    every pair of sources' distinct token sets (the corpus-audit view
+    that surfaces near-duplicate crawl feeds before any doc-level dedup
+    runs). Inverted-index self-join on token (never source x source x
+    vocab), so work is bounded by tokens shared between sources.
+
+    Scale: vocab distinct + one token-keyed self-join + a pair-count
+    aggregate — all vocabulary-sized, corpus touched once."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "source", F.explode(tokenize("text")).alias("tok")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a = vocab.select(F.col("source").alias("source_a"), "tok")
+    b = vocab.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"source": "source_a", "n": "n_a"}), "source_a")
+        .join(sizes.withColumnsRenamed({"source": "source_b", "n": "n_b"}), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+TS_SRC_SIM_ORACLE = f"""
+WITH vocab AS (
+  SELECT DISTINCT source, unnest({_TOKENS}) AS tok FROM documents
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM vocab GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+       CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON i.source_a = sa.source
+JOIN sizes sb ON i.source_b = sb.source
+"""
+
+
 FH_DIM = 64
 
 
@@ -2943,6 +3102,8 @@ QUERIES = {
     "ts_html_extract": ts_html_extract,
     "ts_url_parse": ts_url_parse,
     "sim_feature_hash": sim_feature_hash,
+    "ts_countmin_sketch": ts_countmin_sketch,
+    "ts_source_similarity": ts_source_similarity,
     "tp_bpe_pair_counts": tp_bpe_pair_counts,
     "tp_token_ids": tp_token_ids,
     "tp_doc_chunking": tp_doc_chunking,
@@ -3004,6 +3165,8 @@ ORACLES = {
     "ts_html_extract": TS_HTML_ORACLE,
     "ts_url_parse": TS_URL_ORACLE,
     "sim_feature_hash": SIM_FH_ORACLE,
+    "ts_countmin_sketch": _cm_oracle(),
+    "ts_source_similarity": TS_SRC_SIM_ORACLE,
     "tp_bpe_pair_counts": TP_BPE_ORACLE,
     "tp_token_ids": TP_TOKEN_IDS_ORACLE,
     "tp_doc_chunking": TP_CHUNK_ORACLE,
