@@ -1401,3 +1401,27 @@ def test_html_to_text_extraction_rules(spark):
     got = {r["id"]: r["t"] for r in df.select("id", html_to_text("html").alias("t")).collect()}
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    import numpy as np
+
+    from us_dot_flights_lakehouse_spark.llm.similarity import kmeans_fit
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]])
+    rows = []
+    for i in range(300):
+        c = i % 3
+        rows.append((i, (centers[c] + rng.normal(0, 0.3, 3)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, assign = kmeans_fit(emb, k=3, iters=4)
+    got = {r["id"]: r["cell"] for r in assign.collect()}
+    # every member of a planted cluster lands in the same learned cell,
+    # and the three planted clusters map to three distinct cells
+    cells = [{got[i] for i in range(300) if i % 3 == c} for c in range(3)]
+    assert all(len(s) == 1 for s in cells)
+    assert len({next(iter(s)) for s in cells}) == 3
+    # learned centroids sit on the planted centers (noise sigma 0.3)
+    recovered = sorted(np.round(cents.max(axis=1)).astype(int).tolist())
+    assert recovered == [10, 10, 10]

@@ -230,6 +230,86 @@ def ivf_centroids_from_parquet(
     return train_centroids(_training_matrix(t, id_col, cap), nlist, seed)
 
 
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """FULLY distributed Lloyd's k-means over the whole corpus — the
+    complement of ``train_centroids`` (which trains on a bounded driver
+    sample, FAISS-style). Per iteration:
+
+    - assignment is a scan-local literal-argmin expression over the k
+      current centroids (no corpus x k join, no shuffle — the same
+      technique as the IVF cell assignment);
+    - the update is ONE hash aggregate: posexplode to (cell, dim)
+      partial sums/counts — k*dim output rows collected to the driver
+      (k*dim*16 bytes, bounded) to become the next literals.
+
+    So a 100 TB corpus pays one narrow aggregation shuffle per
+    iteration and nothing else; driver state is centroids only.
+
+    Init is deterministic maximin (farthest-point): the hash-minimal
+    vector seeds first, then each next seed is the vector farthest from
+    its nearest chosen centroid — k TakeOrdered reduces, no Spark-side
+    sort, and no k-seeds-in-one-cluster degeneracy. Returns (centroids
+    ndarray [k, dim], assignment DataFrame (id, cell)). Means are
+    float64 — parallel summation order makes the last ULPs
+    run-dependent, so this operator is verified by planted-cluster unit
+    tests rather than a bit-exact SQL oracle (the catalog's oracle'd
+    quantizer is the sample-trained ``sim_ivf_topk`` path)."""
+    import numpy as np
+
+    v = _prep(emb, id_col, vec_col).select("id", "v")
+    dim = len(v.select("v").first()["v"])
+
+    def _sq(vec, cent):
+        return F.aggregate(
+            F.zip_with(vec, cent, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    first = (
+        v.select("id", "v", hash28(F.col("id").cast("string")).alias("_h"))
+        .orderBy("_h", "id")
+        .limit(1)
+        .collect()
+    )
+    chosen = [list(first[0]["v"])]
+    for _ in range(k - 1):
+        books = lit_double_matrix(chosen)
+        mind = F.array_min(F.transform(books, lambda c: _sq(F.col("v"), c)))
+        far = v.orderBy(F.desc(mind.alias("_d")), F.asc("id")).limit(1).collect()
+        chosen.append(list(far[0]["v"]))
+    cents = np.array(chosen, dtype=np.float64)
+
+    assign = None
+    for _ in range(iters):
+        books = lit_double_matrix(cents.tolist())
+        dists = F.transform(books, lambda c: _sq(F.col("v"), c))
+        cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        assign = v.select("id", "v", cell.alias("cell"))
+        rows = (
+            assign.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        for c in range(k):
+            got = [(r["dim"], r["s"], r["n"]) for r in rows if r["cell"] == c]
+            if got:
+                vec = np.zeros(dim)
+                for d, s, n in got:
+                    vec[d] = s / n
+                new[c] = vec
+        cents = new
+    return cents, assign.select("id", "cell")
+
+
 def ivf_cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
