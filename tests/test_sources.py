@@ -562,3 +562,23 @@ def test_jsonl_and_orc_roundtrip_fidelity(spark, tmp_path_factory):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "txt" in plan and "PushedFilters: [IsNotNull(id), EqualTo(id,2)]" in plan
+
+
+def test_diff_snapshots_cdc_semantics(spark, tmp_path_factory):
+    from us_dot_flights_lakehouse_spark.sources import versioned
+
+    base = str(tmp_path_factory.mktemp("vdiff") / "t")
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, x double"
+    )
+    versioned.write_snapshot(v0, base)
+    v1 = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 99.0), (4, "d", 40.0)], "k long, s string, x double"
+    )
+    versioned.write_snapshot(v1, base)
+    got = {
+        r["k"]: r["change_type"]
+        for r in versioned.diff_snapshots(spark, base, ["k"], 1, 2).collect()
+    }
+    # 1 deleted, 2 unchanged (absent), 3 updated, 4 inserted
+    assert got == {1: "deleted", 3: "updated", 4: "inserted"}

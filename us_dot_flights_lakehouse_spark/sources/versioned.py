@@ -144,3 +144,51 @@ def vacuum_snapshots(spark: SparkSession, path: str, keep: int = 3) -> list[int]
     for v in victims:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{_vdir(v)}"), True)
     return victims
+
+
+def diff_snapshots(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    v_old: int,
+    v_new: int,
+) -> DataFrame:
+    """CDC-style diff between two snapshot versions of a table: one row
+    per changed key with change_type in {inserted, deleted, updated}.
+    'updated' means the key exists in both versions with any non-key
+    column differing (md5 over the concatenated non-key columns — a
+    column-order-stable row fingerprint, so schema-preserving rewrites
+    with identical data diff empty).
+
+    Scale: full-outer join keyed on the table key — the one shuffle a
+    table diff fundamentally needs; fingerprints are computed scan-side
+    so only (key, fp) pairs move."""
+    from pyspark.sql import functions as F
+
+    old = read_snapshot(spark, path, version=v_old)
+    new = read_snapshot(spark, path, version=v_new)
+    non_key = [c for c in old.columns if c not in key_cols]
+
+    def fingerprinted(df, tag):
+        return df.select(
+            *key_cols,
+            F.md5(
+                F.concat_ws(
+                    "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
+                              for c in non_key]
+                )
+            ).alias(f"_fp_{tag}"),
+        )
+
+    joined = fingerprinted(old, "old").join(
+        fingerprinted(new, "new"), key_cols, "full"
+    )
+    change = (
+        F.when(F.col("_fp_old").isNull(), "inserted")
+        .when(F.col("_fp_new").isNull(), "deleted")
+        .when(F.col("_fp_old") != F.col("_fp_new"), "updated")
+    )
+    return (
+        joined.select(*key_cols, change.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
+    )
