@@ -61,6 +61,7 @@ _PRIORITY = (
     "w8_rolling_anomaly",  # rolling z-score flags
     "ts_countmin_sketch",  # CM estimate vs exact
     "ts_source_similarity",  # cross-source vocab Jaccard
+    "q_table_stats",  # ANALYZE-style profile
     # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
     "sim_lsh_multiprobe",  # new this round

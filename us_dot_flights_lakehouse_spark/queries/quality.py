@@ -57,5 +57,59 @@ UNION ALL SELECT 'orders', 'values_in_set', 'o_orderstatus', in_set >= 1.0, in_s
 UNION ALL SELECT 'orders', 'length_between', 'o_orderpriority', len_ok >= 1.0, len_ok FROM agg
 """
 
-QUERIES = {"q_quality_report": q_quality_report}
-ORACLES = {"q_quality_report": QUALITY_ORACLE}
+
+
+#: columns profiled by q_table_stats (string min/max semantics differ
+#: from numeric but both engines order identically; the timestamp column
+#: is profiled through an explicit format so the string form is pinned)
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderpriority")
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the orders table — one row per
+    column: row count, null count, exact distinct count, min/max as
+    strings. The metadata layer every warehouse keeps; here it is an
+    oracle-checked query so the profile arithmetic is itself verified.
+
+    Scale: one pass per column-aggregate set; count(DISTINCT) per column
+    plans as Expand + two-phase aggregate — for 100 TB profiling swap in
+    approx_count_distinct (the a12/a19 sketch family) column by column."""
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders")
+    n = F.count("*").cast("bigint")
+    parts = []
+    for c in _PROFILE_COLS:
+        col = F.col(c)
+        parts.append(
+            orders.agg(
+                F.lit(c).alias("column"),
+                n.alias("n_rows"),
+                (n - F.count(col)).alias("n_nulls"),
+                F.count_distinct(col).cast("bigint").alias("n_distinct"),
+                F.min(col).cast("string").alias("min_str"),
+                F.max(col).cast("string").alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _table_stats_oracle() -> str:
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_str,
+       CAST(max({c}) AS VARCHAR) AS max_str
+FROM orders"""
+        for c in _PROFILE_COLS
+    )
+    return rows
+
+
+QUERIES = {"q_quality_report": q_quality_report, "q_table_stats": q_table_stats}
+ORACLES = {"q_quality_report": QUALITY_ORACLE, "q_table_stats": _table_stats_oracle()}
