@@ -78,3 +78,57 @@ def test_bucketed_range_join_matches_naive_spec(spark, points, intervals):
         if min(lo, hi) <= x < max(lo, hi)
     )
     assert got == want
+
+
+word = st.sampled_from(["a", "bb", "ccc", "x", "yz"])
+docs_strategy = st.lists(
+    st.lists(word, min_size=0, max_size=14).map(" ".join),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _naive_repetition(text):
+    """Brute-force spec of repetition_stats for one document."""
+    toks = text.strip().lower().split()
+    if toks == [""]:
+        toks = [""]
+    token_chars = sum(len(t) for t in toks)
+    out = {}
+    for n, kind in [(2, "top"), (3, "top"), (4, "top"), (5, "dup"), (10, "dup")]:
+        grams = [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ] if len(toks) >= n else []
+        counts = {}
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+        if kind == "top":
+            cover = max(
+                (c * (len(g) - (n - 1)) for g, c in counts.items()), default=0
+            )
+        else:
+            cover = sum(
+                c * (len(g) - (n - 1)) for g, c in counts.items() if c >= 2
+            )
+        frac = min(1.0, cover / token_chars) if token_chars > 0 else 0.0
+        out[f"{'top' if kind == 'top' else 'dup'}_{n}gram_frac"] = frac
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_strategy)
+def test_repetition_stats_matches_naive_spec(spark, texts):
+    from us_dot_flights_lakehouse_spark.llm.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        want = _naive_repetition(t)
+        for key, val in want.items():
+            assert got[i][key] == val, (t, key, got[i][key], val)
