@@ -2101,6 +2101,122 @@ FROM expected
 """
 
 
+RAG_PLANES = 6  # 64 LSH buckets over the 64-dim hashed-feature space
+RAG_K = 3
+RAG_QUERY_DOCS = 4
+
+
+def tp_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: the RAG indexing pipeline end-to-end as ONE lazy plan —
+    chunk (overlapping char windows) → embed (hashing-trick vector,
+    no model dependency, deterministic) → index (sign-LSH bucket)
+    → retrieve (probe docs' chunks find their top-k nearest foreign
+    chunks inside their bucket, cosine-ranked). Composes four
+    already-oracle'd operators; the oracle replays the whole chain, so a
+    drift anywhere (chunk boundaries, hash stream, plane signs, rank
+    ties) hash-fails.
+
+    Scale: chunking and embedding are scan-local; the index is one
+    bucket hash-partition; retrieval joins only within buckets
+    (candidate-bound, the LSH contract). Chunk ids pack as
+    doc_id * 1000 + chunk_idx (chunks-per-doc < 1000 asserted by the
+    chunker's geometry here)."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    chunks = curation.chunk_documents(docs, CHUNK_CHARS, CHUNK_OVERLAP).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("cid"),
+        "doc_id",
+        "chunk_text",
+    )
+    vec = F.transform(_fh_vec(F.col("chunk_text")), lambda x: x.cast("double"))
+    emb = chunks.select("cid", "doc_id", vec.alias("v")).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ),
+    )
+    indexed = emb.withColumn(
+        "bucket", similarity.lsh_bucket(F.col("v"), dim=FH_DIM, n_planes=RAG_PLANES)
+    ).filter(F.col("nrm") > 0)
+    probes = indexed.filter(F.col("doc_id") < RAG_QUERY_DOCS).select(
+        F.col("cid").alias("qcid"),
+        F.col("doc_id").alias("qdoc"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        probes.join(indexed, "bucket")
+        .filter(F.col("qdoc") != F.col("doc_id"))
+        .select(
+            "qcid",
+            "cid",
+            "bucket",
+            (dot / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qcid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= RAG_K)
+        .select(
+            F.col("qcid").alias("query_chunk"),
+            "rank",
+            F.col("cid").alias("neighbor_chunk"),
+            "bucket",
+        )
+    )
+
+
+def _rag_oracle() -> str:
+    stride = CHUNK_CHARS - CHUNK_OVERLAP
+    return f"""
+WITH chunks AS (
+  SELECT doc_id * 1000 + CAST((s - 1) // {stride} AS BIGINT) AS cid,
+         doc_id,
+         substring(text, CAST(s AS INTEGER), {CHUNK_CHARS}) AS chunk_text
+  FROM documents,
+       unnest(range(1, greatest(1, length(text) - {CHUNK_OVERLAP}) + 1, {stride}))
+         AS u(s)
+), emb AS (
+  SELECT cid, doc_id,
+         list_transform({_fh_vec_sql("chunk_text")}, x -> CAST(x AS DOUBLE)) AS v
+  FROM chunks
+), n AS (
+  SELECT cid, doc_id, v, {_VEC_NORM} AS nrm FROM emb
+), planes AS (
+  {{planes}}
+), b AS (
+  SELECT n.cid, n.doc_id, n.v, n.nrm,
+         CAST(SUM(CASE WHEN
+                 list_sum(list_transform(range(1, {FH_DIM} + 1),
+                          i -> n.v[i] * p.plane[i])) > 0
+               THEN p.w ELSE 0 END) AS INTEGER) AS bucket
+  FROM n CROSS JOIN planes p
+  WHERE n.nrm > 0
+  GROUP BY n.cid, n.doc_id, n.v, n.nrm
+), scored AS (
+  SELECT q.cid AS qcid, c.cid AS cid, c.bucket,
+         list_sum(list_transform(range(1, {FH_DIM} + 1),
+                  i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.doc_id != c.doc_id
+  WHERE q.doc_id < {RAG_QUERY_DOCS}
+)
+SELECT query_chunk, rank, neighbor_chunk, bucket FROM (
+  SELECT qcid AS query_chunk, cid AS neighbor_chunk, bucket,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qcid
+                                 ORDER BY cos DESC, cid ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {RAG_K}
+""".format(planes=_lsh_planes_sql(dim=FH_DIM, n_planes=RAG_PLANES))
+
+
 CM_DEPTH = 4
 CM_WIDTH = 256
 CM_PROBE_TOKENS = ("table", "query", "row", "spark", "the", "zebra")
@@ -2263,22 +2379,13 @@ JOIN sizes sb ON i.source_b = sb.source
 FH_DIM = 64
 
 
-def sim_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SIM: the hashing trick (Weinberger et al. 2009 / Vowpal Wabbit) —
-    each document's tokens hash into a fixed {FH_DIM}-dim signed-count
-    vector: bucket = hash28('fh:'||token) % dim, sign from a second hash
-    stream (the sign hash keeps the estimator unbiased under
-    collisions). Zero shuffle: tokens hash ONCE into (bucket, sign)
-    pairs per row, then the dense vector assembles with per-bucket folds
-    — all scan-local array lambdas, the same md5 contract the oracle
-    replays. The fixed dimensionality regardless of vocabulary is the
-    point at 100 TB: no vocab table, no join, stream-friendly."""
+def _fh_vec(text_col) -> "F.Column":
+    """The hashing-trick vector of a text Column: {FH_DIM} signed counts
+    (bucket/sign from two md5 streams — see sim_feature_hash)."""
     from us_dot_flights_lakehouse_spark.functions.text import hash28
 
-    docs = read_corpus(spark, sf_dir, "documents")
-    toks = tokenize("text")
     pairs = F.transform(
-        toks,
+        tokenize(text_col),
         lambda t: F.struct(
             F.pmod(hash28(F.concat(F.lit("fh:"), t)), F.lit(FH_DIM))
             .cast("int")
@@ -2290,19 +2397,45 @@ def sim_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         ),
     )
-    tagged = docs.select("doc_id", pairs.alias("_pairs"))
-    vec = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), F.lit(FH_DIM - 1)),
         lambda j: F.aggregate(
-            F.col("_pairs"),
+            pairs,
             F.lit(0),
             lambda acc, p: acc + F.when(p["b"] == j, p["s"]).otherwise(0),
         ),
     )
-    return tagged.select(
+
+
+def _fh_vec_sql(text_expr: str) -> str:
+    """DuckDB replica of ``_fh_vec`` over an arbitrary text expression."""
+    toks = f"regexp_split_to_array(trim(lower({text_expr})), '\\s+')"
+    pairs = (
+        f"list_transform({toks}, x -> struct_pack("
+        f"b := CAST(('0x' || substr(md5('fh:' || x), 1, 7))::BIGINT % {FH_DIM} AS INTEGER), "
+        f"s := CAST(1 - 2 * (('0x' || substr(md5('fs:' || x), 1, 7))::BIGINT % 2) AS INTEGER)))"
+    )
+    return (
+        f"list_transform(range(0, {FH_DIM}), j -> CAST(COALESCE(list_sum("
+        f"list_transform(list_filter({pairs}, e -> e.b = j), e -> e.s)), 0) AS INTEGER))"
+    )
+
+
+def sim_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM: the hashing trick (Weinberger et al. 2009 / Vowpal Wabbit) —
+    each document's tokens hash into a fixed {FH_DIM}-dim signed-count
+    vector: bucket = hash28('fh:'||token) % dim, sign from a second hash
+    stream (the sign hash keeps the estimator unbiased under
+    collisions). Zero shuffle: tokens hash ONCE into (bucket, sign)
+    pairs per row, then the dense vector assembles with per-bucket folds
+    — all scan-local array lambdas, the same md5 contract the oracle
+    replays. The fixed dimensionality regardless of vocabulary is the
+    point at 100 TB: no vocab table, no join, stream-friendly."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    return docs.select(
         "doc_id",
-        vec.alias("fvec"),
-        F.size("_pairs").cast("int").alias("n_tokens"),
+        _fh_vec(F.col("text")).alias("fvec"),
+        F.size(tokenize("text")).cast("int").alias("n_tokens"),
     )
 
 
@@ -3103,6 +3236,7 @@ QUERIES = {
     "ts_url_parse": ts_url_parse,
     "sim_feature_hash": sim_feature_hash,
     "ts_countmin_sketch": ts_countmin_sketch,
+    "tp_rag_pipeline": tp_rag_pipeline,
     "ts_source_similarity": ts_source_similarity,
     "tp_bpe_pair_counts": tp_bpe_pair_counts,
     "tp_token_ids": tp_token_ids,
@@ -3166,6 +3300,7 @@ ORACLES = {
     "ts_url_parse": TS_URL_ORACLE,
     "sim_feature_hash": SIM_FH_ORACLE,
     "ts_countmin_sketch": _cm_oracle(),
+    "tp_rag_pipeline": _rag_oracle(),
     "ts_source_similarity": TS_SRC_SIM_ORACLE,
     "tp_bpe_pair_counts": TP_BPE_ORACLE,
     "tp_token_ids": TP_TOKEN_IDS_ORACLE,
