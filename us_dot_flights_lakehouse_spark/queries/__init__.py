@@ -63,6 +63,7 @@ _PRIORITY = (
     "ts_source_similarity",  # cross-source vocab Jaccard
     "q_table_stats",  # ANALYZE-style profile
     "tp_rag_pipeline",  # chunk->embed->index->retrieve
+    "st_sliding_windows",  # 1h/30m sliding windows
     # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
     "sim_lsh_multiprobe",  # new this round

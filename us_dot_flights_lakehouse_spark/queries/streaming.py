@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from us_dot_flights_lakehouse_spark.sources.readers import read_table
 from us_dot_flights_lakehouse_spark.streaming.events import (
     sessionize,
+    sliding_window_stats,
     windowed_event_stats,
 )
 
@@ -32,6 +33,29 @@ SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2, 3
+"""
+
+
+def st_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m event-time windows per type (each event lands in
+    exactly two windows; the oracle enumerates both by construction, so
+    a boundary or alignment bug in the window fan-out hash-fails)."""
+    events = read_table(spark, sf_dir, "events")
+    return sliding_window_stats(events, "1 hour", "30 minutes")
+
+
+ST_SLIDING_ORACLE = """
+WITH slid AS (
+  SELECT e.*, time_bucket(INTERVAL 30 MINUTE, ts) - k.ofs AS window_start
+  FROM events e,
+       (SELECT unnest([INTERVAL 0 MINUTE, INTERVAL 30 MINUTE]) AS ofs) k
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+FROM slid GROUP BY 1, 2, 3
 """
 
 
@@ -215,6 +239,7 @@ ST_DEDUP_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
 
 QUERIES = {
     "st_windowed_events": st_windowed_events,
+    "st_sliding_windows": st_sliding_windows,
     "st_sessionize": st_sessionize,
     "st_session_window": st_session_window,
     "st_running_totals": st_running_totals,
@@ -223,6 +248,7 @@ QUERIES = {
 
 ORACLES = {
     "st_windowed_events": ST_WINDOW_ORACLE,
+    "st_sliding_windows": ST_SLIDING_ORACLE,
     "st_sessionize": ST_SESSION_ORACLE,
     "st_session_window": ST_SESSION_WINDOW_ORACLE,
     "st_running_totals": ST_RUNNING_TOTALS_ORACLE,

@@ -47,6 +47,36 @@ def windowed_event_stats(
     )
 
 
+def sliding_window_stats(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide_duration: str = "30 minutes",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """SLIDING event-time windows (each event contributes to
+    duration/slide overlapping windows — the trailing-hour-updated-every-
+    half-hour dashboard shape). Same streaming contract as the tumbling
+    variant: add a watermark and this runs unchanged under readStream.
+    Scale: the window fan-out is duration/slide rows per event applied
+    map-side before ONE hash aggregate — no self-joins."""
+    return (
+        events.groupBy(
+            F.window(ts_col, window_duration, slide_duration).alias("win"),
+            F.col(type_col),
+        )
+        .agg(F.count("*").alias("n_events"), dec_sum(value_col, "total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            type_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,
