@@ -42,6 +42,8 @@ WHITELIST: dict[str, set[str]] = {
     "dd_semantic_dedup": {"SMJ"},        # label-propagation joins (pair graph)
     "tp_label_balance": {"ONE_PART"},    # 1-row min-class-count aggregate,
     #   broadcast back into the per-label filter (never a data funnel)
+    "tp_dataset_card": {"ONE_PART"},     # 1-row corpus summary aggregate
+    "ts_ngram_lm": {"ONE_PART"},         # 40-row ranked projection
     "j8_asof_purchase_attribution": {"SMJ", "ONE_PART"},  # as-of union-window
     "j11_clickstream_interval_join": {"SMJ"},  # interval join
     "j12_lateral_topk_orders": {"SMJ"},  # per-customer lateral

@@ -64,6 +64,8 @@ _PRIORITY = (
     "q_table_stats",  # ANALYZE-style profile
     "tp_rag_pipeline",  # chunk->embed->index->retrieve
     "st_sliding_windows",  # 1h/30m sliding windows
+    "ts_ngram_lm",  # bigram conditional probs
+    "tp_dataset_card",  # corpus summary block
     # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
     "sim_lsh_multiprobe",  # new this round

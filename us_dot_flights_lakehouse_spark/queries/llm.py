@@ -2101,6 +2101,120 @@ FROM expected
 """
 
 
+def tp_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: the dataset-card summary block — one row of corpus-level facts
+    a training-data release documents: doc/token/char totals, source and
+    language cardinalities, exact-duplicate rate (via the normalized
+    fingerprint), and mean tokens per doc. One global aggregate; the
+    count(DISTINCT) trio plans as a single Expand + two-phase aggregate."""
+    from us_dot_flights_lakehouse_spark.functions.text import (
+        normalized_fingerprint,
+    )
+
+    docs = read_corpus(spark, sf_dir, "documents")
+    n = F.count("*").cast("bigint")
+    return docs.agg(
+        n.alias("n_docs"),
+        F.sum(F.size(tokenize("text"))).cast("bigint").alias("n_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.count_distinct(normalized_fingerprint("text"))
+        .cast("bigint")
+        .alias("n_unique_docs"),
+    ).select(
+        "*",
+        (
+            F.lit(1.0)
+            - F.col("n_unique_docs").cast("double") / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+        (F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")).alias(
+            "mean_doc_tokens"
+        ),
+    )
+
+
+TP_CARD_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+              AS BIGINT) AS n_unique_docs
+  FROM documents
+)
+SELECT *,
+       1.0 - CAST(n_unique_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+       CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_doc_tokens
+FROM base
+"""
+
+
+LM_TOPK = 40
+
+
+def ts_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: bigram language-model table — conditional next-word
+    probabilities P(w2 | w1) = c(w1 w2) / c(w1 as a bigram head), for the
+    top-{LM_TOPK} bigrams by count (ties lexicographic). Probabilities
+    are single divisions of exact integer counts — bit-stable
+    cross-engine, unlike the log-prob form (libm log differs in final
+    ulps across platforms; same policy as ts_bigram_commonality).
+
+    Scale: one corpus bigram aggregate (vocabulary²-bounded,
+    zipf-concentrated) + a head-count reaggregation of THAT table —
+    corpus text touched once."""
+    from us_dot_flights_lakehouse_spark.functions.text import word_bigrams
+
+    docs = read_corpus(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(word_bigrams(tokenize("text"))).alias("bg")
+    ).select(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    counts = grams.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c12")
+    )
+    heads = counts.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    order = [F.desc("c12"), F.asc("w1"), F.asc("w2")]
+    top = counts.join(heads, "w1").orderBy(*order).limit(LM_TOPK)
+    w = Window.orderBy(*order)
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        (F.col("c12").cast("double") / F.col("c1").cast("double")).alias("p_next"),
+    )
+
+
+TS_LM_ORACLE = f"""
+WITH t AS (
+  SELECT {_TOKENS} AS toks FROM documents
+), grams AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+), counts AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM grams GROUP BY 1, 2
+), heads AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM counts GROUP BY 1
+)
+SELECT rank, w1, w2, c12, c1,
+       CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p_next
+FROM (
+  SELECT c.w1, c.w2, c.c12, h.c1,
+         CAST(row_number() OVER (ORDER BY c.c12 DESC, c.w1 ASC, c.w2 ASC)
+              AS INTEGER) AS rank
+  FROM counts c JOIN heads h ON c.w1 = h.w1
+) WHERE rank <= {LM_TOPK}
+"""
+
+
 RAG_PLANES = 6  # 64 LSH buckets over the 64-dim hashed-feature space
 RAG_K = 3
 RAG_QUERY_DOCS = 4
@@ -3237,6 +3351,8 @@ QUERIES = {
     "sim_feature_hash": sim_feature_hash,
     "ts_countmin_sketch": ts_countmin_sketch,
     "tp_rag_pipeline": tp_rag_pipeline,
+    "ts_ngram_lm": ts_ngram_lm,
+    "tp_dataset_card": tp_dataset_card,
     "ts_source_similarity": ts_source_similarity,
     "tp_bpe_pair_counts": tp_bpe_pair_counts,
     "tp_token_ids": tp_token_ids,
@@ -3301,6 +3417,8 @@ ORACLES = {
     "sim_feature_hash": SIM_FH_ORACLE,
     "ts_countmin_sketch": _cm_oracle(),
     "tp_rag_pipeline": _rag_oracle(),
+    "ts_ngram_lm": TS_LM_ORACLE,
+    "tp_dataset_card": TP_CARD_ORACLE,
     "ts_source_similarity": TS_SRC_SIM_ORACLE,
     "tp_bpe_pair_counts": TP_BPE_ORACLE,
     "tp_token_ids": TP_TOKEN_IDS_ORACLE,
