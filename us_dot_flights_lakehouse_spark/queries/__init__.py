@@ -66,6 +66,7 @@ _PRIORITY = (
     "st_sliding_windows",  # 1h/30m sliding windows
     "ts_ngram_lm",  # bigram conditional probs
     "tp_dataset_card",  # corpus summary block
+    "mm_video_motion",  # inter-frame motion metric
     # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
     "sim_lsh_multiprobe",  # new this round

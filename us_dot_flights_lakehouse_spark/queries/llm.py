@@ -1249,6 +1249,82 @@ FROM px
 """
 
 
+def mm_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: inter-frame motion metric — same synthesized AVI and 80 ms
+    sampling as ``mm_frame_stats``, then a grouped-map ``applyInPandas``
+    kernel re-assembles each video's sampled frames in time order and
+    sums absolute pixel deltas between consecutive samples (the
+    shot-change / static-content signal used to filter video training
+    data). The oracle recomputes every |pixel(f+2) - pixel(f)| from the
+    synth closed form — mod-256 wraparound included, so an
+    order-or-offset bug in the grouping hash-fails.
+
+    Scale: sample_frames is scan-local; the regroup is ONE shuffle keyed
+    by video id, and each group holds only the SAMPLED frames (3 here,
+    not the full video) — the motion kernel is Arrow-batched numpy."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import avi_encode
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                g = (
+                    11 * int(d)
+                    + 17 * np.arange(6)[:, None]
+                    + 5 * np.arange(16)[None, :]
+                ) % 256
+                frames = np.repeat(
+                    g.astype(np.uint8).reshape(6, 4, 4, 1), 3, axis=3
+                )
+                payloads.append(avi_encode(frames, us_per_frame=40_000))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    vids = docs.mapInPandas(synth, schema="id long, payload binary")
+    sampled = multimodal.sample_frames(vids, every_ms=80)
+
+    def motion(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("frame_idx")
+        mats = [np.frombuffer(px, np.uint8).astype(np.int64) for px in pdf["pixels"]]
+        total = sum(
+            int(np.abs(b - a).sum()) for a, b in zip(mats, mats[1:])
+        )
+        n = len(mats)
+        return pd.DataFrame(
+            {
+                "doc_id": [int(pdf["id"].iloc[0])],
+                "n_sampled": [n],
+                "motion_total": [total],
+                "motion_mean": [total / ((n - 1) * mats[0].size) if n > 1 else 0.0],
+            }
+        )
+
+    return sampled.groupBy("id").applyInPandas(
+        motion,
+        schema="doc_id long, n_sampled int, motion_total bigint, motion_mean double",
+    )
+
+
+MM_MOTION_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+    list_sum(list_transform(range(0, 16), i ->
+      abs((11 * doc_id + 17 * 2 + 5 * i) % 256 - (11 * doc_id + 5 * i) % 256)
+      + abs((11 * doc_id + 17 * 4 + 5 * i) % 256 - (11 * doc_id + 17 * 2 + 5 * i) % 256)
+    )) * 3 AS motion_total
+  FROM documents
+)
+SELECT doc_id,
+       CAST(3 AS INTEGER) AS n_sampled,
+       CAST(motion_total AS BIGINT) AS motion_total,
+       CAST(motion_total AS DOUBLE) / (2 * 48) AS motion_mean
+FROM d
+"""
+
+
 def mm_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM: REAL compressed-codec frame sampling — synthesizes a 6-frame
     8x8 MJPEG AVI per document ('00dc' chunks, each a baseline JPEG;
@@ -3329,6 +3405,7 @@ QUERIES = {
     "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
     "mm_image_resize": mm_image_resize,
     "mm_frame_stats": mm_frame_stats,
+    "mm_video_motion": mm_video_motion,
     "mm_mjpeg_frame_stats": mm_mjpeg_frame_stats,
     "src_wds_roundtrip": src_wds_roundtrip,
     "src_jsonl_roundtrip": src_jsonl_roundtrip,
@@ -3395,6 +3472,7 @@ ORACLES = {
     "mm_jpeg_roundtrip": MM_JPEG_ORACLE,
     "mm_image_resize": MM_RESIZE_ORACLE,
     "mm_frame_stats": MM_FRAME_ORACLE,
+    "mm_video_motion": MM_MOTION_ORACLE,
     "mm_mjpeg_frame_stats": MM_MJPEG_ORACLE,
     "src_wds_roundtrip": SRC_WDS_ORACLE,
     "src_jsonl_roundtrip": SRC_JSONL_ORACLE,
