@@ -166,3 +166,36 @@ def test_partitioned_read_prunes_partitions(spark, tmp_path_factory):
     # not run as a row filter post-scan
     assert "PartitionFilters: [isnotnull(pt" in plan or "PartitionFilters: [(pt" in plan
     assert scan.count() == 100
+
+
+def test_rag_pipeline_joins_on_buckets_not_cartesian(spark):
+    """The RAG retrieval join must key on the LSH bucket — a cartesian
+    (all-chunks x probe-chunks) plan would defeat the index entirely."""
+    from us_dot_flights_lakehouse_spark.queries.llm import tp_rag_pipeline
+
+    plan = _plan(tp_rag_pipeline(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan
+
+
+def test_rolling_anomaly_has_no_sliding_frame(spark):
+    """w8 computes 24-row sums as running-total differences; a
+    ROWS BETWEEN 23 PRECEDING frame in the plan means the O(frame)-per-row
+    regression crept back (24.6 s vs 8.1 s at sf0.1)."""
+    from us_dot_flights_lakehouse_spark.queries.relational import (
+        w8_rolling_anomaly,
+    )
+
+    plan = _plan(w8_rolling_anomaly(spark, SF))
+    assert "23 PRECEDING" not in plan.upper()
+
+
+def test_bpe_pair_counts_aggregates_partially(spark):
+    """Both aggregations (word counts, pair counts) must plan
+    partial+final — map-side combine is what keeps the corpus-sized
+    first shuffle small."""
+    from us_dot_flights_lakehouse_spark.queries.llm import tp_bpe_pair_counts
+
+    plan = _plan(tp_bpe_pair_counts(spark, SF))
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x (partial + final)
+    assert "CartesianProduct" not in plan
