@@ -67,6 +67,7 @@ _PRIORITY = (
     "ts_ngram_lm",  # bigram conditional probs
     "tp_dataset_card",  # corpus summary block
     "mm_video_motion",  # inter-frame motion metric
+    "u4_union_schema_evolution",  # unionByName null-backfill
     # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
     "sim_lsh_multiprobe",  # new this round

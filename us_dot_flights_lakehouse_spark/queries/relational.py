@@ -1461,6 +1461,46 @@ FROM customer c, LATERAL (
 """
 
 
+def u4_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 (extension): schema-evolution union — two generations of the
+    same feed with drifted projections (the old one lacks a column the
+    new one added, and vice versa) combined with
+    ``unionByName(allowMissingColumns=True)``: absent columns
+    null-backfill, matching by NAME not position. This is the batch twin
+    of the streaming addNewColumns ingest (streaming/ingest.py)."""
+    orders = read_table(spark, sf_dir, "orders")
+    old_gen = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("price")
+    )
+    new_gen = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderpriority").alias("priority"),  # added column
+    )
+    return old_gen.unionByName(new_gen, allowMissingColumns=True).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "price",
+        "priority",
+        F.col("price").isNull().alias("from_new_gen"),
+    )
+
+
+U4_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       o_totalprice AS price,
+       CAST(NULL AS VARCHAR) AS priority,
+       false AS from_new_gen
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_orderstatus,
+       CAST(NULL AS DOUBLE) AS price,
+       o_orderpriority AS priority,
+       true AS from_new_gen
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
 def u3_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3 (extension): multiset set operations — exceptAll / intersectAll
     (bag semantics, duplicates preserved), compacted to per-value counts.
@@ -2422,6 +2462,7 @@ QUERIES = {
     "w6_forward_fill": w6_forward_fill,
     "w7_event_funnel": w7_event_funnel,
     "w8_rolling_anomaly": w8_rolling_anomaly,
+    "u4_union_schema_evolution": u4_union_schema_evolution,
     "a18_stat_moments": a18_stat_moments,
     "j13_nullsafe_join": j13_nullsafe_join,
 }
@@ -2484,6 +2525,7 @@ ORACLES = {
     "w6_forward_fill": W6_ORACLE,
     "w7_event_funnel": W7_ORACLE,
     "w8_rolling_anomaly": W8_ORACLE,
+    "u4_union_schema_evolution": U4_ORACLE,
     "a18_stat_moments": A18_ORACLE,
     "j13_nullsafe_join": J13_ORACLE,
 }
