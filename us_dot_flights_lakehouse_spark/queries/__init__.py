@@ -68,6 +68,7 @@ _PRIORITY = (
     "tp_dataset_card",  # corpus summary block
     "mm_video_motion",  # inter-frame motion metric
     "u4_union_schema_evolution",  # unionByName null-backfill
+    "mm_audio_resample",  # 2x pair-mean decimation
     # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
     "sim_lsh_multiprobe",  # new this round

@@ -1249,6 +1249,98 @@ FROM px
 """
 
 
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: audio resampling — decode the synthesized 16-bit PCM WAV
+    (same (doc_id*31 + i*7919) % 4001 - 2000 sample formula as
+    mm_audio_stats), then decimate 2x with pair-mean averaging (the
+    anti-aliasing box filter; integer floor-division keeps every output
+    sample exact, the same discipline as the image box resize). The
+    oracle recomputes the resampled stream's stats from the closed form,
+    so the decode → pair → floordiv chain is hash-checked.
+
+    Scale: per-row Arrow kernels, zero shuffle — resampling runs at scan
+    speed, which is what makes decode-resample-train pipelines feasible
+    on petabyte audio corpora."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import wav_encode
+
+        for pdf in batches:
+            payloads = [
+                wav_encode(
+                    ((int(d) * 31 + np.arange(256) * 7919) % 4001 - 2000).astype(
+                        np.int16
+                    ),
+                    8000,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    wavs = docs.mapInPandas(synth, schema="id long, payload binary")
+    decoded = multimodal.decode_audio(wavs)
+
+    def resample(batches):
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf["id"], pdf["samples"]):
+                v = np.frombuffer(buf, "<i2").astype(np.int64)
+                # pair-mean decimation with FLOOR division (numpy //);
+                # note DuckDB's // truncates toward zero instead, so the
+                # oracle floors explicitly
+                out = (v[0::2] + v[1::2]) // 2
+                rows.append(
+                    (
+                        i,
+                        int(out.size),
+                        4000,
+                        int(np.abs(out).sum()),
+                        int(out.min()),
+                        int(out.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate_hz",
+                    "sum_abs", "min_s", "max_s",
+                ],
+            )
+
+    return decoded.mapInPandas(
+        resample,
+        schema=(
+            "doc_id long, n_samples int, sample_rate_hz int, "
+            "sum_abs bigint, min_s bigint, max_s bigint"
+        ),
+    )
+
+
+MM_RESAMPLE_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         -- numpy's // FLOORS; DuckDB's // truncates toward zero, so the
+         -- oracle floors explicitly (pair sums are small: double-exact)
+         list_transform(range(0, 128), j ->
+           CAST(floor(
+             (((doc_id * 31 + (2*j) * 7919) % 4001 - 2000)
+              + ((doc_id * 31 + (2*j+1) * 7919) % 4001 - 2000)) / 2.0
+           ) AS BIGINT)) AS v
+  FROM documents
+)
+SELECT doc_id,
+       CAST(128 AS INTEGER) AS n_samples,
+       CAST(4000 AS INTEGER) AS sample_rate_hz,
+       CAST(list_sum(list_transform(v, x -> abs(x))) AS BIGINT) AS sum_abs,
+       CAST(list_aggregate(v, 'min') AS BIGINT) AS min_s,
+       CAST(list_aggregate(v, 'max') AS BIGINT) AS max_s
+FROM s
+"""
+
+
 def mm_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM: inter-frame motion metric — same synthesized AVI and 80 ms
     sampling as ``mm_frame_stats``, then a grouped-map ``applyInPandas``
@@ -3406,6 +3498,7 @@ QUERIES = {
     "mm_image_resize": mm_image_resize,
     "mm_frame_stats": mm_frame_stats,
     "mm_video_motion": mm_video_motion,
+    "mm_audio_resample": mm_audio_resample,
     "mm_mjpeg_frame_stats": mm_mjpeg_frame_stats,
     "src_wds_roundtrip": src_wds_roundtrip,
     "src_jsonl_roundtrip": src_jsonl_roundtrip,
@@ -3473,6 +3566,7 @@ ORACLES = {
     "mm_image_resize": MM_RESIZE_ORACLE,
     "mm_frame_stats": MM_FRAME_ORACLE,
     "mm_video_motion": MM_MOTION_ORACLE,
+    "mm_audio_resample": MM_RESAMPLE_ORACLE,
     "mm_mjpeg_frame_stats": MM_MJPEG_ORACLE,
     "src_wds_roundtrip": SRC_WDS_ORACLE,
     "src_jsonl_roundtrip": SRC_JSONL_ORACLE,
