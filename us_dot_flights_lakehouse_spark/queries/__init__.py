@@ -69,6 +69,7 @@ _PRIORITY = (
     "mm_video_motion",  # inter-frame motion metric
     "u4_union_schema_evolution",  # unionByName null-backfill
     "mm_audio_resample",  # 2x pair-mean decimation
+    "tp_curriculum_order",  # quality ntile staging
     # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
     "sim_lsh_multiprobe",  # new this round

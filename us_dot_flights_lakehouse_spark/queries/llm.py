@@ -2269,6 +2269,53 @@ FROM expected
 """
 
 
+CURRICULUM_STAGES = 4
+
+
+def tp_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: curriculum assignment — rank each source's documents by the
+    heuristic quality score and deal them into {CURRICULUM_STAGES} ntile
+    stages (stage 1 = highest quality; training schedules feed stages in
+    order). Per-source windows keep parallelism at source cardinality —
+    no global sort; (score desc, doc_id) is a total order so tiles are
+    deterministic."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    scored = textstats.text_stats(docs).select("doc_id", "quality_score")
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = scored.join(src, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return joined.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.ntile(CURRICULUM_STAGES).over(w).cast("int").alias("stage"),
+    )
+
+
+TP_CURRICULUM_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+    (CASE WHEN len({_TOKENS}) >= 20 AND len({_TOKENS}) <= 80
+          THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+     + CASE WHEN CAST(len(list_distinct({_TOKENS})) AS DOUBLE)
+                 / CAST(len({_TOKENS}) AS DOUBLE) >= 0.3
+            THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+     + CASE WHEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) < 0.1
+            THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+    ) AS quality_score
+  FROM documents
+)
+SELECT doc_id, source, quality_score,
+       CAST(ntile({CURRICULUM_STAGES}) OVER (
+         PARTITION BY source ORDER BY quality_score DESC, doc_id ASC
+       ) AS INTEGER) AS stage
+FROM scored
+"""
+
+
 def tp_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TP: the dataset-card summary block — one row of corpus-level facts
     a training-data release documents: doc/token/char totals, source and
@@ -3523,6 +3570,7 @@ QUERIES = {
     "tp_rag_pipeline": tp_rag_pipeline,
     "ts_ngram_lm": ts_ngram_lm,
     "tp_dataset_card": tp_dataset_card,
+    "tp_curriculum_order": tp_curriculum_order,
     "ts_source_similarity": ts_source_similarity,
     "tp_bpe_pair_counts": tp_bpe_pair_counts,
     "tp_token_ids": tp_token_ids,
@@ -3591,6 +3639,7 @@ ORACLES = {
     "tp_rag_pipeline": _rag_oracle(),
     "ts_ngram_lm": TS_LM_ORACLE,
     "tp_dataset_card": TP_CARD_ORACLE,
+    "tp_curriculum_order": TP_CURRICULUM_ORACLE,
     "ts_source_similarity": TS_SRC_SIM_ORACLE,
     "tp_bpe_pair_counts": TP_BPE_ORACLE,
     "tp_token_ids": TP_TOKEN_IDS_ORACLE,
