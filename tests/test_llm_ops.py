@@ -1425,3 +1425,25 @@ def test_kmeans_fit_recovers_planted_clusters(spark):
     # learned centroids sit on the planted centers (noise sigma 0.3)
     recovered = sorted(np.round(cents.max(axis=1)).astype(int).tolist())
     assert recovered == [10, 10, 10]
+
+
+def test_crop_image_window_and_gating(spark):
+    import numpy as np
+
+    from us_dot_flights_lakehouse_spark.llm.multimodal import crop_image
+
+    l_px = bytes(range(16))  # 4x4 gradient
+    df = spark.createDataFrame(
+        [
+            (1, 4, 4, "L", bytearray(l_px)),
+            (2, 2, 2, "L", bytearray(bytes(4))),  # too small for the window
+            (3, None, None, None, None),
+        ],
+        "id long, width int, height int, mode string, pixels binary",
+    )
+    out = {r["id"]: r for r in crop_image(df, 1, 2, 2, 2).collect()}
+    # rows y=2..3, x=1..2 of [[0..3],[4..7],[8..11],[12..15]]
+    assert list(out[1]["pixels"]) == [9, 10, 13, 14]
+    assert (out[1]["width"], out[1]["height"]) == (2, 2)
+    assert out[2]["pixels"] is None  # window exceeds image
+    assert out[3]["pixels"] is None  # codec-gated input passes through

@@ -784,6 +784,35 @@ def resize_image(
     return df.mapInPandas(kernel, schema=DECODED_IMAGE_SCHEMA)
 
 
+def crop_image(df: DataFrame, x0: int, y0: int, out_w: int, out_h: int) -> DataFrame:
+    """Crop decoded images to the [x0, x0+out_w) x [y0, y0+out_h) window
+    (input/output schema = DECODED_IMAGE_SCHEMA, so it chains with
+    ``decode_image``/``resize_image``). Images too small for the window
+    yield null rows — the same totality contract as the codec gates.
+    Scan-local, zero shuffle; pure numpy slicing (no resampling, so the
+    op is exact by construction)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, w, h, mode, px in zip(
+                pdf["id"], pdf["width"], pdf["height"], pdf["mode"], pdf["pixels"]
+            ):
+                if px is None or int(w) < x0 + out_w or int(h) < y0 + out_h:
+                    rows.append((i, None, None, None, None))
+                    continue
+                ch = _MODE_CHANNELS[mode]
+                arr = np.frombuffer(px, np.uint8).reshape(int(h), int(w), ch)
+                out = arr[y0 : y0 + out_h, x0 : x0 + out_w]
+                rows.append((i, out_w, out_h, mode, out.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "mode", "pixels"]
+            )
+
+    return df.mapInPandas(kernel, schema=DECODED_IMAGE_SCHEMA)
+
+
 def avi_encode(frames, us_per_frame: int) -> bytes:
     """Minimal uncompressed AVI writer (RIFF 'AVI ' / LIST hdrl+avih /
     LIST movi with '00db' DIB frames; stdlib struct only). ``frames`` is

@@ -70,6 +70,8 @@ _PRIORITY = (
     "u4_union_schema_evolution",  # unionByName null-backfill
     "mm_audio_resample",  # 2x pair-mean decimation
     "tp_curriculum_order",  # quality ntile staging
+    "sim_mips_topk",  # raw inner-product top-k
+    "mm_image_crop",  # exact window crop
     # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
     "sim_lsh_multiprobe",  # new this round

@@ -251,6 +251,60 @@ SELECT query_id, rank, neighbor_id FROM (
 """
 
 
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM: maximum inner-product search (MIPS) — top-k by RAW dot
+    product, not cosine: the retrieval objective for models trained with
+    un-normalized scores (recommendation towers, some dual encoders),
+    where vector magnitude IS signal. Same broadcast-queries x one-scan
+    shape as cosine_topk; only the score changes."""
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    probes = corpus.filter(F.col("id") < N_QUERY_VECS).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(corpus)
+        .filter(F.col("qid") != F.col("id"))
+        .select("qid", "id", dot.alias("ip"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("ip"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOPK_K)
+        .select(
+            F.col("qid").alias("query_id"), "rank", F.col("id").alias("neighbor_id")
+        )
+    )
+
+
+SIM_MIPS_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) AS ip
+  FROM e q JOIN e c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERY_VECS}
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY ip DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOPK_K}
+"""
+
+
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (llm/similarity.py): per anchor,
     the top-k most-similar vectors with a different label — one broadcast
@@ -1048,6 +1102,76 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         schema="doc_id long, width int, height int, sum_px bigint, min_px bigint, max_px bigint",
     )
+
+
+def mm_image_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: image cropping — same 16x16 synth PNG as mm_image_resize,
+    decoded then center-window-cropped to the 8x8 region at (x0=4, y0=2)
+    via ``multimodal.crop_image`` (pure slicing, exact). The oracle
+    states each cropped pixel arithmetically: crop(y, x) =
+    (7*doc_id + 16*(y+2) + (x+4)) % 256, so an offset/stride bug in the
+    slicing hash-fails."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import png_encode
+
+        for pdf in batches:
+            payloads = [
+                png_encode(
+                    ((7 * int(d) + np.arange(256)) % 256)
+                    .astype(np.uint8)
+                    .reshape(16, 16),
+                    "L",
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(synth, schema="id long, payload binary")
+    cropped = multimodal.crop_image(multimodal.decode_image(imgs), 4, 2, 8, 8)
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, w, h, px in zip(
+                pdf["id"], pdf["width"], pdf["height"], pdf["pixels"]
+            ):
+                a = np.frombuffer(px, np.uint8).astype(np.int64)
+                rows.append(
+                    (i, int(w), int(h), int(a.sum()), int(a.min()), int(a.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "sum_px", "min_px", "max_px"],
+            )
+
+    return cropped.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, width int, height int, sum_px bigint, "
+            "min_px bigint, max_px bigint"
+        ),
+    )
+
+
+MM_CROP_ORACLE = """
+WITH px AS (
+  SELECT doc_id,
+    list_transform(range(0, 64),
+                   j -> (7 * doc_id + 16 * (j // 8) + (j % 8) + 36) % 256) AS p
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(list_sum(p) AS BIGINT) AS sum_px,
+       CAST(list_aggregate(p, 'min') AS BIGINT) AS min_px,
+       CAST(list_aggregate(p, 'max') AS BIGINT) AS max_px
+FROM px
+"""
 
 
 # final 4x4 pixel (y=j//4, x=j%4) <- box mean at 8x8 position (2y, 2x)
@@ -3527,6 +3651,7 @@ QUERIES = {
     "dd_embedding_neardup": dd_embedding_neardup,
     "sim_topk_cosine": sim_topk_cosine,
     "sim_hard_negatives": sim_hard_negatives,
+    "sim_mips_topk": sim_mips_topk,
     "tp_label_balance": tp_label_balance,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_lsh_multiprobe": sim_lsh_multiprobe,
@@ -3543,6 +3668,7 @@ QUERIES = {
     "mm_pixel_stats": mm_pixel_stats,
     "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
     "mm_image_resize": mm_image_resize,
+    "mm_image_crop": mm_image_crop,
     "mm_frame_stats": mm_frame_stats,
     "mm_video_motion": mm_video_motion,
     "mm_audio_resample": mm_audio_resample,
@@ -3596,6 +3722,7 @@ ORACLES = {
     "dd_embedding_neardup": DD_EMB_ORACLE,
     "sim_topk_cosine": SIM_TOPK_ORACLE,
     "sim_hard_negatives": SIM_HARDNEG_ORACLE,
+    "sim_mips_topk": SIM_MIPS_ORACLE,
     "tp_label_balance": TP_BALANCE_ORACLE,
     "sim_lsh_topk": SIM_LSH_ORACLE,
     "sim_lsh_multiprobe": SIM_LSH_MP_ORACLE,
@@ -3612,6 +3739,7 @@ ORACLES = {
     "mm_pixel_stats": MM_PIXEL_ORACLE,
     "mm_jpeg_roundtrip": MM_JPEG_ORACLE,
     "mm_image_resize": MM_RESIZE_ORACLE,
+    "mm_image_crop": MM_CROP_ORACLE,
     "mm_frame_stats": MM_FRAME_ORACLE,
     "mm_video_motion": MM_MOTION_ORACLE,
     "mm_audio_resample": MM_RESAMPLE_ORACLE,
