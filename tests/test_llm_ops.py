@@ -1447,3 +1447,20 @@ def test_crop_image_window_and_gating(spark):
     assert (out[1]["width"], out[1]["height"]) == (2, 2)
     assert out[2]["pixels"] is None  # window exceeds image
     assert out[3]["pixels"] is None  # codec-gated input passes through
+
+
+def test_containment_catches_subset_doc_jaccard_misses(spark):
+    from us_dot_flights_lakehouse_spark.llm.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long = " ".join(f"w{i}" for i in range(60))
+    subset = " ".join(f"w{i}" for i in range(12))  # strict prefix of long
+    docs = _docs(spark, [(1, long), (2, subset)])
+    cont = containment_pairs(docs, threshold=0.9).collect()
+    # every shingle of the prefix appears in the long doc -> containment 1.0
+    assert [(r["doc_id_a"], r["doc_id_b"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0
+    # symmetric Jaccard on the same pair is ~10/58 — far below 0.9
+    assert ngram_jaccard_pairs(docs, threshold=0.9).collect() == []

@@ -126,6 +126,46 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Containment near-dup pairs: c / min(|A|, |B|) over distinct
+    n-gram shingle sets — the asymmetric-duplicate detector. A doc whose
+    shingles are a subset of a much longer doc (quote farms, page
+    wrappers around syndicated articles) scores containment ~1.0 while
+    its symmetric Jaccard stays low, so ``ngram_jaccard_pairs`` never
+    sees it. Same inverted-index join and candidate bound as the Jaccard
+    path; only the denominator changes. Returns
+    (doc_id_a, doc_id_b, containment) for containment >= threshold."""
+    idx = _shingle_index(docs, text_col, id_col, n, max_shingle_freq)
+    cnt = idx.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = idx.alias("a"), idx.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .agg(F.count("*").alias("c"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    out = (
+        common.join(ca, F.col("ia") == F.col("ca.id"))
+        .join(cb, F.col("ib") == F.col("cb.id"))
+        .select(
+            F.col("ia").alias("doc_id_a"),
+            F.col("ib").alias("doc_id_b"),
+            (
+                F.col("c").cast("double")
+                / F.least(F.col("ca.n_sh"), F.col("cb.n_sh")).cast("double")
+            ).alias("containment"),
+        )
+    )
+    return out.filter(F.col("containment") >= threshold)
+
+
 def minhash_signatures(
     docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

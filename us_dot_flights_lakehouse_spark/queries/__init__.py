@@ -72,6 +72,7 @@ _PRIORITY = (
     "tp_curriculum_order",  # quality ntile staging
     "sim_mips_topk",  # raw inner-product top-k
     "mm_image_crop",  # exact window crop
+    "dd_containment",  # asymmetric subset dedup
     # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
     "sim_lsh_multiprobe",  # new this round

@@ -114,6 +114,36 @@ WHERE CAST(c AS DOUBLE) / CAST(x.n_sh + y.n_sh - c AS DOUBLE) >= {JACCARD_THRESH
 """
 
 
+CONTAINMENT_THRESHOLD = 0.08
+
+
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD: containment near-dup pairs — c / min(|A|, |B|) over shingle
+    sets, the asymmetric detector for subset/prefix duplicates that
+    symmetric Jaccard misses (llm/dedup.py::containment_pairs). Same 20%
+    deterministic sample and inverted-index bound as dd_ngram_jaccard."""
+    docs = read_corpus(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return dedup.containment_pairs(docs, threshold=CONTAINMENT_THRESHOLD)
+
+
+DD_CONTAIN_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES} AS shs
+  FROM (SELECT doc_id, {_TOKENS} AS t FROM documents WHERE doc_id % 5 = 0)
+), s AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY 1),
+com AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT ia AS doc_id_a, ib AS doc_id_b,
+       CAST(c AS DOUBLE) / CAST(least(x.n_sh, y.n_sh) AS DOUBLE) AS containment
+FROM com JOIN cnt x ON ia = x.doc_id JOIN cnt y ON ib = y.doc_id
+WHERE CAST(c AS DOUBLE) / CAST(least(x.n_sh, y.n_sh) AS DOUBLE)
+      >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_corpus(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
@@ -3645,6 +3675,7 @@ FROM documents
 QUERIES = {
     "dd_exact_dedup": dd_exact_dedup,
     "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_containment": dd_containment,
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_simhash_values": dd_simhash_values,
     "dd_simhash_pairs": dd_simhash_pairs,
@@ -3716,6 +3747,7 @@ QUERIES = {
 ORACLES = {
     "dd_exact_dedup": DD_EXACT_ORACLE,
     "dd_ngram_jaccard": DD_NGRAM_ORACLE,
+    "dd_containment": DD_CONTAIN_ORACLE,
     "dd_minhash_lsh": DD_MINHASH_ORACLE,
     "dd_simhash_values": _simhash_oracle(),
     "dd_simhash_pairs": _simhash_pairs_oracle(),
