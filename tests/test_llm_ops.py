@@ -1464,3 +1464,25 @@ def test_containment_catches_subset_doc_jaccard_misses(spark):
     assert cont[0]["containment"] == 1.0
     # symmetric Jaccard on the same pair is ~10/58 — far below 0.9
     assert ngram_jaccard_pairs(docs, threshold=0.9).collect() == []
+
+
+def test_transform_image_orientations(spark):
+    import numpy as np
+
+    from us_dot_flights_lakehouse_spark.llm.multimodal import transform_image
+
+    # 2x3 L image [[0,1,2],[3,4,5]]
+    df = spark.createDataFrame(
+        [(1, 3, 2, "L", bytearray(bytes(range(6)))), (2, None, None, None, None)],
+        "id long, width int, height int, mode string, pixels binary",
+    )
+    lr = transform_image(df, "flip_lr").collect()
+    got = {r["id"]: r for r in lr}
+    assert list(got[1]["pixels"]) == [2, 1, 0, 5, 4, 3]
+    assert got[2]["pixels"] is None
+    ud = {r["id"]: r for r in transform_image(df, "flip_ud").collect()}
+    assert list(ud[1]["pixels"]) == [3, 4, 5, 0, 1, 2]
+    rot = {r["id"]: r for r in transform_image(df, "rot90").collect()}
+    # numpy rot90 CCW of [[0,1,2],[3,4,5]] -> [[2,5],[1,4],[0,3]], 2x3 -> w=2,h=3
+    assert (rot[1]["width"], rot[1]["height"]) == (2, 3)
+    assert list(rot[1]["pixels"]) == [2, 5, 1, 4, 0, 3]

@@ -784,6 +784,43 @@ def resize_image(
     return df.mapInPandas(kernel, schema=DECODED_IMAGE_SCHEMA)
 
 
+def transform_image(df: DataFrame, op: str) -> DataFrame:
+    """Lossless geometric augmentation on decoded images: ``flip_lr``,
+    ``flip_ud``, or ``rot90`` (counter-clockwise, numpy convention;
+    width/height swap). Input/output schema = DECODED_IMAGE_SCHEMA —
+    chains with decode/resize/crop. Pure index permutation: exact,
+    scan-local, zero shuffle; null rows pass through."""
+    import numpy as np
+
+    if op not in ("flip_lr", "flip_ud", "rot90"):
+        raise ValueError(f"unknown image transform: {op!r}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, w, h, mode, px in zip(
+                pdf["id"], pdf["width"], pdf["height"], pdf["mode"], pdf["pixels"]
+            ):
+                if px is None:
+                    rows.append((i, None, None, None, None))
+                    continue
+                w, h = int(w), int(h)
+                ch = _MODE_CHANNELS[mode]
+                arr = np.frombuffer(px, np.uint8).reshape(h, w, ch)
+                if op == "flip_lr":
+                    out, ow, oh = arr[:, ::-1], w, h
+                elif op == "flip_ud":
+                    out, ow, oh = arr[::-1], w, h
+                else:
+                    out, ow, oh = np.rot90(arr), h, w
+                rows.append((i, ow, oh, mode, np.ascontiguousarray(out).tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "mode", "pixels"]
+            )
+
+    return df.mapInPandas(kernel, schema=DECODED_IMAGE_SCHEMA)
+
+
 def crop_image(df: DataFrame, x0: int, y0: int, out_w: int, out_h: int) -> DataFrame:
     """Crop decoded images to the [x0, x0+out_w) x [y0, y0+out_h) window
     (input/output schema = DECODED_IMAGE_SCHEMA, so it chains with

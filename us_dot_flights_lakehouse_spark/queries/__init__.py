@@ -73,6 +73,7 @@ _PRIORITY = (
     "sim_mips_topk",  # raw inner-product top-k
     "mm_image_crop",  # exact window crop
     "dd_containment",  # asymmetric subset dedup
+    "mm_image_augment",  # flip+rot90 chain
     # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)
     "sim_lsh_multiprobe",  # new this round

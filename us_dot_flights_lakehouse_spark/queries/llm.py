@@ -1134,6 +1134,75 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: geometric augmentation chain — 8x8 synth PNG (pixel i =
+    (7*doc_id + i) % 256) decoded, then flip_lr ∘ rot90 (which composes
+    to a transpose: out(y,x) = orig(x,y)). The output checksum is
+    POSITION-WEIGHTED (sum (j+1) * pixel[j]), so any orientation mistake
+    — wrong flip axis, clockwise instead of CCW, missing contiguous
+    copy — changes the hash even though the multiset of pixels never
+    does."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import png_encode
+
+        for pdf in batches:
+            payloads = [
+                png_encode(
+                    ((7 * int(d) + np.arange(64)) % 256)
+                    .astype(np.uint8)
+                    .reshape(8, 8),
+                    "L",
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(synth, schema="id long, payload binary")
+    out = multimodal.transform_image(
+        multimodal.transform_image(multimodal.decode_image(imgs), "flip_lr"),
+        "rot90",
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, w, h, px in zip(
+                pdf["id"], pdf["width"], pdf["height"], pdf["pixels"]
+            ):
+                a = np.frombuffer(px, np.uint8).astype(np.int64)
+                weighted = int((a * (np.arange(a.size) + 1)).sum())
+                rows.append((i, int(w), int(h), weighted))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "weighted_sum"]
+            )
+
+    return out.mapInPandas(
+        stats, schema="doc_id long, width int, height int, weighted_sum bigint"
+    )
+
+
+# flip_lr then rot90(CCW) on a square image is the transpose:
+# out(y, x) = orig(x, y) = (7*doc_id + 8*x + y) % 256
+MM_AUGMENT_ORACLE = """
+WITH px AS (
+  SELECT doc_id,
+    list_transform(range(0, 64),
+                   j -> (7 * doc_id + 8 * (j % 8) + (j // 8)) % 256) AS p
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(list_sum(list_transform(range(0, 64), j -> p[j + 1] * (j + 1)))
+            AS BIGINT) AS weighted_sum
+FROM px
+"""
+
+
 def mm_image_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM: image cropping — same 16x16 synth PNG as mm_image_resize,
     decoded then center-window-cropped to the 8x8 region at (x0=4, y0=2)
@@ -3700,6 +3769,7 @@ QUERIES = {
     "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
     "mm_image_resize": mm_image_resize,
     "mm_image_crop": mm_image_crop,
+    "mm_image_augment": mm_image_augment,
     "mm_frame_stats": mm_frame_stats,
     "mm_video_motion": mm_video_motion,
     "mm_audio_resample": mm_audio_resample,
@@ -3772,6 +3842,7 @@ ORACLES = {
     "mm_jpeg_roundtrip": MM_JPEG_ORACLE,
     "mm_image_resize": MM_RESIZE_ORACLE,
     "mm_image_crop": MM_CROP_ORACLE,
+    "mm_image_augment": MM_AUGMENT_ORACLE,
     "mm_frame_stats": MM_FRAME_ORACLE,
     "mm_video_motion": MM_MOTION_ORACLE,
     "mm_audio_resample": MM_RESAMPLE_ORACLE,
