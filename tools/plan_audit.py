@@ -43,6 +43,8 @@ WHITELIST: dict[str, set[str]] = {
     "tp_label_balance": {"ONE_PART"},    # 1-row min-class-count aggregate,
     #   broadcast back into the per-label filter (never a data funnel)
     "tp_dataset_card": {"ONE_PART"},     # 1-row corpus summary aggregate
+    "q_table_stats": {"ONE_PART"},       # five 1-row per-column profiles
+    #   unioned (each a global aggregate, like a3/a8)
     "ts_ngram_lm": {"ONE_PART"},         # 40-row ranked projection
     "j8_asof_purchase_attribution": {"SMJ", "ONE_PART"},  # as-of union-window
     "j11_clickstream_interval_join": {"SMJ"},  # interval join
