@@ -1,7 +1,14 @@
 """Benchmark harness — times every registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Emits driver-parseable JSONL on stdout (VERDICT r4 item 3: a single giant
+JSON line was head-clipped by the driver's bounded tail capture two rounds
+running, leaving ``parsed: null``):
+  - one terse line per query AS IT FINISHES: {"q": name, "s": sec}
+  - a full result line: {"metric", "value", "unit", "queries", "sf"}
+  - LAST, a compact summary line the tail capture can never clip:
+    {"metric", "value", "unit", "sf", "n_queries", "queries_path"}
+The complete result dict is always written to $BENCH_OUT
+(default bench_out.json) regardless of stdout fate.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect), timed as the median of BENCH_REPS runs (default 3) after a
@@ -62,6 +69,8 @@ def main() -> None:
         except Exception as exc:  # one broken query must not kill the run
             timings[name] = "ERR"
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        print(json.dumps({"q": name, "s": timings[name]}))
+        sys.stdout.flush()
         # per-query isolation: queries that cache()/checkpoint internally
         # must not leak storage blocks into later queries' measurements —
         # a 90-query x3-rep session otherwise degrades the tail.
@@ -85,17 +94,30 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     line = json.dumps(out)
-    # stdout for the driver, plus a file copy so a truncated/noisy pipe
-    # can't lose the result ($BENCH_OUT, default bench_out.json)
-    with open(
-        os.environ.get(
-            "BENCH_OUT",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
-        ),
-        "w",
-    ) as fh:
+    # file copy first so a truncated/noisy pipe can't lose the result
+    # ($BENCH_OUT, default bench_out.json)
+    bench_out = os.environ.get(
+        "BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
+    )
+    with open(bench_out, "w") as fh:
         fh.write(line + "\n")
     print(line)
+    # the LAST stdout line is compact (~150 chars) so the driver's bounded
+    # tail capture always holds one complete, parseable result line
+    print(
+        json.dumps(
+            {
+                "metric": "sum_median_sec_all_queries",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "n_err": len(errors),
+                "queries_path": bench_out,
+            }
+        )
+    )
     sys.stdout.flush()
     spark.stop()
 

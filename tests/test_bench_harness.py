@@ -42,9 +42,21 @@ def test_bench_isolates_query_failures(tmp_path, monkeypatch):
 
     monkeypatch.setattr(bench, "get_spark", keep_alive)
     bench.main()
-    out = json.loads(printed[-1])
+    # stdout contract (VERDICT r4 item 3): every line is parseable JSON;
+    # the LAST line is a compact clip-proof summary, the one before it the
+    # full result dict, preceded by one terse {"q","s"} line per query.
+    lines = [json.loads(s) for s in printed]
+    compact = lines[-1]
+    assert compact["metric"] == "sum_median_sec_all_queries"
+    assert compact["value"] > 0
+    assert compact["n_queries"] == 3
+    assert compact["n_err"] == 1
+    assert len(json.dumps(compact)) < 400
+    out = lines[-2]
     assert out["queries"]["broken"] == "ERR"
     assert "NameError" in out["errors"]["broken"]
     assert isinstance(out["queries"]["ok_one"], float)
     assert isinstance(out["queries"]["ok_two"], float)
     assert out["value"] > 0
+    perq = {d["q"]: d["s"] for d in lines[:-2] if "q" in d}
+    assert perq == out["queries"]

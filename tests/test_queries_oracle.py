@@ -32,3 +32,24 @@ def test_query_without_oracle_runs(spark, sf_small, name):
     df = QUERIES[name](spark, sf_small)
     assert df.count() >= 0
     assert df.columns
+
+
+def test_no_query_returns_complex_columns(spark, sf_small):
+    """The correctness driver canonicalizes results with a pandas
+    sort_values, which throws ``TypeError: unhashable type`` on array /
+    map / struct cells (this killed tp_token_ids and sim_feature_hash in
+    CORRECTNESS_r04). Guard the whole registry: every queries() entry
+    must emit only scalar top-level columns — serialize sequences with
+    concat_ws / to_json / md5 in the final select instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        schema = fn(spark, sf_small).schema  # plan-only, nothing executes
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, (
+        "queries() entries with driver-uncanonicalizable complex columns "
+        f"(serialize them to scalars in the final select): {offenders}"
+    )

@@ -39,6 +39,10 @@ _MODULES = (llm, streaming, quality, flights, relational)
 #: come first; the long tail of f_* function suites — all driver-green in
 #: round 1 and unchanged since — absorbs any truncation.
 _PRIORITY = (
+    # round-5 fixes — the ONLY red rows in CORRECTNESS_r04 (array outputs
+    # crashed the driver canonicalizer; now serialized to CSV scalars)
+    "tp_token_ids",
+    "sim_feature_hash",
     # new this round-4 session — never driver-verified
     "ts_repetition_filters",  # Gopher repetition family
     "tp_bpe_pair_counts",  # BPE iteration-0 pair counts
@@ -50,14 +54,12 @@ _PRIORITY = (
     "sim_hard_negatives",  # cross-label top-k mining
     "tp_label_balance",  # class-balance downsample
     "mm_image_resize",  # chained box+nearest resize
-    "tp_token_ids",  # vocab-id encoding
     "ts_unicode_normalize",  # NFC canonicalization
     "ts_html_extract",  # HTML boilerplate strip
     "ts_url_parse",  # parse_url components
     "w5_gapfill_resample",  # hourly spine zero-fill
     "w6_forward_fill",  # LOCF imputation
     "w7_event_funnel",  # ordered funnel stages
-    "sim_feature_hash",  # hashing-trick vectors
     "w8_rolling_anomaly",  # rolling z-score flags
     "ts_countmin_sketch",  # CM estimate vs exact
     "ts_source_similarity",  # cross-source vocab Jaccard
