@@ -1566,20 +1566,21 @@ FROM s
 
 def mm_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM: inter-frame motion metric — same synthesized AVI and 80 ms
-    sampling as ``mm_frame_stats``, then a grouped-map ``applyInPandas``
-    kernel re-assembles each video's sampled frames in time order and
-    sums absolute pixel deltas between consecutive samples (the
-    shot-change / static-content signal used to filter video training
-    data). The oracle recomputes every |pixel(f+2) - pixel(f)| from the
-    synth closed form — mod-256 wraparound included, so an
-    order-or-offset bug in the grouping hash-fails.
+    sampling as ``mm_frame_stats``, with the decode and the
+    consecutive-sample |pixel delta| sums FUSED into one Arrow kernel
+    (``multimodal.frame_motion``): a video's frames all live inside its
+    one blob, so the metric needs no regroup — zero shuffle, no pixel
+    bytes leave the task (VERDICT r4 item 5 replaced the
+    sample_frames → groupBy-applyInPandas pipeline that exchanged every
+    decoded frame). The oracle recomputes every |pixel(f+2) - pixel(f)|
+    from the synth closed form — mod-256 wraparound included, so an
+    order-or-offset bug in the sampling hash-fails.
 
-    Scale: sample_frames is scan-local; the regroup is ONE shuffle keyed
-    by video id, and each group holds only the SAMPLED frames (3 here,
-    not the full video) — the motion kernel is Arrow-batched numpy."""
+    read_corpus, not read_table: the synth+decode is ~ms of Python per
+    row; a single-split scan would serialize it on one core."""
     import numpy as np
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
         from us_dot_flights_lakehouse_spark.llm.multimodal import avi_encode
@@ -1599,27 +1600,8 @@ def mm_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
 
     vids = docs.mapInPandas(synth, schema="id long, payload binary")
-    sampled = multimodal.sample_frames(vids, every_ms=80)
-
-    def motion(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("frame_idx")
-        mats = [np.frombuffer(px, np.uint8).astype(np.int64) for px in pdf["pixels"]]
-        total = sum(
-            int(np.abs(b - a).sum()) for a, b in zip(mats, mats[1:])
-        )
-        n = len(mats)
-        return pd.DataFrame(
-            {
-                "doc_id": [int(pdf["id"].iloc[0])],
-                "n_sampled": [n],
-                "motion_total": [total],
-                "motion_mean": [total / ((n - 1) * mats[0].size) if n > 1 else 0.0],
-            }
-        )
-
-    return sampled.groupBy("id").applyInPandas(
-        motion,
-        schema="doc_id long, n_sampled int, motion_total bigint, motion_mean double",
+    return multimodal.frame_motion(vids, every_ms=80).select(
+        F.col("id").alias("doc_id"), "n_sampled", "motion_total", "motion_mean"
     )
 
 
