@@ -321,6 +321,22 @@ def test_bloom_incremental_dedup_matches_plain(spark):
     assert any(v[0] for v in plain.values())  # history dups present
 
 
+def test_bloom_auto_sizing_tracks_history_cardinality():
+    """Unsized filters grow with the build side: m ≈ next power of two
+    ≥ 10·n, floored at the 2^16 default, capped at the 2^22 literal
+    limit — past ~13k distinct fps a fixed 2^16 bitmap saturates toward
+    fpr ≈ 1 (ADVICE r4)."""
+    from us_dot_flights_lakehouse_spark.operators import bloom
+
+    assert bloom.auto_m_bits(0) == 1 << 16
+    assert bloom.auto_m_bits(1000) == 1 << 16       # 10k bits < floor
+    assert bloom.auto_m_bits(6_000) == 1 << 16      # 60k ≤ 2^16
+    assert bloom.auto_m_bits(7_000) == 1 << 17      # 70k > 2^16
+    assert bloom.auto_m_bits(100_000) == 1 << 20
+    assert bloom.auto_m_bits(10**9) == 1 << 22      # capped at literal limit
+    assert all(bloom.auto_m_bits(n) % 64 == 0 for n in (0, 1, 5, 10**7))
+
+
 def test_label_balance_clamps_to_smallest_class(spark):
     from us_dot_flights_lakehouse_spark.llm.curation import label_balance
 

@@ -388,6 +388,70 @@ def test_scd2_apply_updates_merge_semantics(spark):
     ]
 
 
+def test_scd2_null_states_are_real_values(spark):
+    """NULL is a legitimate state value (ADVICE r4): a NULL-state current
+    row receiving a change must be CLOSED (not silently dropped), NULL→'x'
+    and 'x'→NULL are real transitions in the changelog collapse, and
+    NULL→NULL is a no-op on both paths."""
+    from datetime import datetime
+
+    from us_dot_flights_lakehouse_spark.operators.scd import (
+        scd2_apply_updates,
+        scd2_from_changelog,
+    )
+
+    t = lambda m: datetime(2026, 1, 1, 0, m)
+    log = spark.createDataFrame(
+        [
+            (1, None, t(0), 1),   # opens with NULL state
+            (1, None, t(5), 2),   # NULL -> NULL: collapsed
+            (1, "A", t(10), 3),   # NULL -> A: real transition
+            (2, "X", t(0), 4),
+            (2, None, t(10), 5),  # X -> NULL: real transition
+            (3, None, t(0), 6),   # stays NULL-current into the merge
+        ],
+        "k long, s string, ts timestamp, eid long",
+    )
+    dim = scd2_from_changelog(log, ["k"], "s", "ts", "eid")
+    hist = sorted(
+        [(r["k"], r["state"], r["is_current"], r["version"]) for r in dim.collect()]
+        ,
+        key=lambda x: (x[0], x[3]),
+    )
+    assert hist == [
+        (1, None, False, 1),
+        (1, "A", True, 2),
+        (2, "X", False, 1),
+        (2, None, True, 2),
+        (3, None, True, 1),
+    ]
+
+    updates = spark.createDataFrame(
+        [
+            (2, None, t(30)),  # NULL -> NULL current: no-op
+            (3, "B", t(30)),   # NULL current -> B: close v1, open v2
+            (4, None, t(30)),  # new key opening with NULL state
+        ],
+        "k long, state string, ts timestamp",
+    )
+    out = sorted(
+        scd2_apply_updates(dim, updates, ["k"]).collect(),
+        key=lambda r: (r["k"], r["version"]),
+    )
+    assert [
+        (r["k"], r["state"], r["effective_to"], r["is_current"], r["version"])
+        for r in out
+    ] == [
+        (1, None, t(10), False, 1),
+        (1, "A", None, True, 2),
+        (2, "X", t(10), False, 1),
+        (2, None, None, True, 2),
+        (3, None, t(30), False, 1),  # the previously-dropped close
+        (3, "B", None, True, 2),
+        (4, None, None, True, 1),
+    ]
+
+
 def test_ordered_dense_ids_matches_global_rank(spark):
     from pyspark.sql import functions as F
 

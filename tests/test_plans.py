@@ -199,3 +199,14 @@ def test_bpe_pair_counts_aggregates_partially(spark):
     plan = _plan(tp_bpe_pair_counts(spark, SF))
     assert plan.count("HashAggregate") >= 4  # 2 aggs x (partial + final)
     assert "CartesianProduct" not in plan
+
+
+def test_feature_hash_has_single_exchange(spark):
+    """sim_feature_hash pre-partitions the (doc, bucket, sign) pairs by
+    doc_id, which satisfies BOTH downstream groupings ((doc, bucket) ⊇
+    doc) — exactly one Exchange in the plan. A second exchange means the
+    partitioning contract broke and the aggregates re-shuffle."""
+    from us_dot_flights_lakehouse_spark.queries.llm import sim_feature_hash
+
+    plan = _plan(sim_feature_hash(spark, SF), mode="simple")
+    assert plan.count("Exchange") == 1, plan

@@ -752,18 +752,25 @@ def incremental_dedup_verdict_bloom(
     the history table; here they are answered by a compact bitmap at scan
     speed, so the history join's probe input shrinks to roughly the true
     dup rate. The bitmap build is one hash aggregate over history
-    fingerprints and collects m/8 bytes (sized to history cardinality;
-    beyond ~2^22 bits switch the probe to
-    ``operators.bloom.might_contain_broadcast``). Composes with the
+    fingerprints and collects m/8 bytes. When ``m_bits`` is not given it
+    is SIZED FROM the history cardinality (``bloom.auto_m_bits``: next
+    power of two ≥ 10·n, fpr ≈ 0.9% at k=5, capped at the 2^22 literal
+    limit) — a fixed default saturates toward fpr ≈ 1 past ~13k distinct
+    fingerprints, silently un-pruning the prefilter (ADVICE r4); the
+    count it costs is one aggregate over the already-distinct history.
+    Histories past the cap need an explicit ``m_bits`` and the
+    ``operators.bloom.might_contain_broadcast`` probe. Composes with the
     bucketed-history layout, which removes the remaining exchange on the
     maybe-side join."""
     from us_dot_flights_lakehouse_spark.operators import bloom as _bloom
 
     hist_distinct = history_fps.select(fp_col).distinct()
+    if m_bits is None:
+        m_bits = _bloom.auto_m_bits(hist_distinct.count())
     bitmap = _bloom.build_bloom(
         hist_distinct,
         fp_col,
-        m_bits if m_bits is not None else _bloom.BLOOM_M_BITS,
+        m_bits,
         k if k is not None else _bloom.BLOOM_K,
     )
     maybe = _bloom.might_contain(

@@ -38,10 +38,18 @@ def scd2_from_changelog(
     must make (keys, ts, tiebreak) a total order so the history is
     deterministic under equal timestamps."""
     w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    # null-safe change detection: `state` may legitimately be NULL, so the
+    # first-row marker is lag(ts) (never NULL in a log row), not lag(state),
+    # and the comparison is eqNullSafe — NULL→'x' and 'x'→NULL are real
+    # transitions, NULL→NULL is not (ADVICE r4)
     changes = (
         log.withColumn("_prev", F.lag(state_col).over(w))
-        .filter(F.col("_prev").isNull() | (F.col(state_col) != F.col("_prev")))
-        .drop("_prev")
+        .withColumn("_prev_ts", F.lag(ts_col).over(w))
+        .filter(
+            F.col("_prev_ts").isNull()
+            | ~F.col(state_col).eqNullSafe(F.col("_prev"))
+        )
+        .drop("_prev", "_prev_ts")
     )
     w2 = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
     nxt = F.lead(ts_col).over(w2)
@@ -83,15 +91,20 @@ def scd2_apply_updates(
     closed = dim.filter(~F.col("is_current"))
 
     joined = current.join(upd, key_cols, "full")
-    untouched_current = joined.filter(
-        F.col("_new_state").isNull()
-        | (F.col("state").isNotNull() & (F.col("state") == F.col("_new_state")))
-    ).select(*dim.columns)
-    closed_now = joined.filter(
-        F.col("state").isNotNull()
-        & F.col("_new_state").isNotNull()
-        & (F.col("state") != F.col("_new_state"))
-    ).select(
+    # null-safe branch classification (ADVICE r4): `state`/`_new_state` may
+    # legitimately be NULL, so row-presence is detected from never-null
+    # marker columns (version for the dim side, _new_ts for the batch side)
+    # and states compare with eqNullSafe. Every full-join row then lands in
+    # exactly one of untouched / (closed_now + opened) / opened-new-key —
+    # previously a NULL-state current row receiving a change was silently
+    # dropped instead of closed.
+    cur_exists = F.col("version").isNotNull()
+    has_upd = F.col("_new_ts").isNotNull()
+    same_state = F.col("state").eqNullSafe(F.col("_new_state"))
+    untouched_current = joined.filter(cur_exists & (~has_upd | same_state)).select(
+        *dim.columns
+    )
+    closed_now = joined.filter(cur_exists & has_upd & ~same_state).select(
         *key_cols,
         "state",
         "effective_from",
@@ -99,10 +112,7 @@ def scd2_apply_updates(
         F.lit(False).alias("is_current"),
         "version",
     )
-    opened = joined.filter(
-        F.col("_new_state").isNotNull()
-        & (F.col("state").isNull() | (F.col("state") != F.col("_new_state")))
-    ).select(
+    opened = joined.filter(has_upd & (~cur_exists | ~same_state)).select(
         *key_cols,
         F.col("_new_state").alias("state"),
         F.col("_new_ts").alias("effective_from"),

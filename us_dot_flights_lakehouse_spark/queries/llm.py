@@ -2958,35 +2958,36 @@ def _fh_vec_sql(text_expr: str) -> str:
 def sim_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SIM: the hashing trick (Weinberger et al. 2009 / Vowpal Wabbit) —
     each document's tokens hash into a fixed {FH_DIM}-dim signed-count
-    vector: bucket = hash28('fh:'||token) % dim, sign from a second hash
-    stream (the sign hash keeps the estimator unbiased under
+    vector: ONE 32-bit md5 prefix per token supplies both streams —
+    bucket = h % dim, sign from the next bit up (independent of the
+    bucket bits; the sign stream keeps the estimator unbiased under
     collisions). Single pass over the tokens: explode → (bucket, sign)
     → groupBy(doc, bucket) partial-aggregated sums → one map-assembly
     per doc (VERDICT r4 item 4 replaced the O(dim × n_tokens)
-    per-dimension re-fold). The vector serializes to a CSV string in
-    the final select — the driver's canonicalizer requires scalar
-    cells (see queries/relational.py's harness note) — with full
-    fidelity: every component, in order, exact integers. The fixed
-    dimensionality regardless of vocabulary is the point at 100 TB:
-    no vocab table, bounded state (≤{FH_DIM} rows/doc after the
-    map-side combine), stream-friendly."""
-    from us_dot_flights_lakehouse_spark.functions.text import hash28
-
-    docs = read_corpus(spark, sf_dir, "documents")
+    per-dimension re-fold), and ONE exchange total: the pairs hash-
+    partition by doc_id, which satisfies BOTH downstream groupings
+    ((doc, bucket) ⊇ doc), so neither aggregate re-shuffles. The vector
+    serializes to a CSV string in the final select — the driver's
+    canonicalizer requires scalar cells (see queries/relational.py's
+    harness note) — with full fidelity: every component, in order,
+    exact integers. The fixed dimensionality regardless of vocabulary
+    is the point at 100 TB: no vocab table, bounded state (≤{FH_DIM}
+    rows/doc after the map-side combine), stream-friendly."""
+    docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    # 32-bit value from the md5 prefix: low log2(dim) bits -> bucket, the
+    # bit above them -> sign (one hash per token, not two)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fh:"), F.col("tok"))), 1, 8), 16, 10
+    ).cast("long")
     pairs = toks.select(
         "doc_id",
-        F.pmod(hash28(F.concat(F.lit("fh:"), F.col("tok"))), F.lit(FH_DIM))
-        .cast("int")
-        .alias("b"),
+        F.pmod(h, F.lit(FH_DIM)).cast("int").alias("b"),
         (
             F.lit(1)
-            - F.lit(2)
-            * F.pmod(hash28(F.concat(F.lit("fs:"), F.col("tok"))), F.lit(2)).cast(
-                "int"
-            )
+            - F.lit(2) * F.pmod(F.floor(h / FH_DIM), F.lit(2)).cast("int")
         ).alias("s"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     per_bucket = pairs.groupBy("doc_id", "b").agg(
         F.sum("s").cast("int").alias("v"), F.count("*").alias("c")
     )
@@ -3008,11 +3009,13 @@ def sim_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIM_FH_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5('fh:' || tok), 1, 8))::BIGINT AS hv FROM t
 ), bs AS (
   SELECT doc_id,
-    CAST(('0x' || substr(md5('fh:' || tok), 1, 7))::BIGINT % {FH_DIM} AS INTEGER) AS b,
-    CAST(1 - 2 * (('0x' || substr(md5('fs:' || tok), 1, 7))::BIGINT % 2) AS INTEGER) AS s
-  FROM t
+    CAST(hv % {FH_DIM} AS INTEGER) AS b,
+    CAST(1 - 2 * ((hv // {FH_DIM}) % 2) AS INTEGER) AS s
+  FROM h
 ), pb AS (
   SELECT doc_id, b, CAST(sum(s) AS INTEGER) AS v, count(*) AS c
   FROM bs GROUP BY doc_id, b

@@ -72,30 +72,36 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings. The metadata layer every warehouse keeps; here it is an
     oracle-checked query so the profile arithmetic is itself verified.
 
-    Scale: one pass per column-aggregate set; count(DISTINCT) per column
-    plans as Expand + two-phase aggregate — for 100 TB profiling swap in
+    Scale: ONE scan — every column's aggregates compute in a single
+    agg() (ADVICE r4 replaced the per-column aggregate + union, which
+    scanned the table once per profiled column) and ``stack`` unpivots
+    the 1-row wide result to the per-column layout. The multi-column
+    count(DISTINCT) plans as one Expand (+1 branch per column) feeding a
+    single two-phase aggregate — for 100 TB profiling swap in
     approx_count_distinct (the a12/a19 sketch family) column by column."""
     from pyspark.sql import functions as F
 
     orders = read_table(spark, sf_dir, "orders")
     n = F.count("*").cast("bigint")
-    parts = []
+    aggs = [n.alias("n_rows")]
     for c in _PROFILE_COLS:
         col = F.col(c)
-        parts.append(
-            orders.agg(
-                F.lit(c).alias("column"),
-                n.alias("n_rows"),
-                (n - F.count(col)).alias("n_nulls"),
-                F.count_distinct(col).cast("bigint").alias("n_distinct"),
-                F.min(col).cast("string").alias("min_str"),
-                F.max(col).cast("string").alias("max_str"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        aggs += [
+            (n - F.count(col)).alias(f"{c}__nn"),
+            F.count_distinct(col).cast("bigint").alias(f"{c}__nd"),
+            F.min(col).cast("string").alias(f"{c}__mn"),
+            F.max(col).cast("string").alias(f"{c}__mx"),
+        ]
+    wide = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__mn`, `{c}__mx`"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column, n_nulls, n_distinct, min_str, max_str)",
+        "n_rows",
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
 
 
 def _table_stats_oracle() -> str:
