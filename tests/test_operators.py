@@ -466,3 +466,133 @@ def test_ordered_dense_ids_matches_global_rank(spark):
     assert [r["rid"] for r in rows] == list(range(5000))
     keys = [(r["k"], r["tie"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_z_interleave_matches_reference_bits(spark):
+    """Morton interleave: bit i of x at position 2i, bit i of y at 2i+1 —
+    checked against a python reference on a coordinate grid, plus NULL
+    propagation."""
+    from pyspark.sql import functions as F
+
+    from us_dot_flights_lakehouse_spark.operators.zorder import z_interleave
+
+    def ref(x, y, bits=10):
+        v = 0
+        for i in range(bits):
+            v |= ((x >> i) & 1) << (2 * i)
+            v |= ((y >> i) & 1) << (2 * i + 1)
+        return v
+
+    pts = [(x, y) for x in (0, 1, 2, 3, 5, 1023) for y in (0, 1, 7, 512, 1023)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn(
+            "z", z_interleave(F.col("x"), F.col("y"), bits=10)
+        ).collect()
+    }
+    assert got == {(x, y): ref(x, y) for x, y in pts}
+
+    null_row = spark.createDataFrame([(None, 3)], "x long, y long")
+    assert (
+        null_row.select(z_interleave(F.col("x"), F.col("y")).alias("z")).first()["z"]
+        is None
+    )
+
+
+def test_write_zordered_files_are_tight_on_both_dims(spark, tmp_path):
+    """The data-skipping property: after a z-ordered write, every file's
+    min/max span on EACH coordinate is far below the full domain (a
+    1-column sort gives this on one column only)."""
+    from pyspark.sql import functions as F
+
+    from us_dot_flights_lakehouse_spark.operators.zorder import write_zordered
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        (F.floor(F.col("id") / 128) % 128).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(df, path, "x", "y", bits=7, n_files=16)
+
+    spans = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .collect()
+    )
+    assert len(spans) >= 8
+    # Full domain span is 127. Sampled range boundaries are not aligned to
+    # curve blocks, so a file whose z-range straddles a high-bit quadrant
+    # boundary can legitimately span a full dimension — the property is
+    # statistical: MOST files are tight on BOTH dims, and the mean span is
+    # far below the domain (a 1-column sort pins one dim's mean at ~127/n
+    # and leaves the other at 127).
+    n = len(spans)
+    tight_both = sum(1 for r in spans if r["xs"] <= 63 and r["ys"] <= 63)
+    assert tight_both >= n // 2, [(r["xs"], r["ys"]) for r in spans]
+    assert sum(r["xs"] for r in spans) / n <= 80
+    assert sum(r["ys"] for r in spans) / n <= 80
+
+
+def test_dhash_image_contract(spark):
+    """dHash: known bit pattern on a hand image, channel-mean grayscale,
+    null pass-through, and the >63-bit size guard."""
+    import numpy as np
+    import pytest
+    from us_dot_flights_lakehouse_spark.llm.multimodal import dhash_image
+
+    # 3x2 grayscale: rows [10, 20, 5] and [7, 7, 9]
+    # bits row-major: 20>10 -> 1, 5>20 -> 0, 7>7 -> 0, 9>7 -> 1  => 0b1001
+    px = np.array([[10, 20, 5], [7, 7, 9]], dtype=np.uint8).tobytes()
+    # RGB image whose channel floor-means reproduce the same grayscale
+    rgb = np.repeat(
+        np.array([[10, 20, 5], [7, 7, 9]], dtype=np.uint8)[:, :, None], 3, axis=2
+    ).tobytes()
+    df = spark.createDataFrame(
+        [
+            (1, 3, 2, "L", bytearray(px)),
+            (2, 3, 2, "RGB", bytearray(rgb)),
+            (3, None, None, None, None),
+        ],
+        "id long, width int, height int, mode string, pixels binary",
+    )
+    got = {r["id"]: r["dhash"] for r in dhash_image(df).collect()}
+    assert got == {1: 0b1001, 2: 0b1001, 3: None}
+
+    big = spark.createDataFrame(
+        [(1, 9, 9, "L", bytearray(bytes(81)))],
+        "id long, width int, height int, mode string, pixels binary",
+    )
+    with pytest.raises(Exception, match="dhash_image|exceed"):
+        dhash_image(big).collect()
+
+
+def test_frame_motion_null_contract(spark):
+    """frame_motion emits a null-metric row for invalid blobs and exact
+    sums for a known two-frame AVI — with NO exchange in the plan (the
+    fused kernel's whole point)."""
+    import numpy as np
+    from us_dot_flights_lakehouse_spark.llm.multimodal import (
+        avi_encode,
+        frame_motion,
+    )
+
+    f0 = np.zeros((4, 4, 3), dtype=np.uint8)
+    f1 = np.full((4, 4, 3), 2, dtype=np.uint8)
+    blob = avi_encode(np.stack([f0, f1]), us_per_frame=40_000)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"not a video")), (3, None)],
+        "id long, payload binary",
+    )
+    out = frame_motion(df, every_ms=40)
+    rows = {r["id"]: (r["n_sampled"], r["motion_total"]) for r in out.collect()}
+    assert rows[1] == (2, 2 * 4 * 4 * 3)
+    assert rows[2] == (None, None)
+    assert rows[3] == (None, None)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()

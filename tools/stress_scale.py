@@ -262,8 +262,155 @@ def main():
     )
     print(f"scd2_changelog: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
 
+    round4_families(spark, docs1, docsN, emb1, embN, factor)
     skew_bench(spark)
     spark.stop()
+
+
+def round4_families(spark, docs1, docsN, emb1, embN, factor):
+    """Round-4-continuation families at Nx (VERDICT r4 item 7): MIPS,
+    containment dedup, crop/augment kernels, curriculum staging,
+    schema-evolution union, audio resample."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from us_dot_flights_lakehouse_spark.llm import multimodal
+    from us_dot_flights_lakehouse_spark.llm.dedup import containment_pairs
+    from us_dot_flights_lakehouse_spark.llm.textstats import text_stats
+    from us_dot_flights_lakehouse_spark.queries.llm import CONTAINMENT_THRESHOLD
+
+    # MIPS: broadcast 20 probes x one corpus scan (query shape)
+    def mips(e):
+        corpus = e.select(
+            F.col("vec_id").alias("id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        probes = corpus.limit(20).select(
+            F.col("id").alias("qid"), F.col("v").alias("qv")
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("id"))
+        return (
+            F.broadcast(probes)
+            .join(corpus, F.col("qid") != F.col("id"))
+            .select("qid", "id", dot.alias("dot"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+        )
+
+    t1 = timed("mips_topk@1x", mips(emb1))
+    tN = timed(f"mips_topk@{factor}x", mips(embN))
+    print(f"mips_topk: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
+
+    # containment: inverted-index join, candidate-bound like the Jaccard path
+    t1 = timed(
+        "containment@1x", containment_pairs(docs1, threshold=CONTAINMENT_THRESHOLD)
+    )
+    tN = timed(
+        f"containment@{factor}x",
+        containment_pairs(docsN, threshold=CONTAINMENT_THRESHOLD),
+    )
+    print(
+        f"containment: growth {tN / t1:.1f}x at {factor}x rows "
+        "(pair output grows with true dup density by corpus construction)",
+        flush=True,
+    )
+
+    # crop + augment: scan-local numpy kernels over synthesized decoded frames
+    def img_synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                px = ((11 * int(d) + np.arange(32 * 32 * 3)) % 256).astype(np.uint8)
+                rows.append((int(d), 32, 32, "RGB", px.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "mode", "pixels"]
+            )
+
+    def crop_aug(d):
+        imgs = d.select("doc_id").mapInPandas(
+            img_synth, schema=multimodal.DECODED_IMAGE_SCHEMA
+        )
+        return multimodal.transform_image(
+            multimodal.crop_image(imgs, 4, 4, 16, 16), "rot90"
+        )
+
+    t1 = timed("crop_augment@1x", crop_aug(docs1))
+    tN = timed(f"crop_augment@{factor}x", crop_aug(docsN))
+    print(f"crop_augment: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
+
+    # curriculum: per-source quality ntile (window parallelism = source count)
+    def curriculum(d):
+        scored = text_stats(d).select("doc_id", "quality_score")
+        joined = scored.join(d.select("doc_id", "source"), "doc_id")
+        w = Window.partitionBy("source").orderBy(
+            F.desc("quality_score"), F.asc("doc_id")
+        )
+        return joined.select("doc_id", F.ntile(4).over(w).alias("stage"))
+
+    t1 = timed("curriculum@1x", curriculum(docs1))
+    tN = timed(f"curriculum@{factor}x", curriculum(docsN))
+    print(f"curriculum: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
+
+    # schema-evolution union: two drifted projections of scaled orders
+    def evo_union(o):
+        old_gen = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        new_gen = o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        return old_gen.unionByName(new_gen, allowMissingColumns=True)
+
+    ord1 = scaled(spark, "orders", 1, "o_orderkey").cache()
+    ordN = scaled(spark, "orders", factor, "o_orderkey").cache()
+    ord1.count(); ordN.count()
+    t1 = timed("evo_union@1x", evo_union(ord1))
+    tN = timed(f"evo_union@{factor}x", evo_union(ordN))
+    print(f"evo_union: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
+    ord1.unpersist(); ordN.unpersist()
+
+    # audio resample: wav decode + pair-mean decimation, zero shuffle
+    def wav_synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import wav_encode
+
+        for pdf in batches:
+            payloads = [
+                wav_encode(
+                    ((int(d) * 31 + np.arange(256) * 7919) % 4001 - 2000).astype(
+                        np.int16
+                    ),
+                    8000,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    def resample(batches):
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf["id"], pdf["samples"]):
+                v = np.frombuffer(buf, "<i2").astype(np.int64)
+                dec = (v[0::2] + v[1::2]) // 2
+                rows.append((int(i), len(dec), int(np.abs(dec).sum())))
+            yield pd.DataFrame(rows, columns=["id", "n", "sum_abs"])
+
+    def audio_resample(d):
+        wavs = d.select("doc_id").mapInPandas(
+            wav_synth, schema="id long, payload binary"
+        )
+        return multimodal.decode_audio(wavs).mapInPandas(
+            resample, schema="id long, n int, sum_abs bigint"
+        )
+
+    t1 = timed("audio_resample@1x", audio_resample(docs1))
+    tN = timed(f"audio_resample@{factor}x", audio_resample(docsN))
+    print(f"audio_resample: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
 
 
 def skew_bench(spark, n_rows=3_000_000, n_keys=50_000, hot_frac=0.3):

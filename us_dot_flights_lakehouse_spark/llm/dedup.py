@@ -79,15 +79,22 @@ def _shingle_index(
 ) -> DataFrame:
     """Inverted index (id, shingle), distinct per doc. ``max_shingle_freq``
     drops ubiquitous shingles (stop-shingles) that would otherwise create
-    quadratic join blowup on skewed corpora."""
+    quadratic join blowup on skewed corpora: a shingle in f docs emits f²
+    candidate-join rows, so the hot tail dominates at scale (measured
+    88× growth at 10× rows on the uncapped containment path,
+    BASELINE.md r5 stress).
+
+    The exclusion broadcasts the HOT set via left_anti — by Zipf that set
+    is tiny at any corpus size, whereas the keep-side complement is
+    vocabulary-sized and must never be broadcast."""
     idx = docs.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(tokenize(text_col), n)).alias("sh"),
     )
     if max_shingle_freq is not None:
         freq = idx.groupBy("sh").agg(F.count("*").alias("df_"))
-        keep = freq.filter(F.col("df_") <= max_shingle_freq).select("sh")
-        idx = idx.join(F.broadcast(keep), "sh")
+        hot = freq.filter(F.col("df_") > max_shingle_freq).select("sh")
+        idx = idx.join(F.broadcast(hot), "sh", "left_anti")
     return idx
 
 

@@ -850,6 +850,53 @@ def crop_image(df: DataFrame, x0: int, y0: int, out_w: int, out_h: int) -> DataF
     return df.mapInPandas(kernel, schema=DECODED_IMAGE_SCHEMA)
 
 
+def dhash_image(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Difference-hash (dHash) perceptual image fingerprint — the standard
+    near-duplicate-image detector for training-data dedup (scaling /
+    re-encode / brightness-invariant-ish). Input schema =
+    DECODED_IMAGE_SCHEMA (chain after ``decode_image`` →
+    ``resize_image(8, 8, method='box')``); bit (r, c) of the hash is
+    gray[r][c+1] > gray[r][c], packed row-major — (w-1)·h bits, which for
+    the canonical 8×8 thumbnail is 56 bits (safely inside a signed
+    long). Grayscale is the integer floor-mean over channels — exact, so
+    identical inputs hash identically on any engine. Null pixel rows
+    (codec-gated) yield null hashes — the decode contract.
+
+    Scale: scan-local Arrow kernel, zero shuffle; the downstream
+    exact-match groupBy on the 8-byte hash is the cheapest dedup shuffle
+    there is."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, w, h, mode, px in zip(
+                pdf["id"], pdf["width"], pdf["height"], pdf["mode"], pdf["pixels"]
+            ):
+                if px is None:
+                    rows.append((i, None))
+                    continue
+                w, h = int(w), int(h)
+                ch = _MODE_CHANNELS[mode]
+                if (w - 1) * h > 63:
+                    raise ValueError(
+                        f"dhash_image: {(w - 1) * h} bits exceed a signed long"
+                        " — resize to <= 8x8 first"
+                    )
+                arr = np.frombuffer(px, np.uint8).reshape(h, w, ch)
+                gray = arr.astype(np.int64).sum(axis=2) // ch
+                bits = (gray[:, 1:] > gray[:, :-1]).reshape(-1)
+                val = 0
+                for b in bits:  # row-major, bit 0 = (r0, c0)
+                    val = (val << 1) | int(b)
+                rows.append((i, val))
+            yield pd.DataFrame(rows, columns=["id", "dhash"])
+
+    return df.select(F.col(id_col).alias("id"), "width", "height", "mode", "pixels").mapInPandas(
+        kernel, schema="id long, dhash long"
+    )
+
+
 def avi_encode(frames, us_per_frame: int) -> bytes:
     """Minimal uncompressed AVI writer (RIFF 'AVI ' / LIST hdrl+avih /
     LIST movi with '00db' DIB frames; stdlib struct only). ``frames`` is

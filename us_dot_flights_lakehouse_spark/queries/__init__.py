@@ -43,11 +43,22 @@ _PRIORITY = (
     # crashed the driver canonicalizer; now serialized to CSV scalars)
     "tp_token_ids",
     "sim_feature_hash",
+    # new in round 5 — never driver-verified
+    "ts_lm_doc_score",  # bigram-LM fluency filter
+    "tp_vocab_coverage",  # cumulative vocab coverage curve
+    "tp_temperature_mix",  # sqrt-temperature source weights
+    "mm_phash_dedup",  # dHash perceptual image dedup
+    "x7_zorder_layout",  # Morton-curve layout stats
+    # round-5 semantics/plan changes needing fresh driver verification
+    "dd_containment",  # stop-shingle df cap added (oracle mirrored)
+    "tp_rag_pipeline",  # chunk embedding via explode->groupBy
+    "q_table_stats",  # single-scan profile
+    "mm_video_motion",  # fused decode+motion kernel
+    "tp_bloom_incremental_dedup",  # auto-sized bitmap
+    "w4_scd2_history",  # null-safe change detection
     # new this round-4 session — never driver-verified
     "ts_repetition_filters",  # Gopher repetition family
     "tp_bpe_pair_counts",  # BPE iteration-0 pair counts
-    "tp_bloom_incremental_dedup",  # Bloom-prefiltered dedup
-    "w4_scd2_history",  # SCD2 changelog collapse
     "src_jsonl_roundtrip",  # JSONL source round-trip
     "src_orc_roundtrip",  # ORC source round-trip
     "mm_audio_spectral",  # FFT bin recovery
@@ -63,18 +74,14 @@ _PRIORITY = (
     "w8_rolling_anomaly",  # rolling z-score flags
     "ts_countmin_sketch",  # CM estimate vs exact
     "ts_source_similarity",  # cross-source vocab Jaccard
-    "q_table_stats",  # ANALYZE-style profile
-    "tp_rag_pipeline",  # chunk->embed->index->retrieve
     "st_sliding_windows",  # 1h/30m sliding windows
     "ts_ngram_lm",  # bigram conditional probs
     "tp_dataset_card",  # corpus summary block
-    "mm_video_motion",  # inter-frame motion metric
     "u4_union_schema_evolution",  # unionByName null-backfill
     "mm_audio_resample",  # 2x pair-mean decimation
     "tp_curriculum_order",  # quality ntile staging
     "sim_mips_topk",  # raw inner-product top-k
     "mm_image_crop",  # exact window crop
-    "dd_containment",  # asymmetric subset dedup
     "mm_image_augment",  # flip+rot90 chain
     # earlier round-4 changes needing fresh driver verification
     "sim_ivf_topk",  # first-ever hash oracle (literal centroids)

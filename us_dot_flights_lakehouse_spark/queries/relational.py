@@ -2404,6 +2404,63 @@ FROM a LEFT JOIN b ON a.prio_key IS NOT DISTINCT FROM b.prio_key
 """
 
 
+ZORDER_BITS = 10  # coordinates folded into 1024 cells per dimension
+
+
+def x7_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: z-order (Morton-curve) layout statistics — the lakehouse
+    multi-dimensional clustering move (Delta OPTIMIZE ZORDER BY; the
+    reference's Delta tables get this from OPTIMIZE). Orders fold onto a
+    1024×1024 grid over (o_custkey, o_orderkey); each row's z-value
+    interleaves the two coordinates' bits (operators/zorder.py —
+    unrolled JVM bit arithmetic, no lambdas), and the top 5 z-bits
+    define 32 curve segments = the files ``write_zordered`` would cut.
+    Per segment: row count and BOTH dimensions' min/max + span — the
+    min/max tightness on EVERY participating column is exactly the
+    data-skipping property a 1-column sort cannot give. All-integer:
+    trivially bit-stable against the oracle's replica."""
+    from us_dot_flights_lakehouse_spark.operators.zorder import z_interleave
+
+    orders = read_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        (F.col("o_custkey") % 1024).alias("x"),
+        (F.col("o_orderkey") % 1024).alias("y"),
+    )
+    z = z_interleave(F.col("x"), F.col("y"), bits=ZORDER_BITS)
+    seg = pts.withColumn(
+        "segment", F.shiftright(z, 2 * ZORDER_BITS - 5).cast("int")
+    )
+    return seg.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("x").cast("bigint").alias("x_min"),
+        F.max("x").cast("bigint").alias("x_max"),
+        F.min("y").cast("bigint").alias("y_min"),
+        F.max("y").cast("bigint").alias("y_max"),
+        (F.max("x") - F.min("x")).cast("bigint").alias("x_span"),
+        (F.max("y") - F.min("y")).cast("bigint").alias("y_span"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from us_dot_flights_lakehouse_spark.operators.zorder import z_interleave_sql
+
+    zexpr = z_interleave_sql("o_custkey % 1024", "o_orderkey % 1024", ZORDER_BITS)
+    return f"""
+WITH pts AS (
+  SELECT o_custkey % 1024 AS x, o_orderkey % 1024 AS y,
+         CAST({zexpr} >> {2 * ZORDER_BITS - 5} AS INTEGER) AS segment
+  FROM orders
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+       CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max,
+       CAST(max(x) - min(x) AS BIGINT) AS x_span,
+       CAST(max(y) - min(y) AS BIGINT) AS y_span
+FROM pts GROUP BY segment
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -2462,6 +2519,7 @@ QUERIES = {
     "w6_forward_fill": w6_forward_fill,
     "w7_event_funnel": w7_event_funnel,
     "w8_rolling_anomaly": w8_rolling_anomaly,
+    "x7_zorder_layout": x7_zorder_layout,
     "u4_union_schema_evolution": u4_union_schema_evolution,
     "a18_stat_moments": a18_stat_moments,
     "j13_nullsafe_join": j13_nullsafe_join,
@@ -2525,6 +2583,7 @@ ORACLES = {
     "w6_forward_fill": W6_ORACLE,
     "w7_event_funnel": W7_ORACLE,
     "w8_rolling_anomaly": W8_ORACLE,
+    "x7_zorder_layout": _zorder_oracle,
     "u4_union_schema_evolution": U4_ORACLE,
     "a18_stat_moments": A18_ORACLE,
     "j13_nullsafe_join": J13_ORACLE,
