@@ -49,6 +49,10 @@ _PRIORITY = (
     "tp_temperature_mix",  # sqrt-temperature source weights
     "mm_phash_dedup",  # dHash perceptual image dedup
     "x7_zorder_layout",  # Morton-curve layout stats
+    "tp_span_corruption",  # T5 denoising-span masking
+    "tp_detokenize_roundtrip",  # id->text decode fidelity
+    "mm_silence_trim",  # audio VAD-style trim offsets
+    "dd_url_canonical",  # crawl URL canonicalization dedup
     # round-5 semantics/plan changes needing fresh driver verification
     "dd_containment",  # stop-shingle df cap added (oracle mirrored)
     "tp_rag_pipeline",  # chunk embedding via explode->groupBy

@@ -35,7 +35,7 @@ from us_dot_flights_lakehouse_spark.llm.dedup import (
     SIMHASH_BANDS,
     SIMHASH_BITS,
 )
-from us_dot_flights_lakehouse_spark.functions.text import tokenize
+from us_dot_flights_lakehouse_spark.functions.text import hash28, tokenize
 from us_dot_flights_lakehouse_spark.sources.readers import read_corpus, read_table
 
 # corpus-calibrated thresholds (see module docstring)
@@ -4068,6 +4068,295 @@ FROM h JOIN f ON h.dhash = f.dhash
 """
 
 
+SC_BLOCK = 3  # span-corruption span length (token block size)
+SC_GATE = 5  # 1-in-5 blocks mask -> ~20% corruption rate, T5's default
+
+
+def tp_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: T5-style span corruption — partition each document's token
+    stream into length-{SC_BLOCK} blocks and mask whole blocks behind a
+    deterministic hash gate (hash28('sc:'||doc_id||':'||block) mod
+    {SC_GATE} = 0 → ~1/{SC_GATE} of tokens masked as contiguous spans,
+    the denoising-objective shape). Emits per-doc mask accounting plus
+    the md5 of the corrupted stream, so the oracle checks every masked
+    POSITION, not just the counts. Zero shuffle: gate, rewrite and
+    digest are scan-local array expressions."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    did = F.col("doc_id").cast("string")
+
+    def gate(i):  # i is 1-based token position
+        block = F.floor((i - 1) / SC_BLOCK).cast("string")
+        return (
+            F.pmod(
+                hash28(F.concat(F.lit("sc:"), did, F.lit(":"), block)),
+                F.lit(SC_GATE),
+            )
+            == 0
+        )
+
+    n = F.size(toks)
+    corrupted = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(gate(i), F.lit("<mask>")).otherwise(
+            F.element_at(toks, i)
+        ),
+    )
+    masked_positions = F.filter(F.sequence(F.lit(1), n), gate)
+    n_masked = F.size(masked_positions)
+    n_spans = F.size(
+        F.array_distinct(
+            F.transform(masked_positions, lambda i: F.floor((i - 1) / SC_BLOCK))
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        n_masked.cast("int").alias("n_masked"),
+        n_spans.cast("int").alias("n_spans"),
+        F.md5(F.concat_ws(" ", corrupted)).alias("corrupted_md5"),
+    )
+
+
+TP_SPAN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents
+), m AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    list_transform(range(1, len(toks) + 1), i ->
+      ({_HASH28.format(x="'sc:' || CAST(doc_id AS VARCHAR) || ':' || CAST((i - 1) // " + str(SC_BLOCK) + " AS VARCHAR)")}) % {SC_GATE} = 0
+    ) AS gates
+  FROM t
+)
+SELECT doc_id,
+  CAST(n AS INTEGER) AS n_tokens,
+  CAST(len(list_filter(range(1, n + 1), i -> gates[i])) AS INTEGER) AS n_masked,
+  CAST(len(list_distinct(list_transform(
+         list_filter(range(1, n + 1), i -> gates[i]),
+         i -> (i - 1) // {SC_BLOCK}))) AS INTEGER) AS n_spans,
+  md5(array_to_string(list_transform(range(1, n + 1),
+        i -> CASE WHEN gates[i] THEN '<mask>' ELSE toks[i] END), ' '))
+    AS corrupted_md5
+FROM m
+"""
+
+
+def tp_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: id→text decode fidelity — encode every document to vocabulary
+    ids (tp_token_ids' path), decode back through the id→word table
+    (posexplode → join → ordered reassembly), and certify the round trip
+    against the whitespace-normalized original. The check a tokenizer
+    deployment pipeline runs before training: lossless ids or the run is
+    garbage. roundtrip_ok is TRUE for every row by construction (the
+    vocab is corpus-trained, no OOV) — the oracle proves the decode
+    chain, not the flag's tautology, via the decoded md5."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    vocab = tokenizer.vocab_ids(docs)
+    enc = tokenizer.encode_token_ids(docs, vocab)
+    ids = enc.select(
+        "doc_id", F.posexplode("token_ids").alias("pos", "token_id")
+    )
+    dec = ids.join(vocab.select("token_id", "word"), "token_id")
+    rejoined = dec.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("pos"), F.col("word")))
+                ),
+                lambda s: s["word"],
+            ),
+        ).alias("decoded"),
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    orig = docs.select("doc_id", F.md5(norm).alias("orig_md5"))
+    return rejoined.join(orig, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.md5("decoded").alias("decoded_md5"),
+        (F.md5(F.col("decoded")) == F.col("orig_md5")).alias("roundtrip_ok"),
+    )
+
+
+TP_DETOK_ORACLE = f"""
+WITH words AS (
+  SELECT w AS word, count(*) AS freq
+  FROM (SELECT unnest({_TOKENS}) AS w FROM documents) GROUP BY w
+), vocab AS (
+  SELECT word,
+         CAST(row_number() OVER (ORDER BY freq DESC, word ASC) - 1 AS INTEGER)
+           AS token_id
+  FROM words
+), ex AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) + 1),
+                               i -> struct_pack(pos := i - 1, word := t[i]))) AS u
+  FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+), pos_words AS (
+  SELECT doc_id, u.pos AS pos, u.word AS word FROM ex
+), enc AS (
+  SELECT e.doc_id, e.pos, v.token_id
+  FROM pos_words e LEFT JOIN vocab v USING (word)
+), dec AS (
+  SELECT enc.doc_id, enc.pos, v2.word
+  FROM enc JOIN vocab v2 USING (token_id)
+), rejoined AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+         string_agg(word, ' ' ORDER BY pos) AS decoded
+  FROM dec GROUP BY doc_id
+)
+SELECT r.doc_id, r.n_tokens,
+       md5(r.decoded) AS decoded_md5,
+       md5(r.decoded) = md5(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g'))
+         AS roundtrip_ok
+FROM rejoined r JOIN documents d ON r.doc_id = d.doc_id
+"""
+
+
+SIL_PAYLOAD = 128
+
+
+def mm_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: audio silence trimming — synthesize a WAV with doc-dependent
+    leading/trailing zero-sample runs around a {SIL_PAYLOAD}-sample
+    nonzero payload, decode the PCM (llm/multimodal.py::decode_audio),
+    and find the first/last nonzero sample in an Arrow kernel (the VAD
+    pre-step every speech-training pipeline runs). The oracle states the
+    trim offsets and the trimmed payload's sum in closed form, so an
+    off-by-one anywhere in decode → scan → slice hash-fails.
+
+    Scale: per-row kernels, zero shuffle."""
+    import numpy as np
+
+    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import wav_encode
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                lead = d % 32
+                tail = (d * 7) % 32
+                body = (d + np.arange(SIL_PAYLOAD) * 37) % 251 + 1
+                samples = np.concatenate(
+                    [np.zeros(lead), body, np.zeros(tail)]
+                ).astype(np.int16)
+                payloads.append(wav_encode(samples, 8000))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    wavs = docs.mapInPandas(synth, schema="id long, payload binary")
+    decoded = multimodal.decode_audio(wavs)
+
+    def trim(batches):
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf["id"], pdf["samples"]):
+                if buf is None:
+                    rows.append((int(i), None, None, None, None))
+                    continue
+                v = np.frombuffer(buf, "<i2").astype(np.int64)
+                nz = np.flatnonzero(v)
+                if len(nz) == 0:
+                    rows.append((int(i), len(v), None, None, None))
+                    continue
+                s, e = int(nz[0]), int(nz[-1]) + 1
+                rows.append((int(i), len(v), s, e, int(v[s:e].sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "trim_start", "trim_end", "sum_trimmed"],
+            )
+
+    return decoded.mapInPandas(
+        trim,
+        schema=(
+            "doc_id long, n_samples int, trim_start int, trim_end int, "
+            "sum_trimmed bigint"
+        ),
+    )
+
+
+MM_SILENCE_ORACLE = f"""
+SELECT doc_id,
+       CAST(doc_id % 32 + {SIL_PAYLOAD} + (doc_id * 7) % 32 AS INTEGER)
+         AS n_samples,
+       CAST(doc_id % 32 AS INTEGER) AS trim_start,
+       CAST(doc_id % 32 + {SIL_PAYLOAD} AS INTEGER) AS trim_end,
+       CAST(list_sum(list_transform(range(0, {SIL_PAYLOAD}),
+              k -> (doc_id + k * 37) % 251 + 1)) AS BIGINT) AS sum_trimmed
+FROM documents
+"""
+
+
+def dd_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD: URL canonicalization dedup — the crawl-frontier dedup step:
+    scheme variants, host case, a www. prefix, default ports, trailing
+    slashes and (allowlisted) query-parameter order all collapse to one
+    canonical form, which then keys an exact-match cluster. The synth
+    URL embeds doc-dependent junk around a doc_id%{URL_SITES}-determined
+    canonical identity, so ~{URL_SITES} clusters emerge; the
+    canonicalization itself runs on the URL STRING (parse_url + string
+    ops — real work), while the oracle states the canonical form closed-
+    form from doc_id and replays the clustering."""
+    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("Site")).otherwise(F.lit("site")),
+        (d % URL_SITES).cast("string"),
+        F.lit(".example.com"),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/page"),
+        (d % 3).cast("string"),
+        F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("?a=1&b=2")).otherwise(F.lit("?b=2&a=1")),
+    )
+    with_url = docs.withColumn("url", url)
+    host = F.regexp_replace(
+        F.lower(F.parse_url(F.col("url"), F.lit("HOST"))), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.parse_url(F.col("url"), F.lit("PATH")), r"/$", ""
+    )
+    qa = F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("a"))
+    qb = F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("b"))
+    canon = F.concat(
+        host, path, F.lit("?a="), qa, F.lit("&b="), qb
+    )
+    canoned = with_url.select("doc_id", canon.alias("canonical_url"))
+    firsts = canoned.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("cluster_min")
+    )
+    return canoned.join(firsts, "canonical_url").select(
+        "doc_id",
+        "canonical_url",
+        "cluster_min",
+        (F.col("doc_id") != F.col("cluster_min")).alias("is_dup"),
+    )
+
+
+URL_SITES = 40
+
+
+DD_URL_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % {URL_SITES} AS VARCHAR) || '.example.com'
+           || '/docs/page' || CAST(doc_id % 3 AS VARCHAR)
+           || '?a=1&b=2' AS canonical_url
+  FROM documents
+), f AS (
+  SELECT canonical_url, min(doc_id) AS cluster_min FROM c GROUP BY 1
+)
+SELECT c.doc_id, c.canonical_url, f.cluster_min,
+       c.doc_id != f.cluster_min AS is_dup
+FROM c JOIN f USING (canonical_url)
+"""
+
+
 QUERIES = {
     "dd_exact_dedup": dd_exact_dedup,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -4139,6 +4428,10 @@ QUERIES = {
     "tp_vocab_coverage": tp_vocab_coverage,
     "tp_temperature_mix": tp_temperature_mix,
     "mm_phash_dedup": mm_phash_dedup,
+    "tp_span_corruption": tp_span_corruption,
+    "tp_detokenize_roundtrip": tp_detokenize_roundtrip,
+    "mm_silence_trim": mm_silence_trim,
+    "dd_url_canonical": dd_url_canonical,
     "dd_semantic_dedup": dd_semantic_dedup,
     "tp_shard_shuffle": tp_shard_shuffle,
     "ts_bigram_commonality": ts_bigram_commonality,
@@ -4216,6 +4509,10 @@ ORACLES = {
     "tp_vocab_coverage": TP_VOCAB_COV_ORACLE,
     "tp_temperature_mix": TP_TEMP_MIX_ORACLE,
     "mm_phash_dedup": _phash_oracle,
+    "tp_span_corruption": TP_SPAN_ORACLE,
+    "tp_detokenize_roundtrip": TP_DETOK_ORACLE,
+    "mm_silence_trim": MM_SILENCE_ORACLE,
+    "dd_url_canonical": DD_URL_ORACLE,
     "dd_semantic_dedup": DD_SEMANTIC_ORACLE,
     "tp_shard_shuffle": TP_SHARD_ORACLE,
     "ts_bigram_commonality": TS_BIGRAM_ORACLE,
