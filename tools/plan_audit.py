@@ -56,6 +56,10 @@ WHITELIST: dict[str, set[str]] = {
     "f_udtf_shingles": {"PY_ROW"},       # the query EXISTS to exercise Python UDTFs
     "ts_heavy_hitters": {"ONE_PART"},    # global top-10 merge: mergeable
     #   sketch partials reduce to one fixed-size state, then 10 rows
+    "tp_vocab_coverage": {"ONE_PART"},   # rank/cum-sum window over the
+    #   TakeOrdered top-COV_TOPK rows only (k-row task, never a global sort)
+    "tp_temperature_mix": {"ONE_PART"},  # 1-row normalizer aggregate over
+    #   the tiny per-source count table, broadcast back
 
 }
 

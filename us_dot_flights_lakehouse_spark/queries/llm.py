@@ -4080,38 +4080,56 @@ def tp_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     the denoising-objective shape). Emits per-doc mask accounting plus
     the md5 of the corrupted stream, so the oracle checks every masked
     POSITION, not just the counts. Zero shuffle: gate, rewrite and
-    digest are scan-local array expressions."""
+    digest are scan-local array expressions.
+
+    Perf: the hash gate depends only on the BLOCK index, so it is
+    evaluated once per block (one md5 per {SC_BLOCK} tokens) and the
+    per-position expressions index into the precomputed gate array —
+    not one md5 per position per output column (9x fewer digests;
+    MEMORY's interpreted-HOF trap)."""
     docs = read_corpus(spark, sf_dir, "documents")
     toks = tokenize("text")
     did = F.col("doc_id").cast("string")
 
-    def gate(i):  # i is 1-based token position
-        block = F.floor((i - 1) / SC_BLOCK).cast("string")
-        return (
-            F.pmod(
-                hash28(F.concat(F.lit("sc:"), did, F.lit(":"), block)),
-                F.lit(SC_GATE),
-            )
-            == 0
-        )
-
     n = F.size(toks)
-    corrupted = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.when(gate(i), F.lit("<mask>")).otherwise(
-            F.element_at(toks, i)
-        ),
-    )
-    masked_positions = F.filter(F.sequence(F.lit(1), n), gate)
-    n_masked = F.size(masked_positions)
-    n_spans = F.size(
-        F.array_distinct(
-            F.transform(masked_positions, lambda i: F.floor((i - 1) / SC_BLOCK))
+    n_blocks = F.ceil(n / F.lit(SC_BLOCK)).cast("int")
+    gates = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda b: F.pmod(
+            hash28(F.concat(F.lit("sc:"), did, F.lit(":"), b.cast("string"))),
+            F.lit(SC_GATE),
         )
+        == 0,
     )
-    return docs.select(
+    base = docs.select(
+        "doc_id", toks.alias("toks"), n.alias("n"), gates.alias("gates")
+    )
+    g = F.col("gates")
+    nn = F.col("n")
+    corrupted = F.transform(
+        F.sequence(F.lit(1), nn),
+        lambda i: F.when(
+            F.element_at(g, (F.floor((i - 1) / SC_BLOCK) + 1).cast("int")),
+            F.lit("<mask>"),
+        ).otherwise(F.element_at(F.col("toks"), i)),
+    )
+    # per gated block, the masked-token count is the block size (SC_BLOCK,
+    # except a short final block)
+    n_masked = F.aggregate(
+        F.zip_with(
+            g,
+            F.sequence(F.lit(0), F.size(g) - 1),
+            lambda gate, b: F.when(
+                gate, F.least(F.lit(SC_BLOCK), nn - b * SC_BLOCK)
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_spans = F.size(F.filter(g, lambda x: x))
+    return base.select(
         "doc_id",
-        n.cast("int").alias("n_tokens"),
+        nn.cast("int").alias("n_tokens"),
         n_masked.cast("int").alias("n_masked"),
         n_spans.cast("int").alias("n_spans"),
         F.md5(F.concat_ws(" ", corrupted)).alias("corrupted_md5"),
