@@ -53,6 +53,8 @@ _PRIORITY = (
     "tp_detokenize_roundtrip",  # id->text decode fidelity
     "mm_silence_trim",  # audio VAD-style trim offsets
     "dd_url_canonical",  # crawl URL canonicalization dedup
+    "w9_cohort_retention",  # weekly cohort retention matrix
+    "w10_markov_transitions",  # event-type transition matrix
     # round-5 semantics/plan changes needing fresh driver verification
     "dd_containment",  # stop-shingle df cap added (oracle mirrored)
     "tp_rag_pipeline",  # chunk embedding via explode->groupBy

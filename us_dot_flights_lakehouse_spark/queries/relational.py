@@ -2461,6 +2461,126 @@ FROM pts GROUP BY segment
 """
 
 
+def w9_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 (extension): weekly cohort retention — users cohort by the
+    Monday-start week of their FIRST event; retention at week offset k is
+    the share of the cohort active (any event) k weeks later. The
+    product-analytics table behind every retention curve.
+
+    Scale: firsts is one user_id aggregate; activity is the distinct
+    (user, week) projection; the user_id join shuffles both row-scale
+    sides (AQE picks the strategy), and the cohort-size join broadcasts
+    a cohort-cardinality (weeks, tiny) aggregate. retention_rate is one
+    bigint/bigint double division — bit-stable."""
+    events = read_table(spark, sf_dir, "events")
+    # DuckDB's date_trunc('week') yields DATE; match the output type
+    wk = lambda c: F.date_trunc("week", F.col(c)).cast("date")  # noqa: E731
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = events.select(
+        "user_id", wk("ts").alias("active_week")
+    ).distinct()
+    joined = active.join(firsts, "user_id").select(
+        "cohort_week",
+        (
+            F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+        ).cast("int").alias("week_offset"),
+        "user_id",
+    )
+    cohort_sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    ret = joined.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("bigint").alias("n_active")
+    )
+    return ret.join(F.broadcast(cohort_sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (
+            F.col("n_active").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("retention_rate"),
+    )
+
+
+W9_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY 1
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+), sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM firsts GROUP BY 1
+), ret AS (
+  SELECT f.cohort_week,
+         CAST(datediff('day', f.cohort_week, a.active_week) // 7 AS INTEGER)
+           AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM active a JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT r.cohort_week, r.week_offset, r.n_active, s.cohort_size,
+       CAST(r.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+         AS retention_rate
+FROM ret r JOIN sizes s USING (cohort_week)
+"""
+
+
+def w10_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 (extension): event-type transition matrix — per user, the
+    (current, next) event-type pairs in timestamp order (event_id breaks
+    timestamp ties so the chain is deterministic), counted globally and
+    normalized to P(next | current). The first-order Markov model behind
+    next-action prediction and anomalous-sequence scoring.
+
+    Scale: ONE user_id window shuffle for the lead(); the pair counts and
+    the per-current-type normalizer both aggregate the tiny type×type
+    table (the normalizer rides a partitionBy(current) window over it —
+    a handful of rows per partition). The probability is one
+    bigint/bigint double division — bit-stable."""
+    events = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = pairs.groupBy("cur_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("n_transitions")
+    )
+    wt = W.partitionBy("cur_type")
+    return counts.select(
+        "cur_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wt).cast("double")
+        ).alias("p_next"),
+    )
+
+
+W10_ORACLE = """
+WITH pairs AS (
+  SELECT event_type AS cur_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), counts AS (
+  SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT cur_type, next_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(sum(n_transitions) OVER (PARTITION BY cur_type) AS DOUBLE)
+         AS p_next
+FROM counts
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -2520,6 +2640,8 @@ QUERIES = {
     "w7_event_funnel": w7_event_funnel,
     "w8_rolling_anomaly": w8_rolling_anomaly,
     "x7_zorder_layout": x7_zorder_layout,
+    "w9_cohort_retention": w9_cohort_retention,
+    "w10_markov_transitions": w10_markov_transitions,
     "u4_union_schema_evolution": u4_union_schema_evolution,
     "a18_stat_moments": a18_stat_moments,
     "j13_nullsafe_join": j13_nullsafe_join,
@@ -2584,6 +2706,8 @@ ORACLES = {
     "w7_event_funnel": W7_ORACLE,
     "w8_rolling_anomaly": W8_ORACLE,
     "x7_zorder_layout": _zorder_oracle,
+    "w9_cohort_retention": W9_ORACLE,
+    "w10_markov_transitions": W10_ORACLE,
     "u4_union_schema_evolution": U4_ORACLE,
     "a18_stat_moments": A18_ORACLE,
     "j13_nullsafe_join": J13_ORACLE,
