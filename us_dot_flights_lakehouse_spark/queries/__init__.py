@@ -55,6 +55,9 @@ _PRIORITY = (
     "dd_url_canonical",  # crawl URL canonicalization dedup
     "w9_cohort_retention",  # weekly cohort retention matrix
     "w10_markov_transitions",  # event-type transition matrix
+    "tp_length_buckets",  # pow2 length buckets + padding waste
+    "tp_train_val_split",  # deterministic stratified split audit
+    "ts_novel_ngrams",  # df=1 shingle novelty scoring
     # round-5 semantics/plan changes needing fresh driver verification
     "dd_containment",  # stop-shingle df cap added (oracle mirrored)
     "tp_rag_pipeline",  # chunk embedding via explode->groupBy

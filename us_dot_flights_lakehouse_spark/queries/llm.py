@@ -35,7 +35,11 @@ from us_dot_flights_lakehouse_spark.llm.dedup import (
     SIMHASH_BANDS,
     SIMHASH_BITS,
 )
-from us_dot_flights_lakehouse_spark.functions.text import hash28, tokenize
+from us_dot_flights_lakehouse_spark.functions.text import (
+    hash28,
+    shingles,
+    tokenize,
+)
 from us_dot_flights_lakehouse_spark.sources.readers import read_corpus, read_table
 
 # corpus-calibrated thresholds (see module docstring)
@@ -4375,6 +4379,179 @@ FROM c JOIN f USING (canonical_url)
 """
 
 
+def tp_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: sequence-length bucketing — group documents into power-of-two
+    token-length buckets (the batching strategy that keeps padding waste
+    down when fixed-shape batches are built per bucket) and report each
+    bucket's padding overhead: padded_tokens = bucket_len × n_docs vs the
+    real token total. The bucket boundary is computed with INTEGER ops
+    only (1 << bit_length(n-1), via the binary-string length both engines
+    expose) — no float log2, whose boundary rounding differs per engine.
+
+    Scale: one scan + one tiny (≤ ~20 buckets) aggregate; waste_frac is
+    one exact-bigint double division — bit-stable."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    n = F.size(tokenize("text"))
+    bits = F.length(F.bin((n - 1).cast("long")))
+    bucket = F.when(n <= 1, F.lit(1).cast("long")).otherwise(
+        F.call_function("shiftleft", F.lit(1).cast("long"), bits.cast("int")).cast(
+            "long"
+        )
+    )
+    per_doc = docs.select(n.alias("n_tokens"), bucket.alias("bucket_len"))
+    agg = per_doc.groupBy("bucket_len").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    padded = F.col("bucket_len") * F.col("n_docs")
+    return agg.select(
+        "bucket_len",
+        "n_docs",
+        "total_tokens",
+        padded.cast("bigint").alias("padded_tokens"),
+        (
+            (padded - F.col("total_tokens")).cast("double")
+            / padded.cast("double")
+        ).alias("pad_waste_frac"),
+    )
+
+
+TP_LENBUCKET_ORACLE = f"""
+WITH t AS (
+  SELECT len({_TOKENS}) AS n FROM documents
+), b AS (
+  SELECT n,
+         CASE WHEN n <= 1 THEN CAST(1 AS BIGINT)
+              ELSE CAST((CAST(1 AS BIGINT) << length(bin(n - 1))) AS BIGINT)
+         END AS bucket_len
+  FROM t
+), agg AS (
+  SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens
+  FROM b GROUP BY 1
+)
+SELECT bucket_len, n_docs, total_tokens,
+       CAST(bucket_len * n_docs AS BIGINT) AS padded_tokens,
+       CAST(bucket_len * n_docs - total_tokens AS DOUBLE)
+         / CAST(bucket_len * n_docs AS DOUBLE) AS pad_waste_frac
+FROM agg
+"""
+
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 90
+
+
+def tp_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: deterministic train/val/test split — every doc routes to a
+    split by a salted-hash gate on its id (hash28('split:'||doc_id) mod
+    100: <{SPLIT_TRAIN_PCT} train, <{SPLIT_VAL_PCT} val, else test), so
+    the assignment is reproducible across runs, machines and engines —
+    no rand(), no global sort. The output is the stratification audit:
+    per (source, split) counts and the within-source fraction, the table
+    a data-governance check reads to confirm no source leaked wholly
+    into eval.
+
+    Scale: one scan + one (source × 3)-row aggregate; the within-source
+    normalizer rides a partitionBy(source) window over that tiny table."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    gate = F.pmod(
+        hash28(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(gate < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(gate < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    counts = docs.select("source", split.alias("split")).groupBy(
+        "source", "split"
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))
+    w = Window.partitionBy("source")
+    return counts.select(
+        "source",
+        "split",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("source_frac"),
+    )
+
+
+TP_SPLIT_ORACLE = f"""
+WITH g AS (
+  SELECT source,
+         ({_HASH28.format(x="'split:' || CAST(doc_id AS VARCHAR)")}) % 100
+           AS gate
+  FROM documents
+), s AS (
+  SELECT source,
+         CASE WHEN gate < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN gate < {SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM g
+), counts AS (
+  SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
+  FROM s GROUP BY 1, 2
+)
+SELECT source, split, n_docs,
+       CAST(n_docs AS DOUBLE)
+         / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE)
+         AS source_frac
+FROM counts
+"""
+
+
+def ts_novel_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: n-gram novelty scoring — the share of each document's distinct
+    3-token shingles that appear in NO other document (document frequency
+    1 across the corpus). High-novelty docs carry information the corpus
+    doesn't already have; low-novelty docs are template/boilerplate
+    candidates even when no single near-dup partner exists (the signal
+    Jaccard pair-mining misses).
+
+    Scale: explode distinct shingles once, ONE shingle-key aggregate for
+    document frequency, join back on the shingle (both sides row-scale —
+    a genuine shuffle join, same shape as the dd_ngram_jaccard index),
+    then one doc-key aggregate. novelty_frac is one exact-bigint double
+    division — bit-stable."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    doc_sh = docs.select(
+        "doc_id", F.explode(shingles(tokenize("text"), 3)).alias("sh")
+    )
+    df_counts = doc_sh.groupBy("sh").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    joined = doc_sh.join(df_counts, "sh")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum((F.col("df") == 1).cast("bigint")).cast("bigint").alias("n_novel"),
+        (
+            F.sum((F.col("df") == 1).cast("bigint")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("novelty_frac"),
+    )
+
+
+TS_NOVEL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+), doc_sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS sh FROM t
+), dfc AS (
+  SELECT sh, CAST(count(*) AS BIGINT) AS df FROM doc_sh GROUP BY sh
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS novelty_frac
+FROM doc_sh JOIN dfc USING (sh)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dd_exact_dedup": dd_exact_dedup,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -4450,6 +4627,9 @@ QUERIES = {
     "tp_detokenize_roundtrip": tp_detokenize_roundtrip,
     "mm_silence_trim": mm_silence_trim,
     "dd_url_canonical": dd_url_canonical,
+    "tp_length_buckets": tp_length_buckets,
+    "tp_train_val_split": tp_train_val_split,
+    "ts_novel_ngrams": ts_novel_ngrams,
     "dd_semantic_dedup": dd_semantic_dedup,
     "tp_shard_shuffle": tp_shard_shuffle,
     "ts_bigram_commonality": ts_bigram_commonality,
@@ -4531,6 +4711,9 @@ ORACLES = {
     "tp_detokenize_roundtrip": TP_DETOK_ORACLE,
     "mm_silence_trim": MM_SILENCE_ORACLE,
     "dd_url_canonical": DD_URL_ORACLE,
+    "tp_length_buckets": TP_LENBUCKET_ORACLE,
+    "tp_train_val_split": TP_SPLIT_ORACLE,
+    "ts_novel_ngrams": TS_NOVEL_ORACLE,
     "dd_semantic_dedup": DD_SEMANTIC_ORACLE,
     "tp_shard_shuffle": TP_SHARD_ORACLE,
     "ts_bigram_commonality": TS_BIGRAM_ORACLE,
