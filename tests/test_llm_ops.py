@@ -1486,3 +1486,62 @@ def test_transform_image_orientations(spark):
     # numpy rot90 CCW of [[0,1,2],[3,4,5]] -> [[2,5],[1,4],[0,3]], 2x3 -> w=2,h=3
     assert (rot[1]["width"], rot[1]["height"]) == (2, 3)
     assert list(rot[1]["pixels"]) == [2, 5, 1, 4, 0, 3]
+
+
+def test_patchify_stats_grid_and_gating(spark):
+    from us_dot_flights_lakehouse_spark.llm.multimodal import patchify_stats
+
+    # 4x4 L gradient 0..15, patch=2 -> 2x2 grid of 2x2 tiles
+    df = spark.createDataFrame(
+        [
+            (1, 4, 4, "L", bytearray(bytes(range(16)))),
+            (2, 3, 3, "L", bytearray(bytes(9))),  # not divisible by patch
+            (3, None, None, None, None),
+        ],
+        "id long, width int, height int, mode string, pixels binary",
+    )
+    rows = patchify_stats(df, patch=2).collect()
+    got = {(r["id"], r["patch_row"], r["patch_col"]): r for r in rows}
+    # tile (0,0) = [[0,1],[4,5]] -> mean 2.5, min 0, max 5
+    r00 = got[(1, 0, 0)]
+    assert (r00["p_mean"], r00["p_min"], r00["p_max"]) == (2.5, 0, 5)
+    # tile (1,1) = [[10,11],[14,15]] -> mean 12.5
+    r11 = got[(1, 1, 1)]
+    assert (r11["p_mean"], r11["p_min"], r11["p_max"]) == (12.5, 10, 15)
+    assert len([k for k in got if k[0] == 1]) == 4
+    # gated inputs yield exactly one null row each
+    assert got[(2, None, None)]["p_mean"] is None
+    assert got[(3, None, None)]["p_mean"] is None
+
+
+def test_patchify_grayscales_multichannel(spark):
+    from us_dot_flights_lakehouse_spark.llm.multimodal import patchify_stats
+
+    # 2x2 RGB where each pixel's channels are (v, v+3, v+6) -> gray v+3
+    px = bytes([0, 3, 6, 9, 12, 15, 18, 21, 24, 27, 30, 33])
+    df = spark.createDataFrame(
+        [(1, 2, 2, "RGB", bytearray(px))],
+        "id long, width int, height int, mode string, pixels binary",
+    )
+    r = patchify_stats(df, patch=2).collect()[0]
+    # gray = [[3,12],[21,30]] -> mean 16.5
+    assert (r["p_mean"], r["p_min"], r["p_max"]) == (16.5, 3, 30)
+
+
+def test_channel_sums_exact_moments(spark):
+    from us_dot_flights_lakehouse_spark.llm.multimodal import channel_sums
+
+    # 1x2 RGB: pixels (1,2,3) and (4,5,6)
+    df = spark.createDataFrame(
+        [
+            (1, 2, 1, "RGB", bytearray(bytes([1, 2, 3, 4, 5, 6]))),
+            (2, None, None, None, None),
+        ],
+        "id long, width int, height int, mode string, pixels binary",
+    )
+    rows = {(r["id"], r["channel"]): r for r in channel_sums(df).collect()}
+    r0 = rows[(1, 0)]
+    assert (r0["n_pixels"], r0["psum"], r0["psumsq"]) == (2, 5, 17)  # 1+4, 1+16
+    r2 = rows[(1, 2)]
+    assert (r2["n_pixels"], r2["psum"], r2["psumsq"]) == (2, 9, 45)  # 3+6, 9+36
+    assert rows[(2, None)]["psum"] is None

@@ -850,6 +850,115 @@ def crop_image(df: DataFrame, x0: int, y0: int, out_w: int, out_h: int) -> DataF
     return df.mapInPandas(kernel, schema=DECODED_IMAGE_SCHEMA)
 
 
+def patchify_stats(df: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT-style patch extraction over decoded images (input schema =
+    DECODED_IMAGE_SCHEMA): split each image into non-overlapping
+    ``patch``×``patch`` tiles and emit one row per (image, patch_row,
+    patch_col) with the tile's integer-floor grayscale statistics —
+    the patch-grid layout a vision-transformer data pipeline builds
+    before embedding. Mean is one double division of an exact integer
+    sum (bit-stable on any engine); grayscale is the integer floor-mean
+    over channels like ``dhash_image``. Images not divisible by the
+    patch size (or codec-gated null pixels) yield a single null row —
+    the decode totality contract.
+
+    Scale: scan-local Arrow kernel, zero shuffle, output fan-out is
+    (w/patch)·(h/patch) rows per image."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, w, h, mode, px in zip(
+                pdf["id"], pdf["width"], pdf["height"], pdf["mode"], pdf["pixels"]
+            ):
+                if px is None or int(w) % patch or int(h) % patch:
+                    rows.append((i, None, None, None, None, None))
+                    continue
+                w, h = int(w), int(h)
+                ch = _MODE_CHANNELS[mode]
+                arr = np.frombuffer(px, np.uint8).reshape(h, w, ch)
+                gray = arr.astype(np.int64).sum(axis=2) // ch
+                tiles = gray.reshape(h // patch, patch, w // patch, patch)
+                sums = tiles.sum(axis=(1, 3))
+                mins = tiles.min(axis=(1, 3))
+                maxs = tiles.max(axis=(1, 3))
+                area = float(patch * patch)
+                for pr in range(h // patch):
+                    for pc in range(w // patch):
+                        rows.append(
+                            (
+                                i,
+                                pr,
+                                pc,
+                                float(sums[pr, pc]) / area,
+                                int(mins[pr, pc]),
+                                int(maxs[pr, pc]),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "patch_row", "patch_col", "p_mean", "p_min", "p_max"],
+            )
+
+    return df.mapInPandas(
+        kernel,
+        schema=(
+            "id long, patch_row int, patch_col int, p_mean double, "
+            "p_min int, p_max int"
+        ),
+    )
+
+
+def channel_sums(df: DataFrame) -> DataFrame:
+    """Per-image, per-channel exact pixel moments (count, sum, sum of
+    squares as BIGINTs) over decoded images — the map side of the
+    dataset mean/std normalization pass every vision pipeline runs
+    before training. Aggregate downstream with one groupBy(channel)
+    (sums are exact integers, so the reduce is order-insensitive and
+    the final mean/var divisions are the only float ops). Null pixel
+    rows (codec-gated) yield null rows — the decode contract.
+
+    Scale: scan-local Arrow kernel; the downstream shuffle carries
+    3 BIGINTs per image per channel."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, w, h, mode, px in zip(
+                pdf["id"], pdf["width"], pdf["height"], pdf["mode"], pdf["pixels"]
+            ):
+                if px is None:
+                    rows.append((i, None, None, None, None))
+                    continue
+                ch = _MODE_CHANNELS[mode]
+                arr = (
+                    np.frombuffer(px, np.uint8)
+                    .reshape(int(h), int(w), ch)
+                    .astype(np.int64)
+                )
+                for c in range(ch):
+                    plane = arr[:, :, c]
+                    rows.append(
+                        (
+                            i,
+                            c,
+                            int(plane.size),
+                            int(plane.sum()),
+                            int((plane * plane).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["id", "channel", "n_pixels", "psum", "psumsq"]
+            )
+
+    return df.mapInPandas(
+        kernel,
+        schema="id long, channel int, n_pixels long, psum long, psumsq long",
+    )
+
+
 def dhash_image(df: DataFrame, id_col: str = "id") -> DataFrame:
     """Difference-hash (dHash) perceptual image fingerprint — the standard
     near-duplicate-image detector for training-data dedup (scaling /

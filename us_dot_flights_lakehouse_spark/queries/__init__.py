@@ -58,6 +58,8 @@ _PRIORITY = (
     "tp_length_buckets",  # pow2 length buckets + padding waste
     "tp_train_val_split",  # deterministic stratified split audit
     "ts_novel_ngrams",  # df=1 shingle novelty scoring
+    "mm_patchify",  # ViT patch-grid extraction
+    "mm_image_norm",  # dataset channel mean/std pass
     # round-5 semantics/plan changes needing fresh driver verification
     "dd_containment",  # stop-shingle df cap added (oracle mirrored)
     "tp_rag_pipeline",  # chunk embedding via explode->groupBy

@@ -4552,6 +4552,154 @@ GROUP BY doc_id
 """
 
 
+def mm_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: ViT patch-grid extraction — synthesize the same 32×32
+    block-structured grayscale images as ``mm_phash_dedup`` (pixel(r,c) =
+    (37·(doc_id mod {PHASH_VARIANTS}) + 3·(r//4) + 5·(c//4)) mod 256),
+    then split each into the 4×4 grid of 8×8 patches with per-patch
+    mean/min/max (``multimodal.patchify_stats``) — the tiling step a
+    vision-transformer pipeline runs before patch embedding. Because the
+    synth is constant on 4×4 blocks, each 8×8 patch covers exactly four
+    block values (16 px each) and the oracle states every patch's
+    statistics in closed form — an indexing or tiling bug anywhere in
+    the kernel hash-fails.
+
+    Scale: synth + tiling are scan-local Arrow kernels, zero shuffle;
+    16 output rows per image."""
+    import numpy as np
+
+    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        rr = np.arange(32)[:, None] // 4
+        cc = np.arange(32)[None, :] // 4
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                px = ((37 * (int(d) % PHASH_VARIANTS) + 3 * rr + 5 * cc) % 256).astype(
+                    np.uint8
+                )
+                rows.append((int(d), 32, 32, "L", px.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "mode", "pixels"]
+            )
+
+    imgs = docs.mapInPandas(synth, schema=multimodal.DECODED_IMAGE_SCHEMA)
+    return multimodal.patchify_stats(imgs, patch=8).select(
+        F.col("id").alias("doc_id"),
+        "patch_row",
+        "patch_col",
+        "p_mean",
+        "p_min",
+        "p_max",
+    )
+
+
+def _patchify_oracle() -> str:
+    """Closed-form patch stats: patch (pr, pc) covers block values
+    b(i, j) = (37·m + 3·(2pr+i) + 5·(2pc+j)) mod 256 for i, j in {0, 1},
+    16 pixels each."""
+    m = f"(37 * (doc_id % {PHASH_VARIANTS}))"
+    terms = [
+        f"(({m} + 3 * (2 * pr + {i}) + 5 * (2 * pc + {j})) % 256)"
+        for i in (0, 1)
+        for j in (0, 1)
+    ]
+    tsum = " + ".join(terms)
+    tlist = ", ".join(terms)
+    return f"""
+SELECT doc_id,
+       CAST(pr AS INTEGER) AS patch_row,
+       CAST(pc AS INTEGER) AS patch_col,
+       CAST(16 * ({tsum}) AS DOUBLE) / 64 AS p_mean,
+       CAST(least({tlist}) AS INTEGER) AS p_min,
+       CAST(greatest({tlist}) AS INTEGER) AS p_max
+FROM documents,
+     (SELECT unnest(range(0, 4)) AS pr),
+     (SELECT unnest(range(0, 4)) AS pc)
+"""
+
+
+IMGNORM_SIDE = 16
+
+
+def mm_image_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: dataset-level channel normalization stats — synthesize one
+    {IMGNORM_SIDE}×{IMGNORM_SIDE} RGB image per document (pixel(r,c,ch) =
+    (doc_id + 3r + 5c + 77ch) mod 256), collect per-image exact integer
+    pixel moments (``multimodal.channel_sums``), and reduce to the
+    per-channel corpus mean/variance — the pass that produces the
+    mean/std constants every vision training job normalizes with. All
+    accumulation is exact BIGINT; mean and variance are the only float
+    ops (division, then var = E[x²] − mean², the same expression shape
+    on both engines — bit-stable).
+
+    Scale: decode moments are scan-local Arrow kernels; the reduce
+    shuffles 3 BIGINTs per image per channel into a 3-row aggregate."""
+    import numpy as np
+
+    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
+    side = IMGNORM_SIDE
+
+    def synth(batches):
+        r = np.arange(side)[:, None, None]
+        c = np.arange(side)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        base = 3 * r + 5 * c + 77 * ch
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                px = ((int(d) + base) % 256).astype(np.uint8)
+                rows.append((int(d), side, side, "RGB", px.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "mode", "pixels"]
+            )
+
+    imgs = docs.mapInPandas(synth, schema=multimodal.DECODED_IMAGE_SCHEMA)
+    moments = multimodal.channel_sums(imgs)
+    agg = moments.groupBy("channel").agg(
+        F.sum("n_pixels").cast("bigint").alias("n_pixels"),
+        F.sum("psum").cast("bigint").alias("psum"),
+        F.sum("psumsq").cast("bigint").alias("psumsq"),
+    )
+    mean = F.col("psum").cast("double") / F.col("n_pixels").cast("double")
+    return agg.select(
+        "channel",
+        "n_pixels",
+        "psum",
+        "psumsq",
+        mean.alias("mean_px"),
+        (
+            F.col("psumsq").cast("double") / F.col("n_pixels").cast("double")
+            - mean * mean
+        ).alias("var_px"),
+    )
+
+
+MM_IMGNORM_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, ch,
+         (doc_id + 3 * r + 5 * c + 77 * ch) % 256 AS v
+  FROM documents,
+       (SELECT unnest(range(0, {IMGNORM_SIDE})) AS r),
+       (SELECT unnest(range(0, {IMGNORM_SIDE})) AS c),
+       (SELECT unnest(range(0, 3)) AS ch)
+), agg AS (
+  SELECT CAST(ch AS INTEGER) AS channel,
+         CAST(count(*) AS BIGINT) AS n_pixels,
+         CAST(sum(v) AS BIGINT) AS psum,
+         CAST(sum(v * v) AS BIGINT) AS psumsq
+  FROM px GROUP BY 1
+)
+SELECT channel, n_pixels, psum, psumsq,
+       CAST(psum AS DOUBLE) / CAST(n_pixels AS DOUBLE) AS mean_px,
+       CAST(psumsq AS DOUBLE) / CAST(n_pixels AS DOUBLE)
+         - (CAST(psum AS DOUBLE) / CAST(n_pixels AS DOUBLE))
+         * (CAST(psum AS DOUBLE) / CAST(n_pixels AS DOUBLE)) AS var_px
+FROM agg
+"""
+
+
 QUERIES = {
     "dd_exact_dedup": dd_exact_dedup,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -4630,6 +4778,8 @@ QUERIES = {
     "tp_length_buckets": tp_length_buckets,
     "tp_train_val_split": tp_train_val_split,
     "ts_novel_ngrams": ts_novel_ngrams,
+    "mm_patchify": mm_patchify,
+    "mm_image_norm": mm_image_norm,
     "dd_semantic_dedup": dd_semantic_dedup,
     "tp_shard_shuffle": tp_shard_shuffle,
     "ts_bigram_commonality": ts_bigram_commonality,
@@ -4714,6 +4864,8 @@ ORACLES = {
     "tp_length_buckets": TP_LENBUCKET_ORACLE,
     "tp_train_val_split": TP_SPLIT_ORACLE,
     "ts_novel_ngrams": TS_NOVEL_ORACLE,
+    "mm_patchify": _patchify_oracle,
+    "mm_image_norm": MM_IMGNORM_ORACLE,
     "dd_semantic_dedup": DD_SEMANTIC_ORACLE,
     "tp_shard_shuffle": TP_SHARD_ORACLE,
     "ts_bigram_commonality": TS_BIGRAM_ORACLE,
