@@ -60,6 +60,11 @@ _PRIORITY = (
     "ts_novel_ngrams",  # df=1 shingle novelty scoring
     "mm_patchify",  # ViT patch-grid extraction
     "mm_image_norm",  # dataset channel mean/std pass
+    "ts_c4_filters",  # C4 cleaning rule flags
+    "ts_char_gini",  # char-Gini gibberish filter
+    "tp_tokenizer_fertility",  # sub-word per word by lang
+    "dd_prefix_clusters",  # shared-prefix boilerplate clusters
+    "sim_knn_accuracy",  # kNN label-recovery probe
     # round-5 semantics/plan changes needing fresh driver verification
     "dd_containment",  # stop-shingle df cap added (oracle mirrored)
     "tp_rag_pipeline",  # chunk embedding via explode->groupBy

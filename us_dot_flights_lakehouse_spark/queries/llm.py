@@ -4700,6 +4700,329 @@ FROM agg
 """
 
 
+def ts_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: C4-style cleaning rule flags — the published C4 heuristics as
+    per-doc verdict columns (no rows dropped, same auditability contract
+    as the Gopher family): sentence count (terminal-punctuation runs),
+    terminal-punctuation ending, curly-brace/code-markup ratio, and the
+    boilerplate badword gate ('javascript' / 'lorem ipsum'). keep_c4 is
+    the conjunction.
+
+    Scale: per-row regexp counts, zero shuffle, parquet-scan speed."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    txt = F.lower(F.col("text"))
+    n_sent = F.regexp_count(txt, F.lit(r"[.!?]+"))
+    ends_punct = F.trim(txt).rlike(r'[.!?"]$')
+    n_code = F.regexp_count(txt, F.lit(r"[{}<>\[\]]"))
+    code_ratio = n_code.cast("double") / F.length(txt).cast("double")
+    bad = txt.contains("javascript") | txt.contains("lorem ipsum")
+    return docs.select(
+        "doc_id",
+        n_sent.cast("int").alias("n_sentences"),
+        ends_punct.alias("ends_punct"),
+        code_ratio.alias("code_ratio"),
+        bad.alias("has_badword"),
+        (
+            (n_sent >= 3)
+            & ends_punct
+            & (code_ratio <= F.lit(0.02))
+            & ~bad
+        ).alias("keep_c4"),
+    )
+
+
+TS_C4_ORACLE = """
+WITH f AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[.!?]+')) AS INTEGER) AS n_sentences,
+         regexp_matches(trim(t), '[.!?"]$') AS ends_punct,
+         CAST(len(regexp_extract_all(t, '[{}<>\\[\\]]')) AS DOUBLE)
+           / CAST(length(t) AS DOUBLE) AS code_ratio,
+         (t LIKE '%javascript%' OR t LIKE '%lorem ipsum%') AS has_badword
+  FROM f
+)
+SELECT doc_id, n_sentences, ends_punct, code_ratio, has_badword,
+       (n_sentences >= 3 AND ends_punct AND code_ratio <= 0.02
+        AND NOT has_badword) AS keep_c4
+FROM m
+"""
+
+
+def ts_char_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: character-distribution Gini impurity — 1 − Σ pᵢ² over the
+    per-doc character frequency distribution (whitespace excluded): a
+    gibberish/degenerate-text detector that needs NO logarithm (unlike
+    Shannon entropy, whose ln is not correctly rounded and differs
+    across engines) — the only float ops are one division and one
+    subtraction of exact integers, bit-stable.
+
+    Scale: zero shuffle — chars sort per row and Σ cᵢ² comes from ONE
+    run-length fold over the sorted array (the same O(L log L) pattern
+    as repetition_stats; the naive distinct × filter count is O(L²)
+    interpreted-HOF work)."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    s = F.regexp_replace(F.lower(F.col("text")), r"\s+", "")
+    chars = F.array_sort(F.split(s, ""))
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("sumsq"),
+    )
+
+    def merge(acc, x):
+        return F.when(
+            x == acc["prev"],
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["sumsq"].alias("sumsq"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                (acc["sumsq"] + acc["run"] * acc["run"]).alias("sumsq"),
+            )
+        )
+
+    sumsq = F.aggregate(
+        chars,
+        init,
+        merge,
+        lambda acc: acc["sumsq"] + acc["run"] * acc["run"],
+    )
+    n = F.length(s).cast("long")
+    base = docs.select("doc_id", n.alias("n_chars_nospace"), sumsq.alias("char_sumsq"))
+    return base.select(
+        "doc_id",
+        "n_chars_nospace",
+        "char_sumsq",
+        (
+            F.lit(1.0)
+            - F.col("char_sumsq").cast("double")
+            / (F.col("n_chars_nospace") * F.col("n_chars_nospace")).cast("double")
+        ).alias("char_gini"),
+    )
+
+
+TS_GINI_ORACLE = """
+WITH s AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', '', 'g') AS t
+  FROM documents
+), cc AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(t, '')) AS ch FROM s)
+  GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars_nospace,
+         CAST(sum(cnt * cnt) AS BIGINT) AS char_sumsq
+  FROM cc GROUP BY 1
+)
+SELECT doc_id, n_chars_nospace, char_sumsq,
+       1.0 - CAST(char_sumsq AS DOUBLE)
+           / CAST(n_chars_nospace * n_chars_nospace AS DOUBLE) AS char_gini
+FROM agg
+"""
+
+
+def tp_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: tokenizer fertility by language — sub-word tokens per
+    whitespace word (the metric multilingual tokenizer evaluations
+    report per language: high fertility = the vocab serves that language
+    poorly and its documents cost more sequence length per word). Uses
+    the BPE-ish regex tokenizer vs the whitespace tokenizer; also
+    reports characters per sub-word token.
+
+    Scale: per-row counts, one lang-cardinality aggregate; ratios are
+    exact-bigint double divisions — bit-stable."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    from us_dot_flights_lakehouse_spark.functions.text import bpe_ish_tokens
+
+    bpe = bpe_ish_tokens("text")
+    per_doc = docs.select(
+        "lang",
+        F.size(tokenize("text")).cast("long").alias("ws"),
+        F.size(bpe).cast("long").alias("bp"),
+        F.aggregate(
+            F.transform(bpe, F.length), F.lit(0), lambda a, x: a + x
+        )
+        .cast("long")
+        .alias("bp_chars"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.sum("bp").cast("bigint").alias("bpe_tokens"),
+        F.sum("bp_chars").cast("bigint").alias("bpe_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        (F.col("bpe_tokens").cast("double") / F.col("ws_tokens").cast("double")).alias(
+            "fertility"
+        ),
+        (F.col("bpe_chars").cast("double") / F.col("bpe_tokens").cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+TP_FERTILITY_ORACLE = f"""
+WITH d AS (
+  SELECT lang,
+         CAST(len({_TOKENS}) AS BIGINT) AS ws,
+         CAST(len({_BPE}) AS BIGINT) AS bp,
+         CAST(list_sum(list_transform({_BPE}, x -> length(x))) AS BIGINT)
+           AS bp_chars
+  FROM documents
+), agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         CAST(sum(bp) AS BIGINT) AS bpe_tokens,
+         CAST(sum(bp_chars) AS BIGINT) AS bpe_chars
+  FROM d GROUP BY 1
+)
+SELECT lang, n_docs, ws_tokens, bpe_tokens,
+       CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE) AS fertility,
+       CAST(bpe_chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE) AS chars_per_token
+FROM agg
+"""
+
+
+PREFIX_LEN = 8
+
+
+def dd_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD: shared-prefix boilerplate clustering — fingerprint each
+    document's first {PREFIX_LEN} tokens and cluster exact prefix
+    matches: the cheap detector for template/boilerplate families
+    (scraped pages sharing a header, license preambles) that full-text
+    exact dedup misses because the tails differ. Docs shorter than the
+    prefix are excluded (their 'prefix' is the whole doc — that is
+    exact dedup's job).
+
+    Scale: one md5 per doc + one groupBy on the 16-byte key — the
+    cheapest clustering shuffle there is."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    base = docs.select("doc_id", toks.alias("t")).filter(
+        F.size("t") >= PREFIX_LEN
+    )
+    fp = F.md5(F.concat_ws(" ", F.slice(F.col("t"), 1, PREFIX_LEN)))
+    fps = base.select("doc_id", fp.alias("prefix_fp"))
+    firsts = fps.groupBy("prefix_fp").agg(
+        F.min("doc_id").alias("cluster_min"),
+        F.count("*").cast("bigint").alias("cluster_size"),
+    )
+    return fps.join(firsts, "prefix_fp").select(
+        "doc_id",
+        "prefix_fp",
+        "cluster_min",
+        "cluster_size",
+        (F.col("doc_id") != F.col("cluster_min")).alias("is_dup"),
+    )
+
+
+DD_PREFIX_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+), fps AS (
+  SELECT doc_id, md5(array_to_string(t[1:{PREFIX_LEN}], ' ')) AS prefix_fp
+  FROM t WHERE len(t) >= {PREFIX_LEN}
+), firsts AS (
+  SELECT prefix_fp, min(doc_id) AS cluster_min,
+         CAST(count(*) AS BIGINT) AS cluster_size
+  FROM fps GROUP BY 1
+)
+SELECT f.doc_id, f.prefix_fp, g.cluster_min, g.cluster_size,
+       f.doc_id != g.cluster_min AS is_dup
+FROM fps f JOIN firsts g USING (prefix_fp)
+"""
+
+
+KNN_K = 5
+
+
+def sim_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM: k-NN label recovery — for each query vector, the majority
+    label among its {KNN_K} exact cosine neighbors (self excluded)
+    versus its own label: the standard embedding-quality probe (kNN
+    accuracy) run before committing a representation to retrieval or
+    curriculum use. Composes ``similarity.cosine_topk`` (broadcast
+    queries × one corpus scan) with a label join and a count-majority
+    vote (ties break toward the smaller label id — deterministic).
+
+    Scale: the vote aggregates k rows per query; labels join via
+    broadcast-sized id lookups."""
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    topk = similarity.cosine_topk(emb, qs, k=KNN_K)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+    truth = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "true_label"
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        F.col("n_votes").cast("bigint").alias("n_votes"),
+        (F.col("pred_label") == F.col("true_label")).alias("knn_correct"),
+    )
+
+
+SIM_KNN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (SELECT vec_id, label, v, {_VEC_NORM} AS nrm FROM e),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nl,
+         list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+           / (q.nrm * c.nrm) AS cos
+  FROM n q JOIN n c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERY_VECS}
+), topk AS (
+  SELECT query_id, neighbor_id, nl FROM (
+    SELECT query_id, neighbor_id, nl,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {KNN_K}
+), votes AS (
+  SELECT query_id, nl AS label, count(*) AS n_votes
+  FROM topk GROUP BY 1, 2
+), pred AS (
+  SELECT query_id, label AS pred_label, CAST(n_votes AS BIGINT) AS n_votes
+  FROM (
+    SELECT query_id, label, n_votes,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY n_votes DESC, label ASC) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT p.query_id, t.label AS true_label, p.pred_label, p.n_votes,
+       p.pred_label = t.label AS knn_correct
+FROM pred p JOIN e t ON p.query_id = t.vec_id
+"""
+
+
 QUERIES = {
     "dd_exact_dedup": dd_exact_dedup,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -4780,6 +5103,11 @@ QUERIES = {
     "ts_novel_ngrams": ts_novel_ngrams,
     "mm_patchify": mm_patchify,
     "mm_image_norm": mm_image_norm,
+    "ts_c4_filters": ts_c4_filters,
+    "ts_char_gini": ts_char_gini,
+    "tp_tokenizer_fertility": tp_tokenizer_fertility,
+    "dd_prefix_clusters": dd_prefix_clusters,
+    "sim_knn_accuracy": sim_knn_accuracy,
     "dd_semantic_dedup": dd_semantic_dedup,
     "tp_shard_shuffle": tp_shard_shuffle,
     "ts_bigram_commonality": ts_bigram_commonality,
@@ -4866,6 +5194,11 @@ ORACLES = {
     "ts_novel_ngrams": TS_NOVEL_ORACLE,
     "mm_patchify": _patchify_oracle,
     "mm_image_norm": MM_IMGNORM_ORACLE,
+    "ts_c4_filters": TS_C4_ORACLE,
+    "ts_char_gini": TS_GINI_ORACLE,
+    "tp_tokenizer_fertility": TP_FERTILITY_ORACLE,
+    "dd_prefix_clusters": DD_PREFIX_ORACLE,
+    "sim_knn_accuracy": SIM_KNN_ORACLE,
     "dd_semantic_dedup": DD_SEMANTIC_ORACLE,
     "tp_shard_shuffle": TP_SHARD_ORACLE,
     "ts_bigram_commonality": TS_BIGRAM_ORACLE,
