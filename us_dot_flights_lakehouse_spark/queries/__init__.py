@@ -65,6 +65,10 @@ _PRIORITY = (
     "tp_tokenizer_fertility",  # sub-word per word by lang
     "dd_prefix_clusters",  # shared-prefix boilerplate clusters
     "sim_knn_accuracy",  # kNN label-recovery probe
+    "a20_equidepth_histogram",  # equi-depth optimizer stats
+    "a21_pearson_corr",  # exact-comoment Pearson matrix
+    "w11_rank_suite",  # percent_rank/cume_dist/ntile
+    "g1_bipartite_rank",  # iterative rank propagation
     # round-5 semantics/plan changes needing fresh driver verification
     "dd_containment",  # stop-shingle df cap added (oracle mirrored)
     "tp_rag_pipeline",  # chunk embedding via explode->groupBy

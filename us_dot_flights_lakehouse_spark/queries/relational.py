@@ -2581,6 +2581,308 @@ FROM counts
 """
 
 
+HIST_BUCKETS = 8
+
+
+def a20_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: equi-depth histogram build — the optimizer-statistics shape
+    warehouses maintain per column: {HIST_BUCKETS} equal-frequency
+    buckets of l_extendedprice per return flag, each with its row count
+    and value range. Bucket BOUNDARIES come from one exact
+    linear-interpolation percentile aggregate (the a11-proven bit-stable
+    path), broadcast back so bucket assignment is a scan-local
+    count-of-boundaries-below (no global sort, no ntile window funnel —
+    a 100 TB column sorts nowhere).
+
+    Scale: one percentile aggregate (3 groups) + one broadcast join +
+    one (flag × bucket) aggregate."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    fracs = [i / HIST_BUCKETS for i in range(1, HIST_BUCKETS)]
+    bounds = lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(fracs)).alias("bnds")
+    )
+    joined = lineitem.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(bounds), "l_returnflag"
+    )
+    bucket = F.size(
+        F.filter(F.col("bnds"), lambda b: F.col("l_extendedprice") > b)
+    )
+    return (
+        joined.select(
+            "l_returnflag",
+            bucket.cast("int").alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+
+
+def _equidepth_oracle() -> str:
+    qs = ", ".join(
+        f"quantile_cont(l_extendedprice, {i / HIST_BUCKETS})"
+        for i in range(1, HIST_BUCKETS)
+    )
+    return f"""
+WITH b AS (
+  SELECT l_returnflag, [{qs}] AS bnds
+  FROM lineitem GROUP BY l_returnflag
+), assigned AS (
+  SELECT l.l_returnflag,
+         CAST(len(list_filter(b.bnds, x -> l.l_extendedprice > x)) AS INTEGER)
+           AS bucket,
+         l.l_extendedprice
+  FROM lineitem l JOIN b USING (l_returnflag)
+)
+SELECT l_returnflag, bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+FROM assigned GROUP BY 1, 2
+"""
+
+
+def a21_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21: Pearson correlation matrix over lineitem's numeric measures —
+    pairwise r for (quantity, extendedprice, discount) per return flag,
+    computed from EXACT decimal co-moments (the input doubles carry ≤2
+    decimal places, so sums of x, x² and x·y are exact in DECIMAL(38,4) —
+    order-insensitive under any parallelism) with the float algebra
+    confined to the final r = (nΣxy − ΣxΣy) / (√(nΣxx−Σx²)·√(nΣyy−Σy²)),
+    whose every op (×, −, ÷, correctly-rounded √) is deterministic and
+    mirrored verbatim in the oracle. The built-in corr() accumulates
+    float co-moments in partition order — NOT reproducible across
+    engines or partitionings; this shape is.
+
+    Scale: ONE aggregate pass over the scan; 9 decimal sums + a count
+    per group."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    # inputs carry <=2 decimal places, so DECIMAL(18,2) is lossless and
+    # products land in DECIMAL(37,4) without precision-loss rescaling
+    dec = "decimal(38,4)"
+    cols = {
+        "q": F.col("l_quantity").cast("decimal(18,2)"),
+        "p": F.col("l_extendedprice").cast("decimal(18,2)"),
+        "d": F.col("l_discount").cast("decimal(18,2)"),
+    }
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for k, c in cols.items():
+        aggs.append(F.sum(c.cast(dec)).cast(dec).alias(f"s_{k}"))
+        aggs.append(F.sum(c * c).cast(dec).alias(f"ss_{k}"))
+    for a, b in (("q", "p"), ("q", "d"), ("p", "d")):
+        aggs.append(F.sum(cols[a] * cols[b]).cast(dec).alias(f"sp_{a}{b}"))
+    agg = lineitem.groupBy("l_returnflag").agg(*aggs)
+
+    def d(name: str):
+        # decimal -> double via the exact digit string: a direct cast
+        # double-rounds in DuckDB for >2^53 unscaled values (int128 ->
+        # double, then /10^scale) while Spark rounds once — the string
+        # parse is correctly rounded on both engines
+        return F.col(name).cast("string").cast("double")
+
+    def r(a: str, b: str):
+        n = F.col("n").cast("double")
+        sa, sb = d(f"s_{a}"), d(f"s_{b}")
+        ssa, ssb = d(f"ss_{a}"), d(f"ss_{b}")
+        sab = d(f"sp_{a}{b}")
+        return (n * sab - sa * sb) / (
+            F.sqrt(n * ssa - sa * sa) * F.sqrt(n * ssb - sb * sb)
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "n",
+        r("q", "p").alias("corr_qty_price"),
+        r("q", "d").alias("corr_qty_disc"),
+        r("p", "d").alias("corr_price_disc"),
+    )
+
+
+A21_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS s_q,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_q,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS s_p,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_p,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS s_d,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_d,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sp_qp,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sp_qd,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sp_pd
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  (CAST(n AS DOUBLE) * CAST(CAST(sp_qp AS VARCHAR) AS DOUBLE) - CAST(CAST(s_q AS VARCHAR) AS DOUBLE) * CAST(CAST(s_p AS VARCHAR) AS DOUBLE))
+    / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(ss_q AS VARCHAR) AS DOUBLE) - CAST(CAST(s_q AS VARCHAR) AS DOUBLE) * CAST(CAST(s_q AS VARCHAR) AS DOUBLE))
+       * sqrt(CAST(n AS DOUBLE) * CAST(CAST(ss_p AS VARCHAR) AS DOUBLE) - CAST(CAST(s_p AS VARCHAR) AS DOUBLE) * CAST(CAST(s_p AS VARCHAR) AS DOUBLE)))
+    AS corr_qty_price,
+  (CAST(n AS DOUBLE) * CAST(CAST(sp_qd AS VARCHAR) AS DOUBLE) - CAST(CAST(s_q AS VARCHAR) AS DOUBLE) * CAST(CAST(s_d AS VARCHAR) AS DOUBLE))
+    / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(ss_q AS VARCHAR) AS DOUBLE) - CAST(CAST(s_q AS VARCHAR) AS DOUBLE) * CAST(CAST(s_q AS VARCHAR) AS DOUBLE))
+       * sqrt(CAST(n AS DOUBLE) * CAST(CAST(ss_d AS VARCHAR) AS DOUBLE) - CAST(CAST(s_d AS VARCHAR) AS DOUBLE) * CAST(CAST(s_d AS VARCHAR) AS DOUBLE)))
+    AS corr_qty_disc,
+  (CAST(n AS DOUBLE) * CAST(CAST(sp_pd AS VARCHAR) AS DOUBLE) - CAST(CAST(s_p AS VARCHAR) AS DOUBLE) * CAST(CAST(s_d AS VARCHAR) AS DOUBLE))
+    / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(ss_p AS VARCHAR) AS DOUBLE) - CAST(CAST(s_p AS VARCHAR) AS DOUBLE) * CAST(CAST(s_p AS VARCHAR) AS DOUBLE))
+       * sqrt(CAST(n AS DOUBLE) * CAST(CAST(ss_d AS VARCHAR) AS DOUBLE) - CAST(CAST(s_d AS VARCHAR) AS DOUBLE) * CAST(CAST(s_d AS VARCHAR) AS DOUBLE)))
+    AS corr_price_disc
+FROM m
+"""
+
+
+def w11_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11 (extension): relative-rank window suite — percent_rank,
+    cume_dist and quartile (ntile) of each order's total price within
+    its customer's market segment. Rank-based, so every output is a
+    ratio of exact integer positions — deterministic on any engine
+    (ties resolved by the (price, orderkey) total order).
+
+    Scale: one segment-key window shuffle; segments are few but large —
+    at extreme skew pre-aggregate or bucket by (segment, price range)
+    first. The customer dim joins broadcast."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    seg = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == customer["c_custkey"],
+    )
+    w = W.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    return seg.select(
+        "o_orderkey",
+        "c_mktsegment",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+W11_ORACLE = """
+SELECT o_orderkey, c_mktsegment, o_totalprice,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume_dist,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM orders JOIN customer ON o_custkey = c_custkey
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+RANK_ITERS = 2
+RANK_DAMP = "0.85"
+
+
+def g1_bipartite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: iterative rank propagation over the customer→supplier
+    purchase graph (PageRank's update rule, {RANK_ITERS} rounds on the
+    bipartite edge set from lineitem⋈orders): supplier_rank = 0.15 +
+    {RANK_DAMP}·Σ cust_rank/outdeg, then customers re-score from
+    supplier ranks the same way. Float sums over a graph are
+    order-dependent, so each node folds its contributions in SORTED
+    neighbor order (collect_list → array_sort → one fold) — bit-stable
+    under any partitioning, and mirrored by the oracle's ordered
+    list_sum.
+
+    Scale: each round is one edge-key join + one node aggregate (the
+    iterative-join pattern of dup_clusters); the sorted per-node fold is
+    O(degree log degree) — for power-law hubs pre-aggregate partial
+    sums per (node, salt) in fixed salt order. Rounds are a fixed small
+    constant, composed lazily — no driver loop state."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    edges = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+        )
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+    )
+    cust_out = edges.groupBy("cust").agg(F.count("*").alias("c_deg"))
+    supp_out = edges.groupBy("supp").agg(F.count("*").alias("s_deg"))
+    damp = F.lit(float(RANK_DAMP))
+
+    def fold_sorted(contrib_col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(contrib_col)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # round 1: uniform cust_rank = 1.0 -> suppliers
+    e1 = edges.join(cust_out, "cust").select(
+        "supp",
+        F.struct(
+            F.col("cust").alias("k"),
+            (F.lit(1.0) / F.col("c_deg").cast("double")).alias("v"),
+        ).alias("contrib"),
+    )
+    s_rank = e1.groupBy("supp").agg(
+        (
+            F.lit(0.15)
+            + damp * F.aggregate(
+                F.array_sort(F.collect_list("contrib")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["v"],
+            )
+        ).alias("s_rank")
+    )
+    # round 2: suppliers -> customers
+    e2 = (
+        edges.join(s_rank, "supp")
+        .join(supp_out, "supp")
+        .select(
+            "cust",
+            F.struct(
+                F.col("supp").alias("k"),
+                (F.col("s_rank") / F.col("s_deg").cast("double")).alias("v"),
+            ).alias("contrib"),
+        )
+    )
+    c_rank = e2.groupBy("cust").agg(
+        (
+            F.lit(0.15)
+            + damp * F.aggregate(
+                F.array_sort(F.collect_list("contrib")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["v"],
+            )
+        ).alias("cust_rank")
+    )
+    return c_rank.select(F.col("cust").alias("custkey"), "cust_rank")
+
+
+G1_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), cdeg AS (
+  SELECT cust, count(*) AS c_deg FROM edges GROUP BY 1
+), sdeg AS (
+  SELECT supp, count(*) AS s_deg FROM edges GROUP BY 1
+), srank AS (
+  SELECT supp,
+         CAST(0.15 AS DOUBLE) + CAST({RANK_DAMP} AS DOUBLE)
+           * list_sum(list(CAST(1.0 AS DOUBLE) / CAST(c_deg AS DOUBLE)
+                           ORDER BY cust)) AS s_rank
+  FROM edges JOIN cdeg USING (cust)
+  GROUP BY supp
+), crank AS (
+  SELECT cust,
+         CAST(0.15 AS DOUBLE) + CAST({RANK_DAMP} AS DOUBLE)
+           * list_sum(list(s_rank / CAST(s_deg AS DOUBLE) ORDER BY supp))
+           AS cust_rank
+  FROM edges JOIN srank USING (supp) JOIN sdeg USING (supp)
+  GROUP BY cust
+)
+SELECT cust AS custkey, cust_rank FROM crank
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -2642,6 +2944,10 @@ QUERIES = {
     "x7_zorder_layout": x7_zorder_layout,
     "w9_cohort_retention": w9_cohort_retention,
     "w10_markov_transitions": w10_markov_transitions,
+    "a20_equidepth_histogram": a20_equidepth_histogram,
+    "a21_pearson_corr": a21_pearson_corr,
+    "w11_rank_suite": w11_rank_suite,
+    "g1_bipartite_rank": g1_bipartite_rank,
     "u4_union_schema_evolution": u4_union_schema_evolution,
     "a18_stat_moments": a18_stat_moments,
     "j13_nullsafe_join": j13_nullsafe_join,
@@ -2708,6 +3014,10 @@ ORACLES = {
     "x7_zorder_layout": _zorder_oracle,
     "w9_cohort_retention": W9_ORACLE,
     "w10_markov_transitions": W10_ORACLE,
+    "a20_equidepth_histogram": _equidepth_oracle,
+    "a21_pearson_corr": A21_ORACLE,
+    "w11_rank_suite": W11_ORACLE,
+    "g1_bipartite_rank": G1_ORACLE,
     "u4_union_schema_evolution": U4_ORACLE,
     "a18_stat_moments": A18_ORACLE,
     "j13_nullsafe_join": J13_ORACLE,
