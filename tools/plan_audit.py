@@ -60,6 +60,10 @@ WHITELIST: dict[str, set[str]] = {
     #   TakeOrdered top-COV_TOPK rows only (k-row task, never a global sort)
     "tp_temperature_mix": {"ONE_PART"},  # 1-row normalizer aggregate over
     #   the tiny per-source count table, broadcast back
+    "g1_bipartite_rank": {"SMJ"},        # lineitem⋈orders edge derivation —
+    #   both sides row-scale, a genuine shuffle join (j4/j11 family)
+    "tp_dsir_weights": {"ONE_PART"},     # 1-row corpus-totals aggregate,
+    #   broadcast back into the per-token ratio (tfidf precedent)
 
 }
 

@@ -69,6 +69,8 @@ _PRIORITY = (
     "a21_pearson_corr",  # exact-comoment Pearson matrix
     "w11_rank_suite",  # percent_rank/cume_dist/ntile
     "g1_bipartite_rank",  # iterative rank propagation
+    "tp_dsir_weights",  # DSIR importance-resampling weights
+    "sim_label_centroids",  # class-prototype mean embeddings
     # round-5 semantics/plan changes needing fresh driver verification
     "dd_containment",  # stop-shingle df cap added (oracle mirrored)
     "tp_rag_pipeline",  # chunk embedding via explode->groupBy

@@ -5023,6 +5023,162 @@ FROM pred p JOIN e t ON p.query_id = t.vec_id
 """
 
 
+DSIR_TARGET_LANG = "en"
+
+
+def tp_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: DSIR-style importance-resampling weights — score every
+    document by how target-like its unigram distribution is (Xie et al.,
+    'Data Selection for Language Models via Importance Resampling'):
+    weight(doc) = Π over its token stream of
+    (c_target(w)+1)·(N_corpus+V) / ((c_corpus(w)+1)·(N_target+V)),
+    the add-1-smoothed likelihood ratio between the target domain (lang
+    '{DSIR_TARGET_LANG}') and the whole corpus. No logarithms (ln is
+    not correctly rounded cross-engine): each token contributes ONE
+    double division of exact bigint products, and the per-doc product
+    folds in token-POSITION order on both engines — bit-stable.
+
+    Scale: two word-count aggregates + one token join (row-scale, the
+    tfidf shape) + one doc-key reassembly; global totals ride 1-row
+    broadcast aggregates, never a driver collect."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.posexplode(tokenize("text")).alias("pos", "w")
+    )
+    corpus_counts = toks.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("c_c"),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("bigint"))
+        .cast("bigint")
+        .alias("c_t"),
+    )
+    totals = corpus_counts.agg(
+        F.sum("c_c").cast("bigint").alias("n_c"),
+        F.sum("c_t").cast("bigint").alias("n_t"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    ratio = (
+        ((F.col("c_t") + 1) * (F.col("n_c") + F.col("v"))).cast("double")
+        / ((F.col("c_c") + 1) * (F.col("n_t") + F.col("v"))).cast("double")
+    )
+    scored = (
+        toks.join(corpus_counts, "w")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", "pos", ratio.alias("r"))
+    )
+    folded = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("r")))),
+            F.lit(1.0),
+            lambda acc, x: acc * x["r"],
+        ).alias("dsir_weight"),
+    )
+    return folded.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_weight",
+        (F.col("dsir_weight") > F.lit(1.0)).alias("target_like"),
+    )
+
+
+TP_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, u.pos AS pos, u.w AS w
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(t) + 1),
+                                 i -> struct_pack(pos := i - 1, w := t[i])))
+             AS u
+    FROM (SELECT doc_id, lang, {_TOKENS} AS t FROM documents)
+  )
+), counts AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c_c,
+         CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_t
+  FROM toks GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c_c) AS BIGINT) AS n_c, CAST(sum(c_t) AS BIGINT) AS n_t,
+         CAST(count(*) AS BIGINT) AS v
+  FROM counts
+), scored AS (
+  SELECT t.doc_id, t.pos,
+         CAST((c.c_t + 1) * (n_c + v) AS DOUBLE)
+           / CAST((c.c_c + 1) * (n_t + v) AS DOUBLE) AS r
+  FROM toks t JOIN counts c USING (w), tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                                list(r ORDER BY pos)),
+                   (acc, x) -> acc * x) AS dsir_weight,
+       list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                                list(r ORDER BY pos)),
+                   (acc, x) -> acc * x) > 1.0 AS target_like
+FROM scored
+GROUP BY doc_id
+"""
+
+
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM: per-label centroid (class prototype) computation — the mean
+    embedding per label and dimension, the prototype step behind
+    nearest-class-mean classifiers, prototype networks and centroid
+    seeding. Float addition is order-dependent, so each (label, dim)
+    cell folds its components in vec_id order (collect → sort → one
+    fold), mirrored by the oracle's ordered list_sum — bit-stable under
+    any partitioning; mean is one further double division.
+
+    Scale: posexplode fans out to rows × dim, then ONE (label, dim)
+    aggregate; per-cell lists grow with class size — for 100 TB swap
+    the sorted fold for a two-level fixed-boundary tree reduction
+    (partial folds per vec_id range, then fold the partials in range
+    order)."""
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "val"
+        ),
+    )
+    agg = comp.groupBy("label", "dim").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("vec_id"), F.col("val")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["val"],
+        ).alias("s"),
+    )
+    return agg.select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        "n_vecs",
+        (F.col("s") / F.col("n_vecs").cast("double")).alias("centroid"),
+    )
+
+
+SIM_CENTROID_ORACLE = """
+WITH comp AS (
+  SELECT label, vec_id, u.dim, u.val
+  FROM (
+    SELECT label, vec_id,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                                 i -> struct_pack(dim := i - 1,
+                                                  val := CAST(embedding[i] AS DOUBLE))))
+             AS u
+    FROM embeddings
+  )
+), agg AS (
+  SELECT label, CAST(dim AS INTEGER) AS dim,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         list_sum(list(val ORDER BY vec_id)) AS s
+  FROM comp GROUP BY 1, 2
+)
+SELECT label, dim, n_vecs, s / CAST(n_vecs AS DOUBLE) AS centroid
+FROM agg
+"""
+
+
 QUERIES = {
     "dd_exact_dedup": dd_exact_dedup,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -5108,6 +5264,8 @@ QUERIES = {
     "tp_tokenizer_fertility": tp_tokenizer_fertility,
     "dd_prefix_clusters": dd_prefix_clusters,
     "sim_knn_accuracy": sim_knn_accuracy,
+    "tp_dsir_weights": tp_dsir_weights,
+    "sim_label_centroids": sim_label_centroids,
     "dd_semantic_dedup": dd_semantic_dedup,
     "tp_shard_shuffle": tp_shard_shuffle,
     "ts_bigram_commonality": ts_bigram_commonality,
@@ -5199,6 +5357,8 @@ ORACLES = {
     "tp_tokenizer_fertility": TP_FERTILITY_ORACLE,
     "dd_prefix_clusters": DD_PREFIX_ORACLE,
     "sim_knn_accuracy": SIM_KNN_ORACLE,
+    "tp_dsir_weights": TP_DSIR_ORACLE,
+    "sim_label_centroids": SIM_CENTROID_ORACLE,
     "dd_semantic_dedup": DD_SEMANTIC_ORACLE,
     "tp_shard_shuffle": TP_SHARD_ORACLE,
     "ts_bigram_commonality": TS_BIGRAM_ORACLE,
