@@ -64,6 +64,8 @@ WHITELIST: dict[str, set[str]] = {
     #   both sides row-scale, a genuine shuffle join (j4/j11 family)
     "tp_dsir_weights": {"ONE_PART"},     # 1-row corpus-totals aggregate,
     #   broadcast back into the per-token ratio (tfidf precedent)
+    "a22_copurchase_lift": {"ONE_PART"},  # 1-row basket-count aggregate,
+    #   broadcast into support/lift denominators
 
 }
 

@@ -71,6 +71,8 @@ _PRIORITY = (
     "g1_bipartite_rank",  # iterative rank propagation
     "tp_dsir_weights",  # DSIR importance-resampling weights
     "sim_label_centroids",  # class-prototype mean embeddings
+    "a22_copurchase_lift",  # market-basket pair mining
+    "p8_winsorize",  # percentile outlier clipping
     # round-5 semantics/plan changes needing fresh driver verification
     "dd_containment",  # stop-shingle df cap added (oracle mirrored)
     "tp_rag_pipeline",  # chunk embedding via explode->groupBy

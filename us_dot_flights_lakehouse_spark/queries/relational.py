@@ -2883,6 +2883,157 @@ SELECT cust AS custkey, cust_rank FROM crank
 """
 
 
+def a22_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22: frequent-pair mining (market-basket lift) — for every pair
+    of parts appearing in the same order, the co-occurrence count,
+    support and lift vs independence. Pair generation happens INSIDE the
+    per-order array (sorted distinct items → nested-transform pair
+    expansion, O(k²) with basket-sized k) — no self-join of the line
+    table, so the only shuffles are the order-key collect and the tiny
+    (a, b) count aggregate. Counts are exact bigints; support and lift
+    are single double divisions — bit-stable.
+
+    Scale: basket arrays are order-sized; a degenerate 10⁶-item basket
+    would need the self-join form — guard with a basket-size cap
+    upstream. Item totals join broadcast; the corpus total rides a 1-row
+    broadcast aggregate."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("items"),
+                            i + 2,
+                            F.greatest(F.size("items") - i - 1, F.lit(0)),
+                        ),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+    pair_counts = pairs.groupBy("part_a", "part_b").agg(
+        F.count("*").cast("bigint").alias("n_both")
+    )
+    item_counts = baskets.select(
+        F.explode("items").alias("part")
+    ).groupBy("part").agg(F.count("*").cast("bigint").alias("n_item"))
+    totals = baskets.agg(F.count("*").cast("bigint").alias("n_orders"))
+    joined = (
+        pair_counts.filter(F.col("n_both") >= 2)
+        .join(
+            item_counts.select(
+                F.col("part").alias("part_a"), F.col("n_item").alias("n_a")
+            ),
+            "part_a",
+        )
+        .join(
+            item_counts.select(
+                F.col("part").alias("part_b"), F.col("n_item").alias("n_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    return joined.select(
+        "part_a",
+        "part_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        (F.col("n_both").cast("double") / F.col("n_orders").cast("double")).alias(
+            "support"
+        ),
+        (
+            (F.col("n_both") * F.col("n_orders")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("lift"),
+    )
+
+
+A22_ORACLE = """
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS items
+  FROM lineitem GROUP BY 1
+), pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b
+  FROM (SELECT l_orderkey, unnest(items) AS part FROM baskets) a
+  JOIN (SELECT l_orderkey, unnest(items) AS part FROM baskets) b
+    ON a.l_orderkey = b.l_orderkey AND a.part < b.part
+), pc AS (
+  SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+), ic AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS n_item
+  FROM (SELECT l_orderkey, unnest(items) AS part FROM baskets) GROUP BY 1
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM baskets)
+SELECT part_a, part_b, n_both,
+       ia.n_item AS n_a, ib.n_item AS n_b,
+       CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+       CAST(n_both * n_orders AS DOUBLE)
+         / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+FROM pc
+JOIN ic ia ON pc.part_a = ia.part
+JOIN ic ib ON pc.part_b = ib.part, tot
+"""
+
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def p8_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 (extension): percentile winsorization — clip l_extendedprice
+    to its per-return-flag [p{int(WINSOR_LO * 100)}, p{int(WINSOR_HI * 100)}]
+    range: the outlier treatment feature pipelines apply before scaling.
+    Boundaries come from ONE exact interpolated-percentile aggregate
+    (a11 path, bit-stable) broadcast back over the scan; clipping is
+    least/greatest — no second sort, no window.
+
+    Scale: one 3-row aggregate + broadcast join + scan-local clamp."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    bounds = lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit([WINSOR_LO, WINSOR_HI])).alias("bd")
+    ).select(
+        "l_returnflag",
+        F.col("bd")[0].alias("lo"),
+        F.col("bd")[1].alias("hi"),
+    )
+    joined = lineitem.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    ).join(F.broadcast(bounds), "l_returnflag")
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        clipped.alias("price_winsorized"),
+        (clipped != F.col("l_extendedprice")).alias("was_clipped"),
+    )
+
+
+P8_ORACLE = f"""
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, {WINSOR_LO}) AS lo,
+         quantile_cont(l_extendedprice, {WINSOR_HI}) AS hi
+  FROM lineitem GROUP BY 1
+)
+SELECT l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice,
+       least(greatest(l_extendedprice, lo), hi) AS price_winsorized,
+       least(greatest(l_extendedprice, lo), hi) != l_extendedprice
+         AS was_clipped
+FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -2948,6 +3099,8 @@ QUERIES = {
     "a21_pearson_corr": a21_pearson_corr,
     "w11_rank_suite": w11_rank_suite,
     "g1_bipartite_rank": g1_bipartite_rank,
+    "a22_copurchase_lift": a22_copurchase_lift,
+    "p8_winsorize": p8_winsorize,
     "u4_union_schema_evolution": u4_union_schema_evolution,
     "a18_stat_moments": a18_stat_moments,
     "j13_nullsafe_join": j13_nullsafe_join,
@@ -3018,6 +3171,8 @@ ORACLES = {
     "a21_pearson_corr": A21_ORACLE,
     "w11_rank_suite": W11_ORACLE,
     "g1_bipartite_rank": G1_ORACLE,
+    "a22_copurchase_lift": A22_ORACLE,
+    "p8_winsorize": P8_ORACLE,
     "u4_union_schema_evolution": U4_ORACLE,
     "a18_stat_moments": A18_ORACLE,
     "j13_nullsafe_join": J13_ORACLE,
