@@ -52,7 +52,18 @@ def timed(label, df):
 
 def main():
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = sys.argv[2] if len(sys.argv) > 2 else None
     spark = get_spark("stress")
+    if only == "round5":
+        docs1 = scaled(spark, "documents", 1, "doc_id").cache()
+        docsN = scaled(spark, "documents", factor, "doc_id").cache()
+        docs1.count(); docsN.count()
+        emb1 = scaled(spark, "embeddings", 1, "vec_id").cache()
+        embN = scaled(spark, "embeddings", factor, "vec_id").cache()
+        emb1.count(); embN.count()
+        round5_families(spark, docs1, docsN, emb1, embN, factor)
+        spark.stop()
+        return
 
     from us_dot_flights_lakehouse_spark.llm.dedup import (
         exact_dedup_groups,
@@ -263,8 +274,211 @@ def main():
     print(f"scd2_changelog: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
 
     round4_families(spark, docs1, docsN, emb1, embN, factor)
+    round5_families(spark, docs1, docsN, emb1, embN, factor)
     skew_bench(spark)
     spark.stop()
+
+
+def round5_families(spark, docs1, docsN, emb1, embN, factor):
+    """Round-5 families at Nx: inverted-index novelty, DSIR token join +
+    ordered product fold, char-Gini run-length fold, span-corruption
+    block gates, patch/channel image kernels, kNN vote, label centroids,
+    cohort retention and Markov transitions (events)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from us_dot_flights_lakehouse_spark.functions.text import (
+        hash28,
+        shingles,
+        tokenize,
+    )
+    from us_dot_flights_lakehouse_spark.llm import multimodal, similarity
+
+    # ts_novel_ngrams shape: shingle df index + join back
+    def novelty(d):
+        doc_sh = d.select(
+            "doc_id", F.explode(shingles(tokenize("text"), 3)).alias("sh")
+        )
+        dfc = doc_sh.groupBy("sh").agg(F.count("*").alias("df"))
+        return doc_sh.join(dfc, "sh").groupBy("doc_id").agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("df") == 1).cast("long")).alias("novel"),
+        )
+
+    # tp_dsir_weights shape: token counts + totals + position-ordered fold
+    def dsir(d):
+        toks = d.select(
+            "doc_id", "lang", F.posexplode(tokenize("text")).alias("pos", "w")
+        )
+        counts = toks.groupBy("w").agg(
+            F.count("*").alias("c_c"),
+            F.sum((F.col("lang") == "en").cast("long")).alias("c_t"),
+        )
+        totals = counts.agg(
+            F.sum("c_c").alias("n_c"), F.sum("c_t").alias("n_t"),
+            F.count("*").alias("v"),
+        )
+        ratio = (
+            ((F.col("c_t") + 1) * (F.col("n_c") + F.col("v"))).cast("double")
+            / ((F.col("c_c") + 1) * (F.col("n_t") + F.col("v"))).cast("double")
+        )
+        scored = toks.join(counts, "w").crossJoin(F.broadcast(totals)).select(
+            "doc_id", "pos", ratio.alias("r")
+        )
+        return scored.groupBy("doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("pos", "r"))),
+                F.lit(1.0),
+                lambda acc, x: acc * x["r"],
+            ).alias("w")
+        )
+
+    # ts_char_gini shape: run-length fold over sorted chars
+    def gini(d):
+        s = F.regexp_replace(F.lower(F.col("text")), r"\s+", "")
+        chars = F.array_sort(F.split(s, ""))
+        init = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("sumsq"),
+        )
+        sumsq = F.aggregate(
+            chars,
+            init,
+            lambda acc, x: F.when(
+                x == acc["prev"],
+                F.struct(
+                    acc["prev"].alias("prev"),
+                    (acc["run"] + 1).alias("run"),
+                    acc["sumsq"].alias("sumsq"),
+                ),
+            ).otherwise(
+                F.struct(
+                    x.alias("prev"),
+                    F.lit(1).cast("long").alias("run"),
+                    (acc["sumsq"] + acc["run"] * acc["run"]).alias("sumsq"),
+                )
+            ),
+            lambda acc: acc["sumsq"] + acc["run"] * acc["run"],
+        )
+        return d.select("doc_id", sumsq.alias("sq"))
+
+    # tp_span_corruption shape: block-indexed hash gates
+    def spanc(d):
+        toks = tokenize("text")
+        did = F.col("doc_id").cast("string")
+        n = F.size(toks)
+        nb = F.ceil(n / F.lit(3)).cast("int")
+        gates = F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda b: F.pmod(
+                hash28(F.concat(F.lit("sc:"), did, F.lit(":"), b.cast("string"))),
+                F.lit(5),
+            )
+            == 0,
+        )
+        return d.select("doc_id", F.size(F.filter(gates, lambda x: x)).alias("ns"))
+
+    for label, fn in (
+        ("novel_ngrams", novelty),
+        ("dsir_weights", dsir),
+        ("char_gini", gini),
+        ("span_gates", spanc),
+    ):
+        t1 = timed(f"{label}@1x", fn(docs1))
+        tN = timed(f"{label}@{factor}x", fn(docsN))
+        print(f"{label}: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
+
+    # mm_patchify / mm_image_norm shape: synth -> Arrow kernels
+    def synth_imgs(d):
+        def synth(batches):
+            rr = np.arange(32)[:, None] // 4
+            cc = np.arange(32)[None, :] // 4
+            for pdf in batches:
+                rows = [
+                    (int(x), 32, 32, "L",
+                     ((37 * (int(x) % 16) + 3 * rr + 5 * cc) % 256)
+                     .astype(np.uint8).tobytes())
+                    for x in pdf["doc_id"]
+                ]
+                yield pd.DataFrame(
+                    rows, columns=["id", "width", "height", "mode", "pixels"]
+                )
+
+        return d.select("doc_id").mapInPandas(
+            synth, schema=multimodal.DECODED_IMAGE_SCHEMA
+        )
+
+    for label, op in (
+        ("patchify", lambda d: multimodal.patchify_stats(synth_imgs(d), patch=8)),
+        ("channel_sums", lambda d: multimodal.channel_sums(synth_imgs(d))),
+    ):
+        t1 = timed(f"{label}@1x", op(docs1))
+        tN = timed(f"{label}@{factor}x", op(docsN))
+        print(f"{label}: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
+
+    # sim_knn_accuracy shape: brute-force vote (query count fixed)
+    def knn(e):
+        qs = e.orderBy("vec_id").limit(8)
+        topk = similarity.cosine_topk(e, qs, k=5)
+        labels = e.select("vec_id", "label")
+        votes = topk.join(
+            labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        ).groupBy("query_id", "label").agg(F.count("*").alias("n"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("n"), F.asc("label"))
+        return votes.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") == 1
+        )
+
+    # sim_label_centroids shape: ordered per-cell folds
+    def centroids(e):
+        comp = e.select(
+            "label", "vec_id",
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("dim", "val"),
+        )
+        return comp.groupBy("label", "dim").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["val"],
+            ).alias("s")
+        )
+
+    for label, fn in (("knn_vote", knn), ("label_centroids", centroids)):
+        t1 = timed(f"{label}@1x", fn(emb1))
+        tN = timed(f"{label}@{factor}x", fn(embN))
+        print(f"{label}: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
+
+    # w9/w10 shapes over events
+    ev1 = scaled(spark, "events", 1, "event_id").cache()
+    evN = scaled(spark, "events", factor, "event_id").cache()
+    ev1.count(); evN.count()
+
+    def cohort(ev):
+        wk = F.date_trunc("week", F.col("ts")).cast("date")
+        firsts = ev.groupBy("user_id").agg(
+            F.date_trunc("week", F.min("ts")).cast("date").alias("cw")
+        )
+        active = ev.select("user_id", wk.alias("aw")).distinct()
+        return active.join(firsts, "user_id").groupBy(
+            "cw", (F.datediff("aw", "cw") / 7).cast("int").alias("off")
+        ).agg(F.count("*").alias("n"))
+
+    def markov(ev):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        ).filter(F.col("nxt").isNotNull())
+        return pairs.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+
+    for label, fn in (("cohort_retention", cohort), ("markov_transitions", markov)):
+        t1 = timed(f"{label}@1x", fn(ev1))
+        tN = timed(f"{label}@{factor}x", fn(evN))
+        print(f"{label}: growth {tN / t1:.1f}x at {factor}x rows", flush=True)
 
 
 def round4_families(spark, docs1, docsN, emb1, embN, factor):
