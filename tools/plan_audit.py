@@ -66,6 +66,10 @@ WHITELIST: dict[str, set[str]] = {
     #   broadcast back into the per-token ratio (tfidf precedent)
     "a22_copurchase_lift": {"ONE_PART"},  # 1-row basket-count aggregate,
     #   broadcast into support/lift denominators
+    "dd_cluster_keep_best": {"SMJ"},     # label-propagation joins over the
+    #   pair graph (dd_dup_clusters family)
+    "tp_mixture_epochs": {"ONE_PART"},   # 1-row sqrt-normalizer aggregate
+    #   over the tiny per-source table (tp_temperature_mix family)
 
 }
 

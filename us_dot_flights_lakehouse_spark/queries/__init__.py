@@ -73,6 +73,9 @@ _PRIORITY = (
     "sim_label_centroids",  # class-prototype mean embeddings
     "a22_copurchase_lift",  # market-basket pair mining
     "p8_winsorize",  # percentile outlier clipping
+    "src_binary_ingest",  # binaryFile-format blob scan
+    "dd_cluster_keep_best",  # quality-aware dedup keeper
+    "tp_mixture_epochs",  # per-source epoch schedule
     # round-5 semantics/plan changes needing fresh driver verification
     "dd_containment",  # stop-shingle df cap added (oracle mirrored)
     "tp_rag_pipeline",  # chunk embedding via explode->groupBy

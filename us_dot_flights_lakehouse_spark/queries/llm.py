@@ -5179,6 +5179,198 @@ FROM agg
 """
 
 
+BIN_N_FILES = 200
+
+
+def src_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC: binary-file source — ingest a directory of raw binary blobs
+    through Spark's ``binaryFile`` format (the standard entry point for
+    image/audio corpora: one row per file with path, length, content),
+    recover the record id from the file path, and emit length + content
+    md5. The fixture files are synthesized deterministically from doc_id
+    (payload byte j = (doc_id·7 + j) mod 256, length doc_id mod 50 + 10)
+    so the oracle states every file's digest in closed form — any
+    truncation or corruption in the scan hash-fails.
+
+    Scale: binaryFile scans parallelize per file and prune with
+    pathGlobFilter; for small-file corpora at 100 TB, compact into
+    WebDataset shards (src_wds_roundtrip) instead."""
+    import os
+    import tempfile
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"{tempfile.gettempdir()}/us_dot_bin_{sf_tag}_v1"
+    if not os.path.isdir(out):  # deterministic fixture, write-once
+        tmp = out + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        for d in range(BIN_N_FILES):
+            payload = bytes((d * 7 + j) % 256 for j in range(d % 50 + 10))
+            with open(f"{tmp}/doc_{d:05d}.bin", "wb") as fh:
+                fh.write(payload)
+        os.rename(tmp, out)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+    )
+    doc_id = F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1).cast("long")
+    # only ids present in the documents table (sf0.001 has < BIN_N_FILES)
+    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
+    return (
+        back.select(
+            doc_id.alias("doc_id"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .join(docs, "doc_id")
+    )
+
+
+def _binary_oracle() -> str:
+    import hashlib
+
+    rows = []
+    for d in range(BIN_N_FILES):
+        payload = bytes((d * 7 + j) % 256 for j in range(d % 50 + 10))
+        rows.append(f"({d}, {len(payload)}, '{hashlib.md5(payload).hexdigest()}')")
+    values = ",\n".join(rows)
+    return f"""
+WITH fixture(doc_id, n_bytes, content_md5) AS (VALUES {values})
+SELECT d.doc_id, CAST(f.n_bytes AS BIGINT) AS n_bytes, f.content_md5
+FROM fixture f JOIN documents d ON f.doc_id = d.doc_id
+"""
+
+
+def dd_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD: quality-aware keeper selection — resolve MinHash-LSH near-dup
+    pairs to connected components (``curation.dup_clusters``), then keep
+    the HIGHEST-QUALITY member of each cluster (longest text, doc_id
+    tiebreak) instead of the arbitrary min-id: the curation policy real
+    pipelines want ('keep the canonical page, drop the truncated
+    scrapes'). Composes three families — LSH pair mining, iterative
+    component resolution, and per-cluster argmax.
+
+    Scale: pair mining is LSH-bucketed; components iterate only the pair
+    graph; the argmax is one cluster-key window over cluster-sized
+    partitions."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+    labels = curation.dup_clusters(docs.select("doc_id"), pairs)
+    member = labels.withColumnRenamed("node", "doc_id").join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = member.withColumn("rk", F.row_number().over(w))
+    keepers = ranked.filter(F.col("rk") == 1).select(
+        "cluster_id", F.col("doc_id").alias("keeper_id")
+    )
+    return ranked.join(keepers, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_chars",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("keep"),
+    )
+
+
+DD_KEEPBEST_ORACLE = f"""
+WITH RECURSIVE pairs AS ({DD_MINHASH_ORACLE}),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+labels AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+),
+member AS (
+  SELECT l.doc_id, l.cluster_id, d.n_chars,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n_chars DESC, l.doc_id ASC) AS rk
+  FROM labels l JOIN documents d USING (doc_id)
+),
+keepers AS (
+  SELECT cluster_id, doc_id AS keeper_id FROM member WHERE rk = 1
+)
+SELECT m.doc_id, m.cluster_id, m.n_chars, k.keeper_id,
+       m.doc_id = k.keeper_id AS keep
+FROM member m JOIN keepers k USING (cluster_id)
+"""
+
+
+EPOCH_TOKEN_BUDGET = 1_000_000
+
+
+def tp_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: per-source epoch schedule — given a total training token
+    budget and the temperature-scaled mix weights (tp_temperature_mix's
+    α=0.5 rule), how many PASSES over each source its share implies:
+    epochs = budget·weight / source_tokens, reported with the ceiling
+    epoch count a repeat-based loader would materialize. The LLaMA-style
+    data-recipe table ('books ×2.4, code ×0.6').
+
+    Scale: one per-source aggregate; the normalizer folds per-source
+    sqrt terms in source order (bit-stable, as tp_temperature_mix); the
+    division chain is double-deterministic."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokenize("text"))).cast("bigint").alias("src_tokens"),
+    )
+    norm = src.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("source", "n_docs"))),
+                lambda s: F.sqrt(s["n_docs"].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("z")
+    )
+    weight = F.sqrt(F.col("n_docs").cast("double")) / F.col("z")
+    epochs = (
+        F.lit(float(EPOCH_TOKEN_BUDGET)) * weight
+        / F.col("src_tokens").cast("double")
+    )
+    return src.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        weight.alias("mix_weight"),
+        epochs.alias("epochs"),
+        F.ceil(epochs).cast("bigint").alias("epochs_ceil"),
+    )
+
+
+TP_EPOCHS_ORACLE = f"""
+WITH src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKENS})) AS BIGINT) AS src_tokens
+  FROM documents GROUP BY 1
+), norm AS (
+  SELECT list_sum(list_transform(
+           list(struct_pack(s := source, n := n_docs) ORDER BY source),
+           e -> sqrt(CAST(e.n AS DOUBLE)))) AS z
+  FROM src
+)
+SELECT source, n_docs, src_tokens,
+       sqrt(CAST(n_docs AS DOUBLE)) / z AS mix_weight,
+       CAST({EPOCH_TOKEN_BUDGET} AS DOUBLE) * (sqrt(CAST(n_docs AS DOUBLE)) / z)
+         / CAST(src_tokens AS DOUBLE) AS epochs,
+       CAST(ceil(CAST({EPOCH_TOKEN_BUDGET} AS DOUBLE)
+                 * (sqrt(CAST(n_docs AS DOUBLE)) / z)
+                 / CAST(src_tokens AS DOUBLE)) AS BIGINT) AS epochs_ceil
+FROM src, norm
+"""
+
+
 QUERIES = {
     "dd_exact_dedup": dd_exact_dedup,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -5266,6 +5458,9 @@ QUERIES = {
     "sim_knn_accuracy": sim_knn_accuracy,
     "tp_dsir_weights": tp_dsir_weights,
     "sim_label_centroids": sim_label_centroids,
+    "src_binary_ingest": src_binary_ingest,
+    "dd_cluster_keep_best": dd_cluster_keep_best,
+    "tp_mixture_epochs": tp_mixture_epochs,
     "dd_semantic_dedup": dd_semantic_dedup,
     "tp_shard_shuffle": tp_shard_shuffle,
     "ts_bigram_commonality": ts_bigram_commonality,
@@ -5359,6 +5554,9 @@ ORACLES = {
     "sim_knn_accuracy": SIM_KNN_ORACLE,
     "tp_dsir_weights": TP_DSIR_ORACLE,
     "sim_label_centroids": SIM_CENTROID_ORACLE,
+    "src_binary_ingest": _binary_oracle,
+    "dd_cluster_keep_best": DD_KEEPBEST_ORACLE,
+    "tp_mixture_epochs": TP_EPOCHS_ORACLE,
     "dd_semantic_dedup": DD_SEMANTIC_ORACLE,
     "tp_shard_shuffle": TP_SHARD_ORACLE,
     "ts_bigram_commonality": TS_BIGRAM_ORACLE,
