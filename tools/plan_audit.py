@@ -70,6 +70,8 @@ WHITELIST: dict[str, set[str]] = {
     #   pair graph (dd_dup_clusters family)
     "tp_mixture_epochs": {"ONE_PART"},   # 1-row sqrt-normalizer aggregate
     #   over the tiny per-source table (tp_temperature_mix family)
+    "q_referential_integrity": {"ONE_PART"},  # three 1-row FK-check
+    #   aggregates unioned (q_table_stats family)
 
 }
 

@@ -76,6 +76,9 @@ _PRIORITY = (
     "src_binary_ingest",  # binaryFile-format blob scan
     "dd_cluster_keep_best",  # quality-aware dedup keeper
     "tp_mixture_epochs",  # per-source epoch schedule
+    "st_late_arrival_audit",  # watermark-tuning disorder audit
+    "st_interarrival_stats",  # dwell-time percentiles per type
+    "q_referential_integrity",  # FK orphan audit
     # round-5 semantics/plan changes needing fresh driver verification
     "dd_containment",  # stop-shingle df cap added (oracle mirrored)
     "tp_rag_pipeline",  # chunk embedding via explode->groupBy

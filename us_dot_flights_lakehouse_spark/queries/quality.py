@@ -117,5 +117,112 @@ FROM orders"""
     return rows
 
 
-QUERIES = {"q_quality_report": q_quality_report, "q_table_stats": q_table_stats}
-ORACLES = {"q_quality_report": QUALITY_ORACLE, "q_table_stats": _table_stats_oracle()}
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK orphan audit across the star schema — one row per relationship
+    with child count, orphan count (child keys with no parent row; NULL
+    keys counted separately as their own governance signal) and the
+    orphan rate. The referential-integrity report a warehouse runs after
+    every load, since distributed writers can't enforce FKs.
+
+    Scale: each check is one LEFT ANTI join (AQE broadcasts the parent
+    key projection when it fits) + a count — no row-level output."""
+    from pyspark.sql import functions as F
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+
+    def check(name, child, key, parent, pkey):
+        nn = child.filter(F.col(key).isNotNull())
+        orphans = nn.join(
+            parent.select(F.col(pkey).alias(key)), key, "left_anti"
+        )
+        return (
+            child.agg(
+                F.lit(name).alias("relationship"),
+                F.count("*").cast("bigint").alias("n_child"),
+                F.sum(F.col(key).isNull().cast("bigint"))
+                .cast("bigint")
+                .alias("n_null_keys"),
+            )
+            .crossJoin(
+                orphans.agg(F.count("*").cast("bigint").alias("n_orphans"))
+            )
+            .select(
+                "relationship",
+                "n_child",
+                "n_null_keys",
+                "n_orphans",
+                (
+                    F.col("n_orphans").cast("double")
+                    / F.col("n_child").cast("double")
+                ).alias("orphan_rate"),
+            )
+        )
+
+    checks = [
+        check("lineitem.orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        check("orders.custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+        check("customer.nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+Q_REFINT_ORACLE = """
+SELECT 'lineitem.orderkey->orders' AS relationship,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT)
+         AS n_null_keys,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE l.l_orderkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+         AS n_orphans,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE l.l_orderkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS DOUBLE)
+         / CAST((SELECT count(*) FROM lineitem) AS DOUBLE) AS orphan_rate
+UNION ALL
+SELECT 'orders.custkey->customer',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT),
+       CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS DOUBLE)
+         / CAST((SELECT count(*) FROM orders) AS DOUBLE)
+UNION ALL
+SELECT 'customer.nationkey->nation',
+       CAST((SELECT count(*) FROM customer) AS BIGINT),
+       CAST((SELECT count(*) FROM customer WHERE c_nationkey IS NULL) AS BIGINT),
+       CAST((SELECT count(*) FROM customer cu
+             WHERE cu.c_nationkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = cu.c_nationkey)) AS BIGINT),
+       CAST((SELECT count(*) FROM customer cu
+             WHERE cu.c_nationkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = cu.c_nationkey)) AS DOUBLE)
+         / CAST((SELECT count(*) FROM customer) AS DOUBLE)
+"""
+
+
+QUERIES = {
+    "q_quality_report": q_quality_report,
+    "q_table_stats": q_table_stats,
+    "q_referential_integrity": q_referential_integrity,
+}
+ORACLES = {
+    "q_quality_report": QUALITY_ORACLE,
+    "q_table_stats": _table_stats_oracle(),
+    "q_referential_integrity": Q_REFINT_ORACLE,
+}

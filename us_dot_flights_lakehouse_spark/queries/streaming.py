@@ -237,6 +237,104 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ST_DEDUP_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+LATE_GRACE_SECONDS = 600
+
+
+def st_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival audit — the batch measurement behind
+    watermark tuning: per user, how many events arrived (by ingest order
+    = event_id) with an event-time more than {LATE_GRACE_SECONDS}s
+    behind the latest event-time already seen, and the worst disorder.
+    This is the report that tells you what withWatermark delay a
+    streaming job needs before it starts dropping data.
+
+    Scale: one user-key window (running max over arrival order), then a
+    user aggregate — single shuffle."""
+    from pyspark.sql import Window as W
+
+    events = read_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max = F.max("ts").over(w)
+    disorder = F.unix_timestamp(prev_max) - F.unix_timestamp(F.col("ts"))
+    flagged = events.select(
+        "user_id",
+        F.coalesce(disorder, F.lit(0)).cast("long").alias("disorder_s"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum((F.col("disorder_s") > LATE_GRACE_SECONDS).cast("bigint"))
+        .cast("bigint")
+        .alias("n_late"),
+        F.max("disorder_s").cast("bigint").alias("max_disorder_s"),
+    )
+
+
+ST_LATE_ORACLE = f"""
+WITH d AS (
+  SELECT user_id,
+         COALESCE(date_diff('second', ts,
+                            max(ts) OVER (PARTITION BY user_id
+                                          ORDER BY event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING)), 0) AS disorder_s
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN disorder_s > {LATE_GRACE_SECONDS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(max(disorder_s) AS BIGINT) AS max_disorder_s
+FROM d GROUP BY user_id
+"""
+
+
+def st_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival (dwell-time) distribution per event type — the
+    seconds a user idles before an event of each type, summarized with
+    exact interpolated percentiles: the table that sizes session gaps
+    and engagement metrics. Gaps are integer seconds (exact); the
+    median/p90 interpolation is the a11-proven bit-stable path.
+
+    Scale: one user-key window for the lag, one type-key aggregate."""
+    from pyspark.sql import Window as W
+
+    events = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(
+        F.lag("ts").over(w)
+    )
+    gaps = events.select(
+        "event_type", gap.cast("double").alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.percentile("gap_s", F.lit(0.5)).alias("median_gap_s"),
+        F.percentile("gap_s", F.lit(0.9)).alias("p90_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+ST_INTERARRIVAL_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         CAST(date_diff('second',
+                        lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id),
+                        ts) AS DOUBLE) AS gap_s
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       quantile_cont(gap_s, 0.5) AS median_gap_s,
+       quantile_cont(gap_s, 0.9) AS p90_gap_s,
+       max(gap_s) AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "st_windowed_events": st_windowed_events,
     "st_sliding_windows": st_sliding_windows,
@@ -244,6 +342,8 @@ QUERIES = {
     "st_session_window": st_session_window,
     "st_running_totals": st_running_totals,
     "st_stream_dedup": st_stream_dedup,
+    "st_late_arrival_audit": st_late_arrival_audit,
+    "st_interarrival_stats": st_interarrival_stats,
 }
 
 ORACLES = {
@@ -253,4 +353,6 @@ ORACLES = {
     "st_session_window": ST_SESSION_WINDOW_ORACLE,
     "st_running_totals": ST_RUNNING_TOTALS_ORACLE,
     "st_stream_dedup": ST_DEDUP_ORACLE,
+    "st_late_arrival_audit": ST_LATE_ORACLE,
+    "st_interarrival_stats": ST_INTERARRIVAL_ORACLE,
 }
