@@ -72,6 +72,8 @@ WHITELIST: dict[str, set[str]] = {
     #   over the tiny per-source table (tp_temperature_mix family)
     "q_referential_integrity": {"ONE_PART"},  # three 1-row FK-check
     #   aggregates unioned (q_table_stats family)
+    "o5_benford_audit": {"ONE_PART"},    # 1-row digit-total aggregate,
+    #   broadcast into the frequency denominators
 
 }
 

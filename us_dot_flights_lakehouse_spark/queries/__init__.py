@@ -79,6 +79,9 @@ _PRIORITY = (
     "st_late_arrival_audit",  # watermark-tuning disorder audit
     "st_interarrival_stats",  # dwell-time percentiles per type
     "q_referential_integrity",  # FK orphan audit
+    "w12_ewma_smoothing",  # EWMA recurrence (Arrow kernel fold)
+    "o5_benford_audit",  # first-digit fraud audit
+    "p9_standardize",  # z-score feature scaling
     # round-5 semantics/plan changes needing fresh driver verification
     "dd_containment",  # stop-shingle df cap added (oracle mirrored)
     "tp_rag_pipeline",  # chunk embedding via explode->groupBy

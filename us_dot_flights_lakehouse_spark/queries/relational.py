@@ -3034,6 +3034,219 @@ FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
 """
 
 
+EWMA_ALPHA = 0.25  # exact binary fraction — the fold multipliers are exact
+
+
+def w12_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 (extension): exponentially-weighted moving average per user
+    over the hourly value series — the classic smoothing recurrence
+    s_t = α·x_t + (1−α)·s_{t−1} (α = {EWMA_ALPHA}, an exact binary
+    fraction so both multipliers are exact doubles, s_0 = x_0). A
+    recurrence can't be a window frame, and a Spark HOF fold that builds
+    the output array would copy the accumulator per step (O(n²) —
+    MEMORY's interpreted-HOF trap), so the series folds in a grouped-map
+    Arrow kernel: plain left-to-right IEEE double ops in hour order —
+    the exact op sequence the oracle's list_reduce performs, so results
+    are bit-identical and partition-independent.
+
+    Scale: ONE user-key shuffle into per-user groups; state is O(1) per
+    series (for years-long hot keys, chunk by month and carry the
+    chunk-final state forward)."""
+    import pandas as pd
+
+    events = read_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    hourly = events.groupBy(F.col("user_id"), hour).agg(
+        F.sum(F.col("value").cast(MONEY)).cast("double").alias("x")
+    )
+    a = float(EWMA_ALPHA)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        xs = pdf["x"].tolist()
+        es = []
+        prev = None
+        for x in xs:
+            prev = x if prev is None else a * x + (1.0 - a) * prev
+            es.append(prev)
+        pdf["ewma"] = es
+        return pdf
+
+    out = hourly.groupBy("user_id").applyInPandas(
+        fold, schema="user_id long, hour timestamp, x double, ewma double"
+    )
+    return out.select(
+        "user_id", "hour", F.col("x").alias("hourly_value"), "ewma"
+    )
+
+
+W12_ORACLE = f"""
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hour,
+         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), series AS (
+  SELECT user_id, list(struct_pack(hour := hour, x := x) ORDER BY hour) AS pts
+  FROM hourly GROUP BY 1
+), folded AS (
+  SELECT user_id,
+         list_reduce(
+           list_transform(pts, p -> [struct_pack(hour := p.hour, x := p.x,
+                                                 e := p.x)]),
+           (acc, nxt) -> list_append(acc,
+             struct_pack(hour := nxt[1].hour, x := nxt[1].x,
+                         e := CAST({EWMA_ALPHA} AS DOUBLE) * nxt[1].x
+                              + CAST({1.0 - EWMA_ALPHA} AS DOUBLE)
+                                * acc[len(acc)].e))
+         ) AS out
+  FROM series
+)
+SELECT user_id, u.hour AS hour, u.x AS hourly_value, u.e AS ewma
+FROM (SELECT user_id, unnest(out) AS u FROM folded)
+"""
+
+
+#: Benford expected first-digit frequencies log10(1 + 1/d), precomputed so
+#: neither engine evaluates a logarithm (not correctly rounded cross-engine)
+BENFORD_EXPECTED = {
+    1: 0.30102999566398120,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def o5_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 (extension): Benford's-law first-digit audit of o_totalprice —
+    the fraud/synthetic-data detector: observed first-digit frequency vs
+    the Benford expectation, with the per-digit chi-square contribution
+    (n·(obs−exp)²/exp). The expected frequencies are precomputed
+    literals (no engine evaluates log10), observed counts are exact, and
+    the deviation arithmetic is plain double ops — bit-stable.
+
+    Scale: one scan + one 9-row aggregate."""
+    orders = read_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.regexp_replace(F.col("o_totalprice").cast("string"), r"[^1-9]", ""),
+        1,
+        1,
+    ).cast("int")
+    counts = orders.select(digit.alias("d")).groupBy("d").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    total = counts.agg(F.sum("n_orders").cast("bigint").alias("n_total"))
+    expected = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in BENFORD_EXPECTED]),
+            F.array(*[F.lit(v) for v in BENFORD_EXPECTED.values()]),
+        ),
+        F.col("d"),
+    )
+    joined = counts.crossJoin(F.broadcast(total))
+    obs = F.col("n_orders").cast("double") / F.col("n_total").cast("double")
+    return joined.select(
+        F.col("d").alias("first_digit"),
+        "n_orders",
+        obs.alias("observed_freq"),
+        expected.alias("expected_freq"),
+        (
+            F.col("n_total").cast("double")
+            * (obs - expected)
+            * (obs - expected)
+            / expected
+        ).alias("chi2_term"),
+    )
+
+
+def _benford_oracle() -> str:
+    # string-parse the literals: a bare numeric literal types as DECIMAL
+    # in DuckDB and double-rounds on the way to DOUBLE
+    vals = ",\n".join(
+        f"({d}, CAST('{v!r}' AS DOUBLE))" for d, v in BENFORD_EXPECTED.items()
+    )
+    return f"""
+WITH exp_freq AS (
+  SELECT d, e FROM (VALUES {vals}) t(d, e)
+),
+counts AS (
+  SELECT CAST(substr(regexp_replace(CAST(o_totalprice AS VARCHAR),
+                                    '[^1-9]', '', 'g'), 1, 1) AS INTEGER) AS d,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+), tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM counts)
+SELECT c.d AS first_digit, c.n_orders,
+       CAST(c.n_orders AS DOUBLE) / CAST(n_total AS DOUBLE) AS observed_freq,
+       e.e AS expected_freq,
+       CAST(n_total AS DOUBLE)
+         * (CAST(c.n_orders AS DOUBLE) / CAST(n_total AS DOUBLE) - e.e)
+         * (CAST(c.n_orders AS DOUBLE) / CAST(n_total AS DOUBLE) - e.e)
+         / e.e AS chi2_term
+FROM counts c JOIN exp_freq e ON c.d = e.d, tot
+"""
+
+
+def p9_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 (extension): z-score standardization — scale l_extendedprice
+    within its return-flag group to zero mean / unit variance, the
+    feature-scaling step before any distance-based model. Moments come
+    from exact DECIMAL sums; the decimal→double handoff goes through the
+    digit string (the a21 lesson: DuckDB double-rounds large direct
+    casts); mean, var and the z expression mirror verbatim — bit-stable.
+
+    Scale: one 3-row moments aggregate broadcast back over the scan."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    x_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    moments = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x_dec.cast("decimal(38,4)")).cast("decimal(38,4)").alias("s"),
+        F.sum(x_dec * x_dec).cast("decimal(38,4)").alias("ss"),
+    )
+
+    def sd(name):
+        return F.col(name).cast("string").cast("double")
+
+    n = F.col("n").cast("double")
+    mean = sd("s") / n
+    var = sd("ss") / n - mean * mean
+    joined = lineitem.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    ).join(F.broadcast(moments), "l_returnflag")
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        mean.alias("group_mean"),
+        ((F.col("l_extendedprice") - mean) / F.sqrt(var)).alias("z_score"),
+    )
+
+
+P9_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS s,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss
+  FROM lineitem GROUP BY 1
+)
+SELECT l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice,
+       CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS group_mean,
+       (l_extendedprice
+        - CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt(CAST(CAST(ss AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)))
+         AS z_score
+FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -3101,6 +3314,9 @@ QUERIES = {
     "g1_bipartite_rank": g1_bipartite_rank,
     "a22_copurchase_lift": a22_copurchase_lift,
     "p8_winsorize": p8_winsorize,
+    "w12_ewma_smoothing": w12_ewma_smoothing,
+    "o5_benford_audit": o5_benford_audit,
+    "p9_standardize": p9_standardize,
     "u4_union_schema_evolution": u4_union_schema_evolution,
     "a18_stat_moments": a18_stat_moments,
     "j13_nullsafe_join": j13_nullsafe_join,
@@ -3173,6 +3389,9 @@ ORACLES = {
     "g1_bipartite_rank": G1_ORACLE,
     "a22_copurchase_lift": A22_ORACLE,
     "p8_winsorize": P8_ORACLE,
+    "w12_ewma_smoothing": W12_ORACLE,
+    "o5_benford_audit": _benford_oracle,
+    "p9_standardize": P9_ORACLE,
     "u4_union_schema_evolution": U4_ORACLE,
     "a18_stat_moments": A18_ORACLE,
     "j13_nullsafe_join": J13_ORACLE,
