@@ -74,6 +74,8 @@ WHITELIST: dict[str, set[str]] = {
     #   aggregates unioned (q_table_stats family)
     "o5_benford_audit": {"ONE_PART"},    # 1-row digit-total aggregate,
     #   broadcast into the frequency denominators
+    "sim_ivf_recall_audit": {"SMJ"},     # audit join of two k×|queries|
+    #   top-k result sets — statically unsized, AQE broadcasts at runtime
 
 }
 

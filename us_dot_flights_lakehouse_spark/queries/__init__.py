@@ -82,6 +82,9 @@ _PRIORITY = (
     "w12_ewma_smoothing",  # EWMA recurrence (Arrow kernel fold)
     "o5_benford_audit",  # first-digit fraud audit
     "p9_standardize",  # z-score feature scaling
+    "a23_mad_robust_stats",  # median-absolute-deviation dispersion
+    "ts_lang_confusion",  # lang-ID confusion matrix
+    "sim_ivf_recall_audit",  # ANN recall@k vs brute force
     # round-5 semantics/plan changes needing fresh driver verification
     "dd_containment",  # stop-shingle df cap added (oracle mirrored)
     "tp_rag_pipeline",  # chunk embedding via explode->groupBy

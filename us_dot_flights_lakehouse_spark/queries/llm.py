@@ -5371,6 +5371,103 @@ FROM src, norm
 """
 
 
+def ts_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: language-ID confusion matrix — the n-gram-lexicon classifier's
+    predictions cross-tabulated against the corpus's labeled lang column,
+    with per-true-language recall shares: the evaluation table any
+    classifier-based curation gate ships with (how much Spanish leaks
+    into the 'und' bucket?). Composes ``textstats.lang_id`` with a
+    truth join and one (true, pred) aggregate; the share is one exact
+    bigint division.
+
+    Scale: scan-local scoring + a lang²-sized aggregate."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    pred = textstats.lang_id(docs).select("doc_id", "lang_pred")
+    truth = docs.select("doc_id", F.col("lang").alias("lang_true"))
+    pairs = truth.join(pred, "doc_id")
+    counts = pairs.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy("lang_true")
+    return counts.select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("true_lang_share"),
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    return f"""
+WITH pred AS ({_lang_oracle()}),
+pairs AS (
+  SELECT d.lang AS lang_true, p.lang_pred
+  FROM documents d JOIN pred p USING (doc_id)
+), counts AS (
+  SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+  FROM pairs GROUP BY 1, 2
+)
+SELECT lang_true, lang_pred, n_docs,
+       CAST(n_docs AS DOUBLE)
+         / CAST(sum(n_docs) OVER (PARTITION BY lang_true) AS DOUBLE)
+         AS true_lang_share
+FROM counts
+"""
+
+
+def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM: ANN recall audit — per query, how many of the exact
+    brute-force top-{TOPK_K} cosine neighbors the IVF index (nprobe
+    {IVF_NPROBE}) actually returned: the recall@k measurement every ANN
+    deployment tracks before trusting an index. Composes the two
+    oracle-proven retrieval paths and counts the overlap — recall is
+    one exact bigint division.
+
+    Scale: both retrievals are broadcast-probes × one scan; the audit
+    join touches k rows per query."""
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact = similarity.cosine_topk(emb, qs, k=TOPK_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.ivf_cosine_topk(
+        emb, qs, k=TOPK_K, nlist=IVF_NLIST, nprobe=IVF_NPROBE, seed=IVF_SEED
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("bigint"))
+        .cast("bigint")
+        .alias("n_recovered"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("bigint")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("recall_at_k"),
+    )
+
+
+def _ivf_recall_oracle() -> str:
+    return f"""
+WITH exact_k AS ({SIM_TOPK_ORACLE}),
+ivf_k AS ({_ivf_oracle()}),
+joined AS (
+  SELECT e.query_id, e.neighbor_id,
+         CASE WHEN i.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM exact_k e
+  LEFT JOIN ivf_k i
+    ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+)
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(hit) AS BIGINT) AS n_recovered,
+       CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_k
+FROM joined GROUP BY query_id
+"""
+
+
 QUERIES = {
     "dd_exact_dedup": dd_exact_dedup,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -5461,6 +5558,8 @@ QUERIES = {
     "src_binary_ingest": src_binary_ingest,
     "dd_cluster_keep_best": dd_cluster_keep_best,
     "tp_mixture_epochs": tp_mixture_epochs,
+    "ts_lang_confusion": ts_lang_confusion,
+    "sim_ivf_recall_audit": sim_ivf_recall_audit,
     "dd_semantic_dedup": dd_semantic_dedup,
     "tp_shard_shuffle": tp_shard_shuffle,
     "ts_bigram_commonality": ts_bigram_commonality,
@@ -5557,6 +5656,8 @@ ORACLES = {
     "src_binary_ingest": _binary_oracle,
     "dd_cluster_keep_best": DD_KEEPBEST_ORACLE,
     "tp_mixture_epochs": TP_EPOCHS_ORACLE,
+    "ts_lang_confusion": _lang_confusion_oracle,
+    "sim_ivf_recall_audit": _ivf_recall_oracle,
     "dd_semantic_dedup": DD_SEMANTIC_ORACLE,
     "tp_shard_shuffle": TP_SHARD_ORACLE,
     "ts_bigram_commonality": TS_BIGRAM_ORACLE,

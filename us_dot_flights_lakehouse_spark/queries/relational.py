@@ -3247,6 +3247,45 @@ FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
 """
 
 
+def a23_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23: median absolute deviation — the robust dispersion measure
+    (immune to the outliers that blow up stddev) per return flag:
+    MAD = median(|x − median(x)|), in two exact interpolated-percentile
+    passes (the a11-proven bit-stable path) with the group median
+    broadcast between them.
+
+    Scale: two 3-row aggregates + one broadcast join — the scan runs
+    twice (medians are holistic; a one-pass variant would switch to the
+    a12 sketch family and lose exactness)."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    med = lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med_price")
+    )
+    joined = lineitem.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(med), "l_returnflag"
+    )
+    dev = F.abs(F.col("l_extendedprice") - F.col("med_price"))
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.first("med_price").alias("med_price"),
+        F.percentile(dev, F.lit(0.5)).alias("mad_price"),
+    )
+
+
+A23_ORACLE = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med_price
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       any_value(med_price) AS med_price,
+       quantile_cont(abs(l_extendedprice - med_price), 0.5) AS mad_price
+FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -3315,6 +3354,7 @@ QUERIES = {
     "a22_copurchase_lift": a22_copurchase_lift,
     "p8_winsorize": p8_winsorize,
     "w12_ewma_smoothing": w12_ewma_smoothing,
+    "a23_mad_robust_stats": a23_mad_robust_stats,
     "o5_benford_audit": o5_benford_audit,
     "p9_standardize": p9_standardize,
     "u4_union_schema_evolution": u4_union_schema_evolution,
@@ -3390,6 +3430,7 @@ ORACLES = {
     "a22_copurchase_lift": A22_ORACLE,
     "p8_winsorize": P8_ORACLE,
     "w12_ewma_smoothing": W12_ORACLE,
+    "a23_mad_robust_stats": A23_ORACLE,
     "o5_benford_audit": _benford_oracle,
     "p9_standardize": P9_ORACLE,
     "u4_union_schema_evolution": U4_ORACLE,
