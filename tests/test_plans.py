@@ -210,3 +210,69 @@ def test_feature_hash_has_single_exchange(spark):
 
     plan = _plan(sim_feature_hash(spark, SF), mode="simple")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_equidepth_histogram_has_no_global_sort(spark):
+    """a20 assigns buckets from broadcast percentile boundaries — a global
+    Sort or an ntile window funnel would be the 100 TB anti-pattern."""
+    from us_dot_flights_lakehouse_spark.queries.relational import (
+        a20_equidepth_histogram,
+    )
+
+    plan = _plan(a20_equidepth_histogram(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "ntile(" not in plan.lower()  # not "percentile" — the boundary agg
+
+
+def test_copurchase_pairs_have_no_lineitem_self_join(spark):
+    """a22 expands pairs inside the per-order basket array — the plan
+    must contain exactly the lineitem scans the aggregate needs (basket
+    collect + item counts), never a lineitem⋈lineitem join."""
+    from us_dot_flights_lakehouse_spark.queries.relational import (
+        a22_copurchase_lift,
+    )
+
+    plan = _plan(a22_copurchase_lift(spark, SF))
+    assert "SortMergeJoin" not in plan  # pair join sides are aggregates
+
+
+def test_winsorize_bounds_join_is_broadcast(spark):
+    from us_dot_flights_lakehouse_spark.queries.relational import p8_winsorize
+
+    plan = _plan(p8_winsorize(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_prefix_clusters_single_fingerprint_shuffle(spark):
+    """dd_prefix_clusters: one md5 per doc, one groupBy on the 16-byte
+    key, join back — no Python, no extra exchanges beyond the two
+    aggregate/join hash exchanges."""
+    from us_dot_flights_lakehouse_spark.queries.llm import dd_prefix_clusters
+
+    plan = _plan(dd_prefix_clusters(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_is_grouped_map_not_hof_fold(spark):
+    """w12 must fold in the Arrow grouped-map kernel (FlatMapGroupsInPandas),
+    not an interpreted HOF that copies the accumulator array per step."""
+    from us_dot_flights_lakehouse_spark.queries.relational import (
+        w12_ewma_smoothing,
+    )
+
+    plan = _plan(w12_ewma_smoothing(spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "aggregate(" not in plan  # no HOF fold in the hot path
+
+
+def test_dsir_token_join_aggregates_partially(spark):
+    """tp_dsir_weights: the word-count aggregate must be partial+final
+    (map-side combine) so the token shuffle carries counts, not tokens."""
+    from us_dot_flights_lakehouse_spark.queries.llm import tp_dsir_weights
+
+    plan = _plan(tp_dsir_weights(spark, SF))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
