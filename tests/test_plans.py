@@ -222,7 +222,8 @@ def test_equidepth_histogram_has_no_global_sort(spark):
     plan = _plan(a20_equidepth_histogram(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "Exchange SinglePartition" not in plan
-    assert "ntile(" not in plan.lower()  # not "percentile" — the boundary agg
+    assert "Window" not in plan  # no ntile/rank funnel — buckets come
+    #   from the broadcast percentile boundaries
 
 
 def test_copurchase_pairs_have_no_lineitem_self_join(spark):
