@@ -4794,7 +4794,12 @@ def ts_char_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc: acc["sumsq"] + acc["run"] * acc["run"],
     )
     n = F.length(s).cast("long")
-    base = docs.select("doc_id", n.alias("n_chars_nospace"), sumsq.alias("char_sumsq"))
+    # whitespace-only docs have no character distribution (and Spark's
+    # split('', '') artifact would count one empty-string char) — both
+    # sides exclude them
+    base = docs.select(
+        "doc_id", n.alias("n_chars_nospace"), sumsq.alias("char_sumsq")
+    ).filter(F.col("n_chars_nospace") > 0)
     return base.select(
         "doc_id",
         "n_chars_nospace",
