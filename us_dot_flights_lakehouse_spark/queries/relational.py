@@ -2188,53 +2188,81 @@ def w8_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-insensitive under parallelism) and surface as DOUBLE only for
     the final scalar arithmetic.
 
-    Physical note: Spark evaluates sliding DECIMAL frames by re-summing
-    the frame per row (O(frame) each — measured 24.6 s at sf0.1), so the
-    rolling sums are computed as running-total differences instead:
-    sum24 = cumsum - lag(cumsum, 24). Decimal arithmetic is exact, so
-    the values — and the oracle, which keeps the declarative frame form —
-    are unchanged; wall-clock drops 3x (24.6 s -> 8.1 s at sf0.1; the
-    remainder is the several window passes, each O(rows)). Same single
-    user_id shuffle as the spine either way."""
+    Physical note (two generations of fixes): Spark evaluates sliding
+    DECIMAL frames by re-summing the frame per row (O(frame) each —
+    24.6 s at sf0.1); running-total differences cut that to 8.1 s but
+    still paid a spine join + several JVM window passes. This version
+    moves the whole per-user series into ONE grouped-map Arrow kernel on
+    exact integer cents: the hourly decimal sums convert losslessly to
+    int64 cents, the gap-filled spine and the 24-row rolling sums are
+    numpy cumsum differences (exact integers — cents² window sums stay
+    ≤2^53, so the final /100.0 and /10000.0 double divisions are
+    correctly rounded, exactly what the oracle's decimal→double casts
+    produce), and the float algebra mirrors the declarative-frame oracle
+    op for op. One shuffle total — and the grouped-map keys on a 64-way
+    user-hash BUCKET, not the raw user_id: per-group Arrow round-trips
+    cost ~5 ms each, so 1500 single-user groups paid more in IPC than
+    the whole computation (measured 10.5 s); 64 multi-user buckets with
+    an in-kernel per-user loop amortize it (~2 s). At 100 TB raise the
+    bucket count with the cluster — the kernel is per-user-linear
+    either way."""
+    import numpy as np
+    import pandas as pd
+
     events = read_table(spark, sf_dir, "events")
     hour = F.date_trunc("hour", F.col("ts")).alias("hour")
     hourly = events.groupBy(F.col("user_id"), hour).agg(
-        F.sum(F.col("value").cast(MONEY)).alias("_v")
+        (F.sum(F.col("value").cast(MONEY)) * 100)
+        .cast("long")
+        .alias("cents")
     )
-    bounds = hourly.groupBy("user_id").agg(
-        F.min("hour").alias("_h0"), F.max("hour").alias("_h1")
-    )
-    spine = bounds.select(
-        "user_id",
-        F.explode(F.sequence("_h0", "_h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
-    )
-    dense = spine.join(hourly, ["user_id", "hour"], "left").select(
-        "user_id",
-        "hour",
-        F.coalesce("_v", F.lit(0).cast(MONEY)).alias("_v"),
-    )
-    wcum = W.partitionBy("user_id").orderBy("hour").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    wlag = W.partitionBy("user_id").orderBy("hour")
-    rn = F.row_number().over(wlag)
-    cum_v = F.sum("_v").over(wcum)
-    cum_sq = F.sum(F.col("_v") * F.col("_v")).over(wcum)
-    n = F.least(rn, F.lit(24)).cast("double")
-    s = (cum_v - F.coalesce(F.lag(cum_v, 24).over(wlag), F.lit(0))).cast("double")
-    sq = (cum_sq - F.coalesce(F.lag(cum_sq, 24).over(wlag), F.lit(0))).cast(
-        "double"
-    )
-    x = F.col("_v").cast("double")
-    mean = s / n
-    var = sq / n - mean * mean
-    return dense.select(
-        "user_id",
-        "hour",
-        x.alias("total_value"),
-        mean.alias("mean_24h"),
-        var.alias("var_24h"),
-        ((x - mean) * (x - mean) > F.lit(9.0) * var).alias("is_anomaly"),
+
+    def roll_one(user, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour")
+        hours = pd.date_range(pdf["hour"].iloc[0], pdf["hour"].iloc[-1], freq="h")
+        dense = np.zeros(len(hours), dtype=np.int64)
+        idx = ((pdf["hour"] - hours[0]).dt.total_seconds() // 3600).astype(int)
+        dense[idx.to_numpy()] = pdf["cents"].to_numpy()
+        c = np.cumsum(dense)
+        csq = np.cumsum(dense * dense)
+        t = np.arange(len(hours))
+        lag_c = np.zeros_like(c)
+        lag_sq = np.zeros_like(csq)
+        if len(c) > 24:
+            lag_c[24:] = c[:-24]
+            lag_sq[24:] = csq[:-24]
+        s_c = c - lag_c
+        sq_c = csq - lag_sq
+        n = np.minimum(t + 1, 24).astype(np.float64)
+        x = dense / 100.0
+        s = s_c / 100.0
+        sq = sq_c / 10000.0
+        mean = s / n
+        var = sq / n - mean * mean
+        return pd.DataFrame(
+            {
+                "user_id": user,
+                "hour": hours,
+                "total_value": x,
+                "mean_24h": mean,
+                "var_24h": var,
+                "is_anomaly": (x - mean) * (x - mean) > 9.0 * var,
+            }
+        )
+
+    def roll_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [roll_one(u, g) for u, g in pdf.groupby("user_id")],
+            ignore_index=True,
+        )
+
+    bucketed = hourly.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(64)))
+    return bucketed.groupBy("bucket").applyInPandas(
+        roll_bucket,
+        schema=(
+            "user_id long, hour timestamp, total_value double, "
+            "mean_24h double, var_24h double, is_anomaly boolean"
+        ),
     )
 
 
@@ -3049,9 +3077,12 @@ def w12_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact op sequence the oracle's list_reduce performs, so results
     are bit-identical and partition-independent.
 
-    Scale: ONE user-key shuffle into per-user groups; state is O(1) per
-    series (for years-long hot keys, chunk by month and carry the
-    chunk-final state forward)."""
+    Scale: ONE shuffle, keyed on a 64-way user-hash bucket rather than
+    the raw user (per-group Arrow IPC costs ~5 ms — single-user groups
+    paid more in round-trips than in math, the w8 lesson); the kernel
+    loops users within its bucket, O(1) state per series (for
+    years-long hot keys, chunk by month and carry the chunk-final state
+    forward)."""
     import pandas as pd
 
     events = read_table(spark, sf_dir, "events")
@@ -3061,19 +3092,22 @@ def w12_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = float(EWMA_ALPHA)
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("hour").reset_index(drop=True)
-        xs = pdf["x"].tolist()
-        es = []
-        prev = None
-        for x in xs:
-            prev = x if prev is None else a * x + (1.0 - a) * prev
-            es.append(prev)
-        pdf["ewma"] = es
-        return pdf
+    def fold_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in pdf.groupby("user_id"):
+            g = g.sort_values("hour").reset_index(drop=True)
+            es = []
+            prev = None
+            for x in g["x"].tolist():
+                prev = x if prev is None else a * x + (1.0 - a) * prev
+                es.append(prev)
+            g["ewma"] = es
+            outs.append(g[["user_id", "hour", "x", "ewma"]])
+        return pd.concat(outs, ignore_index=True)
 
-    out = hourly.groupBy("user_id").applyInPandas(
-        fold, schema="user_id long, hour timestamp, x double, ewma double"
+    bucketed = hourly.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(64)))
+    out = bucketed.groupBy("bucket").applyInPandas(
+        fold_bucket, schema="user_id long, hour timestamp, x double, ewma double"
     )
     return out.select(
         "user_id", "hour", F.col("x").alias("hourly_value"), "ewma"
