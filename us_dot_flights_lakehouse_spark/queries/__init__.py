@@ -85,6 +85,8 @@ _PRIORITY = (
     "a23_mad_robust_stats",  # median-absolute-deviation dispersion
     "ts_lang_confusion",  # lang-ID confusion matrix
     "sim_ivf_recall_audit",  # ANN recall@k vs brute force
+    "sim_kmeans_inertia",  # k-means objective audit (literal centroids)
+    "j16_point_in_time_join",  # feature-store PIT lookup
     # round-5 semantics/plan changes needing fresh driver verification
     "dd_containment",  # stop-shingle df cap added (oracle mirrored)
     "tp_rag_pipeline",  # chunk embedding via explode->groupBy

@@ -49,6 +49,16 @@ SIMHASH_MAX_HAMMING = 4
 TOPK_K = 5
 N_QUERY_VECS = 8
 
+
+def _duck_doubles(vals) -> str:
+    """DuckDB array<double> literal via per-element string parse: a bare
+    numeric literal types as DECIMAL and double-rounds en route to
+    DOUBLE (ULP drift vs the Spark-side `1.23D` literals); CAST from the
+    shortest-repr string is correctly rounded — bit-identical."""
+    return "[" + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals) + "]"
+
+
+
 # shared SQL fragments ------------------------------------------------------
 
 _TOKENS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
@@ -444,8 +454,7 @@ def _ivf_oracle() -> str:
     )
     rows = []
     for j, c in enumerate(cents.tolist()):
-        lit = "[" + ", ".join(repr(x) for x in c) + "]"
-        rows.append(f"SELECT {j} AS cell_id, CAST({lit} AS DOUBLE[]) AS c")
+        rows.append(f"SELECT {j} AS cell_id, {_duck_doubles(c)} AS c")
     cents_sql = "\n  UNION ALL ".join(rows)
     return f"""
 WITH e AS (
@@ -523,9 +532,9 @@ def _pq_oracle() -> str:
     rows = []
     for j, book in enumerate(books):
         for c, cent in enumerate(book.tolist()):
-            lit = "[" + ", ".join(repr(x) for x in cent) + "]"
+            lit = _duck_doubles(cent)
             rows.append(
-                f"SELECT {j} AS sub, {c} AS code, CAST({lit} AS DOUBLE[]) AS c"
+                f"SELECT {j} AS sub, {c} AS code, {lit} AS c"
             )
     cents_sql = "\n  UNION ALL ".join(rows)
     code_cols = ", ".join(
@@ -604,8 +613,7 @@ def _rp_oracle() -> str:
 
     rows = []
     for k in range(RP_OUT_DIM):
-        lit = "[" + ", ".join(repr(x) for x in _plane(RP_FIRST_PLANE + k, 64)) + "]"
-        rows.append(f"SELECT {k} AS k, CAST({lit} AS DOUBLE[]) AS p")
+        rows.append(f"SELECT {k} AS k, {_duck_doubles(_plane(RP_FIRST_PLANE + k, 64))} AS p")
     planes_sql = "\n  UNION ALL ".join(rows)
     return f"""
 WITH e AS (
@@ -645,9 +653,9 @@ def _lsh_planes_sql(
     for t in range(n_tables):
         for p in range(n_planes):
             j = t * n_planes + p
-            lit = "[" + ", ".join(repr(x) for x in similarity._plane(j, dim)) + "]"
+            lit = _duck_doubles(similarity._plane(j, dim))
             rows.append(
-                f"SELECT {t} AS t, {2 ** p} AS w, CAST({lit} AS DOUBLE[]) AS plane"
+                f"SELECT {t} AS t, {2 ** p} AS w, {lit} AS plane"
             )
     return "\n  UNION ALL ".join(rows)
 
@@ -5473,6 +5481,169 @@ FROM joined GROUP BY query_id
 """
 
 
+def sim_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM: k-means objective audit — per-cell size and inertia
+    (Σ‖x − c‖²) against the IVF-trained quantizer centroids: the
+    convergence/quality number every clustering deployment tracks. This
+    gives the k-means family an ORACLE-verified surface (kmeans_fit
+    itself is unit-tested; float ULPs preclude a bit-exact oracle for
+    the iterated centroids — so the audit uses the literal-centroid
+    technique the IVF oracle established, with distances folded in
+    vec_id order per cell for bit-stable float sums).
+
+    Scale: one narrow scan for assignment (expression-only, literal
+    centroids), one cell-key aggregate (nlist rows); per-cell fold lists
+    grow with cell size — swap for fixed-boundary partial folds at
+    100 TB (sim_label_centroids note)."""
+    from us_dot_flights_lakehouse_spark.functions.vectors import lit_doubles
+
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = similarity.ivf_centroids_from_parquet(
+        f"{sf_dir}/embeddings.parquet", nlist=IVF_NLIST, seed=IVF_SEED
+    )
+
+    def sqdist(c):
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit_doubles([float(x) for x in c]),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    sqdist(c).alias("d"), F.lit(j).cast("int").alias("c")
+                )
+                for j, c in enumerate(cents.tolist())
+            ]
+        )
+    )
+    assigned = corpus.select(
+        "vec_id", best["c"].alias("cell_id"), best["d"].alias("d")
+    )
+    return assigned.groupBy("cell_id").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("vec_id", "d"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["d"],
+        ).alias("inertia"),
+    )
+
+
+def _kmeans_inertia_oracle() -> str:
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = similarity.ivf_centroids_from_parquet(
+        f"{sf_dir}/embeddings.parquet", nlist=IVF_NLIST, seed=IVF_SEED
+    )
+    rows = []
+    for j, c in enumerate(cents.tolist()):
+        rows.append(f"SELECT {j} AS cell_id, {_duck_doubles(c)} AS c")
+    cents_sql = "\n  UNION ALL ".join(rows)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cents AS (
+  {cents_sql}
+), assigned AS (
+  SELECT vec_id, cell_id, d FROM (
+    SELECT e.vec_id, c.cell_id,
+           list_sum(list_transform(range(1, 65),
+                                   i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))
+             AS d,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+                                     i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))
+               ASC, c.cell_id ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+)
+SELECT CAST(cell_id AS INTEGER) AS cell_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       list_sum(list(d ORDER BY vec_id)) AS inertia
+FROM assigned GROUP BY cell_id
+"""
+
+
+def j16_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J16: point-in-time (feature-store) join — attach to every event
+    the SCD2 dimension version that was EFFECTIVE at the event's own
+    timestamp: the lookup that keeps training data leak-free (a feature
+    computed tomorrow must not describe yesterday's example). The dim is
+    the user's SCD2 state history (operators/scd.py over the event_type
+    changelog); the lookup composes the as-of join operator (greatest
+    effective_from ≤ ts) and certifies containment against
+    effective_to.
+
+    Scale: the as-of join is the union-window single-shuffle design
+    (operators/joins.py:136) keyed by user — no range explosion."""
+    from us_dot_flights_lakehouse_spark.operators.joins import asof_join
+    from us_dot_flights_lakehouse_spark.operators.scd import scd2_from_changelog
+
+    events = read_table(spark, sf_dir, "events")
+    dim = scd2_from_changelog(
+        events, ["user_id"], "event_type", "ts", "event_id"
+    ).select("user_id", "state", "effective_from", "effective_to", "version")
+    facts = events.select("event_id", "user_id", "ts")
+    joined = asof_join(
+        facts,
+        dim,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="effective_from",
+        right_cols=["state", "version", "effective_to"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "state",
+        F.col("version").cast("int").alias("version"),
+        (
+            F.col("effective_to").isNull() | (F.col("ts") < F.col("effective_to"))
+        ).alias("within_version"),
+    )
+
+
+J16_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_state
+  FROM events
+), changes AS (
+  SELECT user_id, state, ts, event_id FROM ordered
+  WHERE prev_state IS NULL OR state != prev_state
+), hist AS (
+  SELECT user_id, state,
+         ts AS effective_from,
+         lead(ts) OVER w AS effective_to,
+         row_number() OVER w AS version
+  FROM changes
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), pit AS (
+  SELECT e.event_id, e.user_id, e.ts, h.state, h.version, h.effective_to,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY h.effective_from DESC, h.version DESC)
+           AS rn
+  FROM events e JOIN hist h
+    ON e.user_id = h.user_id AND h.effective_from <= e.ts
+)
+SELECT event_id, user_id, ts, state, CAST(version AS INTEGER) AS version,
+       (effective_to IS NULL OR ts < effective_to) AS within_version
+FROM pit WHERE rn = 1
+"""
+
+
 QUERIES = {
     "dd_exact_dedup": dd_exact_dedup,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -5565,6 +5736,8 @@ QUERIES = {
     "tp_mixture_epochs": tp_mixture_epochs,
     "ts_lang_confusion": ts_lang_confusion,
     "sim_ivf_recall_audit": sim_ivf_recall_audit,
+    "sim_kmeans_inertia": sim_kmeans_inertia,
+    "j16_point_in_time_join": j16_point_in_time_join,
     "dd_semantic_dedup": dd_semantic_dedup,
     "tp_shard_shuffle": tp_shard_shuffle,
     "ts_bigram_commonality": ts_bigram_commonality,
@@ -5663,6 +5836,8 @@ ORACLES = {
     "tp_mixture_epochs": TP_EPOCHS_ORACLE,
     "ts_lang_confusion": _lang_confusion_oracle,
     "sim_ivf_recall_audit": _ivf_recall_oracle,
+    "sim_kmeans_inertia": _kmeans_inertia_oracle,
+    "j16_point_in_time_join": J16_ORACLE,
     "dd_semantic_dedup": DD_SEMANTIC_ORACLE,
     "tp_shard_shuffle": TP_SHARD_ORACLE,
     "ts_bigram_commonality": TS_BIGRAM_ORACLE,
