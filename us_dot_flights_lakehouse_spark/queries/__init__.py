@@ -87,6 +87,10 @@ _PRIORITY = (
     "sim_ivf_recall_audit",  # ANN recall@k vs brute force
     "sim_kmeans_inertia",  # k-means objective audit (literal centroids)
     "j16_point_in_time_join",  # feature-store PIT lookup
+    "o7_id_continuity",  # gaps-and-islands ingest audit
+    "ts_readability",  # Flesch reading-ease gate
+    "tp_sft_format",  # chat-template SFT assembly
+    "mm_audio_vad_segments",  # multi-burst VAD segmentation
     # round-5 semantics/plan changes needing fresh driver verification
     "dd_containment",  # stop-shingle df cap added (oracle mirrored)
     "tp_rag_pipeline",  # chunk embedding via explode->groupBy

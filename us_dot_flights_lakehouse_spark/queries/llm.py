@@ -5644,6 +5644,164 @@ FROM pit WHERE rn = 1
 """
 
 
+SFT_BUDGET_CHARS = 4096
+
+
+def tp_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: SFT chat-template assembly — pair documents within each
+    source (doc_id-ranked, i with i+1, the deterministic stand-in for
+    prompt/response pairs) and render the chat template
+    '<|user|>…<|assistant|>…<|end|>' with a context-budget flag: the
+    formatting step every supervised-fine-tune data build runs before
+    tokenization. The md5 over the rendered string makes the oracle
+    sensitive to every byte of template assembly.
+
+    Scale: one source-key window for the pairing; rendering is
+    scan-local string concat."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    paired = docs.select(
+        "source",
+        F.col("doc_id").alias("prompt_id"),
+        F.col("text").alias("prompt"),
+        F.lead("doc_id").over(w).alias("response_id"),
+        F.lead("text").over(w).alias("response"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("response_id").isNotNull() & (F.col("rn") % 2 == 1))
+    formatted = F.concat(
+        F.lit("<|user|>\n"),
+        F.col("prompt"),
+        F.lit("\n<|assistant|>\n"),
+        F.col("response"),
+        F.lit("<|end|>"),
+    )
+    return paired.select(
+        "source",
+        "prompt_id",
+        "response_id",
+        F.length(formatted).cast("bigint").alias("n_chars"),
+        (F.length(formatted) <= SFT_BUDGET_CHARS).alias("fits_budget"),
+        F.md5(formatted).alias("formatted_md5"),
+    )
+
+
+TP_SFT_ORACLE = f"""
+WITH paired AS (
+  SELECT source, doc_id AS prompt_id, text AS prompt,
+         lead(doc_id) OVER w AS response_id,
+         lead(text) OVER w AS response,
+         row_number() OVER w AS rn
+  FROM documents
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+), f AS (
+  SELECT source, prompt_id, response_id,
+         '<|user|>' || chr(10) || prompt || chr(10) || '<|assistant|>'
+           || chr(10) || response || '<|end|>' AS formatted
+  FROM paired WHERE response_id IS NOT NULL AND rn % 2 = 1
+)
+SELECT source, prompt_id, response_id,
+       CAST(length(formatted) AS BIGINT) AS n_chars,
+       length(formatted) <= {SFT_BUDGET_CHARS} AS fits_budget,
+       md5(formatted) AS formatted_md5
+FROM f
+"""
+
+
+VAD_BODY1 = 64
+VAD_BODY2 = 32
+
+
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: voice-activity segmentation — synthesize a WAV whose PCM has
+    TWO nonzero bursts separated by doc-dependent silence runs, decode
+    it (llm/multimodal.py::decode_audio) and emit one row per detected
+    voiced segment with its offsets and energy: the VAD step that turns
+    raw audio into training utterances (mm_silence_trim's big sibling —
+    trim handles one burst; this finds them all). The oracle states
+    every segment's offsets and energy in closed form.
+
+    Scale: per-row Arrow kernels, zero shuffle; output fan-out is
+    segments-per-file."""
+    import numpy as np
+
+    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import wav_encode
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                body1 = (d + np.arange(VAD_BODY1) * 37) % 251 + 1
+                body2 = (d * 3 + np.arange(VAD_BODY2) * 11) % 199 + 1
+                samples = np.concatenate(
+                    [
+                        np.zeros(d % 16),
+                        body1,
+                        np.zeros(d % 8 + 4),
+                        body2,
+                        np.zeros(d % 12),
+                    ]
+                ).astype(np.int16)
+                payloads.append(wav_encode(samples, 8000))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    wavs = docs.mapInPandas(synth, schema="id long, payload binary")
+    decoded = multimodal.decode_audio(wavs)
+
+    def segments(batches):
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf["id"], pdf["samples"]):
+                if buf is None:
+                    rows.append((int(i), None, None, None, None))
+                    continue
+                v = np.frombuffer(buf, "<i2").astype(np.int64)
+                nz = np.flatnonzero(v)
+                if len(nz) == 0:
+                    continue
+                splits = np.split(nz, np.where(np.diff(nz) > 1)[0] + 1)
+                for si, run in enumerate(splits):
+                    s, e = int(run[0]), int(run[-1]) + 1
+                    rows.append((int(i), si, s, e, int(v[s:e].sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "segment", "seg_start", "seg_end", "energy"],
+            )
+
+    return decoded.mapInPandas(
+        segments,
+        schema=(
+            "doc_id long, segment int, seg_start int, seg_end int, "
+            "energy bigint"
+        ),
+    )
+
+
+MM_VAD_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         doc_id % 16 AS a,
+         doc_id % 8 + 4 AS b
+  FROM documents
+)
+SELECT doc_id, CAST(0 AS INTEGER) AS segment,
+       CAST(a AS INTEGER) AS seg_start,
+       CAST(a + {VAD_BODY1} AS INTEGER) AS seg_end,
+       CAST(list_sum(list_transform(range(0, {VAD_BODY1}),
+              k -> (doc_id + k * 37) % 251 + 1)) AS BIGINT) AS energy
+FROM base
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER),
+       CAST(a + {VAD_BODY1} + b AS INTEGER),
+       CAST(a + {VAD_BODY1} + b + {VAD_BODY2} AS INTEGER),
+       CAST(list_sum(list_transform(range(0, {VAD_BODY2}),
+              k -> (doc_id * 3 + k * 11) % 199 + 1)) AS BIGINT)
+FROM base
+"""
+
+
 QUERIES = {
     "dd_exact_dedup": dd_exact_dedup,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -5738,6 +5896,8 @@ QUERIES = {
     "sim_ivf_recall_audit": sim_ivf_recall_audit,
     "sim_kmeans_inertia": sim_kmeans_inertia,
     "j16_point_in_time_join": j16_point_in_time_join,
+    "tp_sft_format": tp_sft_format,
+    "mm_audio_vad_segments": mm_audio_vad_segments,
     "dd_semantic_dedup": dd_semantic_dedup,
     "tp_shard_shuffle": tp_shard_shuffle,
     "ts_bigram_commonality": ts_bigram_commonality,
@@ -5838,6 +5998,8 @@ ORACLES = {
     "sim_ivf_recall_audit": _ivf_recall_oracle,
     "sim_kmeans_inertia": _kmeans_inertia_oracle,
     "j16_point_in_time_join": J16_ORACLE,
+    "tp_sft_format": TP_SFT_ORACLE,
+    "mm_audio_vad_segments": MM_VAD_ORACLE,
     "dd_semantic_dedup": DD_SEMANTIC_ORACLE,
     "tp_shard_shuffle": TP_SHARD_ORACLE,
     "ts_bigram_commonality": TS_BIGRAM_ORACLE,

@@ -3320,6 +3320,110 @@ GROUP BY l.l_returnflag
 """
 
 
+def o7_id_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 (extension): ingest-id continuity audit — per user, whether the
+    event_id sequence it received is gap-free (count == span), how many
+    ids are missing, and the longest contiguous run (gaps-and-islands
+    via the id − row_number trick): the completeness check a pipeline
+    runs against an at-least-once source before trusting downstream
+    aggregates.
+
+    Scale: one user-key window + one user aggregate — single shuffle."""
+    events = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    island = F.col("event_id") - F.row_number().over(w)
+    runs = events.select("user_id", "event_id", island.alias("island"))
+    run_lens = runs.groupBy("user_id", "island").agg(
+        F.count("*").cast("bigint").alias("run_len")
+    )
+    return run_lens.groupBy("user_id").agg(
+        F.sum("run_len").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("longest_run"),
+    ).select(
+        "user_id",
+        "n_events",
+        "n_runs",
+        "longest_run",
+        (F.col("n_runs") == 1).alias("contiguous"),
+    )
+
+
+O7_ORACLE = """
+WITH runs AS (
+  SELECT user_id,
+         event_id - row_number() OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS island
+  FROM events
+), rl AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS run_len
+  FROM runs GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(run_len) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(run_len) AS BIGINT) AS longest_run,
+       count(*) = 1 AS contiguous
+FROM rl GROUP BY user_id
+"""
+
+
+def ts_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS (extension): Flesch reading-ease scoring — the classic
+    readability gate (206.835 − 1.015·words/sentences −
+    84.6·syllables/words) with syllables approximated by vowel-group
+    counts and sentences by terminal-punctuation runs (both exact
+    integer counts; min 1 so the ratios are total). The constants are
+    exact-parse decimals on both engines and the formula is 2 divisions
+    + 2 multiplications + 2 subtractions of deterministic doubles —
+    bit-stable.
+
+    Scale: per-row regexp counts, zero shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    txt = F.lower(F.col("text"))
+    words = F.greatest(F.size(F.split(F.trim(txt), r"\s+")), F.lit(1))
+    sents = F.greatest(F.regexp_count(txt, F.lit(r"[.!?]+")), F.lit(1))
+    sylls = F.greatest(F.regexp_count(txt, F.lit(r"[aeiouy]+")), F.lit(1))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (sylls.cast("double") / words.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("int").alias("n_words"),
+        sents.cast("int").alias("n_sentences"),
+        sylls.cast("int").alias("n_syllable_groups"),
+        score.alias("flesch_score"),
+        (score >= F.lit(30.0)).alias("readable"),
+    )
+
+
+TS_READ_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1)
+           AS w,
+         greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1) AS s,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS y
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS n_words,
+       CAST(s AS INTEGER) AS n_sentences,
+       CAST(y AS INTEGER) AS n_syllable_groups,
+       CAST('206.835' AS DOUBLE)
+         - CAST('1.015' AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+         - CAST('84.6' AS DOUBLE) * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))
+         AS flesch_score,
+       (CAST('206.835' AS DOUBLE)
+         - CAST('1.015' AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+         - CAST('84.6' AS DOUBLE) * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)))
+         >= 30.0 AS readable
+FROM c
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -3389,6 +3493,8 @@ QUERIES = {
     "p8_winsorize": p8_winsorize,
     "w12_ewma_smoothing": w12_ewma_smoothing,
     "a23_mad_robust_stats": a23_mad_robust_stats,
+    "o7_id_continuity": o7_id_continuity,
+    "ts_readability": ts_readability,
     "o5_benford_audit": o5_benford_audit,
     "p9_standardize": p9_standardize,
     "u4_union_schema_evolution": u4_union_schema_evolution,
@@ -3465,6 +3571,8 @@ ORACLES = {
     "p8_winsorize": P8_ORACLE,
     "w12_ewma_smoothing": W12_ORACLE,
     "a23_mad_robust_stats": A23_ORACLE,
+    "o7_id_continuity": O7_ORACLE,
+    "ts_readability": TS_READ_ORACLE,
     "o5_benford_audit": _benford_oracle,
     "p9_standardize": P9_ORACLE,
     "u4_union_schema_evolution": U4_ORACLE,
