@@ -54,6 +54,10 @@ def main():
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2] if len(sys.argv) > 2 else None
     spark = get_spark("stress")
+    if only == "round5b":
+        round5b_families(spark, factor)
+        spark.stop()
+        return
     if only == "round5":
         docs1 = scaled(spark, "documents", 1, "doc_id").cache()
         docsN = scaled(spark, "documents", factor, "doc_id").cache()
@@ -665,6 +669,76 @@ def skew_bench(spark, n_rows=3_000_000, n_keys=50_000, hot_frac=0.3):
         f"no-AQE {t_noaqe:.2f}s",
         flush=True,
     )
+
+
+
+
+def round5b_families(spark, factor):
+    """Round-5 session-2 shapes at Nx, exercised through the REAL catalog
+    query code: scaled tables are injected by monkeypatching the reader
+    seam, so the measured plan is exactly the production one."""
+    import us_dot_flights_lakehouse_spark.queries.relational as rel
+    import us_dot_flights_lakehouse_spark.queries.llm as llm
+    from us_dot_flights_lakehouse_spark.sources import readers
+
+    id_cols = {
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+        "lineitem": "l_orderkey",
+        "orders": "o_orderkey",
+        "customer": "c_custkey",
+        "nation": "n_nationkey",
+    }
+    cache = {}
+
+    def scaled_table(f):
+        def read(spark_, sf_dir_, name, *a, **k):
+            key = (name, f)
+            if key not in cache:
+                cache[key] = scaled(spark_, name, f, id_cols[name]).cache()
+                cache[key].count()
+            return cache[key]
+
+        return read
+
+    targets = [
+        ("w8_rolling_anomaly", rel.w8_rolling_anomaly),
+        ("w12_ewma_smoothing", rel.w12_ewma_smoothing),
+        ("a20_equidepth_histogram", rel.a20_equidepth_histogram),
+        ("a21_pearson_corr", rel.a21_pearson_corr),
+        ("a22_copurchase_lift", rel.a22_copurchase_lift),
+        ("a23_mad_robust_stats", rel.a23_mad_robust_stats),
+        ("p8_winsorize", rel.p8_winsorize),
+        ("p9_standardize", rel.p9_standardize),
+        ("o5_benford_audit", rel.o5_benford_audit),
+        ("o7_id_continuity", rel.o7_id_continuity),
+        ("w11_rank_suite", rel.w11_rank_suite),
+        ("g1_bipartite_rank", rel.g1_bipartite_rank),
+        ("j16_point_in_time_join", llm.j16_point_in_time_join),
+        ("tp_sft_format", llm.tp_sft_format),
+        ("dd_cluster_keep_best", llm.dd_cluster_keep_best),
+    ]
+    orig_rel, orig_llm = rel.read_table, llm.read_table
+    orig_corpus, orig_readers = llm.read_corpus, readers.read_table
+    try:
+        for name, fn in targets:
+            times = []
+            for f in (1, factor):
+                rel.read_table = scaled_table(f)
+                llm.read_table = scaled_table(f)
+                llm.read_corpus = scaled_table(f)
+                t = timed(f"{name}@{f}x", fn(spark, SF_DIR))
+                times.append(t)
+            print(
+                f"{name}: growth {times[1] / times[0]:.1f}x at {factor}x rows",
+                flush=True,
+            )
+    finally:
+        rel.read_table = orig_rel
+        llm.read_table = orig_llm
+        llm.read_corpus = orig_corpus
+        readers.read_table = orig_readers
 
 
 if __name__ == "__main__":
