@@ -91,6 +91,7 @@ _PRIORITY = (
     "ts_readability",  # Flesch reading-ease gate
     "tp_sft_format",  # chat-template SFT assembly
     "mm_audio_vad_segments",  # multi-burst VAD segmentation
+    "sim_kcenter_diversity",  # farthest-point coreset selection
     "w8_rolling_anomaly",  # REWRITTEN: bucketed int-cents Arrow kernel
     # round-5 semantics/plan changes needing fresh driver verification
     "dd_containment",  # stop-shingle df cap added (oracle mirrored)

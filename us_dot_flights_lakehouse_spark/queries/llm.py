@@ -5802,6 +5802,132 @@ FROM base
 """
 
 
+KCENTER_K = 8
+
+
+def _kcenter_select(path: str, k: int):
+    """Greedy k-center selection replicated with SEQUENTIAL IEEE double
+    arithmetic (python loops — the same op order as the Spark fold and
+    the oracle's list_sum), reading the parquet directly. Returns
+    [(round, vec_id, min_dist_at_selection)]: seed = min vec_id, then
+    argmax of min-squared-distance-to-selected, ties to the smaller id."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{path}' ORDER BY vec_id"
+    ).fetchall()
+    vecs = {int(i): [float(x) for x in v] for i, v in rows}
+    seed = min(vecs)
+    selected = [(0, seed, 0.0)]
+    # min squared distance to the selected set, maintained sequentially
+    mind = {}
+    for r in range(1, k):
+        last = vecs[selected[-1][1]]
+        for i, v in vecs.items():
+            d = 0.0
+            for x, y in zip(v, last):
+                d += (x - y) * (x - y)
+            if i not in mind or d < mind[i]:
+                mind[i] = d
+        best_i, best_d = None, -1.0
+        for i in sorted(vecs):
+            if i in {s[1] for s in selected}:
+                continue
+            if mind[i] > best_d:
+                best_i, best_d = i, mind[i]
+        selected.append((r, best_i, best_d))
+        # distances to the new center fold into mind at the START of the
+        # next iteration (via `last`)
+    return selected, vecs
+
+
+def sim_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM: k-center greedy diversity sampling — pick {KCENTER_K} maximally
+    spread vectors (farthest-point traversal: seed = min id, then
+    repeatedly the vector farthest from the selected set): the coreset /
+    diversity-aware data-selection step that picks representative
+    examples instead of redundant ones. Each round is ONE distributed
+    argmax (distance expressions over literal already-selected centers,
+    TakeOrdered(1)) — the k-means-style bounded-driver iteration; all
+    distance math is sequential folds, so the oracle (which re-derives
+    every round's argmax over the full corpus from the same literal
+    centers) is bit-exact.
+
+    Scale: k scans with expression-only distance math; driver holds k
+    ids. For huge k switch to parallel sampling (k-means++ style
+    oversampling) — documented tradeoff."""
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    from us_dot_flights_lakehouse_spark.functions.vectors import lit_doubles
+
+    def sqdist_to(center):
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit_doubles(center), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    seed_row = corpus.orderBy("vec_id").limit(1).collect()[0]
+    selected = [(0, int(seed_row["vec_id"]), 0.0)]
+    centers = [list(seed_row["v"])]
+    mind = F.lit(float("inf"))
+    for r in range(1, KCENTER_K):
+        mind = F.least(mind, sqdist_to(centers[-1]))
+        cand = corpus.filter(
+            ~F.col("vec_id").isin([s[1] for s in selected])
+        ).select("vec_id", "v", mind.alias("d"))
+        top = cand.orderBy(F.desc("d"), F.asc("vec_id")).limit(1).collect()[0]
+        selected.append((r, int(top["vec_id"]), float(top["d"])))
+        centers.append(list(top["v"]))
+    return spark.createDataFrame(
+        selected, "round int, vec_id long, min_dist double"
+    )
+
+
+def _kcenter_oracle() -> str:
+    """Verifies every greedy round: given the literal centers selected in
+    rounds 0..r−1 (re-derived at oracle-build time with sequential
+    python arithmetic — the identical op order), round r's pick must be
+    the argmax of min-distance over the FULL corpus, recomputed by the
+    oracle's own folds."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    selected, vecs = _kcenter_select(
+        f"{sf_dir}/embeddings.parquet", KCENTER_K
+    )
+    parts = [
+        f"SELECT 0 AS round, CAST({selected[0][1]} AS BIGINT) AS vec_id,"
+        " CAST(0.0 AS DOUBLE) AS min_dist"
+    ]
+    for r in range(1, KCENTER_K):
+        prior = [s[1] for s in selected[:r]]
+        dists = []
+        for pid in prior:
+            c = _duck_doubles(vecs[pid])
+            dists.append(
+                "list_sum(list_transform(range(1, 65),"
+                f" i -> (v[i] - c{pid}_[i]) * (v[i] - c{pid}_[i])))"
+            )
+        center_cols = ", ".join(
+            f"{_duck_doubles(vecs[pid])} AS c{pid}_" for pid in prior
+        )
+        excl = ", ".join(str(p) for p in prior)
+        mind = "least(" + ", ".join(dists) + ")" if len(dists) > 1 else dists[0]
+        parts.append(f"""
+SELECT {r} AS round, vec_id, min_dist FROM (
+  SELECT e.vec_id, {mind} AS min_dist,
+         ROW_NUMBER() OVER (ORDER BY {mind} DESC, e.vec_id ASC) AS rn
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               {center_cols}
+        FROM embeddings WHERE vec_id NOT IN ({excl})) e
+) WHERE rn = 1""")
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
     "dd_exact_dedup": dd_exact_dedup,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -5898,6 +6024,7 @@ QUERIES = {
     "j16_point_in_time_join": j16_point_in_time_join,
     "tp_sft_format": tp_sft_format,
     "mm_audio_vad_segments": mm_audio_vad_segments,
+    "sim_kcenter_diversity": sim_kcenter_diversity,
     "dd_semantic_dedup": dd_semantic_dedup,
     "tp_shard_shuffle": tp_shard_shuffle,
     "ts_bigram_commonality": ts_bigram_commonality,
@@ -6000,6 +6127,7 @@ ORACLES = {
     "j16_point_in_time_join": J16_ORACLE,
     "tp_sft_format": TP_SFT_ORACLE,
     "mm_audio_vad_segments": MM_VAD_ORACLE,
+    "sim_kcenter_diversity": _kcenter_oracle,
     "dd_semantic_dedup": DD_SEMANTIC_ORACLE,
     "tp_shard_shuffle": TP_SHARD_ORACLE,
     "ts_bigram_commonality": TS_BIGRAM_ORACLE,
