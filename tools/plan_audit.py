@@ -76,6 +76,8 @@ WHITELIST: dict[str, set[str]] = {
     #   broadcast into the frequency denominators
     "sim_ivf_recall_audit": {"SMJ"},     # audit join of two k×|queries|
     #   top-k result sets — statically unsized, AQE broadcasts at runtime
+    "sim_pq_recall_audit": {"SMJ"},      # same audit-join shape as the
+    #   IVF recall audit
 
 }
 

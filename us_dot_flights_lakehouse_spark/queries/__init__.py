@@ -92,6 +92,8 @@ _PRIORITY = (
     "tp_sft_format",  # chat-template SFT assembly
     "mm_audio_vad_segments",  # multi-burst VAD segmentation
     "sim_kcenter_diversity",  # farthest-point coreset selection
+    "sim_pq_recall_audit",  # PQ compression-loss recall@k
+    "q_violation_bitmask",  # rule-combination triage masks
     "w8_rolling_anomaly",  # REWRITTEN: bucketed int-cents Arrow kernel
     # round-5 semantics/plan changes needing fresh driver verification
     "dd_containment",  # stop-shingle df cap added (oracle mirrored)

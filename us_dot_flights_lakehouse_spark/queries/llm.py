@@ -5928,6 +5928,55 @@ SELECT {r} AS round, vec_id, min_dist FROM (
     return "\nUNION ALL\n".join(parts)
 
 
+def sim_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM: PQ recall@k audit — per query, how many exact brute-force
+    top-{TOPK_K} cosine neighbors survive the product-quantization ADC
+    ranking: the compression-loss measurement that decides a PQ
+    deployment's code budget (IVF gets the same audit in
+    sim_ivf_recall_audit; together they close the ANN-quality
+    measurement family).
+
+    Scale: both retrievals are broadcast-probes × one scan."""
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact = similarity.cosine_topk(emb, qs, k=TOPK_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.pq_cosine_topk(
+        emb, qs, k=TOPK_K, dim=PQ_DIM, seed=PQ_SEED
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("bigint"))
+        .cast("bigint")
+        .alias("n_recovered"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("bigint")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("recall_at_k"),
+    )
+
+
+def _pq_recall_oracle() -> str:
+    return f"""
+WITH exact_k AS ({SIM_TOPK_ORACLE}),
+pq_k AS ({_pq_oracle()}),
+joined AS (
+  SELECT e.query_id, e.neighbor_id,
+         CASE WHEN i.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM exact_k e
+  LEFT JOIN pq_k i
+    ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+)
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(hit) AS BIGINT) AS n_recovered,
+       CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_k
+FROM joined GROUP BY query_id
+"""
+
+
 QUERIES = {
     "dd_exact_dedup": dd_exact_dedup,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -6025,6 +6074,7 @@ QUERIES = {
     "tp_sft_format": tp_sft_format,
     "mm_audio_vad_segments": mm_audio_vad_segments,
     "sim_kcenter_diversity": sim_kcenter_diversity,
+    "sim_pq_recall_audit": sim_pq_recall_audit,
     "dd_semantic_dedup": dd_semantic_dedup,
     "tp_shard_shuffle": tp_shard_shuffle,
     "ts_bigram_commonality": ts_bigram_commonality,
@@ -6128,6 +6178,7 @@ ORACLES = {
     "tp_sft_format": TP_SFT_ORACLE,
     "mm_audio_vad_segments": MM_VAD_ORACLE,
     "sim_kcenter_diversity": _kcenter_oracle,
+    "sim_pq_recall_audit": _pq_recall_oracle,
     "dd_semantic_dedup": DD_SEMANTIC_ORACLE,
     "tp_shard_shuffle": TP_SHARD_ORACLE,
     "ts_bigram_commonality": TS_BIGRAM_ORACLE,

@@ -216,13 +216,84 @@ SELECT 'customer.nationkey->nation',
 """
 
 
+def q_violation_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level rule-bitmask triage — every order gets a bitmask of the
+    review rules it trips (bit 0: NULL custkey; bit 1: high-value
+    review threshold; bit 2: pending status; bit 3: expedite priority),
+    then one row per distinct mask with its count and the decoded rule
+    list: the triage table that tells a data team WHICH rule
+    COMBINATIONS dominate, not just per-rule totals (q_quality_report's
+    view).
+
+    Scale: scan-local bit arithmetic + a ≤16-row aggregate."""
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders")
+    mask = (
+        F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+        + F.when(F.col("o_totalprice") > 300_000, 2).otherwise(0)
+        + F.when(F.col("o_orderstatus") == "P", 4).otherwise(0)
+        + F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 8
+        ).otherwise(0)
+    )
+    rules = F.concat_ws(
+        ",",
+        *[
+            F.when(F.col("mask").bitwiseAND(bit) != 0, F.lit(name))
+            for bit, name in (
+                (1, "null_custkey"),
+                (2, "high_value"),
+                (4, "pending_status"),
+                (8, "expedite"),
+            )
+        ],
+    )
+    masked = orders.select(mask.cast("int").alias("mask"))
+    return (
+        masked.groupBy("mask")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+        .select(
+            "mask",
+            "n_rows",
+            F.coalesce(rules, F.lit("")).alias("violated_rules"),
+            (F.col("mask") == 0).alias("clean"),
+        )
+    )
+
+
+Q_BITMASK_ORACLE = """
+WITH m AS (
+  SELECT (CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+       + (CASE WHEN o_totalprice > 300000 THEN 2 ELSE 0 END)
+       + (CASE WHEN o_orderstatus = 'P' THEN 4 ELSE 0 END)
+       + (CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 8
+               ELSE 0 END) AS mask
+  FROM orders
+), agg AS (
+  SELECT CAST(mask AS INTEGER) AS mask, CAST(count(*) AS BIGINT) AS n_rows
+  FROM m GROUP BY 1
+)
+SELECT mask, n_rows,
+       concat_ws(',',
+         CASE WHEN (mask & 1) != 0 THEN 'null_custkey' END,
+         CASE WHEN (mask & 2) != 0 THEN 'high_value' END,
+         CASE WHEN (mask & 4) != 0 THEN 'pending_status' END,
+         CASE WHEN (mask & 8) != 0 THEN 'expedite' END) AS violated_rules,
+       mask = 0 AS clean
+FROM agg
+"""
+
+
 QUERIES = {
     "q_quality_report": q_quality_report,
     "q_table_stats": q_table_stats,
     "q_referential_integrity": q_referential_integrity,
+    "q_violation_bitmask": q_violation_bitmask,
 }
 ORACLES = {
     "q_quality_report": QUALITY_ORACLE,
     "q_table_stats": _table_stats_oracle(),
     "q_referential_integrity": Q_REFINT_ORACLE,
+    "q_violation_bitmask": Q_BITMASK_ORACLE,
 }
