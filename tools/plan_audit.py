@@ -78,6 +78,8 @@ WHITELIST: dict[str, set[str]] = {
     #   top-k result sets — statically unsized, AQE broadcasts at runtime
     "sim_pq_recall_audit": {"SMJ"},      # same audit-join shape as the
     #   IVF recall audit
+    "w13_activity_bitmap": {"ONE_PART"},  # 1-row global min-week epoch,
+    #   broadcast back into the bit-index expression
 
 }
 

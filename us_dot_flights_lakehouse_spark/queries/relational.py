@@ -3424,6 +3424,63 @@ FROM c
 """
 
 
+def w13_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13 (extension): weekly-activity bitmaps — per user, one BIGINT
+    whose bit k is set iff the user had any event in week k of the
+    corpus (weeks since the global min week, capped at 62 bits): the
+    roaring-bitmap-style compact presence structure behind fast segment
+    intersections ('active in weeks 3 AND 7') without row blowup.
+    bit_or is exact and order-insensitive; n_active_weeks = popcount.
+
+    Scale: one user aggregate; the global epoch rides a 1-row broadcast
+    aggregate (whitelisted family)."""
+    events = read_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    epoch = events.agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("w0")
+    )
+    idx = F.least(
+        (F.datediff(wk, F.col("w0")) / 7).cast("int"), F.lit(62)
+    )
+    bits = events.crossJoin(F.broadcast(epoch)).select(
+        "user_id",
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), idx
+        ).alias("bit"),
+    )
+    agg = bits.groupBy("user_id").agg(
+        F.bit_or("bit").cast("bigint").alias("activity_mask")
+    )
+    return agg.select(
+        "user_id",
+        "activity_mask",
+        F.bit_count("activity_mask").cast("int").alias("n_active_weeks"),
+        (
+            F.col("activity_mask").bitwiseAND(F.lit(1).cast("long")) != 0
+        ).alias("active_week0"),
+    )
+
+
+W13_ORACLE = """
+WITH epoch AS (
+  SELECT date_trunc('week', min(ts)) AS w0 FROM events
+), bits AS (
+  SELECT user_id,
+         (CAST(1 AS BIGINT) << least(
+            CAST(datediff('day', w0, date_trunc('week', ts)) // 7
+                 AS INTEGER), 62)) AS bit
+  FROM events, epoch
+), agg AS (
+  SELECT user_id, CAST(bit_or(bit) AS BIGINT) AS activity_mask
+  FROM bits GROUP BY 1
+)
+SELECT user_id, activity_mask,
+       CAST(bit_count(activity_mask) AS INTEGER) AS n_active_weeks,
+       (activity_mask & CAST(1 AS BIGINT)) != 0 AS active_week0
+FROM agg
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -3494,6 +3551,7 @@ QUERIES = {
     "w12_ewma_smoothing": w12_ewma_smoothing,
     "a23_mad_robust_stats": a23_mad_robust_stats,
     "o7_id_continuity": o7_id_continuity,
+    "w13_activity_bitmap": w13_activity_bitmap,
     "ts_readability": ts_readability,
     "o5_benford_audit": o5_benford_audit,
     "p9_standardize": p9_standardize,
@@ -3572,6 +3630,7 @@ ORACLES = {
     "w12_ewma_smoothing": W12_ORACLE,
     "a23_mad_robust_stats": A23_ORACLE,
     "o7_id_continuity": O7_ORACLE,
+    "w13_activity_bitmap": W13_ORACLE,
     "ts_readability": TS_READ_ORACLE,
     "o5_benford_audit": _benford_oracle,
     "p9_standardize": P9_ORACLE,
