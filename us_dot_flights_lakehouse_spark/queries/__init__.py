@@ -95,6 +95,7 @@ _PRIORITY = (
     "sim_pq_recall_audit",  # PQ compression-loss recall@k
     "q_violation_bitmask",  # rule-combination triage masks
     "w13_activity_bitmap",  # weekly-presence bitmap aggregation
+    "w14_holt_forecast",  # Holt level+trend smoothing kernel
     "w8_rolling_anomaly",  # REWRITTEN: bucketed int-cents Arrow kernel
     # round-5 semantics/plan changes needing fresh driver verification
     "dd_containment",  # stop-shingle df cap added (oracle mirrored)

@@ -3481,6 +3481,102 @@ FROM agg
 """
 
 
+HOLT_ALPHA = 0.5  # exact binary fractions: every multiplier is exact
+HOLT_BETA = 0.25
+
+
+def w14_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14 (extension): Holt linear-trend smoothing — the two-state
+    forecasting recurrence (level/trend double exponential smoothing)
+    per user over the hourly value series, with the one-step-ahead
+    forecast level+trend: the baseline every ops-forecasting stack
+    starts from. α={HOLT_ALPHA}, β={HOLT_BETA} are exact binary
+    fractions; the recurrence folds left-to-right in a bucketed
+    grouped-map Arrow kernel (w8/w12 pattern — plain IEEE double ops in
+    hour order, the exact op sequence of the oracle's list_reduce over
+    a struct state).
+
+    Scale: ONE shuffle keyed on a 64-way user-hash bucket; O(1) state
+    per series."""
+    import pandas as pd
+
+    events = read_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    hourly = events.groupBy(F.col("user_id"), hour).agg(
+        F.sum(F.col("value").cast(MONEY)).cast("double").alias("x")
+    )
+    a, b = float(HOLT_ALPHA), float(HOLT_BETA)
+
+    def fold_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in pdf.groupby("user_id"):
+            g = g.sort_values("hour").reset_index(drop=True)
+            lvls, trds = [], []
+            lvl = trd = None
+            for x in g["x"].tolist():
+                if lvl is None:
+                    lvl, trd = x, 0.0
+                else:
+                    prev = lvl
+                    lvl = a * x + (1.0 - a) * (lvl + trd)
+                    trd = b * (lvl - prev) + (1.0 - b) * trd
+                lvls.append(lvl)
+                trds.append(trd)
+            g["level"] = lvls
+            g["trend"] = trds
+            outs.append(g[["user_id", "hour", "x", "level", "trend"]])
+        return pd.concat(outs, ignore_index=True)
+
+    bucketed = hourly.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(64)))
+    out = bucketed.groupBy("bucket").applyInPandas(
+        fold_bucket,
+        schema="user_id long, hour timestamp, x double, level double, trend double",
+    )
+    return out.select(
+        "user_id",
+        "hour",
+        F.col("x").alias("hourly_value"),
+        "level",
+        "trend",
+        (F.col("level") + F.col("trend")).alias("forecast_next"),
+    )
+
+
+W14_ORACLE = f"""
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hour,
+         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), series AS (
+  SELECT user_id, list(struct_pack(hour := hour, x := x) ORDER BY hour) AS pts
+  FROM hourly GROUP BY 1
+), folded AS (
+  SELECT user_id,
+         list_reduce(
+           list_transform(pts, p -> [struct_pack(hour := p.hour, x := p.x,
+                                                 l := p.x,
+                                                 b := CAST(0.0 AS DOUBLE))]),
+           (acc, nxt) -> list_append(acc,
+             struct_pack(
+               hour := nxt[1].hour, x := nxt[1].x,
+               l := CAST({HOLT_ALPHA} AS DOUBLE) * nxt[1].x
+                    + CAST({1.0 - HOLT_ALPHA} AS DOUBLE)
+                      * (acc[len(acc)].l + acc[len(acc)].b),
+               b := CAST({HOLT_BETA} AS DOUBLE)
+                    * ((CAST({HOLT_ALPHA} AS DOUBLE) * nxt[1].x
+                        + CAST({1.0 - HOLT_ALPHA} AS DOUBLE)
+                          * (acc[len(acc)].l + acc[len(acc)].b))
+                       - acc[len(acc)].l)
+                    + CAST({1.0 - HOLT_BETA} AS DOUBLE) * acc[len(acc)].b))
+         ) AS out
+  FROM series
+)
+SELECT user_id, u.hour AS hour, u.x AS hourly_value,
+       u.l AS level, u.b AS trend, u.l + u.b AS forecast_next
+FROM (SELECT user_id, unnest(out) AS u FROM folded)
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -3552,6 +3648,7 @@ QUERIES = {
     "a23_mad_robust_stats": a23_mad_robust_stats,
     "o7_id_continuity": o7_id_continuity,
     "w13_activity_bitmap": w13_activity_bitmap,
+    "w14_holt_forecast": w14_holt_forecast,
     "ts_readability": ts_readability,
     "o5_benford_audit": o5_benford_audit,
     "p9_standardize": p9_standardize,
@@ -3631,6 +3728,7 @@ ORACLES = {
     "a23_mad_robust_stats": A23_ORACLE,
     "o7_id_continuity": O7_ORACLE,
     "w13_activity_bitmap": W13_ORACLE,
+    "w14_holt_forecast": W14_ORACLE,
     "ts_readability": TS_READ_ORACLE,
     "o5_benford_audit": _benford_oracle,
     "p9_standardize": P9_ORACLE,
