@@ -5857,10 +5857,12 @@ def sim_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids. For huge k switch to parallel sampling (k-means++ style
     oversampling) — documented tradeoff."""
     emb = read_corpus(spark, sf_dir, "embeddings")
+    # the k rounds each rescan the corpus — cache it for the duration of
+    # the selection (k reads of one materialization), release after
     corpus = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    ).cache()
     from us_dot_flights_lakehouse_spark.functions.vectors import lit_doubles
 
     def sqdist_to(center):
@@ -5882,6 +5884,7 @@ def sim_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = cand.orderBy(F.desc("d"), F.asc("vec_id")).limit(1).collect()[0]
         selected.append((r, int(top["vec_id"]), float(top["d"])))
         centers.append(list(top["v"]))
+    corpus.unpersist()
     return spark.createDataFrame(
         selected, "round int, vec_id long, min_dist double"
     )
