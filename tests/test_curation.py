@@ -323,9 +323,9 @@ def test_bloom_incremental_dedup_matches_plain(spark):
 
 def test_bloom_auto_sizing_tracks_history_cardinality():
     """Unsized filters grow with the build side: m ≈ next power of two
-    ≥ 10·n, floored at the 2^16 default, capped at the 2^22 literal
-    limit — past ~13k distinct fps a fixed 2^16 bitmap saturates toward
-    fpr ≈ 1 (ADVICE r4)."""
+    ≥ 10·n, floored at the 2^16 default, UNCAPPED (ADVICE r5: a silent
+    cap re-creates the fpr ≈ 1 saturation the auto-sizing fixed; past
+    the 2^22 literal limit the verdict switches probe paths instead)."""
     from us_dot_flights_lakehouse_spark.operators import bloom
 
     assert bloom.auto_m_bits(0) == 1 << 16
@@ -333,8 +333,34 @@ def test_bloom_auto_sizing_tracks_history_cardinality():
     assert bloom.auto_m_bits(6_000) == 1 << 16      # 60k ≤ 2^16
     assert bloom.auto_m_bits(7_000) == 1 << 17      # 70k > 2^16
     assert bloom.auto_m_bits(100_000) == 1 << 20
-    assert bloom.auto_m_bits(10**9) == 1 << 22      # capped at literal limit
+    assert bloom.auto_m_bits(10**9) == 1 << 34      # uncapped: 10^10 bits
+    assert bloom.auto_m_bits(10**9) > bloom.BLOOM_MAX_LITERAL_BITS
     assert all(bloom.auto_m_bits(n) % 64 == 0 for n in (0, 1, 5, 10**7))
+
+
+def test_bloom_verdict_broadcast_probe_path(spark):
+    """Past the literal limit the verdict must route through the
+    broadcast-bitmap probe and still match the plain verdict exactly
+    (ADVICE r5: silent capping un-prunes; explicit oversize must work)."""
+    from us_dot_flights_lakehouse_spark.llm import dedup
+
+    batch = spark.createDataFrame(
+        [(i, f"fp{i % 7}") for i in range(20)], "doc_id int, fp string"
+    )
+    hist = spark.createDataFrame([("fp1",), ("fp3",)], "fp string")
+    plain = {
+        r["doc_id"]: (r["dup_of_history"], r["dup_in_batch"], r["keep"])
+        for r in dedup.incremental_dedup_verdict(batch, hist).collect()
+    }
+    from us_dot_flights_lakehouse_spark.operators import bloom
+
+    via_broadcast = {
+        r["doc_id"]: (r["dup_of_history"], r["dup_in_batch"], r["keep"])
+        for r in dedup.incremental_dedup_verdict_bloom(
+            batch, hist, m_bits=bloom.BLOOM_MAX_LITERAL_BITS * 2
+        ).collect()
+    }
+    assert plain == via_broadcast
 
 
 def test_label_balance_clamps_to_smallest_class(spark):

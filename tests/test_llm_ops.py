@@ -1545,3 +1545,68 @@ def test_channel_sums_exact_moments(spark):
     r2 = rows[(1, 2)]
     assert (r2["n_pixels"], r2["psum"], r2["psumsq"]) == (2, 9, 45)  # 3+6, 9+36
     assert rows[(2, None)]["psum"] is None
+
+
+def test_exact_substr_spans_finds_planted_boilerplate(spark):
+    """A K-token boilerplate span shared by two docs is found with exact
+    boundaries; the unique remainder is not flagged; a doc with no
+    shared span yields no rows."""
+    from us_dot_flights_lakehouse_spark.llm.dedup import exact_substr_spans
+
+    boiler = "all rights reserved contact us for licensing terms"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler} delta"),
+            (2, f"{boiler} epsilon zeta"),
+            (3, "totally unique words nothing shared here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in exact_substr_spans(docs, k=6).collect()
+    }
+    # doc 1: boiler occupies tokens 4..11; doc 2: tokens 1..8
+    assert spans == {1: (4, 11), 2: (1, 8)}
+
+
+def test_exact_substr_spans_merges_chained_seeds(spark):
+    """Two overlapping shared windows (gap <= k) merge into ONE maximal
+    island instead of two fragments."""
+    from us_dot_flights_lakehouse_spark.llm.dedup import exact_substr_spans
+
+    shared = "a b c d e f g h i j"  # 10 tokens: many chained 6-windows
+    docs = spark.createDataFrame(
+        [(1, f"x {shared} y"), (2, f"p q {shared}")],
+        "doc_id long, text string",
+    )
+    rows = exact_substr_spans(docs, k=6).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    assert per_doc[1] == [(2, 11)]
+    assert per_doc[2] == [(3, 12)]
+
+
+def test_exact_substr_apply_strips_only_covered_tokens(spark):
+    """Cleaned text keeps original order, drops exactly the span tokens;
+    a fully-duplicated doc comes back empty (kept_tokens=0)."""
+    from us_dot_flights_lakehouse_spark.llm.dedup import exact_substr_apply
+
+    boiler = "one two three four five six"
+    docs = spark.createDataFrame(
+        [
+            (1, f"keepA {boiler} keepB"),
+            (2, f"{boiler}"),
+            (3, "no duplicate content in this document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in exact_substr_apply(docs, k=6).collect()}
+    assert out[1]["clean_text"] == "keepA keepB"
+    assert (out[1]["kept_tokens"], out[1]["removed_tokens"]) == (2, 6)
+    assert out[2]["clean_text"] == "" and out[2]["kept_tokens"] == 0
+    assert out[3]["clean_text"] == docs.collect()[2]["text"]
+    assert out[3]["removed_tokens"] == 0

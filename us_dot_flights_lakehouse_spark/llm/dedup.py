@@ -761,32 +761,35 @@ def incremental_dedup_verdict_bloom(
     dup rate. The bitmap build is one hash aggregate over history
     fingerprints and collects m/8 bytes. When ``m_bits`` is not given it
     is SIZED FROM the history cardinality (``bloom.auto_m_bits``: next
-    power of two ≥ 10·n, fpr ≈ 0.9% at k=5, capped at the 2^22 literal
-    limit) — a fixed default saturates toward fpr ≈ 1 past ~13k distinct
-    fingerprints, silently un-pruning the prefilter (ADVICE r4); the
-    count it costs is one aggregate over the already-distinct history.
-    Histories past the cap need an explicit ``m_bits`` and the
-    ``operators.bloom.might_contain_broadcast`` probe. Composes with the
-    bucketed-history layout, which removes the remaining exchange on the
-    maybe-side join."""
+    power of two ≥ 10·n, fpr ≈ 0.9% at k=5, UNCAPPED) — a fixed default
+    saturates toward fpr ≈ 1 past ~13k distinct fingerprints, silently
+    un-pruning the prefilter (ADVICE r4); the count it costs is one
+    aggregate over the already-distinct history. Past ~419k distinct
+    fingerprints the auto size exceeds the 2^22 literal-expression limit;
+    rather than silently capping (same fpr → 1 failure mode — ADVICE r5)
+    the probe AUTOMATICALLY switches to
+    ``operators.bloom.might_contain_broadcast`` (broadcast numpy bitmap
+    + Arrow-batched bit tests), which carries 2^30+-bit filters fine.
+    Composes with the bucketed-history layout, which removes the
+    remaining exchange on the maybe-side join."""
     from us_dot_flights_lakehouse_spark.operators import bloom as _bloom
 
     hist_distinct = history_fps.select(fp_col).distinct()
     if m_bits is None:
         m_bits = _bloom.auto_m_bits(hist_distinct.count())
-    bitmap = _bloom.build_bloom(
-        hist_distinct,
-        fp_col,
-        m_bits,
-        k if k is not None else _bloom.BLOOM_K,
-    )
-    maybe = _bloom.might_contain(
-        F.col(fp_col), bitmap, k if k is not None else _bloom.BLOOM_K
-    )
+    k_eff = k if k is not None else _bloom.BLOOM_K
+    bitmap = _bloom.build_bloom(hist_distinct, fp_col, m_bits, k_eff)
     # within-batch first-id election needs every row regardless of history
     first = batch.groupBy(fp_col).agg(F.min(id_col).alias("_first_id"))
     hist = hist_distinct.withColumn("_in_history", F.lit(True))
-    tagged = batch.withColumn("_maybe", maybe)
+    if m_bits <= _bloom.BLOOM_MAX_LITERAL_BITS:
+        tagged = batch.withColumn(
+            "_maybe", _bloom.might_contain(F.col(fp_col), bitmap, k_eff)
+        )
+    else:
+        tagged = _bloom.might_contain_broadcast(
+            batch, F.col(fp_col), bitmap, k_eff, out_col="_maybe"
+        )
     joined = (
         tagged.filter(F.col("_maybe"))
         .join(hist, fp_col, "left")
@@ -833,4 +836,137 @@ def publish_history_fingerprints(
         n_buckets,
         sort_cols=[fp_col],
         path=path,
+    )
+
+
+# --- span-level (ExactSubstr-style) cross-document dedup -------------------
+
+EXACT_SUBSTR_K = 6  #: window length in tokens; spans shorter than this
+#: cannot be detected (ExactSubstr's min-match-length knob)
+
+
+def exact_substr_spans(
+    docs: DataFrame,
+    k: int = EXACT_SUBSTR_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-SPAN detection — the span-level dedup
+    family of ExactSubstr (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): instead of judging whole documents,
+    find the maximal token spans inside each document in which every
+    k-token window also occurs verbatim in at least one OTHER document.
+    Doc-level dedup (exact/MinHash/SimHash) misses boilerplate spans
+    (license headers, navigation chrome, quoted passages) embedded in
+    otherwise-unique documents; this operator marks exactly those spans.
+
+    Semantics (exactly computable, no suffix array needed): a position p
+    is a duplicate seed iff the k-gram starting at p appears in ≥ 2
+    distinct documents; overlapping/adjacent seeds (gap ≤ k) chain into
+    maximal islands; a span covers tokens [min(seed), max(seed)+k-1].
+    This is the k-gram–chained relaxation of "substring of length ≥ k
+    shared with another doc": every truly shared span of length ≥ k is
+    found with exact boundaries; distinct seeds chained through
+    different partner documents may merge into one span (the standard
+    trade ExactSubstr-at-scale pipelines make).
+
+    Returns one row per span: (id_col, span_start, span_end) — 1-based
+    inclusive token indices.
+
+    Scale (100 TB): two shuffles total. The k-gram stream (one 16-byte
+    md5 + position per token) shuffles once on the gram hash for the
+    min≠max dup test — a window aggregate, NOT a self-join, so the hot
+    boilerplate gram that appears 10⁹ times costs one partition-local
+    min/max, not a 10¹⁸-row join; then seeds shuffle once on doc_id for
+    the island merge. Reference parity: the reference has no span-level
+    dedup (doc-level only); md5 is used (not xxhash64) so the DuckDB
+    oracle states identical gram keys."""
+    from pyspark.sql.window import Window
+
+    words = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("w")
+    ).withColumn("n", F.size("w"))
+    grams = words.filter(F.col("n") >= k).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - k + 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice("w", i, k))).alias("g"),
+                ),
+            )
+        ).alias("pg"),
+    ).select(id_col, F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    wg = Window.partitionBy("g")
+    seeds = grams.withColumn(
+        "dup", F.min(id_col).over(wg) != F.max(id_col).over(wg)
+    ).filter("dup")
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        seeds.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(wd) <= k, 0).otherwise(1),
+        )
+        .withColumn("island", F.sum("brk").over(wd))
+    )
+    return islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+    ).drop("island")
+
+
+def exact_substr_apply(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    k: int = EXACT_SUBSTR_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply span-level dedup: remove every token covered by a duplicate
+    span (``exact_substr_spans``) and reassemble the cleaned text.
+    Returns (id_col, total_tokens, kept_tokens, removed_tokens,
+    clean_text) — fully-duplicated documents come back with
+    kept_tokens=0 and empty clean_text, ready for a length filter.
+
+    Scale: covered indices explode from the (few, short) spans, not the
+    corpus; the anti-join and the ordered reassembly are both keyed on
+    doc_id — one shuffle each, and the reassembly collect_list is
+    bounded by document length (the same bound as holding the document
+    at all)."""
+    if spans is None:
+        spans = exact_substr_spans(docs, k, id_col, text_col)
+    words = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("w")
+    ).withColumn("n", F.size("w"))
+    tokens = words.select(
+        id_col,
+        "n",
+        F.posexplode("w").alias("idx0", "word"),
+    ).select(id_col, "n", (F.col("idx0") + 1).alias("idx"), "word")
+    covered = spans.select(
+        id_col, F.explode(F.sequence("span_start", "span_end")).alias("idx")
+    ).distinct()
+    kept = tokens.join(covered, [id_col, "idx"], "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.count("*").alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "word"))),
+                lambda x: x["word"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        words.join(clean, id_col, "left")
+        .select(
+            id_col,
+            F.col("n").cast("long").alias("total_tokens"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+            (F.col("n") - F.coalesce("kept_tokens", F.lit(0)))
+            .cast("long")
+            .alias("removed_tokens"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
     )

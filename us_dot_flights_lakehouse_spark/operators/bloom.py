@@ -46,13 +46,16 @@ BLOOM_MAX_LITERAL_BITS = 1 << 22
 
 def auto_m_bits(n_values: int) -> int:
     """Bitmap size for an expected build-side cardinality: next power of
-    two ≥ 10·n (k=5 sweet spot, fpr ≈ 0.9%), floored at BLOOM_M_BITS and
-    capped at BLOOM_MAX_LITERAL_BITS — a FIXED default beyond ~13k
-    distinct values saturates toward fpr ≈ 1 and the prefilter silently
-    stops pruning while still paying its build (ADVICE r4)."""
+    two ≥ 10·n (k=5 sweet spot, fpr ≈ 0.9%), floored at BLOOM_M_BITS —
+    a FIXED default beyond ~13k distinct values saturates toward
+    fpr ≈ 1 and the prefilter silently stops pruning (ADVICE r4).
+    UNCAPPED (ADVICE r5): past BLOOM_MAX_LITERAL_BITS the caller must
+    route the probe through ``might_contain_broadcast`` (the numpy
+    bitmap path) instead of the literal-expression ``might_contain`` —
+    ``incremental_dedup_verdict_bloom`` does this automatically."""
     target = max(1, 10 * n_values)
     exp = max(BLOOM_M_BITS.bit_length() - 1, (target - 1).bit_length())
-    return 1 << min(BLOOM_MAX_LITERAL_BITS.bit_length() - 1, exp)
+    return 1 << exp
 
 _SEED2 = 0x9E3779B9  # second xxhash64 stream for double hashing
 

@@ -39,6 +39,30 @@ _MODULES = (llm, streaming, quality, flights, relational)
 #: come first; the long tail of f_* function suites — all driver-green in
 #: round 1 and unchanged since — absorbs any truncation.
 _PRIORITY = (
+    # round-6 front-load: the 4 catalog entries that have NEVER had a driver
+    # CORRECTNESS row (added after the round-5 sample was taken; judge-green
+    # in the round-5 full local oracle run — VERDICT r5 "What's wrong" #3)
+    "sim_pq_recall_audit",  # PQ compression-loss recall@k
+    "q_violation_bitmask",  # rule-combination triage masks
+    "w13_activity_bitmap",  # weekly-presence bitmap aggregation
+    "w14_holt_forecast",  # Holt level+trend smoothing kernel
+    # new in round 6 — never driver-verified
+    "dd_exact_substr",  # cross-doc repeated-substring (span) dedup
+    "dd_span_dedup_apply",  # span-level removal application
+    "ts_entropy_gates",  # char/word entropy quality gates
+    "tp_chat_lint",  # SFT conversation lint audit
+    "a24_theil_sen",  # robust pairwise-median trend slope
+    "a25_hhi_concentration",  # market-concentration HHI rollup
+    "w15_changepoint_cusum",  # CUSUM level-shift detection
+    "w16_seasonal_decompose",  # seasonal-naive decomposition
+    "o8_reservoir_sample",  # deterministic weighted reservoir
+    "sim_cur_decomposition",  # leverage-score column selection
+    "g2_triangle_count",  # co-occurrence triangle counting
+    "ts_minhash_containment_matrix",  # source-pair containment
+    "j17_interval_align",  # interval overlap alignment join
+    "q_schema_drift",  # cross-partition schema drift audit
+    "mm_exif_strip",  # metadata-chunk strip/retain audit
+    "tp_pack_bestfit",  # best-fit-decreasing sequence packing
     # round-5 fixes — the ONLY red rows in CORRECTNESS_r04 (array outputs
     # crashed the driver canonicalizer; now serialized to CSV scalars)
     "tp_token_ids",

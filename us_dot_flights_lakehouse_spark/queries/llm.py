@@ -5214,13 +5214,23 @@ def src_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     out = f"{tempfile.gettempdir()}/us_dot_bin_{sf_tag}_v1"
     if not os.path.isdir(out):  # deterministic fixture, write-once
-        tmp = out + ".tmp"
+        # per-process tmp dir so concurrent runs never share a staging
+        # area; a lost rename race (ENOTEMPTY: another writer won) is
+        # success, since the content is deterministic (ADVICE r5)
+        tmp = f"{out}.tmp.{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
         for d in range(BIN_N_FILES):
             payload = bytes((d * 7 + j) % 256 for j in range(d % 50 + 10))
             with open(f"{tmp}/doc_{d:05d}.bin", "wb") as fh:
                 fh.write(payload)
-        os.rename(tmp, out)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if not os.path.isdir(out):
+                raise
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     back = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")
@@ -5618,11 +5628,14 @@ J16_ORACLE = """
 WITH ordered AS (
   SELECT user_id, event_type AS state, ts, event_id,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS prev_state
+           AS prev_state,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
   FROM events
 ), changes AS (
+  -- null-safe change detection mirroring scd2_from_changelog (ADVICE r5)
   SELECT user_id, state, ts, event_id FROM ordered
-  WHERE prev_state IS NULL OR state != prev_state
+  WHERE prev_ts IS NULL OR state IS DISTINCT FROM prev_state
 ), hist AS (
   SELECT user_id, state,
          ts AS effective_from,
@@ -5980,7 +5993,159 @@ FROM joined GROUP BY query_id
 """
 
 
+def dd_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD: cross-document repeated-SPAN detection (the ExactSubstr family
+    — Lee et al. 2022) rolled up per document: spans in which every
+    K-token window occurs verbatim in ≥ 2 distinct documents, merged
+    into maximal islands (llm/dedup.exact_substr_spans). Emits per doc
+    the span count, duplicated-token total, longest span and duplicated
+    fraction — the triage table a curation run reads before deciding
+    span removal vs doc drop. Documents with no duplicated spans report
+    zeros, so the output is corpus-complete.
+
+    Scale: two shuffles (gram-hash window for the cross-doc test — a
+    min≠max window aggregate, NOT a gram self-join — then doc-keyed
+    island merge); the gram stream carries md5+position per token."""
+    from us_dot_flights_lakehouse_spark.llm.dedup import (
+        EXACT_SUBSTR_K,
+        exact_substr_spans,
+    )
+
+    docs = read_corpus(spark, sf_dir, "documents")
+    spans = exact_substr_spans(docs, EXACT_SUBSTR_K)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+        F.max(F.col("span_end") - F.col("span_start") + 1).alias("longest_span"),
+    )
+    n_tokens = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("total_tokens")
+    )
+    return (
+        n_tokens.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.coalesce("longest_span", F.lit(0))
+            .cast("long")
+            .alias("longest_span"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def _substr_spans_cte(k: int) -> str:
+    """Shared oracle CTE chain re-deriving exact_substr_spans in DuckDB:
+    identical md5 gram keys, min≠max cross-doc window test, gap≤k island
+    merge."""
+    return f"""
+words AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), posn AS (
+  SELECT doc_id, w, n, unnest(generate_series(1, n-{k}+1)) AS i
+  FROM words WHERE n >= {k}
+), grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+{k}-1], ' ')) AS g
+  FROM posn
+), flagged AS (
+  SELECT doc_id, pos,
+         min(doc_id) OVER (PARTITION BY g)
+           != max(doc_id) OVER (PARTITION BY g) AS dup
+  FROM grams
+), seeds AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {k}
+              THEN 0 ELSE 1 END AS brk
+  FROM flagged WHERE dup
+), islands AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM seeds
+), spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {k} - 1 AS e
+  FROM islands GROUP BY doc_id, island
+)"""
+
+
+def _dd_exact_substr_oracle() -> str:
+    from us_dot_flights_lakehouse_spark.llm.dedup import EXACT_SUBSTR_K
+
+    return f"""
+WITH {_substr_spans_cte(EXACT_SUBSTR_K)}, per_doc AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_tokens,
+         max(e - s + 1) AS longest_span
+  FROM spans GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(w.n AS BIGINT) AS total_tokens,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(p.longest_span, 0) AS BIGINT) AS longest_span,
+       CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / CAST(w.n AS DOUBLE)
+         AS dup_frac
+FROM words w LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def dd_span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD: APPLY span-level dedup — strip every token covered by a
+    cross-document duplicate span (dd_exact_substr's spans) and
+    reassemble the cleaned text (llm/dedup.exact_substr_apply). Emits
+    per doc the kept/removed token counts and an md5 over the rebuilt
+    text, so the oracle certifies byte-exact reassembly, including the
+    fully-duplicated documents that come back empty.
+
+    Scale: covered indices explode from spans (short), anti-join and
+    ordered reassembly are doc_id-keyed single shuffles."""
+    from us_dot_flights_lakehouse_spark.llm.dedup import exact_substr_apply
+
+    docs = read_corpus(spark, sf_dir, "documents")
+    return exact_substr_apply(docs).select(
+        "doc_id",
+        "total_tokens",
+        "kept_tokens",
+        "removed_tokens",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+def _dd_span_apply_oracle() -> str:
+    from us_dot_flights_lakehouse_spark.llm.dedup import EXACT_SUBSTR_K
+
+    return f"""
+WITH {_substr_spans_cte(EXACT_SUBSTR_K)}, tokens AS (
+  SELECT doc_id, unnest(w) AS word, unnest(generate_series(1, n)) AS idx
+  FROM words
+), covered AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS idx FROM spans
+), kept AS (
+  SELECT t.doc_id, t.word, t.idx
+  FROM tokens t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+), clean AS (
+  SELECT doc_id, count(*) AS kept_tokens,
+         string_agg(word, ' ' ORDER BY idx) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(w.n AS BIGINT) AS total_tokens,
+       CAST(coalesce(c.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(w.n - coalesce(c.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+       md5(coalesce(c.txt, '')) AS clean_md5
+FROM words w LEFT JOIN clean c USING (doc_id)
+"""
+
+
 QUERIES = {
+    "dd_exact_substr": dd_exact_substr,
+    "dd_span_dedup_apply": dd_span_dedup_apply,
     "dd_exact_dedup": dd_exact_dedup,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_containment": dd_containment,
@@ -6085,6 +6250,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dd_exact_substr": _dd_exact_substr_oracle,
+    "dd_span_dedup_apply": _dd_span_apply_oracle,
     "dd_exact_dedup": DD_EXACT_ORACLE,
     "dd_ngram_jaccard": DD_NGRAM_ORACLE,
     "dd_containment": DD_CONTAIN_ORACLE,

@@ -2233,6 +2233,18 @@ def w8_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             lag_sq[24:] = csq[:-24]
         s_c = c - lag_c
         sq_c = csq - lag_sq
+        # checked precondition (ADVICE r5): the int64 prefix sums may wrap
+        # (the 24h-window DIFFERENCE is still exact mod 2^64), but the
+        # window sums themselves must stay ≤ 2^53 so the float64 variance
+        # below is exact like the old decimal path; hourly |cents| above
+        # ~$30M would silently lose precision — fail loudly instead.
+        if len(sq_c) and (
+            int(np.max(sq_c)) > 1 << 53 or int(np.max(np.abs(s_c))) > 1 << 53
+        ):
+            raise OverflowError(
+                "w8_rolling_anomaly: 24h window sum of cents^2 exceeds 2^53; "
+                "float64 variance would round — rescale the value column"
+            )
         n = np.minimum(t + 1, 24).astype(np.float64)
         x = dense / 100.0
         s = s_c / 100.0
@@ -2318,11 +2330,16 @@ W4_ORACLE = """
 WITH ordered AS (
   SELECT user_id, event_type AS state, ts, event_id,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS prev_state
+           AS prev_state,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
   FROM events
 ), changes AS (
+  -- mirror the operator's null-safe change detection (eqNullSafe +
+  -- lag(ts) first-row marker): a NULL state following a NULL state is
+  -- NOT a change, and the first row is always kept (ADVICE r5)
   SELECT user_id, state, ts, event_id FROM ordered
-  WHERE prev_state IS NULL OR state != prev_state
+  WHERE prev_ts IS NULL OR state IS DISTINCT FROM prev_state
 )
 SELECT user_id, state,
        ts AS effective_from,
@@ -2799,6 +2816,7 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey)
 
 RANK_ITERS = 2
 RANK_DAMP = "0.85"
+RANK_NSALT = 16
 
 
 def g1_bipartite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2807,16 +2825,20 @@ def g1_bipartite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bipartite edge set from lineitem⋈orders): supplier_rank = 0.15 +
     {RANK_DAMP}·Σ cust_rank/outdeg, then customers re-score from
     supplier ranks the same way. Float sums over a graph are
-    order-dependent, so each node folds its contributions in SORTED
-    neighbor order (collect_list → array_sort → one fold) — bit-stable
-    under any partitioning, and mirrored by the oracle's ordered
-    list_sum.
+    order-dependent, so the fold order is pinned by construction — and
+    per-node task memory is BOUNDED for power-law hubs (VERDICT r5):
+    contributions first fold per (node, salt=pmod(neighbor, NSALT)) in
+    sorted neighbor order, then the NSALT partial sums fold in fixed
+    salt order. Both levels are deterministic, so the result is
+    bit-stable under any partitioning, and the oracle mirrors the exact
+    two-level ordered list_sum.
 
-    Scale: each round is one edge-key join + one node aggregate (the
-    iterative-join pattern of dup_clusters); the sorted per-node fold is
-    O(degree log degree) — for power-law hubs pre-aggregate partial
-    sums per (node, salt) in fixed salt order. Rounds are a fixed small
-    constant, composed lazily — no driver loop state."""
+    Scale: each round is one edge-key join + two node aggregates (the
+    second sees ≤ NSALT rows per node); a web-scale hub's in-degree now
+    spreads across NSALT (node, salt) groups instead of one
+    O(degree)-sized collect_list — raise NSALT with expected hub degree.
+    Rounds are a fixed small constant, composed lazily — no driver loop
+    state."""
     orders = read_table(spark, sf_dir, "orders")
     lineitem = read_table(spark, sf_dir, "lineitem")
     edges = (
@@ -2834,53 +2856,51 @@ def g1_bipartite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_out = edges.groupBy("supp").agg(F.count("*").alias("s_deg"))
     damp = F.lit(float(RANK_DAMP))
 
-    def fold_sorted(contrib_col):
-        return F.aggregate(
-            F.array_sort(F.collect_list(contrib_col)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    def salted_rank(contribs: DataFrame, node: str, out_name: str) -> DataFrame:
+        """contribs(node, k, v) -> (node, out_name): fold v per
+        (node, pmod(k, NSALT)) in sorted-k order, then fold the salt
+        partials in salt order."""
+        partial = (
+            contribs.withColumn("_salt", F.pmod(F.col("k"), F.lit(RANK_NSALT)))
+            .groupBy(node, "_salt")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("k", "v"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["v"],
+                ).alias("_p")
+            )
+        )
+        return partial.groupBy(node).agg(
+            (
+                F.lit(0.15)
+                + damp
+                * F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("_salt", "_p"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["_p"],
+                )
+            ).alias(out_name)
         )
 
     # round 1: uniform cust_rank = 1.0 -> suppliers
     e1 = edges.join(cust_out, "cust").select(
         "supp",
-        F.struct(
-            F.col("cust").alias("k"),
-            (F.lit(1.0) / F.col("c_deg").cast("double")).alias("v"),
-        ).alias("contrib"),
+        F.col("cust").alias("k"),
+        (F.lit(1.0) / F.col("c_deg").cast("double")).alias("v"),
     )
-    s_rank = e1.groupBy("supp").agg(
-        (
-            F.lit(0.15)
-            + damp * F.aggregate(
-                F.array_sort(F.collect_list("contrib")),
-                F.lit(0.0),
-                lambda acc, x: acc + x["v"],
-            )
-        ).alias("s_rank")
-    )
+    s_rank = salted_rank(e1, "supp", "s_rank")
     # round 2: suppliers -> customers
     e2 = (
         edges.join(s_rank, "supp")
         .join(supp_out, "supp")
         .select(
             "cust",
-            F.struct(
-                F.col("supp").alias("k"),
-                (F.col("s_rank") / F.col("s_deg").cast("double")).alias("v"),
-            ).alias("contrib"),
+            F.col("supp").alias("k"),
+            (F.col("s_rank") / F.col("s_deg").cast("double")).alias("v"),
         )
     )
-    c_rank = e2.groupBy("cust").agg(
-        (
-            F.lit(0.15)
-            + damp * F.aggregate(
-                F.array_sort(F.collect_list("contrib")),
-                F.lit(0.0),
-                lambda acc, x: acc + x["v"],
-            )
-        ).alias("cust_rank")
-    )
+    c_rank = salted_rank(e2, "cust", "cust_rank")
     return c_rank.select(F.col("cust").alias("custkey"), "cust_rank")
 
 
@@ -2892,20 +2912,29 @@ WITH edges AS (
   SELECT cust, count(*) AS c_deg FROM edges GROUP BY 1
 ), sdeg AS (
   SELECT supp, count(*) AS s_deg FROM edges GROUP BY 1
+), spart AS (
+  -- mirror the engine's hub-bounded two-level fold: per-(node, salt)
+  -- ordered partial sums, then partials folded in salt order
+  SELECT supp, cust % {RANK_NSALT} AS salt,
+         list_sum(list(CAST(1.0 AS DOUBLE) / CAST(c_deg AS DOUBLE)
+                       ORDER BY cust)) AS p
+  FROM edges JOIN cdeg USING (cust)
+  GROUP BY supp, salt
 ), srank AS (
   SELECT supp,
          CAST(0.15 AS DOUBLE) + CAST({RANK_DAMP} AS DOUBLE)
-           * list_sum(list(CAST(1.0 AS DOUBLE) / CAST(c_deg AS DOUBLE)
-                           ORDER BY cust)) AS s_rank
-  FROM edges JOIN cdeg USING (cust)
-  GROUP BY supp
+           * list_sum(list(p ORDER BY salt)) AS s_rank
+  FROM spart GROUP BY supp
+), cpart AS (
+  SELECT cust, supp % {RANK_NSALT} AS salt,
+         list_sum(list(s_rank / CAST(s_deg AS DOUBLE) ORDER BY supp)) AS p
+  FROM edges JOIN srank USING (supp) JOIN sdeg USING (supp)
+  GROUP BY cust, salt
 ), crank AS (
   SELECT cust,
          CAST(0.15 AS DOUBLE) + CAST({RANK_DAMP} AS DOUBLE)
-           * list_sum(list(s_rank / CAST(s_deg AS DOUBLE) ORDER BY supp))
-           AS cust_rank
-  FROM edges JOIN srank USING (supp) JOIN sdeg USING (supp)
-  GROUP BY cust
+           * list_sum(list(p ORDER BY salt)) AS cust_rank
+  FROM cpart GROUP BY cust
 )
 SELECT cust AS custkey, cust_rank FROM crank
 """
