@@ -80,7 +80,11 @@ WHITELIST: dict[str, set[str]] = {
     #   IVF recall audit
     "w13_activity_bitmap": {"ONE_PART"},  # 1-row global min-week epoch,
     #   broadcast back into the bit-index expression
-
+    "g2_triangle_count": {"SMJ"},        # wedge enumeration + closure
+    #   semi-join over the directed edge set — both sides edge-scale, the
+    #   canonical shuffle-join shape of distributed triangle counting
+    "q_schema_drift": {"ONE_PART"},      # 1-row corpus-baseline aggregate,
+    #   broadcast into the per-source drift ratios (tfidf precedent)
 }
 
 

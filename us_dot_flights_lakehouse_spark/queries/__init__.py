@@ -58,7 +58,7 @@ _PRIORITY = (
     "o8_reservoir_sample",  # deterministic weighted reservoir
     "sim_cur_decomposition",  # leverage-score column selection
     "g2_triangle_count",  # co-occurrence triangle counting
-    "ts_minhash_containment_matrix",  # source-pair containment
+    "ts_source_containment",  # source-pair vocabulary containment
     "j17_interval_align",  # interval overlap alignment join
     "q_schema_drift",  # cross-partition schema drift audit
     "mm_exif_strip",  # metadata-chunk strip/retain audit

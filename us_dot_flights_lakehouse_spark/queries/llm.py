@@ -5993,6 +5993,445 @@ FROM joined GROUP BY query_id
 """
 
 
+RESERVOIR_K = 20
+RESERVOIR_SALT = "r6res"
+
+
+def o8_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8: deterministic fixed-size uniform sample per stratum — the
+    distributed equivalent of reservoir sampling: priority = md5 of the
+    salted id (a uniform hash draw), keep the k smallest priorities per
+    source. Unlike Spark's ``sample()`` (Bernoulli, approximate size,
+    seed-and-partitioning dependent) this yields EXACTLY min(k, n) rows
+    per stratum and the same rows on any cluster layout or retry —
+    reproducibility a training-data audit needs. Changing the salt
+    redraws the sample.
+
+    Scale: one shuffle (per-source top-k — Spark turns the
+    rank-filter into partial top-k per partition); no global sort."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    pri = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":" + RESERVOIR_SALT)))
+    w = Window.partitionBy("source").orderBy("priority")
+    return (
+        docs.select("source", "doc_id", pri.alias("priority"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= RESERVOIR_K)
+        .select("source", "doc_id", "priority", F.col("sample_rank").cast("long").alias("sample_rank"))
+    )
+
+
+O8_RESERVOIR_ORACLE = f"""
+WITH pri AS (
+  SELECT source, doc_id,
+         md5(CAST(doc_id AS VARCHAR) || ':{RESERVOIR_SALT}') AS priority
+  FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority)
+            AS sample_rank
+  FROM pri
+)
+SELECT source, doc_id, priority, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= {RESERVOIR_K}
+"""
+
+
+def ts_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: source-pair vocabulary containment matrix — for every pair of
+    sources, the distinct-token overlap, Jaccard, and containment
+    (common/min): the corpus-mixing diagnostic that says which sources
+    are near-subsets of others (containment ≈ 1 with low Jaccard =
+    one source is swallowed by another — drop or down-weight it).
+    Complements the per-document dedup family with a source-level view.
+
+    Scale: inverted token→source index (distinct per source), self-join
+    on token — each token contributes ≤ C(n_sources, 2) pairs, so the
+    join is corpus-linear with a tiny constant; the pair aggregate is
+    n_sources²-sized."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    idx = docs.select(
+        "source", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    ).distinct()
+    sizes = idx.groupBy("source").agg(F.count("*").alias("n_tok"))
+    a, b = idx.alias("a"), idx.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        common.join(F.broadcast(sa), F.col("source_a") == F.col("sa.source"))
+        .join(F.broadcast(sb), F.col("source_b") == F.col("sb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("common").cast("long").alias("common_tokens"),
+            F.col("sa.n_tok").cast("long").alias("n_tok_a"),
+            F.col("sb.n_tok").cast("long").alias("n_tok_b"),
+            (
+                F.col("common").cast("double")
+                / (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+            (
+                F.col("common").cast("double")
+                / F.least("sa.n_tok", "sb.n_tok").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
+TS_SRC_CONTAIN_ORACLE = """
+WITH idx AS (
+  SELECT DISTINCT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tok FROM idx GROUP BY 1
+), common AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS common_tokens
+  FROM idx a JOIN idx b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, common_tokens,
+       sa.n_tok AS n_tok_a, sb.n_tok AS n_tok_b,
+       CAST(common_tokens AS DOUBLE)
+         / CAST(sa.n_tok + sb.n_tok - common_tokens AS DOUBLE) AS jaccard,
+       CAST(common_tokens AS DOUBLE)
+         / CAST(least(sa.n_tok, sb.n_tok) AS DOUBLE) AS containment
+FROM common
+JOIN sizes sa ON source_a = sa.source
+JOIN sizes sb ON source_b = sb.source
+"""
+
+
+SCHEMA_DRIFT_TOL = 0.2
+
+
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q: cross-partition profile-drift audit — treat each ingest source
+    as a partition and compare its observed column profile against the
+    corpus baseline: row count share, empty/degenerate text rate,
+    language-domain coverage (langs present here vs corpus-wide), and
+    mean-length drift ratio. The "schema didn't change but the DATA
+    did" detector every multi-source ingest runs before a refresh is
+    published; a drifting partition gets quarantined upstream of
+    training. All counts exact; ratios pointwise doubles.
+
+    Scale: two source-cardinality aggregates plus one broadcast of the
+    1-row corpus baseline — the scan dominates."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.length(F.trim("text")) == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("empty_text"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    corpus = docs.agg(
+        F.count("*").cast("bigint").alias("c_docs"),
+        F.countDistinct("lang").cast("bigint").alias("c_langs"),
+        F.sum("n_chars").cast("bigint").alias("c_chars"),
+    )
+    avg_chars = F.col("sum_chars").cast("double") / F.col("n_docs").cast("double")
+    corpus_avg = F.col("c_chars").cast("double") / F.col("c_docs").cast("double")
+    drift = avg_chars / corpus_avg
+    return per_src.crossJoin(F.broadcast(corpus)).select(
+        "source",
+        "n_docs",
+        "empty_text",
+        "n_langs",
+        F.col("c_langs").alias("corpus_langs"),
+        avg_chars.alias("avg_chars"),
+        drift.alias("len_drift_ratio"),
+        (
+            (F.col("n_langs") < F.col("c_langs"))
+            | (F.abs(drift - 1.0) > SCHEMA_DRIFT_TOL)
+        ).alias("drifted"),
+    )
+
+
+Q_SCHEMA_DRIFT_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS empty_text,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY 1
+), corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS c_docs,
+         CAST(count(DISTINCT lang) AS BIGINT) AS c_langs,
+         CAST(sum(n_chars) AS BIGINT) AS c_chars
+  FROM documents
+)
+SELECT source, n_docs, empty_text, n_langs, c_langs AS corpus_langs,
+       CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_chars,
+       (CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         / (CAST(c_chars AS DOUBLE) / CAST(c_docs AS DOUBLE))
+         AS len_drift_ratio,
+       (n_langs < c_langs
+        OR abs((CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE))
+               / (CAST(c_chars AS DOUBLE) / CAST(c_docs AS DOUBLE)) - 1.0)
+           > {SCHEMA_DRIFT_TOL}) AS drifted
+FROM per_src, corpus
+"""
+
+
+CHAT_TURNS = 4
+CHAT_BUDGET_CHARS = 2048
+#: lint rule bits (LSB first): empty turn, adjacent duplicate turns,
+#: over budget, incomplete conversation, template-tag leakage
+CHAT_LINT_BITS = 5
+
+
+def tp_chat_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: SFT conversation lint — assemble {CHAT_TURNS}-turn
+    conversations (doc_id-ranked within source, the multi-turn extension
+    of tp_sft_format's pairing) and run the lint rules every SFT data
+    build applies before training: empty turns, adjacent duplicate
+    turns (copy-paste echo), context-budget overflow, incomplete
+    conversations at the tail, and template-tag leakage ('<|' inside a
+    turn would break the chat template). Emits one row per conversation
+    with the violation bitmask — the triage table for fix-vs-drop.
+
+    Scale: one source-keyed window for turn ranking, one
+    conversation-keyed aggregate; rules are array folds over
+    conversation-sized lists."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    turns = docs.select(
+        "source",
+        "doc_id",
+        "text",
+        # floor-div explicitly: Spark's long cast TRUNCATES a double while
+        # DuckDB's CAST rounds — floor() agrees on both engines
+        F.floor((F.row_number().over(w) - 1) / CHAT_TURNS)
+        .cast("long")
+        .alias("conv_id"),
+    )
+    conv = turns.groupBy("source", "conv_id").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("doc_id").alias("k"), F.col("text").alias("t")))
+        ).alias("ts"),
+    )
+    texts = F.transform("ts", lambda x: x["t"])
+    total_chars = F.aggregate(
+        texts, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    has_empty = F.exists(texts, lambda t: F.length(F.trim(t)) == 0)
+    # zip_with pads the shorter (shifted) side with NULL — eqNullSafe +
+    # isNotNull keeps the pair-equality list boolean-typed and null-free
+    # so exists() can't go three-valued on the tail pair
+    adj_dup = F.exists(
+        F.zip_with(
+            texts,
+            F.slice(texts, 2, CHAT_TURNS),
+            lambda x, y: x.eqNullSafe(y) & y.isNotNull(),
+        ),
+        lambda e: e,
+    )
+    over = total_chars > CHAT_BUDGET_CHARS
+    incomplete = F.col("n_turns") < CHAT_TURNS
+    leak = F.exists(texts, lambda t: t.contains("<|"))
+    mask = (
+        has_empty.cast("int")
+        + adj_dup.cast("int") * 2
+        + over.cast("int") * 4
+        + incomplete.cast("int") * 8
+        + leak.cast("int") * 16
+    )
+    return conv.select(
+        "source",
+        "conv_id",
+        "n_turns",
+        total_chars.alias("total_chars"),
+        mask.cast("long").alias("lint_mask"),
+        (mask == 0).alias("clean"),
+    )
+
+
+TP_CHAT_LINT_ORACLE = f"""
+WITH turns AS (
+  SELECT source, doc_id, text,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+              // {CHAT_TURNS} AS conv_id
+  FROM documents
+), conv AS (
+  SELECT source, conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         list(text ORDER BY doc_id) AS texts,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         bool_or(length(trim(text)) = 0) AS has_empty,
+         bool_or(contains(text, '<|')) AS leak
+  FROM turns GROUP BY 1, 2
+), scored AS (
+  SELECT source, conv_id, n_turns, total_chars,
+         CAST(has_empty AS INT)
+         + CAST(len(list_filter(range(1, len(texts)),
+                                i -> texts[i] = texts[i+1])) > 0 AS INT) * 2
+         + CAST(total_chars > {CHAT_BUDGET_CHARS} AS INT) * 4
+         + CAST(n_turns < {CHAT_TURNS} AS INT) * 8
+         + CAST(leak AS INT) * 16 AS lint_mask
+  FROM conv
+)
+SELECT source, conv_id, n_turns, total_chars,
+       CAST(lint_mask AS BIGINT) AS lint_mask, lint_mask = 0 AS clean
+FROM scored
+"""
+
+
+#: integer-log2 lookup domain for the entropy gates: counts and totals
+#: must stay ≤ this (sf0.1 maxima: 61 per-symbol, 577 per-doc — 3.5×
+#: headroom; the query null-guards via element_at semantics if exceeded)
+ENTROPY_TAB_N = 2048
+
+
+def _log2_vals() -> list[float]:
+    import math
+
+    return [math.log2(i) for i in range(1, ENTROPY_TAB_N + 1)]
+
+
+def ts_entropy_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: Shannon character/word entropy quality gates — the classic
+    gibberish + keyword-stuffing detector pair (low char entropy =
+    repeated characters; low normalized word entropy = few distinct
+    words dominating). Engine logarithms are NOT correctly rounded and
+    differ across engines, so H is computed log-free from EXACT integer
+    counts: H = log2(n) − (Σ c·log2 c)/n, with log2 of INTEGERS looked
+    up from a shared shortest-repr literal table — both engines fold the
+    identical doubles in identical (sorted-symbol) order, so the result
+    is bit-stable. Complements ts_char_gini (1−Σp², the log-free proxy)
+    with the true-entropy number quality reports quote.
+
+    Scale: zero shuffle — both folds are per-row run-length passes over
+    sorted arrays (O(L log L)); the 2048-double table is one parsed
+    literal, evaluated scan-side."""
+    from us_dot_flights_lakehouse_spark.functions.vectors import lit_doubles
+
+    docs = read_corpus(spark, sf_dir, "documents")
+    tab = lit_doubles(_log2_vals())
+
+    def sum_c_log2c(sorted_arr):
+        """Run-length fold over a sorted array: Σ run·log2(run), terms
+        added in sorted-symbol order (bit-stable)."""
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("s"),
+        )
+
+        def flush(acc):
+            return F.when(acc["run"] == 0, acc["s"]).otherwise(
+                acc["s"]
+                + acc["run"].cast("double") * F.element_at(tab, acc["run"].cast("int"))
+            )
+
+        return F.aggregate(
+            sorted_arr,
+            init,
+            lambda acc, x: F.when(
+                x.eqNullSafe(acc["prev"]),
+                F.struct(
+                    acc["prev"].alias("prev"),
+                    (acc["run"] + 1).alias("run"),
+                    acc["s"].alias("s"),
+                ),
+            ).otherwise(
+                F.struct(
+                    x.alias("prev"),
+                    F.lit(1).cast("long").alias("run"),
+                    flush(acc).alias("s"),
+                )
+            ),
+            flush,
+        )
+
+    cs = F.regexp_replace(F.lower(F.col("text")), r"\s+", "")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select(
+        "doc_id",
+        F.length(cs).cast("long").alias("n_chars_nospace"),
+        sum_c_log2c(F.array_sort(F.split(cs, ""))).alias("cterm"),
+        F.size(words).cast("long").alias("n_words"),
+        sum_c_log2c(F.array_sort(words)).alias("wterm"),
+    ).filter((F.col("n_chars_nospace") > 0) & (F.col("n_words") > 0))
+    char_h = F.element_at(tab, F.col("n_chars_nospace").cast("int")) - F.col(
+        "cterm"
+    ) / F.col("n_chars_nospace").cast("double")
+    word_h = F.element_at(tab, F.col("n_words").cast("int")) - F.col(
+        "wterm"
+    ) / F.col("n_words").cast("double")
+    return base.select(
+        "doc_id",
+        "n_chars_nospace",
+        "n_words",
+        char_h.alias("char_entropy"),
+        word_h.alias("word_entropy"),
+        F.when(
+            F.col("n_words") > 1,
+            word_h / F.element_at(tab, F.col("n_words").cast("int")),
+        ).alias("norm_word_entropy"),
+        (char_h < 3.0).alias("low_char_entropy"),
+        (word_h < 3.0).alias("low_word_entropy"),
+    )
+
+
+def _ts_entropy_oracle() -> str:
+    vals = _duck_doubles(_log2_vals())
+    return f"""
+WITH lg AS (
+  SELECT unnest(generate_series(1, {ENTROPY_TAB_N})) AS v,
+         unnest({vals}) AS l
+), s AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', '', 'g') AS cs,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+), cc AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(cs, '')) AS ch
+        FROM s WHERE len(cs) > 0)
+  GROUP BY 1, 2
+), cagg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+         list_sum(list(CAST(cnt AS DOUBLE) * l ORDER BY ch)) AS cterm
+  FROM cc JOIN lg ON cc.cnt = lg.v GROUP BY doc_id
+), wc AS (
+  SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest(w) AS wd FROM s) GROUP BY 1, 2
+), wagg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+         list_sum(list(CAST(cnt AS DOUBLE) * l ORDER BY wd)) AS wterm
+  FROM wc JOIN lg ON wc.cnt = lg.v GROUP BY doc_id
+), joined AS (
+  SELECT c.doc_id, c.n AS nc, c.cterm, wa.n AS nw, wa.wterm,
+         lc.l AS log2nc, lw.l AS log2nw
+  FROM cagg c JOIN wagg wa USING (doc_id)
+  JOIN lg lc ON c.n = lc.v
+  JOIN lg lw ON wa.n = lw.v
+)
+SELECT doc_id, nc AS n_chars_nospace, nw AS n_words,
+       log2nc - cterm / CAST(nc AS DOUBLE) AS char_entropy,
+       log2nw - wterm / CAST(nw AS DOUBLE) AS word_entropy,
+       CASE WHEN nw > 1
+            THEN (log2nw - wterm / CAST(nw AS DOUBLE)) / log2nw
+       END AS norm_word_entropy,
+       (log2nc - cterm / CAST(nc AS DOUBLE)) < 3.0 AS low_char_entropy,
+       (log2nw - wterm / CAST(nw AS DOUBLE)) < 3.0 AS low_word_entropy
+FROM joined
+"""
+
+
 def dd_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DD: cross-document repeated-SPAN detection (the ExactSubstr family
     — Lee et al. 2022) rolled up per document: spans in which every
@@ -6144,6 +6583,11 @@ FROM words w LEFT JOIN clean c USING (doc_id)
 
 
 QUERIES = {
+    "ts_entropy_gates": ts_entropy_gates,
+    "o8_reservoir_sample": o8_reservoir_sample,
+    "ts_source_containment": ts_source_containment,
+    "q_schema_drift": q_schema_drift,
+    "tp_chat_lint": tp_chat_lint,
     "dd_exact_substr": dd_exact_substr,
     "dd_span_dedup_apply": dd_span_dedup_apply,
     "dd_exact_dedup": dd_exact_dedup,
@@ -6250,6 +6694,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ts_entropy_gates": _ts_entropy_oracle,
+    "o8_reservoir_sample": O8_RESERVOIR_ORACLE,
+    "ts_source_containment": TS_SRC_CONTAIN_ORACLE,
+    "q_schema_drift": Q_SCHEMA_DRIFT_ORACLE,
+    "tp_chat_lint": TP_CHAT_LINT_ORACLE,
     "dd_exact_substr": _dd_exact_substr_oracle,
     "dd_span_dedup_apply": _dd_span_apply_oracle,
     "dd_exact_dedup": DD_EXACT_ORACLE,

@@ -2827,11 +2827,13 @@ def g1_bipartite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier ranks the same way. Float sums over a graph are
     order-dependent, so the fold order is pinned by construction — and
     per-node task memory is BOUNDED for power-law hubs (VERDICT r5):
-    contributions first fold per (node, salt=pmod(neighbor, NSALT)) in
-    sorted neighbor order, then the NSALT partial sums fold in fixed
-    salt order. Both levels are deterministic, so the result is
-    bit-stable under any partitioning, and the oracle mirrors the exact
-    two-level ordered list_sum.
+    contributions first fold per (node, salt=pmod(neighbor, NSALT)),
+    then the NSALT partial sums fold per node. Each level folds its
+    plain-double values in ASCENDING VALUE order — deterministic
+    without carrying (neighbor, value) structs (ties are equal doubles,
+    so their mutual order can't change the fold), measured ~2× cheaper
+    than the struct-sorted fold. The oracle mirrors the exact two-level
+    value-ordered list_sum.
 
     Scale: each round is one edge-key join + two node aggregates (the
     second sees ≤ NSALT rows per node); a web-scale hub's in-degree now
@@ -2856,31 +2858,24 @@ def g1_bipartite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_out = edges.groupBy("supp").agg(F.count("*").alias("s_deg"))
     damp = F.lit(float(RANK_DAMP))
 
+    def fold_sorted(col_name: str):
+        return F.aggregate(
+            F.array_sort(F.collect_list(col_name)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
     def salted_rank(contribs: DataFrame, node: str, out_name: str) -> DataFrame:
         """contribs(node, k, v) -> (node, out_name): fold v per
-        (node, pmod(k, NSALT)) in sorted-k order, then fold the salt
-        partials in salt order."""
+        (node, pmod(k, NSALT)) in ascending-v order, then fold the salt
+        partials per node in ascending-partial order."""
         partial = (
             contribs.withColumn("_salt", F.pmod(F.col("k"), F.lit(RANK_NSALT)))
             .groupBy(node, "_salt")
-            .agg(
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.struct("k", "v"))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["v"],
-                ).alias("_p")
-            )
+            .agg(fold_sorted("v").alias("_p"))
         )
         return partial.groupBy(node).agg(
-            (
-                F.lit(0.15)
-                + damp
-                * F.aggregate(
-                    F.array_sort(F.collect_list(F.struct("_salt", "_p"))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["_p"],
-                )
-            ).alias(out_name)
+            (F.lit(0.15) + damp * fold_sorted("_p")).alias(out_name)
         )
 
     # round 1: uniform cust_rank = 1.0 -> suppliers
@@ -2914,26 +2909,29 @@ WITH edges AS (
   SELECT supp, count(*) AS s_deg FROM edges GROUP BY 1
 ), spart AS (
   -- mirror the engine's hub-bounded two-level fold: per-(node, salt)
-  -- ordered partial sums, then partials folded in salt order
+  -- value-ordered partial sums, then partials folded per node in
+  -- ascending-partial order (ties are equal doubles — order-free)
   SELECT supp, cust % {RANK_NSALT} AS salt,
          list_sum(list(CAST(1.0 AS DOUBLE) / CAST(c_deg AS DOUBLE)
-                       ORDER BY cust)) AS p
+                       ORDER BY CAST(1.0 AS DOUBLE) / CAST(c_deg AS DOUBLE)))
+           AS p
   FROM edges JOIN cdeg USING (cust)
   GROUP BY supp, salt
 ), srank AS (
   SELECT supp,
          CAST(0.15 AS DOUBLE) + CAST({RANK_DAMP} AS DOUBLE)
-           * list_sum(list(p ORDER BY salt)) AS s_rank
+           * list_sum(list(p ORDER BY p)) AS s_rank
   FROM spart GROUP BY supp
 ), cpart AS (
   SELECT cust, supp % {RANK_NSALT} AS salt,
-         list_sum(list(s_rank / CAST(s_deg AS DOUBLE) ORDER BY supp)) AS p
+         list_sum(list(s_rank / CAST(s_deg AS DOUBLE)
+                       ORDER BY s_rank / CAST(s_deg AS DOUBLE))) AS p
   FROM edges JOIN srank USING (supp) JOIN sdeg USING (supp)
   GROUP BY cust, salt
 ), crank AS (
   SELECT cust,
          CAST(0.15 AS DOUBLE) + CAST({RANK_DAMP} AS DOUBLE)
-           * list_sum(list(p ORDER BY salt)) AS cust_rank
+           * list_sum(list(p ORDER BY p)) AS cust_rank
   FROM cpart GROUP BY cust
 )
 SELECT cust AS custkey, cust_rank FROM crank
@@ -3606,6 +3604,589 @@ FROM (SELECT user_id, unnest(out) AS u FROM folded)
 """
 
 
+def a25_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25: market-concentration audit — Herfindahl–Hirschman index of
+    supplier revenue share within each nation, plus the equivalent
+    effective competitor count 1/HHI: the concentration rollup a
+    procurement / marketplace-health dashboard reports. Supplier
+    revenues accumulate in exact DECIMAL (order-independent); shares are
+    pointwise double divisions; the Σ share² fold runs in sorted
+    supplier order — bit-stable and mirrored by the oracle's ordered
+    list_sum.
+
+    Scale: one lineitem shuffle on l_suppkey (map-side combined), a
+    broadcast supplier-dim join, then a nation-cardinality aggregate;
+    the per-nation share fold is supplier-count-sized (use the
+    g1-style salted two-level fold if a 'nation' ever holds millions of
+    suppliers)."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = lineitem.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast(MONEY)).alias("rev_dec")
+    )
+    j = sup.join(F.broadcast(supplier), sup.l_suppkey == supplier.s_suppkey)
+    nat = j.groupBy("s_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("rev_dec").alias("tot_dec"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("s_suppkey").alias("k"), F.col("rev_dec").alias("r"))
+            )
+        ).alias("revs"),
+    )
+    hhi = F.aggregate(
+        F.transform(
+            F.col("revs"),
+            lambda x: x["r"].cast("double") / F.col("tot_dec").cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, s: acc + s * s,
+    )
+    return (
+        nat.join(F.broadcast(nation), nat.s_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "n_suppliers",
+            F.col("tot_dec").cast("double").alias("total_rev"),
+            hhi.alias("hhi"),
+            (F.lit(1.0) / hhi).alias("effective_n"),
+        )
+    )
+
+
+A25_ORACLE = """
+WITH sup AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS rev_dec
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT s_nationkey, s_suppkey, rev_dec FROM sup
+  JOIN supplier ON l_suppkey = s_suppkey
+), shares AS (
+  SELECT s_nationkey, s_suppkey, rev_dec,
+         sum(rev_dec) OVER (PARTITION BY s_nationkey) AS tot_dec
+  FROM j
+), nat AS (
+  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+         any_value(tot_dec) AS tot_dec,
+         list_sum(list(
+           (CAST(rev_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE))
+           * (CAST(rev_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE))
+           ORDER BY s_suppkey)) AS hhi
+  FROM shares GROUP BY s_nationkey
+)
+SELECT n_name, n_suppliers, CAST(tot_dec AS DOUBLE) AS total_rev, hhi,
+       1.0 / hhi AS effective_n
+FROM nat JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def w15_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15: CUSUM level-shift (changepoint) detection per event type —
+    the standard page-load/traffic "when did the level change" audit:
+    S_t = Σ_{i≤t}(cᵢ − mean) over the daily count series; the change
+    point is the day of max |S_t|. The running sum is kept EXACT by
+    construction: S_t = cum_cnt_t − t·mean, where cum_cnt is an integer
+    running sum (exact under any window implementation — no float
+    accumulation order to disagree on, unlike a windowed double sum,
+    which DuckDB evaluates with a segment tree and Spark sequentially).
+
+    Scale: one shuffle to daily counts, one event_type-keyed window; the
+    argmax is a deterministic row_number pick (|S| desc, date asc)."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    wt = W.partitionBy("event_type").orderBy("day")
+    tot = W.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.sum("cnt").over(wt).alias("cum_cnt"),
+        F.row_number().over(wt).alias("t"),
+        F.sum("cnt").over(tot).alias("total"),
+        F.count("*").over(tot).alias("n_days"),
+    ).withColumn(
+        "cusum",
+        F.col("cum_cnt").cast("double")
+        - F.col("t").cast("double")
+        * (F.col("total").cast("double") / F.col("n_days").cast("double")),
+    )
+    pick = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter("rn = 1")
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            (
+                F.col("total").cast("double") / F.col("n_days").cast("double")
+            ).alias("mean_daily"),
+            F.col("day").alias("change_day"),
+            F.abs(F.col("cusum")).alias("max_cusum"),
+        )
+    )
+
+
+W15_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, day,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY day) AS cum_cnt,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         sum(cnt) OVER (PARTITION BY event_type) AS total,
+         count(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily
+), cu AS (
+  SELECT event_type, day, n_days, total,
+         CAST(cum_cnt AS DOUBLE)
+           - CAST(t AS DOUBLE) * (CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE))
+           AS cusum
+  FROM scored
+), pick AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(cusum) DESC, day) AS rn
+  FROM cu
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+       day AS change_day, abs(cusum) AS max_cusum
+FROM pick WHERE rn = 1
+"""
+
+
+def w16_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W16: seasonal-naive decomposition of the hourly event series per
+    event type — seasonal component = hour-of-day mean, residual
+    variance from exact integer moments (Σc, Σc² per cell → var =
+    Σc²/n − mean², all pointwise double arithmetic): the
+    trend/seasonality sanity panel behind every traffic dashboard, and
+    the input to anomaly thresholds per (type, hour-of-day) cell.
+
+    Scale: one shuffle to (type, day, hour) counts, one to the 24×type
+    cells; everything else is map-side."""
+    events = read_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count("*").alias("cnt"))
+    cells = hourly.groupBy("event_type", "hod").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum("cnt").cast("bigint").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("s2"),
+    )
+    typ = cells.groupBy("event_type").agg(
+        F.sum("s1").cast("bigint").alias("tot"),
+        F.sum("n_obs").cast("bigint").alias("ncells"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_obs").cast("double")
+    overall = F.col("tot").cast("double") / F.col("ncells").cast("double")
+    return (
+        cells.join(F.broadcast(typ), "event_type")
+        .select(
+            "event_type",
+            "hod",
+            "n_obs",
+            mean.alias("seasonal_mean"),
+            (
+                F.col("s2").cast("double") / F.col("n_obs").cast("double")
+                - mean * mean
+            ).alias("resid_var"),
+            (mean / overall).alias("seasonal_index"),
+        )
+    )
+
+
+W16_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS hod,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+), cells AS (
+  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(cnt) AS BIGINT) AS s1,
+         CAST(sum(cnt * cnt) AS BIGINT) AS s2
+  FROM hourly GROUP BY 1, 2
+), typ AS (
+  SELECT event_type, CAST(sum(s1) AS BIGINT) AS tot,
+         CAST(sum(n_obs) AS BIGINT) AS ncells
+  FROM cells GROUP BY 1
+)
+SELECT c.event_type, c.hod, c.n_obs,
+       CAST(s1 AS DOUBLE) / CAST(n_obs AS DOUBLE) AS seasonal_mean,
+       CAST(s2 AS DOUBLE) / CAST(n_obs AS DOUBLE)
+         - (CAST(s1 AS DOUBLE) / CAST(n_obs AS DOUBLE))
+           * (CAST(s1 AS DOUBLE) / CAST(n_obs AS DOUBLE)) AS resid_var,
+       (CAST(s1 AS DOUBLE) / CAST(n_obs AS DOUBLE))
+         / (CAST(tot AS DOUBLE) / CAST(ncells AS DOUBLE)) AS seasonal_index
+FROM cells c JOIN typ t ON c.event_type = t.event_type
+"""
+
+
+def a24_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24: Theil–Sen robust trend estimator — the median of all
+    pairwise slopes of monthly revenue per region: the outlier-immune
+    alternative to least-squares trend (one wild month cannot move it),
+    standard in SLA/seasonality drift reports. Monthly revenues
+    accumulate in exact DECIMAL; pairwise slopes expand INSIDE the
+    per-region month array (months² ≈ 80² pairs — array work, not a
+    join); the median picks exact order statistics (even count → mean
+    of the two middles, identically on both engines).
+
+    Scale: the series is (region × month)-sized — tiny forever; the
+    only real shuffle is the orders aggregate. A per-key series too
+    long for O(n²) pairs needs the sampled Theil–Sen variant (pair
+    subsampling by hash gate) — same plan shape."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    monthly = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            "r_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(MONEY)).alias("rev_dec"))
+    )
+    per_region = monthly.groupBy("r_name").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("m"), F.col("rev_dec").cast("double").alias("r"))
+            )
+        ).alias("pts")
+    )
+    n = F.size("pts")
+    # i ranges 1..n-1, j ranges i+1..n: both sequences are guaranteed
+    # ascending (sequence(a, b) with a > b would generate DESCENDING)
+    slopes = F.when(
+        n >= 2,
+        F.array_sort(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, n),
+                        lambda j: (
+                            F.element_at("pts", j)["r"]
+                            - F.element_at("pts", i)["r"]
+                        )
+                        / (
+                            F.element_at("pts", j)["m"]
+                            - F.element_at("pts", i)["m"]
+                        ).cast("double"),
+                    ),
+                )
+            )
+        ),
+    ).otherwise(F.expr("array()").cast("array<double>"))
+    m = F.size(slopes)
+    return per_region.select(
+        "r_name",
+        n.cast("long").alias("n_months"),
+        m.cast("long").alias("n_pairs"),
+        F.when(
+            m % 2 == 1,
+            F.element_at(slopes, ((m + 1) / 2).cast("int")),
+        )
+        .otherwise(
+            (
+                F.element_at(slopes, (m / 2).cast("int"))
+                + F.element_at(slopes, (m / 2 + 1).cast("int"))
+            )
+            / 2.0
+        )
+        .alias("ts_slope"),
+    )
+
+
+A24_ORACLE = """
+WITH monthly AS (
+  SELECT r_name, year(o_orderdate) * 12 + month(o_orderdate) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS rev_dec
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.r_name,
+         (CAST(b.rev_dec AS DOUBLE) - CAST(a.rev_dec AS DOUBLE))
+           / CAST(b.m - a.m AS DOUBLE) AS slope
+  FROM monthly a JOIN monthly b
+    ON a.r_name = b.r_name AND b.m > a.m
+), sl AS (
+  SELECT r_name, list(slope ORDER BY slope) AS slopes
+  FROM pairs GROUP BY r_name
+), meta AS (
+  SELECT r_name, count(*) AS n_months FROM monthly GROUP BY 1
+)
+SELECT m.r_name, CAST(m.n_months AS BIGINT) AS n_months,
+       CAST(len(slopes) AS BIGINT) AS n_pairs,
+       CASE WHEN len(slopes) % 2 = 1
+            THEN slopes[(len(slopes) + 1) // 2]
+            ELSE (slopes[len(slopes) // 2] + slopes[len(slopes) // 2 + 1]) / 2.0
+       END AS ts_slope
+FROM meta m JOIN sl USING (r_name)
+"""
+
+
+def j17_interval_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J17: interval-overlap alignment join — align each user's daily
+    activity interval [first event, last event] with that day's
+    corpus-wide PEAK window (the modal 2-hour block, derived per day
+    from all events; ties break to the earliest hour) and report the
+    overlap. The time-alignment primitive behind ad attribution,
+    on-call overlap, and co-activity features: two interval sets joined
+    on a coarse band (the day), with the precise overlap computed
+    arithmetically inside the band — never an unbanded inequality
+    join.
+
+    Scale: both sides aggregate to day grain before the equi-join on
+    day; the peak-window side is day-cardinality (broadcastable).
+    Overlap math is exact integer epoch MICROseconds (second-grain
+    epochs would truncate the sub-second event timestamps differently
+    per engine)."""
+    events = read_table(spark, sf_dir, "events")
+    user_day = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.min(F.unix_micros("ts")).alias("a_start"),
+        F.max(F.unix_micros("ts")).alias("a_end"),
+        F.count("*").alias("n_events"),
+    )
+    hour_counts = events.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    pick = W.partitionBy("day").orderBy(F.col("c").desc(), F.col("h"))
+    hour_us = 3_600_000_000
+    peak = (
+        hour_counts.withColumn("rn", F.row_number().over(pick))
+        .filter("rn = 1")
+        .select(
+            "day",
+            (
+                F.unix_micros(F.col("day").cast("timestamp"))
+                + F.col("h") * hour_us
+            ).alias("w_start"),
+            (
+                F.unix_micros(F.col("day").cast("timestamp"))
+                + (F.col("h") + 2) * hour_us
+            ).alias("w_end"),
+            F.col("h").alias("peak_hour"),
+        )
+    )
+    j = user_day.join(F.broadcast(peak), "day")
+    overlap = F.greatest(
+        F.lit(0).cast("long"),
+        F.least("a_end", "w_end") - F.greatest("a_start", "w_start"),
+    )
+    active = F.col("a_end") - F.col("a_start")
+    return j.select(
+        "user_id",
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("peak_hour").cast("int").alias("peak_hour"),
+        active.cast("long").alias("active_us"),
+        overlap.cast("long").alias("peak_overlap_us"),
+        F.when(active > 0, overlap.cast("double") / active.cast("double")).alias(
+            "peak_frac"
+        ),
+    )
+
+
+J17_ORACLE = """
+WITH user_day AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         min(epoch_us(ts)) AS a_start, max(epoch_us(ts)) AS a_end,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), hour_counts AS (
+  SELECT CAST(ts AS DATE) AS day, hour(ts) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+), peak AS (
+  SELECT day, h AS peak_hour,
+         epoch_us(CAST(day AS TIMESTAMP)) + h * 3600000000 AS w_start,
+         epoch_us(CAST(day AS TIMESTAMP)) + (h + 2) * 3600000000 AS w_end
+  FROM (SELECT *, row_number() OVER (PARTITION BY day
+                                     ORDER BY c DESC, h) AS rn
+        FROM hour_counts)
+  WHERE rn = 1
+)
+SELECT user_id, u.day, CAST(n_events AS BIGINT) AS n_events,
+       CAST(peak_hour AS INTEGER) AS peak_hour,
+       CAST(a_end - a_start AS BIGINT) AS active_us,
+       CAST(greatest(0, least(a_end, w_end) - greatest(a_start, w_start))
+            AS BIGINT) AS peak_overlap_us,
+       CASE WHEN a_end > a_start
+            THEN CAST(greatest(0, least(a_end, w_end)
+                               - greatest(a_start, w_start)) AS DOUBLE)
+                 / CAST(a_end - a_start AS DOUBLE)
+       END AS peak_frac
+FROM user_day u JOIN peak p ON u.day = p.day
+"""
+
+
+#: co-purchase graph guard: orders with more than this many distinct
+#: parts are dropped from edge generation (quadratic in basket size)
+TRIANGLE_MAX_BASKET = 30
+
+
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: triangle counting on the part co-purchase graph — the
+    clustering/community-density primitive (friend-of-friend closure).
+    Uses the DEGREE-ORDERED ORIENTATION algorithm: orient every edge
+    from its (degree, id)-smaller endpoint to the larger, enumerate
+    wedges by joining directed edges on their common source, and close
+    each wedge with a semi-join back to the directed edge set. The
+    orientation bounds per-source out-degree by O(√|E|), so the wedge
+    join is near-linear even on power-law graphs — the naive
+    common-neighbor join explodes on hub nodes. Per-node triangle
+    counts come from exploding each closed triangle to its 3 corners.
+
+    Scale: edge generation expands pairs INSIDE capped per-order
+    baskets; the wedge and closure joins shuffle on node keys. At
+    100 TB this is exactly the plan a dedicated graph engine runs."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    baskets = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        # filter BEFORE pair expansion: size<2 would make sequence(1, 0)
+        # generate a DESCENDING range, and oversized baskets are the
+        # quadratic guard
+        .filter(
+            (F.size("items") >= 2) & (F.size("items") <= TRIANGLE_MAX_BASKET)
+        )
+    )
+    n = F.size("items")
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, n),
+                        lambda j: F.struct(
+                            F.element_at("items", i).alias("a"),
+                            F.element_at("items", j).alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.a", "e.b").distinct()
+    deg = (
+        pairs.select(F.col("a").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    with_deg = (
+        pairs.join(da, F.col("a") == F.col("da.v"))
+        .join(db, F.col("b") == F.col("db.v"))
+        .select(
+            "a", "b", F.col("da.d").alias("d_a"), F.col("db.d").alias("d_b")
+        )
+    )
+    # orient low (deg, id) -> high (deg, id)
+    fwd = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))
+    )
+    directed = with_deg.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("d_b")).otherwise(F.col("d_a")).alias("d_dst"),
+    )
+    e1, e2 = directed.alias("e1"), directed.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            (F.col("e1.d_dst") < F.col("e2.d_dst"))
+            | (
+                (F.col("e1.d_dst") == F.col("e2.d_dst"))
+                & (F.col("e1.dst") < F.col("e2.dst"))
+            )
+        ),
+    ).select(
+        F.col("e1.src").alias("u"),
+        F.col("e1.dst").alias("v"),
+        F.col("e2.dst").alias("w"),
+    )
+    closer = directed.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closer, ["v", "w"], "left_semi")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.join(corners, deg.v == corners.node, "left")
+        .select(
+            F.col("v").alias("p_partkey"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )
+
+
+G2_ORACLE = f"""
+WITH baskets AS (
+  SELECT l_orderkey, list_distinct(list(l_partkey)) AS items
+  FROM lineitem GROUP BY 1
+), pairs AS (
+  SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+  FROM baskets,
+       unnest(items) AS x(p),
+       unnest(items) AS y(p)
+  WHERE len(items) <= {TRIANGLE_MAX_BASKET} AND x.p < y.p
+), deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs
+  ) GROUP BY 1
+), directed AS (
+  SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS src,
+         CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS dst,
+         CASE WHEN (da.d, a) < (db.d, b) THEN db.d ELSE da.d END AS d_dst
+  FROM pairs JOIN deg da ON a = da.v JOIN deg db ON b = db.v
+), tri AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM directed e1 JOIN directed e2
+    ON e1.src = e2.src
+   AND (e1.d_dst, e1.dst) < (e2.d_dst, e2.dst)
+  WHERE EXISTS (SELECT 1 FROM directed d
+                WHERE d.src = e1.dst AND d.dst = e2.dst)
+)
+SELECT deg.v AS p_partkey, CAST(deg.d AS BIGINT) AS degree,
+       CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM deg LEFT JOIN (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+    UNION ALL SELECT w FROM tri
+  ) GROUP BY 1
+) c ON deg.v = c.node
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -3678,6 +4259,12 @@ QUERIES = {
     "o7_id_continuity": o7_id_continuity,
     "w13_activity_bitmap": w13_activity_bitmap,
     "w14_holt_forecast": w14_holt_forecast,
+    "a24_theil_sen": a24_theil_sen,
+    "j17_interval_align": j17_interval_align,
+    "g2_triangle_count": g2_triangle_count,
+    "a25_hhi_concentration": a25_hhi_concentration,
+    "w15_changepoint_cusum": w15_changepoint_cusum,
+    "w16_seasonal_decompose": w16_seasonal_decompose,
     "ts_readability": ts_readability,
     "o5_benford_audit": o5_benford_audit,
     "p9_standardize": p9_standardize,
@@ -3758,6 +4345,12 @@ ORACLES = {
     "o7_id_continuity": O7_ORACLE,
     "w13_activity_bitmap": W13_ORACLE,
     "w14_holt_forecast": W14_ORACLE,
+    "a24_theil_sen": A24_ORACLE,
+    "j17_interval_align": J17_ORACLE,
+    "g2_triangle_count": G2_ORACLE,
+    "a25_hhi_concentration": A25_ORACLE,
+    "w15_changepoint_cusum": W15_ORACLE,
+    "w16_seasonal_decompose": W16_ORACLE,
     "ts_readability": TS_READ_ORACLE,
     "o5_benford_audit": _benford_oracle,
     "p9_standardize": P9_ORACLE,
