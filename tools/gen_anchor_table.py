@@ -1,0 +1,50 @@
+"""Regenerate BASELINE.md's authoritative per-query anchor table from the
+latest `bench_out.json` (written by `python bench.py`).
+
+Usage: run a clean full bench, then `python tools/gen_anchor_table.py`.
+Replaces the block between ANCHOR_TABLE_BEGIN / ANCHOR_TABLE_END markers;
+everything else in BASELINE.md is left untouched. Refusing to hand-edit
+the table keeps exactly ONE anchor generation alive (VERDICT r5 item 2).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+BEGIN = "<!-- ANCHOR_TABLE_BEGIN"
+END = "<!-- ANCHOR_TABLE_END"
+
+
+def main() -> None:
+    bench = json.loads((ROOT / "bench_out.json").read_text())
+    queries: dict[str, float] = bench["queries"]
+    lines = [
+        f"{len(queries)} queries, sum {sum(queries.values()):.1f} s "
+        f"(sf={bench.get('sf')}).",
+        "",
+        "| query | anchor s | query | anchor s |",
+        "|---|---|---|---|",
+    ]
+    items = sorted(queries.items())
+    half = (len(items) + 1) // 2
+    for i in range(half):
+        left = items[i]
+        right = items[i + half] if i + half < len(items) else ("", "")
+        r1 = f"{right[1]:.2f}" if right[0] else ""
+        lines.append(f"| {left[0]} | {left[1]:.2f} | {right[0]} | {r1} |")
+    md = (ROOT / "BASELINE.md").read_text().split("\n")
+    try:
+        b = next(i for i, ln in enumerate(md) if ln.startswith(BEGIN))
+        e = next(i for i, ln in enumerate(md) if ln.startswith(END))
+    except StopIteration:
+        sys.exit("anchor markers not found in BASELINE.md")
+    out = md[: b + 1] + lines + md[e:]
+    (ROOT / "BASELINE.md").write_text("\n".join(out))
+    print(f"anchor table regenerated: {len(queries)} queries")
+
+
+if __name__ == "__main__":
+    main()
