@@ -101,11 +101,30 @@ def typed_event_counts(events: DataFrame, user_col: str = "user_id") -> DataFram
     State size is bounded by (active users x event-type cardinality);
     add ``ttlDurationMs`` on the MapState for unbounded-key streams.
 
-    ENVIRONMENT-GATED: Spark's transformWithState Python runner talks to
-    the JVM over protobuf, so this operator needs the ``protobuf``
-    package at runtime (this container doesn't ship it — the unit test
-    skips; the v1 operators above run everywhere). The plumbing is the
-    real production shape either way."""
+    ENVIRONMENT-GATED RUNNER, VERIFIED LOGIC: Spark's transformWithState
+    Python runner talks to the JVM over protobuf, so the end-to-end
+    stream needs the ``protobuf`` package at runtime (this container
+    doesn't ship it — the runner test skips; the v1 operators above run
+    everywhere). The PROCESSOR itself (``make_type_counts_processor``)
+    is plain Python over pandas batches, so its semantics — map-state
+    accumulation, multi-batch merge, full-map Update re-emission — are
+    unit-tested against a faked state handle regardless of protobuf
+    (tests/test_streaming.py::test_type_counts_processor_logic)."""
+    return events.groupBy(user_col).transformWithStateInPandas(
+        statefulProcessor=make_type_counts_processor(),
+        outputStructType=TYPED_COUNTS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def make_type_counts_processor():
+    """Build the ``StatefulProcessor`` behind ``typed_event_counts``.
+
+    Factored out so the processor LOGIC is testable without the
+    protobuf-backed runner: ``init`` only calls ``handle.getMapState``
+    and ``handleInputRows`` only uses getValue/updateValue/iterator —
+    the exact surface a fake in-memory MapState can provide."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -138,9 +157,4 @@ def typed_event_counts(events: DataFrame, user_col: str = "user_id") -> DataFram
         def close(self) -> None:
             pass
 
-    return events.groupBy(user_col).transformWithStateInPandas(
-        statefulProcessor=TypeCounts(),
-        outputStructType=TYPED_COUNTS_OUTPUT,
-        outputMode="Update",
-        timeMode="None",
-    )
+    return TypeCounts()
