@@ -378,3 +378,27 @@ def test_label_balance_clamps_to_smallest_class(spark):
     # deterministic: a second run keeps the identical membership
     again = {(r["vec_id"], r["label"]) for r in label_balance(df).collect()}
     assert again == {(r["vec_id"], r["label"]) for r in out}
+
+
+def test_pack_bestfit_ffd_semantics(spark):
+    """FFD packing: longest-first placement, first fitting bin wins,
+    oversized items open their own flagged bin, bins never over budget
+    except for oversized singletons."""
+    from us_dot_flights_lakehouse_spark.llm.curation import pack_bestfit
+
+    rows = [("s", i, n) for i, n in enumerate([5, 4, 3, 2, 9])]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = {r["doc_id"]: r for r in pack_bestfit(df, budget=6).collect()}
+    # order: 9,5,4,3,2 -> 9 opens bin1 (overflow), 5 bin2, 4 bin3,
+    # 3 fits neither (5+3>6, 4+3>6) -> bin4, 2 fits bin2 (5+2>6? =7>6 no),
+    # bin3: 4+2=6 -> bin3
+    assert out[4]["bin_id"] == 1 and out[4]["overflow"]
+    assert out[0]["bin_id"] == 2 and not out[0]["overflow"]
+    assert out[1]["bin_id"] == 3
+    assert out[2]["bin_id"] == 4
+    assert out[3]["bin_id"] == 3
+    # bin fills respect the budget for non-oversized bins
+    fills = {}
+    for r in out.values():
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+    assert all(f <= 6 for b, f in fills.items() if b != 1)

@@ -1610,3 +1610,46 @@ def test_exact_substr_apply_strips_only_covered_tokens(spark):
     assert out[2]["clean_text"] == "" and out[2]["kept_tokens"] == 0
     assert out[3]["clean_text"] == docs.collect()[2]["text"]
     assert out[3]["removed_tokens"] == 0
+
+
+def test_strip_ancillary_chunks_drops_only_metadata(spark):
+    """The PNG metadata scrub drops every ancillary chunk (spec bit 5),
+    keeps critical chunks byte-exact, and reports savings; a PNG with no
+    metadata passes through untouched."""
+    import hashlib
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from us_dot_flights_lakehouse_spark.llm.multimodal import (
+        png_decode,
+        png_encode,
+        strip_ancillary_chunks,
+    )
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    base = png_encode(np.arange(64, dtype=np.uint8).reshape(8, 8), "L")
+    dirty = (
+        base[:33]
+        + chunk(b"tEXt", b"Author\x00someone")
+        + chunk(b"tIME", bytes(7))
+        + base[33:]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(dirty)), (2, bytearray(base))], "id long, payload binary"
+    )
+    out = {r["id"]: r for r in strip_ancillary_chunks(df).collect()}
+    assert bytes(out[1]["clean"]) == base  # byte-exact canonical result
+    assert out[1]["dropped_csv"] == "tEXt,tIME"
+    assert out[1]["bytes_saved"] == len(dirty) - len(base)
+    assert out[2]["n_dropped"] == 0 and bytes(out[2]["clean"]) == base
+    # pixels survive the scrub
+    w, h, mode, px = png_decode(bytes(out[1]["clean"]))
+    assert (w, h, mode) == (8, 8, "L") and px.ravel()[5] == 5
+    assert hashlib.md5(bytes(out[1]["clean"])).hexdigest() == hashlib.md5(base).hexdigest()

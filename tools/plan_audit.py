@@ -85,6 +85,10 @@ WHITELIST: dict[str, set[str]] = {
     #   canonical shuffle-join shape of distributed triangle counting
     "q_schema_drift": {"ONE_PART"},      # 1-row corpus-baseline aggregate,
     #   broadcast into the per-source drift ratios (tfidf precedent)
+    "sim_cur_decomposition": {"ONE_PART"},  # 64-row dimension ranking +
+    #   1-row total/prefix-array aggregate — never row-scale data
+    "a26_chi2_independence": {"ONE_PART"},  # 1-row contingency-total
+    #   aggregate broadcast into the expected-count denominators
 }
 
 

@@ -970,3 +970,71 @@ def exact_substr_apply(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def minhash_calibration(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash ESTIMATOR-QUALITY audit — for every LSH candidate pair,
+    the signature-agreement Jaccard estimate (matching components / K)
+    side-by-side with the exact shingle-set Jaccard and the absolute
+    error: the calibration table that tells you whether K=16 is enough
+    signature length for your dedup threshold (E[est] = true Jaccard;
+    σ = sqrt(j(1-j)/K) ≈ 0.12 at j=0.5, K=16 — pairs outside ~3σ
+    indicate a broken hash family). Completes the audit family
+    (sim_ivf/pq_recall_audit) for the dedup side: ANN recall audits
+    check the index, this checks the sketch.
+
+    Scale: same banded candidate generation as minhash_lsh_pairs
+    (bucket-bounded); the signature join adds two broadcast-size-or-
+    bucketed joins on doc ids; exact verification touches candidates
+    only."""
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    sigs = minhash_signatures(docs, n, text_col, id_col)
+    bands = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(*[_band_key("mh", b, rows_per_band) for b in range(MINHASH_BANDS)])
+        ).alias("band_id", "band_key"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("ia"), F.col("y.id").alias("ib"))
+        .distinct()
+    )
+    ga, gb = sigs.alias("ga"), sigs.alias("gb")
+    agree = sum(
+        (F.col(f"ga.mh{i}") == F.col(f"gb.mh{i}")).cast("int")
+        for i in range(MINHASH_K)
+    )
+    est = cand.join(ga, F.col("ia") == F.col("ga.id")).join(
+        gb, F.col("ib") == F.col("gb.id")
+    ).select("ia", "ib", (agree.cast("double") / MINHASH_K).alias("est_jaccard"))
+    sets_ = docs.select(
+        F.col(id_col).alias("id"), shingles(tokenize(text_col), n).alias("shs")
+    )
+    sa, sb = sets_.alias("sa"), sets_.alias("sb")
+    common = F.size(F.array_intersect("sa.shs", "sb.shs"))
+    true_j = common.cast("double") / (
+        F.size("sa.shs") + F.size("sb.shs") - common
+    ).cast("double")
+    return (
+        est.join(sa, F.col("ia") == F.col("sa.id"))
+        .join(sb, F.col("ib") == F.col("sb.id"))
+        .select(
+            F.col("ia").alias("doc_id_a"),
+            F.col("ib").alias("doc_id_b"),
+            "est_jaccard",
+            true_j.alias("true_jaccard"),
+            F.abs(F.col("est_jaccard") - true_j).alias("abs_err"),
+        )
+    )

@@ -1581,3 +1581,76 @@ def decode_audio(df: DataFrame, id_col: str = "id", bin_col: str = "payload") ->
     return df.select(F.col(id_col).alias("id"), F.col(bin_col)).mapInPandas(
         extract, schema=DECODED_AUDIO_SCHEMA
     )
+
+
+def strip_ancillary_chunks(
+    imgs: DataFrame, bin_col: str = "payload"
+) -> DataFrame:
+    """Privacy/metadata scrub for image corpora: drop every ANCILLARY
+    PNG chunk (tEXt/zTXt/iTXt comments, eXIf metadata, tIME, gAMA, …)
+    and keep only the critical ones (IHDR/PLTE/IDAT/IEND) — the
+    EXIF-strip step a multimodal training-data pipeline runs before
+    publishing, so no camera serial numbers, GPS tags or author strings
+    ride into the training set. Ancillary-ness is the PNG spec's own
+    bit: bit 5 of the chunk type's first byte (lowercase = ancillary),
+    so unknown vendor chunks are stripped too, fail-closed. The same
+    marker walk applied to JPEG would drop APP1/EXIF segments; PNG is
+    implemented because this engine's codec stack is PNG-first.
+
+    Returns every input column EXCEPT ``bin_col`` (passthrough — so
+    callers never need a recompute-the-lineage self-join to recover
+    their metadata) plus (clean binary, n_dropped int, dropped_csv
+    string — sorted type names, bytes_saved long).
+
+    Scale: stateless per-row byte walk in an Arrow-batched mapInPandas
+    kernel — zero shuffle, linear in corpus bytes."""
+    import pandas as pd
+
+    passthrough = [f for f in imgs.schema.fields if f.name != bin_col]
+    pass_names = [f.name for f in passthrough]
+
+    def walk(batches):
+        for pdf in batches:
+            cleans, nds, dcsv, saved = [], [], [], []
+            for blob in pdf[bin_col]:
+                data = bytes(blob)
+                if data[:8] != _PNG_SIG:
+                    raise ValueError("not a PNG stream")
+                out = [data[:8]]
+                dropped = []
+                pos = 8
+                while pos + 8 <= len(data):
+                    ln = int.from_bytes(data[pos : pos + 4], "big")
+                    typ = data[pos + 4 : pos + 8]
+                    end = pos + 12 + ln
+                    if typ[0] & 0x20:  # ancillary bit
+                        dropped.append(typ.decode("latin-1"))
+                    else:
+                        out.append(data[pos:end])
+                    pos = end
+                    if typ == b"IEND":
+                        break
+                clean = b"".join(out)
+                cleans.append(clean)
+                nds.append(len(dropped))
+                dcsv.append(",".join(sorted(dropped)))
+                saved.append(len(data) - len(clean))
+            cols = {n: pdf[n] for n in pass_names}
+            cols.update(
+                {
+                    "clean": cleans,
+                    "n_dropped": nds,
+                    "dropped_csv": dcsv,
+                    "bytes_saved": saved,
+                }
+            )
+            yield pd.DataFrame(cols)
+
+    pass_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in passthrough)
+    return imgs.mapInPandas(
+        walk,
+        schema=(
+            f"{pass_schema}, clean binary, n_dropped int, "
+            "dropped_csv string, bytes_saved long"
+        ),
+    )

@@ -63,6 +63,13 @@ _PRIORITY = (
     "q_schema_drift",  # cross-partition schema drift audit
     "mm_exif_strip",  # metadata-chunk strip/retain audit
     "tp_pack_bestfit",  # best-fit-decreasing sequence packing
+    "dd_minhash_calibration",  # sketch-estimate vs exact Jaccard audit
+    "ts_zipf_audit",  # Zipf-law vocabulary fingerprint
+    "tp_loss_masking",  # SFT loss-span offset bookkeeping
+    "sim_ndcg_eval",  # NDCG@k retrieval ranking eval
+    "w17_holt_winters",  # three-state seasonal smoothing kernel
+    "a26_chi2_independence",  # contingency chi-square cells
+    "src_csv_badrecords",  # PERMISSIVE corrupt-record quarantine
     # round-5 fixes — the ONLY red rows in CORRECTNESS_r04 (array outputs
     # crashed the driver canonicalizer; now serialized to CSV scalars)
     "tp_token_ids",

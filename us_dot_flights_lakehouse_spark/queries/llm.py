@@ -6290,6 +6290,530 @@ FROM scored
 """
 
 
+def mm_exif_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: metadata-chunk scrub end-to-end — synthesizes per document a
+    real PNG carrying two ancillary metadata chunks (a tEXt comment
+    'doc:<id>' and a fake eXIf blob of doc-dependent length), strips
+    them with ``multimodal.strip_ancillary_chunks``, and certifies:
+    the dropped-type inventory, the exact byte savings (closed-form:
+    12-byte chunk overhead + body lengths), and — the strong contract —
+    that the stripped bytes are BYTE-IDENTICAL to the canonical
+    metadata-free encoding of the same pixels (verified in-kernel by
+    md5 equality, stated as a constant by the oracle). A strip that
+    corrupts any critical chunk or misclassifies one fails the oracle.
+
+    Scale: two chained Arrow kernels, zero shuffle."""
+    import numpy as np
+
+    from us_dot_flights_lakehouse_spark.llm import multimodal
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import struct
+        import zlib
+
+        from us_dot_flights_lakehouse_spark.llm.multimodal import png_encode
+
+        def chunk(typ: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + typ
+                + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+            )
+
+        for pdf in batches:
+            payloads, canon_md5 = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base = png_encode(
+                    ((7 * d + np.arange(64)) % 256).astype(np.uint8).reshape(8, 8),
+                    "L",
+                )
+                # insert metadata after IHDR (sig 8 + IHDR chunk 25 bytes)
+                text = chunk(b"tEXt", b"Comment\x00" + f"doc:{d}".encode())
+                exif = chunk(b"eXIf", bytes((d + j) % 256 for j in range(d % 16 + 8)))
+                cut = 8 + 25
+                payloads.append(base[:cut] + text + exif + base[cut:])
+                import hashlib
+
+                canon_md5.append(hashlib.md5(base).hexdigest())
+            yield pd.DataFrame(
+                {"id": pdf["doc_id"], "payload": payloads, "canon_md5": canon_md5}
+            )
+
+    imgs = docs.mapInPandas(
+        synth, schema="id long, payload binary, canon_md5 string"
+    )
+    stripped = multimodal.strip_ancillary_chunks(imgs)
+    return stripped.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        "dropped_csv",
+        "bytes_saved",
+        (F.md5("clean") == F.col("canon_md5")).alias("roundtrip_ok"),
+    )
+
+
+MM_EXIF_ORACLE = """
+SELECT doc_id,
+       CAST(2 AS BIGINT) AS n_dropped,
+       'eXIf,tEXt' AS dropped_csv,
+       -- tEXt: 12 + len('Comment')+1 + len('doc:'||id); eXIf: 12 + (id%16 + 8)
+       CAST(12 + 8 + 4 + length(CAST(doc_id AS VARCHAR))
+            + 12 + (doc_id % 16 + 8) AS BIGINT) AS bytes_saved,
+       true AS roundtrip_ok
+FROM documents
+"""
+
+
+def dd_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD: MinHash estimator-quality audit (llm/dedup.minhash_calibration)
+    — per LSH candidate pair, the K=16 signature-agreement Jaccard
+    estimate vs the exact shingle-set Jaccard and |error|: is the sketch
+    calibrated at this corpus's duplicate profile? Completes the audit
+    family — the ANN recall audits check the index, this checks the
+    dedup sketch.
+
+    Scale: bucket-bounded candidates; exact verification touches
+    candidates only."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    return dedup.minhash_calibration(docs)
+
+
+DD_MINHASH_CAL_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {{shingles}} AS shs
+  FROM (SELECT doc_id, {{tokens}} AS t FROM documents)
+), s AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+hashed AS (SELECT doc_id, {{hash28}} AS h FROM s),
+sig AS (
+  SELECT doc_id,
+    {{sig_mins}}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b.band_id, b.band_key
+  FROM sig, (VALUES {{band_keys}}) AS b(band_id, band_key)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+), est AS (
+  SELECT ia, ib,
+         CAST({{agree}} AS DOUBLE) / {MINHASH_K} AS est_jaccard
+  FROM cand JOIN sig ga ON ia = ga.doc_id JOIN sig gb ON ib = gb.doc_id
+)
+SELECT ia AS doc_id_a, ib AS doc_id_b, est_jaccard,
+       CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+         / CAST(len(da.shs) + len(db.shs)
+                - len(list_intersect(da.shs, db.shs)) AS DOUBLE) AS true_jaccard,
+       abs(est_jaccard
+           - CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+             / CAST(len(da.shs) + len(db.shs)
+                    - len(list_intersect(da.shs, db.shs)) AS DOUBLE)) AS abs_err
+FROM est JOIN d da ON ia = da.doc_id JOIN d db ON ib = db.doc_id
+"""
+
+
+def _minhash_cal_oracle() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN ga.mh{i} = gb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_K)
+    )
+    return DD_MINHASH_CAL_ORACLE.format(
+        shingles=_SHINGLES,
+        tokens=_TOKENS,
+        hash28=_HASH28.format(x="sh"),
+        sig_mins=_sig_mins_sql(),
+        band_keys=_band_keys_sql(),
+        agree=agree,
+    )
+
+
+ZIPF_TOP = 50
+
+
+def ts_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: Zipf-law vocabulary audit — the top {ZIPF_TOP} corpus tokens
+    with their frequency and the Zipf deviation ratio freq·rank / freq₁
+    (≈1.0 under ideal Zipf): natural corpora track Zipf closely, so a
+    flat curve flags synthetic/templated text and a cliff flags
+    boilerplate flooding — a cheap corpus-health fingerprint quality
+    reports quote. Log-free by construction (ratios, not log-log
+    slopes), so every value is a pointwise double over exact counts.
+
+    Scale: one token-count shuffle (map-side combined), then a
+    {ZIPF_TOP}-row top-k merge; the 1-row top-frequency broadcast rides
+    the plan."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    wr = Window.orderBy(F.col("freq").desc(), F.col("tok"))
+    top = counts.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= ZIPF_TOP
+    )
+    f1 = top.agg(F.max("freq").alias("f1"))
+    return top.crossJoin(F.broadcast(f1)).select(
+        F.col("rank").cast("long").alias("rank"),
+        "tok",
+        F.col("freq").cast("long").alias("freq"),
+        (
+            F.col("freq").cast("double")
+            * F.col("rank").cast("double")
+            / F.col("f1").cast("double")
+        ).alias("zipf_ratio"),
+    )
+
+
+TS_ZIPF_ORACLE = f"""
+WITH counts AS (
+  SELECT tok, count(*) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents)
+  GROUP BY tok
+), top AS (
+  SELECT tok, freq,
+         row_number() OVER (ORDER BY freq DESC, tok) AS rank
+  FROM counts QUALIFY rank <= {ZIPF_TOP}
+), f1 AS (SELECT max(freq) AS f1 FROM top)
+SELECT CAST(rank AS BIGINT) AS rank, tok, CAST(freq AS BIGINT) AS freq,
+       CAST(freq AS DOUBLE) * CAST(rank AS DOUBLE) / CAST(f1 AS DOUBLE)
+         AS zipf_ratio
+FROM top, f1
+"""
+
+
+def tp_loss_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: SFT loss-mask offsets — for each assembled chat example
+    (tp_sft_format's pairing and template), the exact character span
+    where training loss applies (the assistant turn only; prompt and
+    template tokens are masked out): the offset bookkeeping every SFT
+    tokenizer pass must get byte-exact, emitted as closed-form
+    arithmetic over the component lengths so the oracle certifies every
+    boundary.
+
+    Scale: one source-key window for the pairing; everything else is
+    scan-local length arithmetic."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    paired = docs.select(
+        "source",
+        F.col("doc_id").alias("prompt_id"),
+        F.col("text").alias("prompt"),
+        F.lead("doc_id").over(w).alias("response_id"),
+        F.lead("text").over(w).alias("response"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("response_id").isNotNull() & (F.col("rn") % 2 == 1))
+    pre = F.lit(9) + F.length("prompt") + F.lit(15)  # '<|user|>\n' + p + '\n<|assistant|>\n'
+    total = pre + F.length("response") + F.lit(7)  # + r + '<|end|>'
+    mask_start = pre + 1
+    mask_end = pre + F.length("response")
+    return paired.select(
+        "source",
+        "prompt_id",
+        "response_id",
+        total.cast("long").alias("total_chars"),
+        mask_start.cast("long").alias("mask_start"),
+        mask_end.cast("long").alias("mask_end"),
+        F.length("response").cast("long").alias("mask_chars"),
+        (F.length("response").cast("double") / total.cast("double")).alias(
+            "loss_frac"
+        ),
+    )
+
+
+TP_LOSS_MASK_ORACLE = """
+WITH paired AS (
+  SELECT source, doc_id AS prompt_id, text AS prompt,
+         lead(doc_id) OVER w AS response_id,
+         lead(text) OVER w AS response,
+         row_number() OVER w AS rn
+  FROM documents
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+)
+SELECT source, prompt_id, response_id,
+       CAST(9 + length(prompt) + 15 + length(response) + 7 AS BIGINT)
+         AS total_chars,
+       CAST(9 + length(prompt) + 15 + 1 AS BIGINT) AS mask_start,
+       CAST(9 + length(prompt) + 15 + length(response) AS BIGINT) AS mask_end,
+       CAST(length(response) AS BIGINT) AS mask_chars,
+       CAST(length(response) AS DOUBLE)
+         / CAST(9 + length(prompt) + 15 + length(response) + 7 AS DOUBLE)
+         AS loss_frac
+FROM paired WHERE response_id IS NOT NULL AND rn % 2 = 1
+"""
+
+
+NDCG_K = 10
+
+
+def _ndcg_discounts() -> list[float]:
+    import math
+
+    return [1.0 / math.log2(i + 1) for i in range(1, NDCG_K + 1)]
+
+
+def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM: NDCG@{NDCG_K} retrieval-quality evaluation — for each probe
+    query, exact cosine top-k, graded by label agreement (rel∈{{0,1}}),
+    discounted by the shared literal 1/log2(rank+1) table (no engine
+    logarithms) and normalized by the ideal ordering: the ranking metric
+    retrieval evals report, computed bit-stably (DCG folds terms in rank
+    order; IDCG folds the discount-table prefix of the relevant count).
+    Completes the eval family: recall audits (set overlap), kNN accuracy
+    (classification), NDCG (ranking).
+
+    Scale: broadcast queries × one corpus scan; per-query folds are
+    k-sized."""
+    from us_dot_flights_lakehouse_spark.functions.vectors import lit_doubles
+
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    disc = lit_doubles(_ndcg_discounts())
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    topk = similarity.cosine_topk(emb, qs, k=NDCG_K)
+    labels = emb.select("vec_id", "label")
+    graded = (
+        topk.join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(
+            labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                "label", "qlabel"
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "qlabel",
+            "rank",
+            (F.col("label") == F.col("qlabel")).alias("rel"),
+        )
+    )
+    per_q = graded.groupBy("query_id", "qlabel").agg(
+        F.sum(F.col("rel").cast("long")).alias("n_relevant"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "rank",
+                        F.when(F.col("rel"), F.element_at(disc, F.col("rank")))
+                        .otherwise(0.0)
+                        .alias("term"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["term"],
+        ).alias("dcg"),
+    )
+    idcg = F.when(
+        F.col("n_relevant") > 0,
+        F.aggregate(
+            F.slice(disc, 1, F.col("n_relevant").cast("int")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    )
+    return per_q.select(
+        "query_id",
+        F.col("qlabel").alias("true_label"),
+        F.col("n_relevant").cast("long").alias("n_relevant"),
+        "dcg",
+        idcg.alias("idcg"),
+        (F.col("dcg") / idcg).alias("ndcg"),
+    )
+
+
+def _ndcg_oracle() -> str:
+    disc = _duck_doubles(_ndcg_discounts())
+    return f"""
+WITH disc AS (SELECT {disc} AS d),
+e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (SELECT vec_id, label, v, {_VEC_NORM} AS nrm FROM e),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS qlabel, c.vec_id AS neighbor_id,
+         c.label AS nl,
+         list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+           / (q.nrm * c.nrm) AS cos
+  FROM n q JOIN n c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERY_VECS}
+), topk AS (
+  SELECT query_id, qlabel, nl,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored QUALIFY rank <= {NDCG_K}
+), per_q AS (
+  SELECT query_id, qlabel,
+         CAST(sum(CASE WHEN nl = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_relevant,
+         list_sum(list(CASE WHEN nl = qlabel THEN (SELECT d FROM disc)[rank]
+                            ELSE CAST(0.0 AS DOUBLE) END ORDER BY rank)) AS dcg
+  FROM topk GROUP BY 1, 2
+)
+SELECT query_id, qlabel AS true_label, n_relevant, dcg,
+       CASE WHEN n_relevant > 0
+            THEN list_sum(((SELECT d FROM disc))[1:n_relevant]) END AS idcg,
+       dcg / (CASE WHEN n_relevant > 0
+                   THEN list_sum(((SELECT d FROM disc))[1:n_relevant]) END)
+         AS ndcg
+FROM per_q
+"""
+
+
+CUR_TOP_DIMS = 16
+
+
+def sim_cur_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM: CUR-style column (dimension) selection by leverage-score
+    proxy — rank embedding dimensions by their energy share
+    Σᵢ vᵢ𝒹² / Σ‖v‖² and keep the top {CUR_TOP_DIMS} with their
+    cumulative retained energy: the interpretable low-rank
+    column-subset step (CUR decomposition's column phase with column
+    norms standing in for true leverage scores, the standard cheap
+    surrogate) used to shrink embedding width before an index build.
+    All float folds are value-ordered (ties are equal doubles —
+    order-free), the cumulative curve folds explicit prefixes of the
+    descending energy array, so every number is bit-stable.
+
+    Scale: one shuffle to 64 dimension cells (map-side combined);
+    ranking and the cumulative fold run on the 64-row result with a
+    1-row broadcast total."""
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    cells = emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+    dim_e = cells.groupBy("d").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(x * x)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("energy")
+    )
+    one = dim_e.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("energy")), F.lit(0.0), lambda a, v: a + v
+        ).alias("total"),
+        F.reverse(F.array_sort(F.collect_list("energy"))).alias("arr_desc"),
+    )
+    wr = Window.orderBy(F.col("energy").desc(), F.col("d"))
+    ranked = dim_e.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= CUR_TOP_DIMS
+    )
+    j = ranked.crossJoin(F.broadcast(one))
+    cum = F.aggregate(
+        F.slice("arr_desc", 1, F.col("rank")), F.lit(0.0), lambda a, v: a + v
+    )
+    return j.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("d").cast("int").alias("dim"),
+        "energy",
+        (F.col("energy") / F.col("total")).alias("energy_share"),
+        (cum / F.col("total")).alias("cum_share"),
+    )
+
+
+SIM_CUR_ORACLE = f"""
+WITH cells AS (
+  SELECT vec_id,
+         unnest(generate_series(0, len(embedding) - 1)) AS d,
+         unnest(embedding) AS x
+  FROM embeddings
+), dim_e AS (
+  SELECT d,
+         list_sum(list(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                       ORDER BY CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+           AS energy
+  FROM cells GROUP BY d
+), one AS (
+  SELECT list_sum(list(energy ORDER BY energy)) AS total,
+         list(energy ORDER BY energy DESC) AS arr_desc
+  FROM dim_e
+), ranked AS (
+  SELECT d, energy,
+         row_number() OVER (ORDER BY energy DESC, d) AS rank
+  FROM dim_e
+)
+SELECT CAST(rank AS BIGINT) AS rank, CAST(d AS INTEGER) AS dim, energy,
+       energy / total AS energy_share,
+       list_sum(arr_desc[1:rank]) / total AS cum_share
+FROM ranked, one
+WHERE rank <= {CUR_TOP_DIMS}
+"""
+
+
+PACK_BUDGET = 256
+
+
+def tp_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: first-fit-decreasing bin packing of documents into
+    {PACK_BUDGET}-token context windows (llm/curation.pack_bestfit) —
+    the no-split packing SFT builds use so no example straddles a
+    sequence boundary. The DuckDB oracle re-derives the ENTIRE
+    sequential FFD placement as a list_reduce fold over the
+    (length DESC, id ASC) item stream — every bin assignment is
+    certified, not just the bin count.
+
+    Scale: sequential within a shard by nature; parallelism = shard
+    cardinality (see operator docstring for the shard-key sizing
+    rule)."""
+    from us_dot_flights_lakehouse_spark.llm.curation import pack_bestfit
+
+    docs = read_corpus(spark, sf_dir, "documents")
+    with_len = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return pack_bestfit(with_len, PACK_BUDGET)
+
+
+def _tp_pack_bestfit_oracle() -> str:
+    c = PACK_BUDGET
+    # current fill of bin k, computed from the assignment history `acc`
+    fills = (
+        "list_transform(generate_series(1, "
+        "coalesce(list_max(list_transform(acc, e -> e.b)), 0)), "
+        "k -> list_sum(list_transform(acc, e -> CASE WHEN e.b = k "
+        f"THEN e.ln ELSE 0 END)) + x[1].ln <= {c})"
+    )
+    return f"""
+WITH items AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+           AS n
+  FROM documents
+), folded AS (
+  SELECT source,
+         list_reduce(
+           list_prepend([struct_pack(id := CAST(0 AS BIGINT),
+                                     ln := CAST(0 AS BIGINT), b := 0)],
+                        list(
+                          [struct_pack(id := doc_id, ln := n, b := 0)]
+                          ORDER BY n DESC, doc_id)),
+           (acc, x) -> list_append(acc, struct_pack(
+             id := x[1].id, ln := x[1].ln,
+             -- DuckDB list_position returns 0 (not NULL) when absent
+             b := CASE WHEN list_position({fills}, true) = 0
+                       THEN coalesce(list_max(list_transform(acc, e -> e.b)), 0) + 1
+                       ELSE list_position({fills}, true) END))
+         ) AS st
+  FROM items GROUP BY source
+)
+SELECT source, u.id AS doc_id, u.ln AS n_tokens,
+       CAST(u.b AS BIGINT) AS bin_id, u.ln > {c} AS overflow
+FROM (SELECT source, unnest(st) AS u FROM folded)
+WHERE u.b > 0
+"""
+
+
 #: integer-log2 lookup domain for the entropy gates: counts and totals
 #: must stay ≤ this (sf0.1 maxima: 61 per-symbol, 577 per-doc — 3.5×
 #: headroom; the query null-guards via element_at semantics if exceeded)
@@ -6585,6 +7109,13 @@ FROM words w LEFT JOIN clean c USING (doc_id)
 QUERIES = {
     "ts_entropy_gates": ts_entropy_gates,
     "o8_reservoir_sample": o8_reservoir_sample,
+    "tp_pack_bestfit": tp_pack_bestfit,
+    "mm_exif_strip": mm_exif_strip,
+    "sim_cur_decomposition": sim_cur_decomposition,
+    "dd_minhash_calibration": dd_minhash_calibration,
+    "ts_zipf_audit": ts_zipf_audit,
+    "tp_loss_masking": tp_loss_masking,
+    "sim_ndcg_eval": sim_ndcg_eval,
     "ts_source_containment": ts_source_containment,
     "q_schema_drift": q_schema_drift,
     "tp_chat_lint": tp_chat_lint,
@@ -6696,6 +7227,13 @@ QUERIES = {
 ORACLES = {
     "ts_entropy_gates": _ts_entropy_oracle,
     "o8_reservoir_sample": O8_RESERVOIR_ORACLE,
+    "tp_pack_bestfit": _tp_pack_bestfit_oracle,
+    "mm_exif_strip": MM_EXIF_ORACLE,
+    "sim_cur_decomposition": SIM_CUR_ORACLE,
+    "dd_minhash_calibration": _minhash_cal_oracle,
+    "ts_zipf_audit": TS_ZIPF_ORACLE,
+    "tp_loss_masking": TP_LOSS_MASK_ORACLE,
+    "sim_ndcg_eval": _ndcg_oracle,
     "ts_source_containment": TS_SRC_CONTAIN_ORACLE,
     "q_schema_drift": Q_SCHEMA_DRIFT_ORACLE,
     "tp_chat_lint": TP_CHAT_LINT_ORACLE,

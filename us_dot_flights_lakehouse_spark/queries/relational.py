@@ -3604,6 +3604,248 @@ FROM (SELECT user_id, unnest(out) AS u FROM folded)
 """
 
 
+HW_ALPHA = 0.5
+HW_BETA = 0.25
+HW_GAMMA = 0.25
+HW_PERIOD = 7
+
+
+def w17_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17 (extension): Holt–Winters ADDITIVE seasonal smoothing — the
+    three-state recurrence (level / trend / weekly seasonal) over each
+    event type's daily count series, completing the smoothing family
+    (EWMA w12 → Holt w14 → Holt–Winters w17). Positional seasonality
+    with period {HW_PERIOD}; first-season init l=x, b=0, s=0 (simple,
+    deterministic). α/β/γ are exact binary fractions and the kernel's
+    op order is the exact op sequence of the oracle's list_reduce (the
+    seasonal lag reads the growing accumulator {HW_PERIOD} entries
+    back) — bit-stable.
+
+    Scale: one shuffle to daily counts, one grouped-map keyed on event
+    type (key on pmod(hash(type), 64) buckets when type cardinality is
+    high — w8/w12 lesson); O(period) state per series."""
+    import pandas as pd
+
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("x"))
+    a, b, g, m = HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in pdf.groupby("event_type"):
+            grp = grp.sort_values("day").reset_index(drop=True)
+            lvls, trds, seas = [], [], []
+            for t, x in enumerate(grp["x"].tolist()):
+                if t < m:
+                    lvl, trd, sea = x, 0.0, 0.0
+                else:
+                    s_m = seas[t - m]
+                    prev_l, prev_b = lvls[t - 1], trds[t - 1]
+                    lvl = a * (x - s_m) + (1.0 - a) * (prev_l + prev_b)
+                    trd = b * (lvl - prev_l) + (1.0 - b) * prev_b
+                    sea = g * (x - lvl) + (1.0 - g) * s_m
+                lvls.append(lvl)
+                trds.append(trd)
+                seas.append(sea)
+            grp["level"] = lvls
+            grp["trend"] = trds
+            grp["seasonal"] = seas
+            outs.append(grp)
+        return pd.concat(outs, ignore_index=True)
+
+    return daily.groupBy("event_type").applyInPandas(
+        fold,
+        schema=(
+            "event_type string, day date, x double, level double, "
+            "trend double, seasonal double"
+        ),
+    ).select(
+        "event_type",
+        "day",
+        F.col("x").alias("daily_count"),
+        "level",
+        "trend",
+        "seasonal",
+    )
+
+
+_HW_L = (
+    f"CAST({HW_ALPHA} AS DOUBLE) * (nxt[1].x - acc[len(acc) - {HW_PERIOD - 1}].s)"
+    f" + CAST({1.0 - HW_ALPHA} AS DOUBLE)"
+    " * (acc[len(acc)].l + acc[len(acc)].b)"
+)
+W17_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), series AS (
+  SELECT event_type,
+         list(struct_pack(day := day, x := x) ORDER BY day) AS pts
+  FROM daily GROUP BY 1
+), folded AS (
+  SELECT event_type,
+         list_reduce(
+           list_transform(pts, p -> [struct_pack(day := p.day, x := p.x,
+                                                 l := p.x,
+                                                 b := CAST(0.0 AS DOUBLE),
+                                                 s := CAST(0.0 AS DOUBLE))]),
+           (acc, nxt) -> list_append(acc,
+             CASE WHEN len(acc) < {HW_PERIOD}
+             THEN struct_pack(day := nxt[1].day, x := nxt[1].x,
+                              l := nxt[1].x, b := CAST(0.0 AS DOUBLE),
+                              s := CAST(0.0 AS DOUBLE))
+             ELSE struct_pack(day := nxt[1].day, x := nxt[1].x,
+               l := {_HW_L},
+               b := CAST({HW_BETA} AS DOUBLE) * (({_HW_L}) - acc[len(acc)].l)
+                    + CAST({1.0 - HW_BETA} AS DOUBLE) * acc[len(acc)].b,
+               s := CAST({HW_GAMMA} AS DOUBLE) * (nxt[1].x - ({_HW_L}))
+                    + CAST({1.0 - HW_GAMMA} AS DOUBLE)
+                      * acc[len(acc) - {HW_PERIOD - 1}].s)
+             END)
+         ) AS out
+  FROM series
+)
+SELECT event_type, u.day AS day, u.x AS daily_count,
+       u.l AS level, u.b AS trend, u.s AS seasonal
+FROM (SELECT event_type, unnest(out) AS u FROM folded)
+"""
+
+
+def a26_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26: chi-square independence test cells — observed vs expected
+    counts for the customer-segment × order-status contingency table,
+    with each cell's (O−E)²/E contribution: the categorical-drift /
+    association test behind "did the status mix shift by segment".
+    All counts exact BIGINTs; E and the χ² term are pointwise double
+    arithmetic — bit-stable with no ordered float summation anywhere
+    (the global χ² is the reader's one-line sum; cells are the
+    auditable artifact).
+
+    Scale: one cells aggregate (segment×status cardinality) + two tiny
+    marginal aggregates broadcast back."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    cells = base.groupBy("c_mktsegment", "o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("observed")
+    )
+    row_m = cells.groupBy("c_mktsegment").agg(
+        F.sum("observed").cast("bigint").alias("row_tot")
+    )
+    col_m = cells.groupBy("o_orderstatus").agg(
+        F.sum("observed").cast("bigint").alias("col_tot")
+    )
+    tot = cells.agg(F.sum("observed").cast("bigint").alias("total"))
+    expected = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("total").cast("double")
+    )
+    o = F.col("observed").cast("double")
+    return (
+        cells.join(F.broadcast(row_m), "c_mktsegment")
+        .join(F.broadcast(col_m), "o_orderstatus")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "o_orderstatus",
+            "observed",
+            expected.alias("expected"),
+            ((o - expected) * (o - expected) / expected).alias("chi2_term"),
+        )
+    )
+
+
+A26_ORACLE = """
+WITH cells AS (
+  SELECT c_mktsegment, o_orderstatus, CAST(count(*) AS BIGINT) AS observed
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), rm AS (
+  SELECT c_mktsegment, CAST(sum(observed) AS BIGINT) AS row_tot
+  FROM cells GROUP BY 1
+), cm AS (
+  SELECT o_orderstatus, CAST(sum(observed) AS BIGINT) AS col_tot
+  FROM cells GROUP BY 1
+), t AS (SELECT CAST(sum(observed) AS BIGINT) AS total FROM cells)
+SELECT c.c_mktsegment, c.o_orderstatus, c.observed,
+       CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+         / CAST(total AS DOUBLE) AS expected,
+       (CAST(observed AS DOUBLE)
+        - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+          / CAST(total AS DOUBLE))
+       * (CAST(observed AS DOUBLE)
+          - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+            / CAST(total AS DOUBLE))
+       / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+          / CAST(total AS DOUBLE)) AS chi2_term
+FROM cells c JOIN rm USING (c_mktsegment) JOIN cm USING (o_orderstatus), t
+"""
+
+
+BADREC_N = 200
+
+
+def src_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC: malformed-record quarantine — read a CSV containing
+    deliberately corrupt rows (row i has a non-numeric value field when
+    i % 7 == 3) in PERMISSIVE mode with ``columnNameOfCorruptRecord``,
+    and emit per row the parsed value and the quarantine verdict: the
+    ingest-hardening pattern (never DROPMALFORMED silently — count and
+    route bad rows) the reference's warn-only bronze gate implies. The
+    fixture is deterministic, so the oracle states every row's fate in
+    closed form — a reader that mis-parses a good row or silently drops
+    a bad one hash-fails.
+
+    Scale: CSV scans parallelize per file split; the corrupt-record
+    column is per-row metadata, no extra pass."""
+    import os
+    import tempfile
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"{tempfile.gettempdir()}/us_dot_badcsv_{sf_tag}_v1"
+    if not os.path.isdir(out):
+        tmp = f"{out}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        with open(f"{tmp}/part0.csv", "w") as fh:
+            for i in range(BADREC_N):
+                v = "x" if i % 7 == 3 else str((i * 13) % 1000)
+                fh.write(f"{i},{v}\n")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if not os.path.isdir(out):
+                raise
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    df = (
+        spark.read.schema("id int, v int, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(out)
+    )
+    return df.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("v").cast("long").alias("v"),
+        F.col("_bad").isNotNull().alias("quarantined"),
+    )
+
+
+SRC_BADREC_ORACLE = f"""
+SELECT CAST(i AS BIGINT) AS id,
+       CASE WHEN i % 7 = 3 THEN NULL
+            ELSE CAST((i * 13) % 1000 AS BIGINT) END AS v,
+       i % 7 = 3 AS quarantined
+FROM (SELECT unnest(generate_series(0, {BADREC_N - 1})) AS i)
+"""
+
+
 def a25_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A25: market-concentration audit — Herfindahl–Hirschman index of
     supplier revenue share within each nation, plus the equivalent
@@ -4262,6 +4504,9 @@ QUERIES = {
     "a24_theil_sen": a24_theil_sen,
     "j17_interval_align": j17_interval_align,
     "g2_triangle_count": g2_triangle_count,
+    "w17_holt_winters": w17_holt_winters,
+    "a26_chi2_independence": a26_chi2_independence,
+    "src_csv_badrecords": src_csv_badrecords,
     "a25_hhi_concentration": a25_hhi_concentration,
     "w15_changepoint_cusum": w15_changepoint_cusum,
     "w16_seasonal_decompose": w16_seasonal_decompose,
@@ -4348,6 +4593,9 @@ ORACLES = {
     "a24_theil_sen": A24_ORACLE,
     "j17_interval_align": J17_ORACLE,
     "g2_triangle_count": G2_ORACLE,
+    "w17_holt_winters": W17_ORACLE,
+    "a26_chi2_independence": A26_ORACLE,
+    "src_csv_badrecords": SRC_BADREC_ORACLE,
     "a25_hhi_concentration": A25_ORACLE,
     "w15_changepoint_cusum": W15_ORACLE,
     "w16_seasonal_decompose": W16_ORACLE,
