@@ -89,6 +89,10 @@ WHITELIST: dict[str, set[str]] = {
     #   1-row total/prefix-array aggregate — never row-scale data
     "a26_chi2_independence": {"ONE_PART"},  # 1-row contingency-total
     #   aggregate broadcast into the expected-count denominators
+    "tp_annotation_agreement": {"ONE_PART"},  # K²-cell confusion matrix
+    #   reduced to 1-row totals/marginal folds — never row-scale
+    "sim_power_iteration": {"ONE_PART"},  # the iterated vector is a 1-row
+    #   64-double aggregate broadcast back each iteration — by design
 }
 
 

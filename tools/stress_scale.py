@@ -54,6 +54,10 @@ def main():
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2] if len(sys.argv) > 2 else None
     spark = get_spark("stress")
+    if only == "round6":
+        round6_families(spark, factor)
+        spark.stop()
+        return
     if only == "round5b":
         round5b_families(spark, factor)
         spark.stop()
@@ -739,6 +743,85 @@ def round5b_families(spark, factor):
         llm.read_table = orig_llm
         llm.read_corpus = orig_corpus
         readers.read_table = orig_readers
+
+
+
+
+def round6_families(spark, factor):
+    """Round-6 shapes at Nx through the REAL catalog code (reader-seam
+    monkeypatch, same protocol as round5b). Families: span-level dedup,
+    entropy gates, sampled triangle census, MinHash calibration,
+    Holt-Winters kernel, FFD packing, interval-align join, Theil-Sen,
+    CUSUM/seasonal, HHI, chi-square, conversation lint, drift audit."""
+    import us_dot_flights_lakehouse_spark.queries.relational as rel
+    import us_dot_flights_lakehouse_spark.queries.llm as llm
+
+    id_cols = {
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+        "lineitem": "l_orderkey",
+        "orders": "o_orderkey",
+        "customer": "c_custkey",
+        "nation": "n_nationkey",
+        "supplier": "s_suppkey",
+        "region": "r_regionkey",
+        "part": "p_partkey",
+    }
+    cache = {}
+
+    def scaled_table(f):
+        def read(spark_, sf_dir_, name, *a, **k):
+            key = (name, f)
+            if key not in cache:
+                # dims stay 1x (scaling a dim's keys would orphan facts)
+                eff = 1 if name in ("nation", "region", "supplier", "part", "customer") else f
+                cache[key] = scaled(spark_, name, eff, id_cols[name]).cache()
+                cache[key].count()
+            return cache[key]
+
+        return read
+
+    targets = [
+        ("dd_exact_substr", llm.dd_exact_substr),
+        ("dd_span_dedup_apply", llm.dd_span_dedup_apply),
+        ("ts_entropy_gates", llm.ts_entropy_gates),
+        ("dd_minhash_calibration", llm.dd_minhash_calibration),
+        ("tp_pack_bestfit", llm.tp_pack_bestfit),
+        ("tp_chat_lint", llm.tp_chat_lint),
+        ("q_schema_drift", llm.q_schema_drift),
+        ("ts_zipf_audit", llm.ts_zipf_audit),
+        ("tp_loss_masking", llm.tp_loss_masking),
+        ("mm_exif_strip", llm.mm_exif_strip),
+        ("o8_reservoir_sample", llm.o8_reservoir_sample),
+        ("ts_source_containment", llm.ts_source_containment),
+        ("g2_triangle_count", rel.g2_triangle_count),
+        ("w17_holt_winters", rel.w17_holt_winters),
+        ("j17_interval_align", rel.j17_interval_align),
+        ("a24_theil_sen", rel.a24_theil_sen),
+        ("a25_hhi_concentration", rel.a25_hhi_concentration),
+        ("a26_chi2_independence", rel.a26_chi2_independence),
+        ("w15_changepoint_cusum", rel.w15_changepoint_cusum),
+        ("w16_seasonal_decompose", rel.w16_seasonal_decompose),
+    ]
+    orig_rel, orig_llm, orig_corpus = rel.read_table, llm.read_table, llm.read_corpus
+    try:
+        for name, fn in targets:
+            times = []
+            for f in (1, factor):
+                rel.read_table = scaled_table(f)
+                llm.read_table = scaled_table(f)
+                llm.read_corpus = scaled_table(f)
+                t = timed(f"{name}@{f}x", fn(spark, SF_DIR))
+                times.append(t)
+            print(
+                f"{name}: growth {times[1] / times[0]:.1f}x at {factor}x rows",
+                flush=True,
+            )
+    finally:
+        rel.read_table = orig_rel
+        llm.read_table = orig_llm
+        llm.read_corpus = orig_corpus
 
 
 if __name__ == "__main__":

@@ -70,6 +70,9 @@ _PRIORITY = (
     "w17_holt_winters",  # three-state seasonal smoothing kernel
     "a26_chi2_independence",  # contingency chi-square cells
     "src_csv_badrecords",  # PERMISSIVE corrupt-record quarantine
+    "sim_matryoshka_truncation",  # prefix-energy truncation audit
+    "tp_annotation_agreement",  # Cohen's kappa labeling QA
+    "sim_power_iteration",  # matrix-free top-eigenvector PCA
     # round-5 fixes — the ONLY red rows in CORRECTNESS_r04 (array outputs
     # crashed the driver canonicalizer; now serialized to CSV scalars)
     "tp_token_ids",

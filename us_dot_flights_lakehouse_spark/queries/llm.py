@@ -6667,6 +6667,266 @@ FROM per_q
 """
 
 
+MATRYOSHKA_DIMS = (8, 16, 32)
+
+
+def sim_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM: Matryoshka truncation audit — for each vector, the cosine
+    similarity between the full embedding and its d-dim prefix
+    (zero-padded), for d ∈ {MATRYOSHKA_DIMS}: equals
+    prefix_norm/full_norm, i.e. the fraction of the vector's energy the
+    first d dimensions carry. The go/no-go table for serving truncated
+    (MRL-style) embeddings at lower index cost: if p50 cosine at d=16
+    is ≥0.95 you can cut the index 4×. All folds are sequential
+    prefix-sums in dimension order — identical on both engines.
+
+    Scale: zero shuffle — one scan, per-row array folds."""
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    full_sq = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    cols = [F.col("vec_id"), F.sqrt(full_sq).alias("full_norm")]
+    for d in MATRYOSHKA_DIMS:
+        pre_sq = F.aggregate(
+            F.transform(F.slice(v, 1, d), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        cols.append((F.sqrt(pre_sq) / F.sqrt(full_sq)).alias(f"cos_at_{d}"))
+    return emb.select(*cols)
+
+
+def _matryoshka_oracle() -> str:
+    parts = ",\n       ".join(
+        f"sqrt(list_sum(list_transform(v[1:{d}], x -> x * x)))"
+        f" / sqrt(list_sum(list_transform(v, x -> x * x))) AS cos_at_{d}"
+        for d in MATRYOSHKA_DIMS
+    )
+    return f"""
+SELECT vec_id,
+       sqrt(list_sum(list_transform(v, x -> x * x))) AS full_norm,
+       {parts}
+FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings)
+"""
+
+
+KAPPA_MOD_A = 97
+KAPPA_MOD_B = 89
+KAPPA_CLASSES = 3
+
+
+def tp_annotation_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: inter-annotator agreement (Cohen's κ) — two deterministic
+    synthetic annotators label each document ({KAPPA_CLASSES} classes,
+    md5-hash-derived with different salts so they agree partly by
+    chance), and the query computes the full agreement audit: the
+    confusion matrix diagonal, observed agreement p_o, chance agreement
+    p_e from the marginals, and κ = (p_o − p_e)/(1 − p_e). The labeling
+    QA gate every human/LLM annotation pipeline runs before trusting
+    its labels. Counts exact; p_o/p_e/κ pointwise doubles from exact
+    integer ratios.
+
+    Scale: one corpus scan → one {KAPPA_CLASSES}²-cell aggregate; the
+    κ computation is driver-sized arithmetic kept in the plan as 1-row
+    literals-free expressions."""
+    docs = read_corpus(spark, sf_dir, "documents")
+
+    def annot(salt: str, mod: int):
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 7), 16, 10).cast("long"),
+            F.lit(mod),
+        ) % KAPPA_CLASSES
+
+    labeled = docs.select(
+        "doc_id",
+        annot(":annA", KAPPA_MOD_A).alias("label_a"),
+        annot(":annB", KAPPA_MOD_B).alias("label_b"),
+    )
+    cells = labeled.groupBy("label_a", "label_b").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.when(F.col("label_a") == F.col("label_b"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    ma = cells.groupBy("label_a").agg(F.sum("n").cast("bigint").alias("n_a"))
+    mb = cells.groupBy("label_b").agg(F.sum("n").cast("bigint").alias("n_b"))
+    pe_terms = (
+        ma.join(mb, ma.label_a == mb.label_b)
+        .select(
+            (F.col("n_a").cast("double") * F.col("n_b").cast("double")).alias("prod"),
+            F.col("label_a").alias("cls"),
+        )
+    )
+    # fold the K chance terms in class order (K is tiny and fixed)
+    pe_sum = pe_terms.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("cls", "prod"))),
+            F.lit(0.0),
+            lambda a, x: a + x["prod"],
+        ).alias("pe_num")
+    )
+    po = F.col("agree").cast("double") / F.col("total").cast("double")
+    pe = F.col("pe_num") / (F.col("total").cast("double") * F.col("total").cast("double"))
+    return (
+        tot.crossJoin(F.broadcast(pe_sum))
+        .select(
+            "total",
+            "agree",
+            po.alias("p_observed"),
+            pe.alias("p_chance"),
+            ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+        )
+    )
+
+
+TP_KAPPA_ORACLE = f"""
+WITH labeled AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':annA'), 1, 7))::BIGINT
+          % {KAPPA_MOD_A}) % {KAPPA_CLASSES} AS label_a,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':annB'), 1, 7))::BIGINT
+          % {KAPPA_MOD_B}) % {KAPPA_CLASSES} AS label_b
+  FROM documents
+), cells AS (
+  SELECT label_a, label_b, CAST(count(*) AS BIGINT) AS n
+  FROM labeled GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN label_a = label_b THEN n ELSE 0 END) AS BIGINT)
+           AS agree
+  FROM cells
+), ma AS (SELECT label_a, CAST(sum(n) AS BIGINT) AS n_a FROM cells GROUP BY 1),
+mb AS (SELECT label_b, CAST(sum(n) AS BIGINT) AS n_b FROM cells GROUP BY 1),
+pe AS (
+  SELECT list_sum(list(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                       ORDER BY label_a)) AS pe_num
+  FROM ma JOIN mb ON label_a = label_b
+)
+SELECT total, agree,
+       CAST(agree AS DOUBLE) / CAST(total AS DOUBLE) AS p_observed,
+       pe_num / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) AS p_chance,
+       ((CAST(agree AS DOUBLE) / CAST(total AS DOUBLE))
+        - pe_num / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)))
+       / (1.0 - pe_num / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)))
+         AS kappa
+FROM tot, pe
+"""
+
+
+POWER_ITERS = 3
+EMB_DIM = 64
+
+
+def sim_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM: matrix-free power iteration — the top right-singular vector
+    of the embedding matrix (principal PCA direction) via
+    {POWER_ITERS} fixed iterations of v ← normalize(Aᵀ(Av)), composed
+    entirely IN THE PLAN: each iteration is one broadcast of the 1-row
+    current vector, one scan computing y=Av row-wise, and one 64-cell
+    aggregate folding Aᵀy — no driver-side loop state, no collect. Init
+    v⁰ = 1/8 (exact binary) on every dimension; folds are value-ordered
+    (g1 lesson) so the result is bit-stable under any partitioning.
+    Emits the eigenvector components with the Rayleigh-quotient
+    eigenvalue estimate ‖Aᵀ(Av)‖/‖v‖=‖w‖ — the spectral summary
+    (intrinsic-dimension / dominant-direction check) an embedding-
+    quality report leads with.
+
+    Scale: per iteration ONE wide scan + ONE dim-cardinality shuffle
+    (map-side combined); the vector rides a 1-row broadcast. 100
+    iterations would compose the same way — Catalyst folds the chain."""
+    from us_dot_flights_lakehouse_spark.functions.vectors import lit_doubles
+
+    emb = read_corpus(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, t: acc + t
+        )
+
+    vdf = spark.range(1).select(lit_doubles([0.125] * EMB_DIM).alias("vec"))
+    for _ in range(POWER_ITERS):
+        j = emb.crossJoin(F.broadcast(vdf))
+        cells = j.select(
+            "vec_id", dot(F.col("v"), F.col("vec")).alias("y"), F.posexplode("v").alias("d", "x")
+        )
+        w = cells.groupBy("d").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.col("y") * F.col("x"))),
+                F.lit(0.0),
+                lambda a, t: a + t,
+            ).alias("wd")
+        )
+        packed = w.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "wd"))), lambda s: s["wd"]
+            ).alias("w")
+        )
+        vdf = packed.select(
+            F.transform(
+                "w",
+                lambda x: x
+                / F.sqrt(
+                    F.aggregate(
+                        F.transform("w", lambda t: t * t),
+                        F.lit(0.0),
+                        lambda a, t: a + t,
+                    )
+                ),
+            ).alias("vec"),
+            F.sqrt(
+                F.aggregate(
+                    F.transform("w", lambda t: t * t), F.lit(0.0), lambda a, t: a + t
+                )
+            ).alias("eigenvalue"),
+        )
+    final = vdf
+    return final.select(
+        F.posexplode("vec").alias("dim", "component"), "eigenvalue"
+    ).select(F.col("dim").cast("int").alias("dim"), "component", "eigenvalue")
+
+
+def _power_iteration_oracle() -> str:
+    v0 = _duck_doubles([0.125] * EMB_DIM)
+    core = """
+cells{n} AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, {dimp}), i -> e.v[i] * vv.v[i])) AS y,
+         unnest(generate_series(0, {dimm})) AS d,
+         unnest(e.v) AS x
+  FROM e, v{p} vv
+), w{n} AS (
+  SELECT d, list_sum(list(y * x ORDER BY y * x)) AS wd
+  FROM cells{n} GROUP BY d
+), l{n} AS (SELECT list(wd ORDER BY d) AS w FROM w{n}),
+v{n} AS (
+  SELECT list_transform(w, x -> x
+           / sqrt(list_sum(list_transform(w, t -> t * t)))) AS v,
+         sqrt(list_sum(list_transform(w, t -> t * t))) AS eigenvalue
+  FROM l{n}
+)"""
+    its = ",".join(
+        core.format(n=i + 1, p=i if i else 0, dimp=EMB_DIM + 1, dimm=EMB_DIM - 1)
+        for i in range(POWER_ITERS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), v0 AS (SELECT {v0} AS v),
+{its}
+SELECT CAST(u.i - 1 AS INTEGER) AS dim, v[u.i] AS component, eigenvalue
+FROM v{POWER_ITERS},
+     (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) u
+"""
+
+
 CUR_TOP_DIMS = 16
 
 
@@ -7113,6 +7373,9 @@ QUERIES = {
     "mm_exif_strip": mm_exif_strip,
     "sim_cur_decomposition": sim_cur_decomposition,
     "dd_minhash_calibration": dd_minhash_calibration,
+    "sim_matryoshka_truncation": sim_matryoshka_truncation,
+    "tp_annotation_agreement": tp_annotation_agreement,
+    "sim_power_iteration": sim_power_iteration,
     "ts_zipf_audit": ts_zipf_audit,
     "tp_loss_masking": tp_loss_masking,
     "sim_ndcg_eval": sim_ndcg_eval,
@@ -7231,6 +7494,9 @@ ORACLES = {
     "mm_exif_strip": MM_EXIF_ORACLE,
     "sim_cur_decomposition": SIM_CUR_ORACLE,
     "dd_minhash_calibration": _minhash_cal_oracle,
+    "sim_matryoshka_truncation": _matryoshka_oracle,
+    "tp_annotation_agreement": TP_KAPPA_ORACLE,
+    "sim_power_iteration": _power_iteration_oracle,
     "ts_zipf_audit": TS_ZIPF_ORACLE,
     "tp_loss_masking": TP_LOSS_MASK_ORACLE,
     "sim_ndcg_eval": _ndcg_oracle,

