@@ -93,6 +93,8 @@ WHITELIST: dict[str, set[str]] = {
     #   reduced to 1-row totals/marginal folds — never row-scale
     "sim_power_iteration": {"ONE_PART"},  # the iterated vector is a 1-row
     #   64-double aggregate broadcast back each iteration — by design
+    "a27_bootstrap_ci": {"ONE_PART"},    # 32 replicate means reduce to a
+    #   1-row sorted array for the CI picks — never row-scale
 }
 
 

@@ -73,6 +73,9 @@ _PRIORITY = (
     "sim_matryoshka_truncation",  # prefix-energy truncation audit
     "tp_annotation_agreement",  # Cohen's kappa labeling QA
     "sim_power_iteration",  # matrix-free top-eigenvector PCA
+    "tp_preference_pairs",  # DPO chosen/rejected pairing
+    "a27_bootstrap_ci",  # deterministic bootstrap CI
+    "q_order_reconciliation",  # cross-table value reconciliation
     # round-5 fixes — the ONLY red rows in CORRECTNESS_r04 (array outputs
     # crashed the driver canonicalizer; now serialized to CSV scalars)
     "tp_token_ids",

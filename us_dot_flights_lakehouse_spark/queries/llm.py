@@ -6818,6 +6818,76 @@ FROM tot, pe
 """
 
 
+def tp_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: preference-pair assembly (DPO/RLHF data shape) — within each
+    source, rank documents by a deterministic quality score (here the
+    char-length proxy, tie-broken by id) and pair rank-i-from-top
+    (chosen) with rank-i-from-bottom (rejected), dropping the crossover
+    pair when counts are odd: the standard margin-maximizing pairing a
+    preference-data build runs over scored candidates. Emits ids,
+    scores and the score margin per pair — downstream DPO loss weights
+    come straight off this table.
+
+    Scale: two windows over the same source-keyed sort (one shuffle);
+    the pair join is an equi-join on (source, i)."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    scored = docs.select("source", "doc_id", F.col("n_chars").alias("score"))
+    top = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("doc_id"))
+    bot = Window.partitionBy("source").orderBy(F.col("score").asc(), F.col("doc_id").desc())
+    ranked = scored.select(
+        "source",
+        "doc_id",
+        "score",
+        F.row_number().over(top).alias("i_top"),
+        F.row_number().over(bot).alias("i_bot"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    chosen = ranked.filter(F.col("i_top") * 2 <= F.col("n")).select(
+        "source",
+        F.col("i_top").alias("i"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+    )
+    rejected = ranked.filter(F.col("i_bot") * 2 <= F.col("n")).select(
+        "source",
+        F.col("i_bot").alias("i"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return chosen.join(rejected, ["source", "i"]).select(
+        "source",
+        F.col("i").cast("long").alias("pair_rank"),
+        "chosen_id",
+        "rejected_id",
+        F.col("chosen_score").cast("long").alias("chosen_score"),
+        F.col("rejected_score").cast("long").alias("rejected_score"),
+        (F.col("chosen_score") - F.col("rejected_score"))
+        .cast("long")
+        .alias("margin"),
+    )
+
+
+TP_PREF_ORACLE = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars AS score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS i_top,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars ASC, doc_id DESC) AS i_bot,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT c.source, CAST(c.i_top AS BIGINT) AS pair_rank,
+       c.doc_id AS chosen_id, r.doc_id AS rejected_id,
+       CAST(c.score AS BIGINT) AS chosen_score,
+       CAST(r.score AS BIGINT) AS rejected_score,
+       CAST(c.score - r.score AS BIGINT) AS margin
+FROM ranked c JOIN ranked r
+  ON c.source = r.source AND c.i_top = r.i_bot
+WHERE c.i_top * 2 <= c.n AND r.i_bot * 2 <= r.n
+"""
+
+
 POWER_ITERS = 3
 EMB_DIM = 64
 
@@ -7376,6 +7446,7 @@ QUERIES = {
     "sim_matryoshka_truncation": sim_matryoshka_truncation,
     "tp_annotation_agreement": tp_annotation_agreement,
     "sim_power_iteration": sim_power_iteration,
+    "tp_preference_pairs": tp_preference_pairs,
     "ts_zipf_audit": ts_zipf_audit,
     "tp_loss_masking": tp_loss_masking,
     "sim_ndcg_eval": sim_ndcg_eval,
@@ -7497,6 +7568,7 @@ ORACLES = {
     "sim_matryoshka_truncation": _matryoshka_oracle,
     "tp_annotation_agreement": TP_KAPPA_ORACLE,
     "sim_power_iteration": _power_iteration_oracle,
+    "tp_preference_pairs": TP_PREF_ORACLE,
     "ts_zipf_audit": TS_ZIPF_ORACLE,
     "tp_loss_masking": TP_LOSS_MASK_ORACLE,
     "sim_ndcg_eval": _ndcg_oracle,

@@ -3846,6 +3846,157 @@ FROM (SELECT unnest(generate_series(0, {BADREC_N - 1})) AS i)
 """
 
 
+BOOT_B = 32
+BOOT_WMOD = 4
+
+
+def a27_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27: deterministic bootstrap confidence interval for the mean
+    order value — {BOOT_B} hash-weighted replicates (integer weights
+    hash(id, b) mod {BOOT_WMOD}; a weighted mean is unbiased for the
+    mean under any iid weight scale), each replicate mean computed from
+    EXACT integer cents sums, then the CI read off the sorted replicate
+    array: metric uncertainty without randomness — rerun the job
+    anywhere, get the same interval. The estimator every KPI dashboard
+    should ship next to its point estimate.
+
+    Scale: one {BOOT_B}-way fan-out over the scan (map-side combined
+    into {BOOT_B} groups), then a {BOOT_B}-row sort in one task."""
+    orders = read_table(spark, sf_dir, "orders")
+    reps = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast(MONEY) * 100).cast("long").alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    ).select(
+        "b",
+        "cents",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("o_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(BOOT_WMOD),
+        ).alias("w"),
+    )
+    means = reps.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / (F.sum("w").cast("double") * 100.0)
+        ).alias("m")
+    )
+    packed = means.agg(F.array_sort(F.collect_list("m")).alias("ms"))
+    lo_i, hi_i = 2, BOOT_B - 1  # ~2.5% / ~97.5% of 32
+    med = BOOT_B // 2
+    return packed.select(
+        F.lit(BOOT_B).cast("long").alias("n_replicates"),
+        F.element_at("ms", lo_i).alias("ci_lo"),
+        ((F.element_at("ms", med) + F.element_at("ms", med + 1)) / 2.0).alias(
+            "median_replicate"
+        ),
+        F.element_at("ms", hi_i).alias("ci_hi"),
+    )
+
+
+A27_ORACLE = f"""
+WITH reps AS (
+  SELECT b.b, CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+           AS cents,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                             || CAST(b.b AS VARCHAR)), 1, 7))::BIGINT
+           % {BOOT_WMOD} AS w
+  FROM orders, (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) b
+), means AS (
+  SELECT b, CAST(sum(w * cents) AS DOUBLE)
+              / (CAST(sum(w) AS DOUBLE) * 100.0) AS m
+  FROM reps GROUP BY b
+), packed AS (SELECT list(m ORDER BY m) AS ms FROM means)
+SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
+       ms[2] AS ci_lo,
+       (ms[{BOOT_B // 2}] + ms[{BOOT_B // 2 + 1}]) / 2.0 AS median_replicate,
+       ms[{BOOT_B - 1}] AS ci_hi
+FROM packed
+"""
+
+
+RECON_TOL = 0.01
+
+
+def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q: cross-table value reconciliation — rebuild each order's total
+    from its line items (Σ extprice·(1−disc)·(1+tax), the TPC-H
+    invariant) and reconcile against o_totalprice, rolled up per order
+    status: mismatch counts, worst absolute difference, and the
+    value-ordered total drift. The "do the fact and the header agree"
+    audit every finance-grade pipeline runs; on this synthetic data the
+    totals deliberately DON'T reconcile, which is exactly what the
+    audit reports. Per-order line folds run in line-number order and
+    the per-status drift fold in value order — bit-stable.
+
+    Scale: one order-key aggregate (line→order), one broadcast-size
+    status rollup; MAX/COUNT are order-free."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    term = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    )
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("l_linenumber").alias("i"), term.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["t"],
+        ).alias("rebuilt")
+    )
+    j = orders.join(per_order, orders.o_orderkey == per_order.l_orderkey)
+    diff = F.col("o_totalprice") - F.col("rebuilt")
+    per_status = j.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum((F.abs(diff) > RECON_TOL).cast("long")).cast("bigint").alias("n_mismatch"),
+        F.max(F.abs(diff)).alias("max_abs_diff"),
+        F.aggregate(
+            F.array_sort(F.collect_list(diff)), F.lit(0.0), lambda a, x: a + x
+        ).alias("total_drift"),
+    )
+    return per_status
+
+
+Q_RECON_ORACLE = f"""
+WITH per_order AS (
+  -- l_linenumber is NOT unique per order in this dataset: tie-break by
+  -- the term value, mirroring the engine's (linenumber, term) struct sort
+  SELECT l_orderkey,
+         list_sum(list(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                       ORDER BY l_linenumber,
+                                l_extendedprice * (1.0 - l_discount)
+                                  * (1.0 + l_tax))) AS rebuilt
+  FROM lineitem GROUP BY 1
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN abs(o_totalprice - rebuilt) > {RECON_TOL}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       max(abs(o_totalprice - rebuilt)) AS max_abs_diff,
+       list_sum(list(o_totalprice - rebuilt
+                     ORDER BY o_totalprice - rebuilt)) AS total_drift
+FROM orders JOIN per_order ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
 def a25_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A25: market-concentration audit — Herfindahl–Hirschman index of
     supplier revenue share within each nation, plus the equivalent
@@ -4526,6 +4677,8 @@ QUERIES = {
     "w17_holt_winters": w17_holt_winters,
     "a26_chi2_independence": a26_chi2_independence,
     "src_csv_badrecords": src_csv_badrecords,
+    "a27_bootstrap_ci": a27_bootstrap_ci,
+    "q_order_reconciliation": q_order_reconciliation,
     "a25_hhi_concentration": a25_hhi_concentration,
     "w15_changepoint_cusum": w15_changepoint_cusum,
     "w16_seasonal_decompose": w16_seasonal_decompose,
@@ -4615,6 +4768,8 @@ ORACLES = {
     "w17_holt_winters": W17_ORACLE,
     "a26_chi2_independence": A26_ORACLE,
     "src_csv_badrecords": SRC_BADREC_ORACLE,
+    "a27_bootstrap_ci": A27_ORACLE,
+    "q_order_reconciliation": Q_RECON_ORACLE,
     "a25_hhi_concentration": A25_ORACLE,
     "w15_changepoint_cusum": W15_ORACLE,
     "w16_seasonal_decompose": W16_ORACLE,
