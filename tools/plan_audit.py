@@ -95,6 +95,9 @@ WHITELIST: dict[str, set[str]] = {
     #   64-double aggregate broadcast back each iteration — by design
     "a27_bootstrap_ci": {"ONE_PART"},    # 32 replicate means reduce to a
     #   1-row sorted array for the CI picks — never row-scale
+    "dd_pipeline_verdict": {"SMJ"},      # composes the LSH band-bucket
+    #   self-join (dd_minhash_lsh family) plus doc-keyed assembly joins —
+    #   all sides row-scale, genuine shuffle joins
 }
 
 

@@ -76,6 +76,7 @@ _PRIORITY = (
     "tp_preference_pairs",  # DPO chosen/rejected pairing
     "a27_bootstrap_ci",  # deterministic bootstrap CI
     "q_order_reconciliation",  # cross-table value reconciliation
+    "dd_pipeline_verdict",  # end-to-end dedup stack composition
     # round-5 fixes — the ONLY red rows in CORRECTNESS_r04 (array outputs
     # crashed the driver canonicalizer; now serialized to CSV scalars)
     "tp_token_ids",

@@ -6818,6 +6818,150 @@ FROM tot, pe
 """
 
 
+SPAN_DROP_FRAC = 0.5
+
+
+def dd_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD: the END-TO-END dedup pipeline verdict — one query composing
+    the whole stack the way a production corpus build runs it: exact
+    dedup (normalized fingerprint, min-id keeper), MinHash-LSH near-dup
+    (greedy one-pass policy: the larger id of every verified pair
+    drops; dd_dup_clusters is the transitive alternative), and
+    span-level dedup (cross-doc duplicated-token fraction), resolved
+    into a single per-document action:
+    drop_exact → drop_near → drop_mostly_dup (> {SPAN_DROP_FRAC}
+    duplicated) → strip_spans → keep. THE table a curation run
+    publishes; every contributing signal is itself an oracle-checked
+    operator, and this query certifies their composition.
+
+    Scale: each stage keeps its own bounded-join guarantees (hash
+    groupBy / banded LSH / gram-window); the final assembly is three
+    doc-keyed left joins."""
+    from us_dot_flights_lakehouse_spark.functions.text import (
+        normalized_fingerprint,
+    )
+    from us_dot_flights_lakehouse_spark.llm.dedup import (
+        EXACT_SUBSTR_K,
+        exact_substr_spans,
+        minhash_lsh_pairs,
+    )
+
+    docs = read_corpus(spark, sf_dir, "documents")
+    fpd = docs.select(
+        "doc_id", normalized_fingerprint("text").alias("fingerprint")
+    )
+    keepers = fpd.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper"))
+    exact = fpd.join(keepers, "fingerprint").select(
+        "doc_id", (F.col("doc_id") != F.col("keeper")).alias("exact_dup")
+    )
+    near_ids = (
+        minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    spans = exact_substr_spans(docs, EXACT_SUBSTR_K)
+    span_frac = (
+        docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("total_tokens")
+        )
+        .join(
+            spans.groupBy("doc_id").agg(
+                F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_toks")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            (
+                F.coalesce("dup_toks", F.lit(0)).cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("span_frac"),
+        )
+    )
+    merged = (
+        exact.join(near_ids, "doc_id", "left")
+        .join(span_frac, "doc_id")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+            "span_frac",
+        )
+    )
+    action = (
+        F.when(F.col("exact_dup"), "drop_exact")
+        .when(F.col("near_dup"), "drop_near")
+        .when(F.col("span_frac") > SPAN_DROP_FRAC, "drop_mostly_dup")
+        .when(F.col("span_frac") > 0.0, "strip_spans")
+        .otherwise("keep")
+    )
+    return merged.select(
+        "doc_id", "exact_dup", "near_dup", "span_frac", action.alias("action")
+    )
+
+
+def _dd_pipeline_oracle() -> str:
+    from us_dot_flights_lakehouse_spark.llm.dedup import EXACT_SUBSTR_K
+
+    return f"""
+WITH mh_d AS (
+  SELECT doc_id, {_SHINGLES} AS shs
+  FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+), mh_s AS (SELECT doc_id, unnest(shs) AS sh FROM mh_d),
+mh_h AS (SELECT doc_id, {_HASH28.format(x='sh')} AS h FROM mh_s),
+mh_sig AS (
+  SELECT doc_id,
+    {_sig_mins_sql()}
+  FROM mh_h GROUP BY doc_id
+), mh_b AS (
+  SELECT doc_id, b.band_id, b.band_key
+  FROM mh_sig, (VALUES {_band_keys_sql()}) AS b(band_id, band_key)
+), mh_cand AS (
+  SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+  FROM mh_b x JOIN mh_b y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+), near AS (
+  SELECT DISTINCT ib AS doc_id FROM mh_cand
+  JOIN mh_d da ON ia = da.doc_id JOIN mh_d db ON ib = db.doc_id
+  WHERE CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+          / CAST(len(da.shs) + len(db.shs)
+                 - len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+        >= {JACCARD_THRESHOLD}
+), {_substr_spans_cte(EXACT_SUBSTR_K).lstrip()}, sfrac AS (
+  SELECT w.doc_id,
+         CAST(coalesce(p.dup_toks, 0) AS DOUBLE) / CAST(w.n AS DOUBLE)
+           AS span_frac
+  FROM words w LEFT JOIN (
+    SELECT doc_id, sum(e - s + 1) AS dup_toks FROM spans GROUP BY 1
+  ) p USING (doc_id)
+), fpg AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         MIN(doc_id) AS keeper
+  FROM documents GROUP BY 1
+), exact AS (
+  SELECT doc_id,
+         doc_id != keeper AS exact_dup
+  FROM (SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents) d JOIN fpg USING (fp)
+)
+SELECT e.doc_id, e.exact_dup,
+       (n.doc_id IS NOT NULL) AS near_dup,
+       sf.span_frac,
+       CASE WHEN e.exact_dup THEN 'drop_exact'
+            WHEN n.doc_id IS NOT NULL THEN 'drop_near'
+            WHEN sf.span_frac > {SPAN_DROP_FRAC} THEN 'drop_mostly_dup'
+            WHEN sf.span_frac > 0.0 THEN 'strip_spans'
+            ELSE 'keep' END AS action
+FROM exact e
+LEFT JOIN near n USING (doc_id)
+JOIN sfrac sf USING (doc_id)
+"""
+
+
 def tp_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TP: preference-pair assembly (DPO/RLHF data shape) — within each
     source, rank documents by a deterministic quality score (here the
@@ -7447,6 +7591,7 @@ QUERIES = {
     "tp_annotation_agreement": tp_annotation_agreement,
     "sim_power_iteration": sim_power_iteration,
     "tp_preference_pairs": tp_preference_pairs,
+    "dd_pipeline_verdict": dd_pipeline_verdict,
     "ts_zipf_audit": ts_zipf_audit,
     "tp_loss_masking": tp_loss_masking,
     "sim_ndcg_eval": sim_ndcg_eval,
@@ -7569,6 +7714,7 @@ ORACLES = {
     "tp_annotation_agreement": TP_KAPPA_ORACLE,
     "sim_power_iteration": _power_iteration_oracle,
     "tp_preference_pairs": TP_PREF_ORACLE,
+    "dd_pipeline_verdict": _dd_pipeline_oracle,
     "ts_zipf_audit": TS_ZIPF_ORACLE,
     "tp_loss_masking": TP_LOSS_MASK_ORACLE,
     "sim_ndcg_eval": _ndcg_oracle,
