@@ -77,6 +77,9 @@ _PRIORITY = (
     "a27_bootstrap_ci",  # deterministic bootstrap CI
     "q_order_reconciliation",  # cross-table value reconciliation
     "dd_pipeline_verdict",  # end-to-end dedup stack composition
+    "tp_packing_efficiency",  # concat-vs-FFD padding waste
+    "sim_fisher_separability",  # supervised per-dim Fisher ratio
+    "w18_anomaly_ensemble",  # majority-vote anomaly flags
     # round-5 fixes — the ONLY red rows in CORRECTNESS_r04 (array outputs
     # crashed the driver canonicalizer; now serialized to CSV scalars)
     "tp_token_ids",

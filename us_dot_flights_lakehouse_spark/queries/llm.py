@@ -6818,6 +6818,173 @@ FROM tot, pe
 """
 
 
+def tp_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: packing-strategy comparison — per source, the padding waste
+    of the two packing operators this engine ships: concat-then-chunk
+    (pack_sequences: waste only in the final sequence) vs
+    first-fit-decreasing bins (pack_bestfit: no document straddles a
+    boundary, waste in every bin's tail): the table that answers 'what
+    does document integrity cost in padded tokens'. FFD bin counts come
+    from the REAL operator; the concat side is closed-form
+    ceil(total/budget).
+
+    Scale: one length scan + the FFD grouped-map; the rollup is
+    source-cardinality."""
+    from us_dot_flights_lakehouse_spark.llm.curation import pack_bestfit
+
+    docs = read_corpus(spark, sf_dir, "documents")
+    with_len = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    ffd = pack_bestfit(with_len, PACK_BUDGET)
+    per_src = ffd.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.max("bin_id").cast("bigint").alias("ffd_bins"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    concat_seqs = F.ceil(
+        F.col("total_tokens").cast("double") / PACK_BUDGET
+    ).cast("long")
+    ffd_waste = F.col("ffd_bins") * PACK_BUDGET - F.col("total_tokens")
+    concat_waste = concat_seqs * PACK_BUDGET - F.col("total_tokens")
+    return per_src.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        concat_seqs.alias("concat_seqs"),
+        concat_waste.cast("bigint").alias("concat_waste"),
+        "ffd_bins",
+        ffd_waste.cast("bigint").alias("ffd_waste"),
+        (
+            ffd_waste.cast("double") / (F.col("ffd_bins") * PACK_BUDGET).cast("double")
+        ).alias("ffd_waste_frac"),
+    )
+
+
+def _tp_packing_eff_oracle() -> str:
+    ffd = _tp_pack_bestfit_oracle()
+    return f"""
+WITH ffd AS ({ffd}),
+per_src AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(max(bin_id) AS BIGINT) AS ffd_bins,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM ffd GROUP BY source
+)
+SELECT source, n_docs, total_tokens,
+       CAST(ceil(CAST(total_tokens AS DOUBLE) / {PACK_BUDGET}) AS BIGINT)
+         AS concat_seqs,
+       CAST(CAST(ceil(CAST(total_tokens AS DOUBLE) / {PACK_BUDGET}) AS BIGINT)
+            * {PACK_BUDGET} - total_tokens AS BIGINT) AS concat_waste,
+       ffd_bins,
+       CAST(ffd_bins * {PACK_BUDGET} - total_tokens AS BIGINT) AS ffd_waste,
+       CAST(ffd_bins * {PACK_BUDGET} - total_tokens AS DOUBLE)
+         / CAST(ffd_bins * {PACK_BUDGET} AS DOUBLE) AS ffd_waste_frac
+FROM per_src
+"""
+
+
+def sim_fisher_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM: per-dimension Fisher separability — between-class scatter
+    over within-class scatter for every embedding dimension, from the
+    labeled corpus: which dimensions actually separate the classes
+    (feature-selection / probe-before-train audit; complements the
+    energy-based CUR selection with a SUPERVISED criterion). Per-class
+    sums fold value-ordered; cross-class combinations fold in label
+    order — bit-stable.
+
+    Scale: one shuffle to (label, dim) cells (map-side combined), one
+    to dim cells; everything downstream is 64-row arithmetic."""
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("d", "x")
+    )
+    cls = cells.groupBy("label", "d").agg(
+        F.count("*").cast("bigint").alias("n_c"),
+        F.aggregate(
+            F.array_sort(F.collect_list("x")), F.lit(0.0), lambda a, v: a + v
+        ).alias("s1"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.col("x") * F.col("x"))),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("s2"),
+    )
+    mu_c = F.col("s1") / F.col("n_c").cast("double")
+    dims = cls.select(
+        "d", "label", "n_c", "s1", "s2", mu_c.alias("mu_c")
+    ).groupBy("d").agg(
+        F.sum("n_c").cast("bigint").alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("label", "s1"))),
+            F.lit(0.0),
+            lambda a, x: a + x["s1"],
+        ).alias("tot_s1"),
+        F.array_sort(
+            F.collect_list(F.struct("label", "n_c", "mu_c", "s2"))
+        ).alias("per_class"),
+    )
+    mu = F.col("tot_s1") / F.col("n").cast("double")
+    between = F.aggregate(
+        F.col("per_class"),
+        F.lit(0.0),
+        lambda a, c: a
+        + c["n_c"].cast("double") * (c["mu_c"] - mu) * (c["mu_c"] - mu),
+    )
+    within = F.aggregate(
+        F.col("per_class"),
+        F.lit(0.0),
+        lambda a, c: a + (c["s2"] - c["n_c"].cast("double") * c["mu_c"] * c["mu_c"]),
+    )
+    return dims.select(
+        F.col("d").cast("int").alias("dim"),
+        "n",
+        between.alias("between_scatter"),
+        within.alias("within_scatter"),
+        (between / within).alias("fisher_ratio"),
+    )
+
+
+SIM_FISHER_ORACLE = """
+WITH cells AS (
+  SELECT label,
+         unnest(generate_series(0, len(embedding) - 1)) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), cls AS (
+  SELECT label, d, CAST(count(*) AS BIGINT) AS n_c,
+         list_sum(list(x ORDER BY x)) AS s1,
+         list_sum(list(x * x ORDER BY x * x)) AS s2
+  FROM cells GROUP BY 1, 2
+), dims AS (
+  SELECT d, CAST(sum(n_c) AS BIGINT) AS n,
+         list_sum(list(s1 ORDER BY label)) AS tot_s1,
+         list(struct_pack(label := label, n_c := n_c,
+                          mu_c := s1 / CAST(n_c AS DOUBLE), s2 := s2)
+              ORDER BY label) AS per_class
+  FROM cls GROUP BY d
+)
+SELECT CAST(d AS INTEGER) AS dim, n,
+       list_sum(list_transform(per_class, c ->
+         CAST(c.n_c AS DOUBLE)
+           * (c.mu_c - tot_s1 / CAST(n AS DOUBLE))
+           * (c.mu_c - tot_s1 / CAST(n AS DOUBLE)))) AS between_scatter,
+       list_sum(list_transform(per_class, c ->
+         c.s2 - CAST(c.n_c AS DOUBLE) * c.mu_c * c.mu_c)) AS within_scatter,
+       list_sum(list_transform(per_class, c ->
+         CAST(c.n_c AS DOUBLE)
+           * (c.mu_c - tot_s1 / CAST(n AS DOUBLE))
+           * (c.mu_c - tot_s1 / CAST(n AS DOUBLE))))
+       / list_sum(list_transform(per_class, c ->
+         c.s2 - CAST(c.n_c AS DOUBLE) * c.mu_c * c.mu_c)) AS fisher_ratio
+FROM dims
+"""
+
+
 SPAN_DROP_FRAC = 0.5
 
 
@@ -7592,6 +7759,8 @@ QUERIES = {
     "sim_power_iteration": sim_power_iteration,
     "tp_preference_pairs": tp_preference_pairs,
     "dd_pipeline_verdict": dd_pipeline_verdict,
+    "tp_packing_efficiency": tp_packing_efficiency,
+    "sim_fisher_separability": sim_fisher_separability,
     "ts_zipf_audit": ts_zipf_audit,
     "tp_loss_masking": tp_loss_masking,
     "sim_ndcg_eval": sim_ndcg_eval,
@@ -7715,6 +7884,8 @@ ORACLES = {
     "sim_power_iteration": _power_iteration_oracle,
     "tp_preference_pairs": TP_PREF_ORACLE,
     "dd_pipeline_verdict": _dd_pipeline_oracle,
+    "tp_packing_efficiency": _tp_packing_eff_oracle,
+    "sim_fisher_separability": SIM_FISHER_ORACLE,
     "ts_zipf_audit": TS_ZIPF_ORACLE,
     "tp_loss_masking": TP_LOSS_MASK_ORACLE,
     "sim_ndcg_eval": _ndcg_oracle,

@@ -3846,6 +3846,99 @@ FROM (SELECT unnest(generate_series(0, {BADREC_N - 1})) AS i)
 """
 
 
+def w18_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W18: anomaly-flag ENSEMBLE — three independent detectors over
+    each event type's daily count series (z-score from exact integer
+    moments, Tukey IQR fence from exact quantiles, spike-vs-yesterday
+    ratio) with a majority vote: single detectors false-positive on
+    their blind spots (z on heavy tails, IQR on trends, spike on level
+    shifts), so production alerting votes them — this is that table.
+    Counts exact; thresholds pointwise doubles; quantile_cont parity is
+    the a11-established convention.
+
+    Scale: one shuffle to daily counts, one per-type stats aggregate
+    broadcast back, one lag window."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("s2"),
+        F.percentile("cnt", F.lit([0.25, 0.75])).alias("qs"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = F.col("s2").cast("double") / F.col("n").cast("double") - mean * mean
+    iqr = F.col("qs")[1] - F.col("qs")[0]
+    wl = W.partitionBy("event_type").orderBy("day")
+    x = F.col("cnt").cast("double")
+    joined = (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("prev", F.lag("cnt").over(wl))
+        .select(
+            "event_type",
+            "day",
+            F.col("cnt").cast("long").alias("cnt"),
+            ((x - mean) * (x - mean) > 4.0 * var).alias("z_flag"),
+            (x > F.col("qs")[1] + 1.5 * iqr).alias("iqr_flag"),
+            (
+                F.col("prev").isNotNull() & (F.col("cnt") > 2 * F.col("prev"))
+            ).alias("spike_flag"),
+        )
+    )
+    votes = (
+        F.col("z_flag").cast("int")
+        + F.col("iqr_flag").cast("int")
+        + F.col("spike_flag").cast("int")
+    )
+    return joined.select(
+        "*", votes.cast("long").alias("votes"), (votes >= 2).alias("is_anomaly")
+    )
+
+
+W18_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cnt) AS BIGINT) AS s1,
+         CAST(sum(cnt * cnt) AS BIGINT) AS s2,
+         quantile_cont(cnt, 0.25) AS q1,
+         quantile_cont(cnt, 0.75) AS q3
+  FROM daily GROUP BY 1
+), lagged AS (
+  SELECT d.*, lag(cnt) OVER (PARTITION BY d.event_type ORDER BY day) AS prev,
+         s.n, s.s1, s.s2, s.q1, s.q3
+  FROM daily d JOIN stats s ON d.event_type = s.event_type
+)
+SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+       (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         > 4.0 * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS z_flag,
+       CAST(cnt AS DOUBLE) > q3 + 1.5 * (q3 - q1) AS iqr_flag,
+       (prev IS NOT NULL AND cnt > 2 * prev) AS spike_flag,
+       CAST(CAST((CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         > 4.0 * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS INT)
+        + CAST(CAST(cnt AS DOUBLE) > q3 + 1.5 * (q3 - q1) AS INT)
+        + CAST((prev IS NOT NULL AND cnt > 2 * prev) AS INT) AS BIGINT) AS votes,
+       CAST((CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         > 4.0 * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS INT)
+        + CAST(CAST(cnt AS DOUBLE) > q3 + 1.5 * (q3 - q1) AS INT)
+        + CAST((prev IS NOT NULL AND cnt > 2 * prev) AS INT) >= 2 AS is_anomaly
+FROM lagged
+"""
+
+
 BOOT_B = 32
 BOOT_WMOD = 4
 
@@ -4679,6 +4772,7 @@ QUERIES = {
     "src_csv_badrecords": src_csv_badrecords,
     "a27_bootstrap_ci": a27_bootstrap_ci,
     "q_order_reconciliation": q_order_reconciliation,
+    "w18_anomaly_ensemble": w18_anomaly_ensemble,
     "a25_hhi_concentration": a25_hhi_concentration,
     "w15_changepoint_cusum": w15_changepoint_cusum,
     "w16_seasonal_decompose": w16_seasonal_decompose,
@@ -4770,6 +4864,7 @@ ORACLES = {
     "src_csv_badrecords": SRC_BADREC_ORACLE,
     "a27_bootstrap_ci": A27_ORACLE,
     "q_order_reconciliation": Q_RECON_ORACLE,
+    "w18_anomaly_ensemble": W18_ORACLE,
     "a25_hhi_concentration": A25_ORACLE,
     "w15_changepoint_cusum": W15_ORACLE,
     "w16_seasonal_decompose": W16_ORACLE,
