@@ -98,6 +98,10 @@ WHITELIST: dict[str, set[str]] = {
     "dd_pipeline_verdict": {"SMJ"},      # composes the LSH band-bucket
     #   self-join (dd_minhash_lsh family) plus doc-keyed assembly joins —
     #   all sides row-scale, genuine shuffle joins
+    "dd_source_dedup_report": {"SMJ"},   # rollup OF dd_pipeline_verdict —
+    #   inherits its whitelisted LSH/assembly joins
+    "sim_intrinsic_dimension": {"ONE_PART"},  # 64 variance cells reduce
+    #   to one PR row — never row-scale
 }
 
 

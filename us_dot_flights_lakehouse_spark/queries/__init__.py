@@ -80,6 +80,10 @@ _PRIORITY = (
     "tp_packing_efficiency",  # concat-vs-FFD padding waste
     "sim_fisher_separability",  # supervised per-dim Fisher ratio
     "w18_anomaly_ensemble",  # majority-vote anomaly flags
+    "st_windowed_topk",  # per-window trending leaderboard
+    "sim_intrinsic_dimension",  # participation-ratio dimensionality
+    "dd_source_dedup_report",  # per-source dedup action rollup
+    "mm_audio_normalize_audit",  # peak-normalization pre-flight
     # round-5 fixes — the ONLY red rows in CORRECTNESS_r04 (array outputs
     # crashed the driver canonicalizer; now serialized to CSV scalars)
     "tp_token_ids",

@@ -6818,6 +6818,225 @@ FROM tot, pe
 """
 
 
+AUDIO_TARGET_PEAK = 30000
+
+
+def mm_audio_normalize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: loudness-normalization audit — for each synthesized WAV (the
+    mm_audio_stats fixture), the peak-normalization plan: current peak,
+    exact integer energy (Σx², the RMS numerator), the gain that maps
+    the peak to {AUDIO_TARGET_PEAK}, and how many samples a naive gain
+    application would clip past int16 — the pre-flight every audio
+    corpus normalization runs BEFORE rewriting terabytes of PCM. All
+    closed-form from the deterministic fixture: peak and energy are
+    exact integers; gain and clip tests are pointwise doubles.
+
+    Scale: two chained Arrow kernels (synthesize → decode+audit), zero
+    shuffle."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import wav_encode
+
+        for pdf in batches:
+            payloads = [
+                wav_encode(
+                    ((int(d) * 31 + np.arange(256) * 7919) % 4001 - 2000).astype(
+                        np.int16
+                    ),
+                    8000,
+                    extra_chunks=[(b"LIST", b"INFO" + b"\x00" * 12)],
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    wavs = docs.mapInPandas(synth, schema="id long, payload binary")
+    decoded = multimodal.decode_audio(wavs)
+
+    def audit(batches):
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf["id"], pdf["samples"]):
+                v = np.frombuffer(buf, "<i2").astype(np.int64)
+                peak = int(np.abs(v).max())
+                energy = int((v * v).sum())
+                gain = float(AUDIO_TARGET_PEAK) / float(peak)
+                clip = int((np.abs(v.astype(np.float64) * gain) > 32767.0).sum())
+                rows.append((i, peak, energy, gain, clip))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "peak", "energy", "gain", "n_would_clip"]
+            )
+
+    return decoded.mapInPandas(
+        audit,
+        schema="doc_id long, peak long, energy long, gain double, n_would_clip long",
+    )
+
+
+MM_AUDIO_NORM_ORACLE = f"""
+WITH samples AS (
+  SELECT doc_id, i,
+         (doc_id * 31 + i * 7919) % 4001 - 2000 AS x
+  FROM documents,
+       (SELECT unnest(generate_series(0, 255)) AS i)
+), per_doc AS (
+  SELECT doc_id,
+         CAST(max(abs(x)) AS BIGINT) AS peak,
+         CAST(sum(x * x) AS BIGINT) AS energy
+  FROM samples GROUP BY doc_id
+), gained AS (
+  SELECT s.doc_id,
+         CAST(sum(CASE WHEN abs(CAST(s.x AS DOUBLE)
+                   * (CAST({AUDIO_TARGET_PEAK} AS DOUBLE) / CAST(p.peak AS DOUBLE)))
+                   > 32767.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_would_clip
+  FROM samples s JOIN per_doc p USING (doc_id)
+  GROUP BY s.doc_id
+)
+SELECT p.doc_id, p.peak, p.energy,
+       CAST({AUDIO_TARGET_PEAK} AS DOUBLE) / CAST(p.peak AS DOUBLE) AS gain,
+       g.n_would_clip
+FROM per_doc p JOIN gained g USING (doc_id)
+"""
+
+
+def sim_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM: intrinsic-dimension estimate via the participation ratio —
+    PR = (Σ_d λ_d)² / Σ_d λ_d² over the per-dimension variances (the
+    diagonal-covariance approximation): how many dimensions the
+    embedding REALLY uses (PR ≈ 64 isotropic, PR ≈ 1 collapsed). The
+    one-number representation-health check next to the power-iteration
+    spectrum and the CUR energy curve. Variances come from exact
+    value-ordered folds; the two PR sums fold in dimension order.
+
+    Scale: one shuffle to 64 dimension cells; the rest is 64-row
+    arithmetic reduced to one row."""
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "d", "x"
+        )
+    )
+    dims = cells.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list("x")), F.lit(0.0), lambda a, v: a + v
+        ).alias("s1"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.col("x") * F.col("x"))),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("s2"),
+    )
+    var = F.col("s2") / F.col("n").cast("double") - (
+        F.col("s1") / F.col("n").cast("double")
+    ) * (F.col("s1") / F.col("n").cast("double"))
+    packed = dims.select("d", var.alias("lam")).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("d", "lam"))),
+            F.lit(0.0),
+            lambda a, x: a + x["lam"],
+        ).alias("tr"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("d", "lam"))),
+            F.lit(0.0),
+            lambda a, x: a + x["lam"] * x["lam"],
+        ).alias("tr2"),
+        F.count("*").cast("bigint").alias("n_dims"),
+    )
+    return packed.select(
+        "n_dims",
+        F.col("tr").alias("total_variance"),
+        (F.col("tr") * F.col("tr") / F.col("tr2")).alias("participation_ratio"),
+        (F.col("tr") * F.col("tr") / F.col("tr2") / F.col("n_dims").cast("double")).alias(
+            "isotropy_frac"
+        ),
+    )
+
+
+SIM_INTRINSIC_ORACLE = """
+WITH cells AS (
+  SELECT unnest(generate_series(0, len(embedding) - 1)) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), dims AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n,
+         list_sum(list(x ORDER BY x)) AS s1,
+         list_sum(list(x * x ORDER BY x * x)) AS s2
+  FROM cells GROUP BY d
+), lam AS (
+  SELECT d, s2 / CAST(n AS DOUBLE)
+              - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS lam
+  FROM dims
+), packed AS (
+  SELECT list_sum(list(lam ORDER BY d)) AS tr,
+         list_sum(list(lam * lam ORDER BY d)) AS tr2,
+         CAST(count(*) AS BIGINT) AS n_dims
+  FROM lam
+)
+SELECT n_dims, tr AS total_variance,
+       tr * tr / tr2 AS participation_ratio,
+       tr * tr / tr2 / CAST(n_dims AS DOUBLE) AS isotropy_frac
+FROM packed
+"""
+
+
+def dd_source_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD: per-source dedup REPORT — the pipeline verdict
+    (dd_pipeline_verdict) rolled up to the table a data-review meeting
+    actually reads: per source, how many documents each action hit and
+    the final keep rate. Certifies the composition end-to-end at the
+    reporting grain.
+
+    Scale: the verdict's own bounded stages plus one source-cardinality
+    rollup."""
+    docs = read_corpus(spark, sf_dir, "documents").select("doc_id", "source")
+    verdict = dd_pipeline_verdict(spark, sf_dir).join(docs, "doc_id")
+    return verdict.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("action") == "drop_exact").cast("long"))
+        .cast("bigint")
+        .alias("n_drop_exact"),
+        F.sum((F.col("action") == "drop_near").cast("long"))
+        .cast("bigint")
+        .alias("n_drop_near"),
+        F.sum((F.col("action") == "drop_mostly_dup").cast("long"))
+        .cast("bigint")
+        .alias("n_drop_span"),
+        F.sum((F.col("action") == "strip_spans").cast("long"))
+        .cast("bigint")
+        .alias("n_strip"),
+        (
+            F.sum(F.col("action").isin("keep", "strip_spans").cast("long")).cast(
+                "double"
+            )
+            / F.count("*").cast("double")
+        ).alias("keep_rate"),
+    )
+
+
+def _dd_source_report_oracle() -> str:
+    verdict = _dd_pipeline_oracle()
+    return f"""
+WITH verdict AS ({verdict})
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN action = 'drop_exact' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_drop_exact,
+       CAST(sum(CASE WHEN action = 'drop_near' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_drop_near,
+       CAST(sum(CASE WHEN action = 'drop_mostly_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_drop_span,
+       CAST(sum(CASE WHEN action = 'strip_spans' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_strip,
+       CAST(sum(CASE WHEN action IN ('keep', 'strip_spans') THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_rate
+FROM verdict v JOIN documents d ON v.doc_id = d.doc_id
+GROUP BY 1
+"""
+
+
 def tp_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TP: packing-strategy comparison — per source, the padding waste
     of the two packing operators this engine ships: concat-then-chunk
@@ -7760,6 +7979,9 @@ QUERIES = {
     "tp_preference_pairs": tp_preference_pairs,
     "dd_pipeline_verdict": dd_pipeline_verdict,
     "tp_packing_efficiency": tp_packing_efficiency,
+    "sim_intrinsic_dimension": sim_intrinsic_dimension,
+    "mm_audio_normalize_audit": mm_audio_normalize_audit,
+    "dd_source_dedup_report": dd_source_dedup_report,
     "sim_fisher_separability": sim_fisher_separability,
     "ts_zipf_audit": ts_zipf_audit,
     "tp_loss_masking": tp_loss_masking,
@@ -7885,6 +8107,9 @@ ORACLES = {
     "tp_preference_pairs": TP_PREF_ORACLE,
     "dd_pipeline_verdict": _dd_pipeline_oracle,
     "tp_packing_efficiency": _tp_packing_eff_oracle,
+    "sim_intrinsic_dimension": SIM_INTRINSIC_ORACLE,
+    "mm_audio_normalize_audit": MM_AUDIO_NORM_ORACLE,
+    "dd_source_dedup_report": _dd_source_report_oracle,
     "sim_fisher_separability": SIM_FISHER_ORACLE,
     "ts_zipf_audit": TS_ZIPF_ORACLE,
     "tp_loss_masking": TP_LOSS_MASK_ORACLE,

@@ -335,7 +335,61 @@ GROUP BY event_type
 """
 
 
+TOPK_PER_WINDOW = 3
+
+
+def st_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOPK_PER_WINDOW} event types per tumbling hour — the
+    "trending now" leaderboard shape: windowed counts (the exact agg a
+    readStream caller runs, batch/stream parity as everywhere in this
+    module) ranked within each window with deterministic tie-breaks
+    (count desc, type asc). In production this materializes per window
+    close via foreachBatch — the rank is a per-window operation over
+    type-cardinality rows, never a global sort.
+
+    Scale: one shuffle to (window, type) counts; the rank window
+    partitions by window_start."""
+    from pyspark.sql import Window as _W
+
+    events = read_table(spark, sf_dir, "events")
+    counts = events.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    rk = _W.partitionBy("w").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= TOPK_PER_WINDOW)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col("rank").cast("int").alias("rank"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+ST_TOPK_ORACLE = f"""
+WITH counts AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+         time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+         event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT window_start, window_end, CAST(rank AS INTEGER) AS rank,
+       event_type, n_events
+FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n_events DESC, event_type)
+                  AS rank
+      FROM counts)
+WHERE rank <= {TOPK_PER_WINDOW}
+"""
+
+
 QUERIES = {
+    "st_windowed_topk": st_windowed_topk,
     "st_windowed_events": st_windowed_events,
     "st_sliding_windows": st_sliding_windows,
     "st_sessionize": st_sessionize,
@@ -347,6 +401,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "st_windowed_topk": ST_TOPK_ORACLE,
     "st_windowed_events": ST_WINDOW_ORACLE,
     "st_sliding_windows": ST_SLIDING_ORACLE,
     "st_sessionize": ST_SESSION_ORACLE,
