@@ -6818,6 +6818,141 @@ FROM tot, pe
 """
 
 
+def tp_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: one FULL BPE training step, distributed — take iteration 0's
+    argmax pair (corpus-weighted, lexicographic tie-break), APPLY it
+    across the vocabulary with the exact greedy left-to-right merge
+    semantics ('aaaa' + (a,a) → 'aa','aa' — an output-driven fold, not
+    a regex), and emit iteration 1's re-ranked pair counts alongside
+    the merge that was applied. tp_bpe_pair_counts showed the counting;
+    this certifies the REWRITE — the step the driver-iterative
+    ``bpe_train`` repeats, here as one lazy distributed plan whose
+    every post-merge count the oracle re-derives.
+
+    Scale: vocabulary-sized after the one corpus word-count; the merge
+    fold is per-word O(len); the argmax rides a 1-row broadcast."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    order = [F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")]
+    top1 = (
+        tokenizer.merge_pair_counts(docs)
+        .orderBy(*order)
+        .limit(1)
+        .select(
+            F.col("left_sym").alias("ml"), F.col("right_sym").alias("mr")
+        )
+    )
+    j = words.crossJoin(F.broadcast(top1))
+    empty = F.expr("array()").cast("array<string>")
+    syms = F.aggregate(
+        F.split("w", ""),
+        empty,
+        lambda acc, c: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.col("ml"))
+            & (c == F.col("mr")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.col("ml"), F.col("mr"))),
+            ),
+        ).otherwise(F.concat(acc, F.array(c))),
+    )
+    merged = j.select("freq", "ml", "mr", syms.alias("syms"))
+    pairs = merged.select(
+        "freq",
+        "ml",
+        "mr",
+        F.explode(
+            F.when(
+                F.size("syms") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("l"),
+                        F.element_at("syms", i + 1).alias("r"),
+                    ),
+                ),
+            ).otherwise(F.expr("array()").cast("array<struct<l:string,r:string>>"))
+        ).alias("p"),
+    )
+    counts = pairs.groupBy("ml", "mr", "p.l", "p.r").agg(
+        F.sum("freq").cast("bigint").alias("pair_count")
+    )
+    ranked = (
+        counts.orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+        .limit(BPE_TOPK)
+    )
+    w = Window.orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+    return ranked.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.col("ml").alias("merge_l"),
+        F.col("mr").alias("merge_r"),
+        F.col("l").alias("left_sym"),
+        F.col("r").alias("right_sym"),
+        "pair_count",
+    )
+
+
+TP_BPE_STEP_ORACLE = f"""
+WITH words AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({{tokens}}) AS w FROM documents)
+  GROUP BY w
+), pairlists AS (
+  SELECT freq,
+    CASE WHEN length(word) >= 2
+         THEN list_transform(range(1, length(word)),
+                             i -> [substr(word, CAST(i AS INTEGER), 1),
+                                   substr(word, CAST(i AS INTEGER) + 1, 1)])
+         ELSE CAST([] AS VARCHAR[][]) END AS ps
+  FROM words
+), counts0 AS (
+  SELECT p[1] AS l, p[2] AS r, CAST(sum(freq) AS BIGINT) AS c
+  FROM (SELECT freq, unnest(ps) AS p FROM pairlists) GROUP BY 1, 2
+), top1 AS (
+  SELECT l AS ml, r AS mr FROM counts0 ORDER BY c DESC, l, r LIMIT 1
+), merged AS (
+  SELECT freq, t.ml, t.mr,
+         list_reduce(
+           list_prepend(CAST([] AS VARCHAR[]),
+                        list_transform(string_split(word, ''), ch -> [ch])),
+           (acc, x) -> CASE
+             WHEN len(acc) > 0 AND acc[len(acc)] = t.ml AND x[1] = t.mr
+             THEN list_append(acc[1:len(acc)-1], t.ml || t.mr)
+             ELSE list_append(acc, x[1]) END
+         ) AS syms
+  FROM words, top1 t
+), pairs1 AS (
+  SELECT freq, ml, mr, unnest(
+    CASE WHEN len(syms) >= 2
+         THEN list_transform(range(1, len(syms)),
+                             i -> [syms[i], syms[i+1]])
+         ELSE CAST([] AS VARCHAR[][]) END) AS p
+  FROM merged
+), counts1 AS (
+  SELECT ml AS merge_l, mr AS merge_r, p[1] AS left_sym, p[2] AS right_sym,
+         CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM pairs1 GROUP BY 1, 2, 3, 4
+)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, left_sym,
+                                 right_sym) AS INTEGER) AS rank,
+         merge_l, merge_r, left_sym, right_sym, pair_count
+  FROM counts1
+) WHERE rank <= {{topk}}
+"""
+
+
+def _bpe_step_oracle() -> str:
+    return TP_BPE_STEP_ORACLE.format(tokens=_TOKENS, topk=BPE_TOPK)
+
+
 AUDIO_TARGET_PEAK = 30000
 
 
@@ -7981,6 +8116,7 @@ QUERIES = {
     "tp_packing_efficiency": tp_packing_efficiency,
     "sim_intrinsic_dimension": sim_intrinsic_dimension,
     "mm_audio_normalize_audit": mm_audio_normalize_audit,
+    "tp_bpe_merge_step": tp_bpe_merge_step,
     "dd_source_dedup_report": dd_source_dedup_report,
     "sim_fisher_separability": sim_fisher_separability,
     "ts_zipf_audit": ts_zipf_audit,
@@ -8109,6 +8245,7 @@ ORACLES = {
     "tp_packing_efficiency": _tp_packing_eff_oracle,
     "sim_intrinsic_dimension": SIM_INTRINSIC_ORACLE,
     "mm_audio_normalize_audit": MM_AUDIO_NORM_ORACLE,
+    "tp_bpe_merge_step": _bpe_step_oracle,
     "dd_source_dedup_report": _dd_source_report_oracle,
     "sim_fisher_separability": SIM_FISHER_ORACLE,
     "ts_zipf_audit": TS_ZIPF_ORACLE,

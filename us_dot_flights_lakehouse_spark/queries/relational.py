@@ -3956,6 +3956,10 @@ def a27_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one {BOOT_B}-way fan-out over the scan (map-side combined
     into {BOOT_B} groups), then a {BOOT_B}-row sort in one task."""
     orders = read_table(spark, sf_dir, "orders")
+    # weight = ((key·A + b·B) mod P) mod 4 — the prime modulus mixes the
+    # multiplier's high bits down so the final mod-4 isn't a low-bit
+    # artifact; an md5-derived weight measured 3.5 s of pure hashing on
+    # the 32-way fan-out (48M rows at sf0.1) for no statistical gain
     reps = orders.select(
         "o_orderkey",
         (F.col("o_totalprice").cast(MONEY) * 100).cast("long").alias("cents"),
@@ -3964,21 +3968,11 @@ def a27_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         "cents",
         F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("o_orderkey").cast("string"),
-                            F.lit(":"),
-                            F.col("b").cast("string"),
-                        )
-                    ),
-                    1,
-                    7,
-                ),
-                16,
-                10,
-            ).cast("long"),
+            F.pmod(
+                F.col("o_orderkey") * F.lit(2654435761)
+                + F.col("b") * F.lit(40503),
+                F.lit(1000003),
+            ),
             F.lit(BOOT_WMOD),
         ).alias("w"),
     )
@@ -4005,9 +3999,7 @@ A27_ORACLE = f"""
 WITH reps AS (
   SELECT b.b, CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)
            AS cents,
-         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
-                             || CAST(b.b AS VARCHAR)), 1, 7))::BIGINT
-           % {BOOT_WMOD} AS w
+         ((o_orderkey * 2654435761 + b.b * 40503) % 1000003) % {BOOT_WMOD} AS w
   FROM orders, (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) b
 ), means AS (
   SELECT b, CAST(sum(w * cents) AS DOUBLE)
