@@ -85,6 +85,7 @@ _PRIORITY = (
     "dd_source_dedup_report",  # per-source dedup action rollup
     "mm_audio_normalize_audit",  # peak-normalization pre-flight
     "tp_bpe_merge_step",  # one full distributed BPE training step
+    "dd_threshold_sweep",  # dedup-threshold sensitivity curve
     # round-5 fixes — the ONLY red rows in CORRECTNESS_r04 (array outputs
     # crashed the driver canonicalizer; now serialized to CSV scalars)
     "tp_token_ids",

@@ -6818,6 +6818,82 @@ FROM tot, pe
 """
 
 
+SWEEP_THRESHOLDS = ("0.02", "0.05", "0.1", "0.2", "0.4")
+
+
+def dd_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD: dedup-threshold sensitivity sweep — for each candidate
+    Jaccard threshold, how many near-dup pairs survive, how many
+    documents would drop (greedy larger-id policy) and the corpus drop
+    rate: the tuning curve you read BEFORE committing a threshold to a
+    multi-day 100 TB dedup run (the difference between 0.1 and 0.2 can
+    be a double-digit percentage of the corpus). One LSH candidate pass
+    feeds every threshold; the sweep is a literal explode over the
+    verified pairs.
+
+    Scale: candidates computed once (bucket-bounded); per-threshold
+    rollups are threshold-cardinality aggregates."""
+    from us_dot_flights_lakehouse_spark.llm.dedup import minhash_lsh_pairs
+
+    docs = read_corpus(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.0)
+    total = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    ths = F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])
+    swept = pairs.select(
+        "doc_id_b", "jaccard", F.explode(ths).alias("threshold")
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    per_t = swept.groupBy("threshold").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.countDistinct("doc_id_b").cast("bigint").alias("n_docs_dropped"),
+    )
+    return per_t.crossJoin(F.broadcast(total)).select(
+        "threshold",
+        "n_pairs",
+        "n_docs_dropped",
+        (
+            F.col("n_docs_dropped").cast("double") / F.col("n_docs").cast("double")
+        ).alias("drop_frac"),
+    )
+
+
+def _dd_sweep_oracle() -> str:
+    ths = ", ".join(f"(CAST({t} AS DOUBLE))" for t in SWEEP_THRESHOLDS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES} AS shs
+  FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+), s AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+hashed AS (SELECT doc_id, {_HASH28.format(x='sh')} AS h FROM s),
+sig AS (
+  SELECT doc_id,
+    {_sig_mins_sql()}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b.band_id, b.band_key
+  FROM sig, (VALUES {_band_keys_sql()}) AS b(band_id, band_key)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+), verified AS (
+  SELECT ib,
+         CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+           / CAST(len(da.shs) + len(db.shs)
+                  - len(list_intersect(da.shs, db.shs)) AS DOUBLE) AS jaccard
+  FROM cand JOIN d da ON ia = da.doc_id JOIN d db ON ib = db.doc_id
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT t.threshold,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT ib) AS BIGINT) AS n_docs_dropped,
+       CAST(count(DISTINCT ib) AS DOUBLE) / CAST(any_value(n_docs) AS DOUBLE)
+         AS drop_frac
+FROM verified, (VALUES {ths}) AS t(threshold), tot
+WHERE jaccard >= t.threshold
+GROUP BY t.threshold
+"""
+
+
 def tp_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TP: one FULL BPE training step, distributed — take iteration 0's
     argmax pair (corpus-weighted, lexicographic tie-break), APPLY it
@@ -8117,6 +8193,7 @@ QUERIES = {
     "sim_intrinsic_dimension": sim_intrinsic_dimension,
     "mm_audio_normalize_audit": mm_audio_normalize_audit,
     "tp_bpe_merge_step": tp_bpe_merge_step,
+    "dd_threshold_sweep": dd_threshold_sweep,
     "dd_source_dedup_report": dd_source_dedup_report,
     "sim_fisher_separability": sim_fisher_separability,
     "ts_zipf_audit": ts_zipf_audit,
@@ -8246,6 +8323,7 @@ ORACLES = {
     "sim_intrinsic_dimension": SIM_INTRINSIC_ORACLE,
     "mm_audio_normalize_audit": MM_AUDIO_NORM_ORACLE,
     "tp_bpe_merge_step": _bpe_step_oracle,
+    "dd_threshold_sweep": _dd_sweep_oracle,
     "dd_source_dedup_report": _dd_source_report_oracle,
     "sim_fisher_separability": SIM_FISHER_ORACLE,
     "ts_zipf_audit": TS_ZIPF_ORACLE,
