@@ -256,6 +256,85 @@ def test_bucketed_incremental_dedup_is_exchange_free(spark, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS t_batch_fp")
 
 
+def test_incremental_minhash_verdict_planted(spark):
+    """An exact re-crawl collides in ALL bands; a disjoint-vocabulary doc
+    collides in none; verdict booleans follow the hit counts."""
+    from us_dot_flights_lakehouse_spark.llm import dedup
+
+    hist_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, hist_text), (2, "alpha beta gamma delta epsilon zeta eta theta")]
+    hist = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            (10, hist_text),  # exact re-crawl -> every band collides
+            (11, "umber violet wisteria xanthic yellow zaffre umber violet"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in dedup.incremental_minhash_verdict(
+            dedup.band_key_rows(batch), dedup.band_key_rows(hist)
+        ).collect()
+    }
+    from us_dot_flights_lakehouse_spark.llm.dedup import MINHASH_BANDS
+
+    assert out[10]["n_band_hits"] == MINHASH_BANDS
+    assert out[10]["near_dup_of_history"] and not out[10]["keep"]
+    assert out[11]["n_band_hits"] == 0
+    assert not out[11]["near_dup_of_history"] and out[11]["keep"]
+
+
+def test_bucketed_minhash_history_probe_join_is_exchange_free(
+    spark, tmp_path_factory
+):
+    """Production layout: history band keys published bucketed
+    (publish_history_band_keys) and the batch's band rows bucket-written
+    the same way → the history distinct AND the probe join plan with no
+    Exchange; the ONLY Exchange in the verdict is the final per-doc
+    rollup (MINHASH_BANDS tagged rows per doc, map-side combined)."""
+    from us_dot_flights_lakehouse_spark.llm import dedup
+    from us_dot_flights_lakehouse_spark.sources.writers import write_bucketed
+
+    base = tmp_path_factory.mktemp("mh_bkt")
+    hist = spark.createDataFrame(
+        [(i, f"history document number {i} with shared tail tokens") for i in range(20)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "history document number 3 with shared tail tokens"),
+         (101, "completely unrelated fresh crawl content payload")],
+        "doc_id long, text string",
+    )
+    dedup.publish_history_band_keys(hist, "t_hist_bands", 8, path=str(base / "h"))
+    write_bucketed(
+        dedup.band_key_rows(batch),
+        "t_batch_bands",
+        ["band_key"],
+        8,
+        sort_cols=["band_key"],
+        path=str(base / "b"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        verdict = dedup.incremental_minhash_verdict(
+            spark.table("t_batch_bands"), spark.table("t_hist_bands")
+        )
+        rows = {r["id"]: r for r in verdict.collect()}
+        assert rows[100]["near_dup_of_history"] and not rows[100]["keep"]
+        assert rows[101]["keep"]
+        plan = verdict._jdf.queryExecution().executedPlan().toString()
+        # AQE dumps final + initial plan sections; assert on the final one
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange hashpartitioning") == 1  # doc rollup only
+        assert "Exchange hashpartitioning(band_key" not in final  # probe join free
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_hist_bands")
+        spark.sql("DROP TABLE IF EXISTS t_batch_bands")
+
+
 def test_line_dedup_rejects_encoding_violations(spark):
     """The doc_id*1e6+line_idx keeper encoding must raise on a negative
     doc_id instead of silently electing the wrong keeper."""

@@ -47,6 +47,8 @@ _PRIORITY = (
     "w13_activity_bitmap",  # weekly-presence bitmap aggregation
     "w14_holt_forecast",  # Holt level+trend smoothing kernel
     # new in round 6 — never driver-verified
+    "q_table_stats_approx",  # sketch-based wide-table profile
+    "dd_incremental_minhash",  # near-dup probe vs published band history
     "dd_exact_substr",  # cross-doc repeated-substring (span) dedup
     "dd_span_dedup_apply",  # span-level removal application
     "ts_entropy_gates",  # char/word entropy quality gates

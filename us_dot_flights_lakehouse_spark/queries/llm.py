@@ -1797,6 +1797,73 @@ def tp_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup_verdict_bloom(batch, history_fps)
 
 
+def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD: fuzzy incremental dedup — today's batch probed for
+    NEAR-duplicates of the published corpus via MinHash band-key
+    collisions (llm/dedup.py::incremental_minhash_verdict).
+    ``tp_incremental_dedup`` drops exact re-crawls; this is its LSH
+    sibling for boilerplate rewrites and near-copies that survive the
+    fingerprint check. One row per batch doc with the band-hit count and
+    the keep verdict.
+
+    Scale: in production the history side is ``publish_history_band_keys``
+    — a bucketed, distinct band-key table that joins exchange-free; here
+    both sides derive from the documents table inside one plan (history =
+    doc_id < cutoff) so the oracle can replay the whole computation. The
+    corpus TEXT is scanned once for signatures at publish time, never at
+    probe time."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    hist_bands = dedup.band_key_rows(
+        docs.filter(F.col("doc_id") < INCR_HISTORY_CUTOFF)
+    )
+    batch_bands = dedup.band_key_rows(
+        docs.filter(F.col("doc_id") >= INCR_HISTORY_CUTOFF)
+    )
+    return dedup.incremental_minhash_verdict(batch_bands, hist_bands).select(
+        F.col("id").alias("doc_id"), "n_band_hits", "near_dup_of_history", "keep"
+    )
+
+
+DD_INCR_MINHASH_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {{_SHINGLES}} AS shs
+  FROM (SELECT doc_id, {{_TOKENS}} AS t FROM documents)
+), s AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+hashed AS (SELECT doc_id, {{_HASH28}} AS h FROM s),
+sig AS (
+  SELECT doc_id,
+    {{sig_mins}}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b.band_id, b.band_key
+  FROM sig, (VALUES {{band_keys}}) AS b(band_id, band_key)
+), hist AS (
+  SELECT DISTINCT band_id, band_key FROM bands
+  WHERE doc_id < {INCR_HISTORY_CUTOFF}
+), batch AS (
+  SELECT doc_id, band_id, band_key FROM bands
+  WHERE doc_id >= {INCR_HISTORY_CUTOFF}
+)
+SELECT b.doc_id,
+       CAST(COUNT(h.band_key) AS INTEGER) AS n_band_hits,
+       COUNT(h.band_key) >= 1 AS near_dup_of_history,
+       COUNT(h.band_key) = 0 AS keep
+FROM batch b
+LEFT JOIN hist h ON b.band_id = h.band_id AND b.band_key = h.band_key
+GROUP BY b.doc_id
+"""
+
+
+def _dd_incr_minhash_oracle() -> str:
+    return DD_INCR_MINHASH_ORACLE.format(
+        _SHINGLES=_SHINGLES,
+        _TOKENS=_TOKENS,
+        _HASH28=_HASH28.format(x="sh"),
+        sig_mins=_sig_mins_sql(),
+        band_keys=_band_keys_sql(),
+    )
+
+
 HH_TOPK = 10
 
 
@@ -8242,6 +8309,7 @@ QUERIES = {
     "ts_heavy_hitters": ts_heavy_hitters,
     "tp_incremental_dedup": tp_incremental_dedup,
     "tp_bloom_incremental_dedup": tp_bloom_incremental_dedup,
+    "dd_incremental_minhash": dd_incremental_minhash,
     "tp_sequence_packing": tp_sequence_packing,
     "tp_training_mix": tp_training_mix,
     "ts_pii_scrub": ts_pii_scrub,
@@ -8372,6 +8440,7 @@ ORACLES = {
     "ts_heavy_hitters": TS_HH_ORACLE,
     "tp_incremental_dedup": TP_INCR_ORACLE,
     "tp_bloom_incremental_dedup": TP_INCR_ORACLE,
+    "dd_incremental_minhash": _dd_incr_minhash_oracle(),
     "tp_sequence_packing": TP_PACK_ORACLE,
     "tp_training_mix": TP_MIX_ORACLE,
     "ts_pii_scrub": _pii_oracle(),
