@@ -1653,3 +1653,47 @@ def test_strip_ancillary_chunks_drops_only_metadata(spark):
     w, h, mode, px = png_decode(bytes(out[1]["clean"]))
     assert (w, h, mode) == (8, 8, "L") and px.ravel()[5] == 5
     assert hashlib.md5(bytes(out[1]["clean"])).hexdigest() == hashlib.md5(base).hexdigest()
+
+
+def test_kcenter_oversample_matches_greedy_on_planted_clusters(spark):
+    """k-means||-style oversampled k-center must recover one center per
+    planted blob and land within 2x of the sequential Gonzalez greedy's
+    coverage radius (on well-separated blobs both should be near-equal)."""
+    import numpy as np
+
+    from us_dot_flights_lakehouse_spark.llm.similarity import kcenter_oversample
+
+    K, PER, DIM = 6, 12, 8
+    rows, blobs = [], {}
+    vid = 0
+    for b in range(K):
+        center = np.zeros(DIM)
+        center[b % DIM] = 1000.0 * (b + 1)
+        for j in range(PER):
+            jitter = np.array([((vid * 31 + d * 17 + j * 7) % 11) - 5 for d in range(DIM)], dtype=float)
+            vec = center + 0.1 * jitter
+            rows.append((vid, [float(x) for x in vec]))
+            blobs[vid] = b
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    sel = kcenter_oversample(emb, k=K)
+    assert len(sel) == K
+    assert {blobs[i] for i in sel} == set(range(K))  # one center per blob
+
+    # coverage radius vs sequential greedy over the full set
+    X = np.stack([np.asarray(v) for _, v in rows])
+    ids = np.array([i for i, _ in rows])
+
+    def radius(chosen_ids):
+        C = X[np.isin(ids, chosen_ids)]
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        return float(d.max())
+
+    greedy = [0]
+    mind = ((X - X[0]) ** 2).sum(axis=1)
+    while len(greedy) < K:
+        nxt = int(np.argmax(mind))
+        greedy.append(nxt)
+        mind = np.minimum(mind, ((X - X[nxt]) ** 2).sum(axis=1))
+    assert radius(sel) <= 2.0 * radius([int(ids[i]) for i in greedy])

@@ -751,3 +751,91 @@ def lsh_cosine_topk_multiprobe(
             "bucket",
         )
     )
+
+
+def kcenter_oversample(
+    emb: DataFrame,
+    k: int,
+    rounds: int = 3,
+    oversample: float = 4.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """k-center coreset selection for HUGE k — the parallel-oversampling
+    path ``sim_kcenter_diversity``'s docstring documents as the scale
+    alternative to the k-round greedy driver loop (k-means||-style,
+    Bahmani et al. VLDB'12, deterministic hard-selection variant).
+
+    Instead of one distributed argmax per center (k jobs: untenable for
+    k in the thousands), run only ``rounds`` passes; each pass takes the
+    ``oversample*k`` points FARTHEST from the current candidate set in
+    ONE TakeOrdered job, growing a candidate pool of O(k·rounds·
+    oversample) << n. A driver-local Gonzalez greedy sweep over the pool
+    then refines down to exactly k centers (pool is thousands of rows —
+    microseconds). Every step is deterministic: seed = min id, farthest
+    batches tie-break on ascending id, so results are reproducible
+    run-to-run (no RNG).
+
+    Scale (100 TB): per pass, distances to the candidate pool compute in
+    an Arrow-batched pandas UDF against a BROADCAST [pool, dim] float64
+    matrix via the |x-c|2 = |x|2 - 2x.C^T + |c|2 expansion (one GEMM per
+    batch, never a batch x pool x dim intermediate); shuffle traffic is
+    one TakeOrdered reduce of l rows per pass. Driver memory is the pool
+    matrix (k*rounds*oversample*dim doubles — 4k centers, dim 1024, x4
+    oversample, 3 rounds = ~400 MB worst case; tune rounds/oversample
+    down or subsample the pool for bigger k).
+
+    Returns the k selected ids (selection order: Gonzalez order)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    v = _prep(emb, id_col, vec_col).select("id", "v")
+    sc = v.sparkSession.sparkContext
+    l = max(1, int(math.ceil(oversample * k)))
+
+    seed_row = v.orderBy("id").limit(1).collect()[0]
+    pool_ids = [int(seed_row["id"])]
+    pool_vecs = [np.asarray(seed_row["v"], dtype=np.float64)]
+
+    for _ in range(rounds):
+        mat = np.stack(pool_vecs)
+        cnorms = (mat * mat).sum(axis=1)
+        bmat = sc.broadcast((mat, cnorms))
+
+        # no type hints: the module's `from __future__ import annotations`
+        # stringifies them, which pandas_udf's inference rejects
+        @F.pandas_udf(DoubleType())
+        def _mind(vs):
+            M, cn = bmat.value
+            X = np.stack(vs.to_numpy()).astype(np.float64)
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ M.T) + cn[None, :]
+            # clamp the GEMM expansion's tiny negative residues at 0
+            return pd.Series(np.maximum(d.min(axis=1), 0.0))
+
+        top = (
+            v.select("id", "v", _mind("v").alias("d"))
+            .orderBy(F.desc("d"), F.asc("id"))
+            .limit(l)
+            .collect()
+        )
+        seen = set(pool_ids)
+        for r in top:
+            if int(r["id"]) not in seen:
+                pool_ids.append(int(r["id"]))
+                pool_vecs.append(np.asarray(r["v"], dtype=np.float64))
+
+    # driver-local Gonzalez refine over the pool (sorted by id so that
+    # np.argmax's first-max rule == smaller-id tie-break)
+    order = np.argsort(np.asarray(pool_ids, dtype=np.int64))
+    ids = np.asarray(pool_ids, dtype=np.int64)[order]
+    X = np.stack(pool_vecs)[order]
+    sel = [int(np.argmin(ids))]  # global min id seeds (pool always has it)
+    mind = ((X - X[sel[0]]) ** 2).sum(axis=1)
+    while len(sel) < min(k, len(ids)):
+        nxt = int(np.argmax(mind))
+        sel.append(nxt)
+        mind = np.minimum(mind, ((X - X[nxt]) ** 2).sum(axis=1))
+    return [int(ids[i]) for i in sel]

@@ -5934,8 +5934,11 @@ def sim_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers) is bit-exact.
 
     Scale: k scans with expression-only distance math; driver holds k
-    ids. For huge k switch to parallel sampling (k-means++ style
-    oversampling) — documented tradeoff."""
+    ids. For huge k switch to the parallel-oversampling path
+    (``llm/similarity.py::kcenter_oversample``: k-means||-style — a few
+    farthest-batch passes grow an O(k·log) candidate pool, driver-local
+    Gonzalez refine; unit-verified against this greedy on planted
+    clusters)."""
     emb = read_corpus(spark, sf_dir, "embeddings")
     # the k rounds each rescan the corpus — cache it for the duration of
     # the selection (k reads of one materialization), release after
