@@ -58,6 +58,10 @@ def main():
         round6_families(spark, factor)
         spark.stop()
         return
+    if only == "round6b":
+        round6b_families(spark, factor)
+        spark.stop()
+        return
     if only == "round5b":
         round5b_families(spark, factor)
         spark.stop()
@@ -822,6 +826,100 @@ def round6_families(spark, factor):
         rel.read_table = orig_rel
         llm.read_table = orig_llm
         llm.read_corpus = orig_corpus
+
+
+def round6b_families(spark, factor):
+    """Round-6 session-2 shapes at Nx through the REAL catalog code —
+    the families added after the first round-6 stress batch: sketch
+    profile, incremental MinHash probe, CUR/NDCG/Matryoshka/power-
+    iteration/Fisher/intrinsic-dim similarity audits, kappa/preference/
+    packing-efficiency/BPE-merge training ops, bootstrap CI, order
+    reconciliation, dedup pipeline verdict + source report + threshold
+    sweep, anomaly ensemble, windowed top-k, audio normalize audit,
+    CSV quarantine."""
+    import us_dot_flights_lakehouse_spark.queries.llm as llm
+    import us_dot_flights_lakehouse_spark.queries.quality as qual
+    import us_dot_flights_lakehouse_spark.queries.relational as rel
+    import us_dot_flights_lakehouse_spark.queries.streaming as st
+
+    id_cols = {
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+        "lineitem": "l_orderkey",
+        "orders": "o_orderkey",
+        "customer": "c_custkey",
+        "nation": "n_nationkey",
+        "supplier": "s_suppkey",
+        "region": "r_regionkey",
+        "part": "p_partkey",
+    }
+    cache = {}
+
+    def scaled_table(f):
+        def read(spark_, sf_dir_, name, *a, **k):
+            key = (name, f)
+            if key not in cache:
+                eff = 1 if name in ("nation", "region", "supplier", "part", "customer") else f
+                cache[key] = scaled(spark_, name, eff, id_cols[name]).cache()
+                cache[key].count()
+            return cache[key]
+
+        return read
+
+    targets = [
+        ("q_table_stats_approx", qual.q_table_stats_approx),
+        ("dd_incremental_minhash", llm.dd_incremental_minhash),
+        ("sim_cur_decomposition", llm.sim_cur_decomposition),
+        ("sim_ndcg_eval", llm.sim_ndcg_eval),
+        ("sim_matryoshka_truncation", llm.sim_matryoshka_truncation),
+        ("tp_annotation_agreement", llm.tp_annotation_agreement),
+        ("sim_power_iteration", llm.sim_power_iteration),
+        ("tp_preference_pairs", llm.tp_preference_pairs),
+        ("a27_bootstrap_ci", rel.a27_bootstrap_ci),
+        ("q_order_reconciliation", rel.q_order_reconciliation),
+        ("dd_pipeline_verdict", llm.dd_pipeline_verdict),
+        ("tp_packing_efficiency", llm.tp_packing_efficiency),
+        ("sim_fisher_separability", llm.sim_fisher_separability),
+        ("w18_anomaly_ensemble", rel.w18_anomaly_ensemble),
+        ("st_windowed_topk", st.st_windowed_topk),
+        ("sim_intrinsic_dimension", llm.sim_intrinsic_dimension),
+        ("dd_source_dedup_report", llm.dd_source_dedup_report),
+        ("mm_audio_normalize_audit", llm.mm_audio_normalize_audit),
+        ("tp_bpe_merge_step", llm.tp_bpe_merge_step),
+        ("dd_threshold_sweep", llm.dd_threshold_sweep),
+        ("src_csv_badrecords", rel.src_csv_badrecords),
+    ]
+    origs = (
+        rel.read_table,
+        llm.read_table,
+        llm.read_corpus,
+        qual.read_table,
+        st.read_table,
+    )
+    try:
+        for name, fn in targets:
+            times = []
+            for f in (1, factor):
+                rel.read_table = scaled_table(f)
+                llm.read_table = scaled_table(f)
+                llm.read_corpus = scaled_table(f)
+                qual.read_table = scaled_table(f)
+                st.read_table = scaled_table(f)
+                t = timed(f"{name}@{f}x", fn(spark, SF_DIR))
+                times.append(t)
+            print(
+                f"{name}: growth {times[1] / times[0]:.1f}x at {factor}x rows",
+                flush=True,
+            )
+    finally:
+        (
+            rel.read_table,
+            llm.read_table,
+            llm.read_corpus,
+            qual.read_table,
+            st.read_table,
+        ) = origs
 
 
 if __name__ == "__main__":

@@ -49,6 +49,11 @@ _PRIORITY = (
     # new in round 6 — never driver-verified
     "q_table_stats_approx",  # sketch-based wide-table profile
     "dd_incremental_minhash",  # near-dup probe vs published band history
+    "w19_autocorrelation",  # gap-aware ACF of hourly revenue
+    "a28_mutual_information",  # per-cell PMI/MI dependence audit
+    "g3_kcore_decompose",  # bounded k-core peeling
+    "tp_ranker_auc",  # Mann-Whitney ROC-AUC ranker eval
+    "ts_heaps_law",  # vocabulary growth curve + local beta
     "dd_exact_substr",  # cross-doc repeated-substring (span) dedup
     "dd_span_dedup_apply",  # span-level removal application
     "ts_entropy_gates",  # char/word entropy quality gates

@@ -1864,6 +1864,195 @@ def _dd_incr_minhash_oracle() -> str:
     )
 
 
+def tp_ranker_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: ROC-AUC of a quality ranker against binary labels via the
+    Mann-Whitney rank-sum — the eval every data-selection pipeline runs
+    before trusting a scorer to gate training data (here: does raw token
+    count separate English docs from the rest?). Ties get AVERAGE ranks,
+    the textbook treatment, and the whole statistic is computed in exact
+    BIGINT arithmetic: per distinct score s, the tied group's summed
+    average rank is pos_s·(2·cum_before_s + n_s + 1)/2, so
+    2·Σranks⁺ = Σ pos_s·(2·cum_before + n_s + 1) stays integral;
+    AUC = (2Σranks⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) is ONE double division at
+    the end — bit-deterministic on any engine or partitioning.
+
+    Scale: one groupBy on the score (cardinality = distinct token
+    counts, tiny), one ordered prefix-sum window over that aggregate
+    (score-cardinality-sized, NOT corpus-sized — the single-partition
+    window is bounded by construction), one 1-row reduce."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.size(tokenize("text")).cast("bigint").alias("score"),
+        (F.col("lang") == "en").cast("bigint").alias("pos"),
+    )
+    by_score = scored.groupBy("score").agg(
+        F.count("*").cast("bigint").alias("n_s"),
+        F.sum("pos").cast("bigint").alias("pos_s"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_score.withColumn(
+        "cum_before", F.coalesce(F.sum("n_s").over(w), F.lit(0)).cast("bigint")
+    )
+    agg = ranked.agg(
+        F.sum("pos_s").cast("bigint").alias("n_pos"),
+        F.sum(F.col("n_s") - F.col("pos_s")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("pos_s") * (2 * F.col("cum_before") + F.col("n_s") + 1)
+        )
+        .cast("bigint")
+        .alias("sum2_ranks_pos"),
+    )
+    auc = (
+        F.col("sum2_ranks_pos").cast("double")
+        - F.col("n_pos").cast("double") * (F.col("n_pos").cast("double") + 1.0)
+    ) / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+    return agg.select("n_pos", "n_neg", "sum2_ranks_pos", auc.alias("auc"))
+
+
+TP_AUC_ORACLE = f"""
+WITH scored AS (
+  SELECT CAST(len({_TOKENS}) AS BIGINT) AS score,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS pos
+  FROM documents
+), by_score AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS n_s,
+         CAST(sum(pos) AS BIGINT) AS pos_s
+  FROM scored GROUP BY 1
+), ranked AS (
+  SELECT *, CAST(coalesce(sum(n_s) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cum_before
+  FROM by_score
+), agg AS (
+  SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+         CAST(sum(n_s - pos_s) AS BIGINT) AS n_neg,
+         CAST(sum(pos_s * (2 * cum_before + n_s + 1)) AS BIGINT)
+           AS sum2_ranks_pos
+  FROM ranked
+)
+SELECT n_pos, n_neg, sum2_ranks_pos,
+       (CAST(sum2_ranks_pos AS DOUBLE)
+          - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
+       / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+FROM agg
+"""
+
+
+HEAPS_DECILES = 10
+
+
+def ts_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: vocabulary growth curve (Heaps' law V ≈ K·Tᵝ) over ingest-order
+    prefixes — the corpus fingerprint that tells a pipeline whether new
+    data still brings new vocabulary (β falling toward 0 = the crawl is
+    saturating; near-constant β ≈ 0.5 = healthy heavy-tail growth). For
+    each doc-id decile cutoff: cumulative token count T, cumulative
+    vocabulary V (distinct tokens whose FIRST occurrence is within the
+    prefix), and the local growth exponent β = Δln V / Δln T between
+    consecutive deciles (NULL for the first decile and wherever T stalls).
+
+    Everything is exact integers until the per-row ln ratio: V comes
+    from a min-doc-id-per-token aggregate (first occurrence), prefix
+    sums are {HEAPS_DECILES} conditional sums in ONE pass each (no
+    per-decile rescans), cutoffs are integer arithmetic on max(doc_id).
+
+    Scale: two corpus-wide aggregates (token explode → first-occurrence
+    groupBy; conditional-sum folds) + a {HEAPS_DECILES}-row self-join.
+    Nothing is decile-rescanned; the explode is the cost and it is paid
+    once."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    mx = docs.agg(F.max("doc_id").cast("bigint").alias("mx"))
+
+    def cut(d: int):
+        return F.expr(f"CAST(mx * {d} DIV {HEAPS_DECILES} AS BIGINT)")
+
+    tok_sums = tok.crossJoin(F.broadcast(mx)).agg(
+        *[
+            F.sum((F.col("doc_id") <= cut(d)).cast("bigint"))
+            .cast("bigint")
+            .alias(f"t{d}")
+            for d in range(1, HEAPS_DECILES + 1)
+        ]
+    )
+    first_occ = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    voc_sums = first_occ.crossJoin(F.broadcast(mx)).agg(
+        *[
+            F.sum((F.col("first_doc") <= cut(d)).cast("bigint"))
+            .cast("bigint")
+            .alias(f"v{d}")
+            for d in range(1, HEAPS_DECILES + 1)
+        ]
+    )
+    stack = ", ".join(
+        f"{d}, t{d}, v{d}" for d in range(1, HEAPS_DECILES + 1)
+    )
+    curve = (
+        tok_sums.crossJoin(voc_sums)
+        .selectExpr(
+            f"stack({HEAPS_DECILES}, {stack}) AS "
+            "(decile, cum_tokens, vocab)"
+        )
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "cum_tokens",
+            "vocab",
+        )
+    )
+    prev = curve.select(
+        (F.col("decile") + 1).alias("decile"),
+        F.col("cum_tokens").alias("t_prev"),
+        F.col("vocab").alias("v_prev"),
+    )
+    beta = F.when(
+        (F.col("t_prev").isNotNull())
+        & (F.col("cum_tokens") > F.col("t_prev"))
+        & (F.col("v_prev") > 0),
+        (
+            F.log(F.col("vocab").cast("double"))
+            - F.log(F.col("v_prev").cast("double"))
+        )
+        / (
+            F.log(F.col("cum_tokens").cast("double"))
+            - F.log(F.col("t_prev").cast("double"))
+        ),
+    )
+    return (
+        curve.join(F.broadcast(prev), "decile", "left")
+        .select("decile", "cum_tokens", "vocab", beta.alias("heaps_beta"))
+    )
+
+
+TS_HEAPS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+), mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM documents),
+deciles AS (SELECT unnest(range(1, {HEAPS_DECILES + 1})) AS decile),
+cuts AS (
+  SELECT CAST(decile AS INTEGER) AS decile,
+         CAST(mx * decile // {HEAPS_DECILES} AS BIGINT) AS cut
+  FROM deciles, mx
+), first_occ AS (
+  SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY 1
+), curve AS (
+  SELECT c.decile,
+         (SELECT CAST(count(*) AS BIGINT) FROM tok WHERE doc_id <= c.cut)
+           AS cum_tokens,
+         (SELECT CAST(count(*) AS BIGINT) FROM first_occ
+          WHERE first_doc <= c.cut) AS vocab
+  FROM cuts c
+)
+SELECT a.decile, a.cum_tokens, a.vocab,
+       CASE WHEN b.cum_tokens IS NOT NULL AND a.cum_tokens > b.cum_tokens
+                 AND b.vocab > 0
+            THEN (ln(CAST(a.vocab AS DOUBLE)) - ln(CAST(b.vocab AS DOUBLE)))
+                 / (ln(CAST(a.cum_tokens AS DOUBLE))
+                    - ln(CAST(b.cum_tokens AS DOUBLE)))
+       END AS heaps_beta
+FROM curve a LEFT JOIN curve b ON a.decile = b.decile + 1
+"""
+
+
 HH_TOPK = 10
 
 
@@ -8313,6 +8502,8 @@ QUERIES = {
     "tp_incremental_dedup": tp_incremental_dedup,
     "tp_bloom_incremental_dedup": tp_bloom_incremental_dedup,
     "dd_incremental_minhash": dd_incremental_minhash,
+    "tp_ranker_auc": tp_ranker_auc,
+    "ts_heaps_law": ts_heaps_law,
     "tp_sequence_packing": tp_sequence_packing,
     "tp_training_mix": tp_training_mix,
     "ts_pii_scrub": ts_pii_scrub,
@@ -8444,6 +8635,8 @@ ORACLES = {
     "tp_incremental_dedup": TP_INCR_ORACLE,
     "tp_bloom_incremental_dedup": TP_INCR_ORACLE,
     "dd_incremental_minhash": _dd_incr_minhash_oracle(),
+    "tp_ranker_auc": TP_AUC_ORACLE,
+    "ts_heaps_law": TS_HEAPS_ORACLE,
     "tp_sequence_packing": TP_PACK_ORACLE,
     "tp_training_mix": TP_MIX_ORACLE,
     "ts_pii_scrub": _pii_oracle(),

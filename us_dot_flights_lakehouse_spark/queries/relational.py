@@ -4684,6 +4684,326 @@ FROM deg LEFT JOIN (
 """
 
 
+ACF_MAX_LAG = 6
+
+
+def w19_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W19 (extension): autocorrelation function of the hourly revenue
+    series at lags 1..{ACF_MAX_LAG} — the seasonality fingerprint a
+    forecasting pipeline reads before choosing model structure (is there
+    a daily cycle? how fast does memory decay?). ACF here is the sample
+    Pearson r between the series and its lag-k shift over all hour pairs
+    where BOTH ends exist (gap-aware; missing hours drop the pair on
+    both engines identically).
+
+    Determinism (the a21 exact-comoment pattern): hourly revenue sums
+    are exact DECIMAL; each lag's co-moments (Σx, Σy, Σx², Σy², Σxy)
+    accumulate in DECIMAL(38,4) — order-insensitive under any
+    parallelism — and the float algebra is confined to the final
+    Pearson formula, every op deterministic and mirrored verbatim in
+    the oracle (decimal→double via the exact digit string).
+
+    Scale: one hourly aggregate over the scan, then a self-equi-join of
+    the TINY aggregated series against its explode×{ACF_MAX_LAG}
+    shifted copy and a {ACF_MAX_LAG}-row co-moment aggregate — cost
+    lives in the first groupBy; everything after is series-sized, not
+    event-sized."""
+    events = read_table(spark, sf_dir, "events")
+    dec = "decimal(38,4)"
+    # hourly sums re-cast to DECIMAL(18,2) (lossless: hourly revenue is
+    # far below 16 digits) so the co-moment products land in the exact
+    # DECIMAL(37,4) — two 38-wide operands would overflow the product
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("x")
+    )
+    shifted = hourly.select(
+        F.explode(F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))).alias("lag"),
+        F.col("hour"),
+        F.col("x").alias("y"),
+    ).withColumn("hour", F.col("hour") + F.expr("make_interval(0,0,0,0,lag)"))
+    pairs = hourly.join(shifted, "hour")
+    agg = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("s_x"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("s_y"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("ss_x"),
+        F.sum(F.col("y") * F.col("y")).cast(dec).alias("ss_y"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sp_xy"),
+    )
+
+    def d(name: str):
+        return F.col(name).cast("string").cast("double")
+
+    n = F.col("n_pairs").cast("double")
+    r = (n * d("sp_xy") - d("s_x") * d("s_y")) / (
+        F.sqrt(n * d("ss_x") - d("s_x") * d("s_x"))
+        * F.sqrt(n * d("ss_y") - d("s_y") * d("s_y"))
+    )
+    return agg.select(
+        F.col("lag").cast("int").alias("lag"), "n_pairs", r.alias("acf")
+    )
+
+
+W19_ORACLE = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT l.lag, h.x AS x, s.x AS y
+  FROM hourly h
+  JOIN (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag) l ON TRUE
+  JOIN hourly s ON s.hour + to_hours(l.lag) = h.hour
+), m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CAST(x AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS s_x,
+         CAST(sum(CAST(y AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS s_y,
+         CAST(sum(x * x) AS DECIMAL(38,4)) AS ss_x,
+         CAST(sum(y * y) AS DECIMAL(38,4)) AS ss_y,
+         CAST(sum(x * y) AS DECIMAL(38,4)) AS sp_xy
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+  (CAST(n_pairs AS DOUBLE) * CAST(CAST(sp_xy AS VARCHAR) AS DOUBLE)
+     - CAST(CAST(s_x AS VARCHAR) AS DOUBLE) * CAST(CAST(s_y AS VARCHAR) AS DOUBLE))
+  / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(CAST(ss_x AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(s_x AS VARCHAR) AS DOUBLE) * CAST(CAST(s_x AS VARCHAR) AS DOUBLE))
+     * sqrt(CAST(n_pairs AS DOUBLE) * CAST(CAST(ss_y AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(s_y AS VARCHAR) AS DOUBLE) * CAST(CAST(s_y AS VARCHAR) AS DOUBLE)))
+  AS acf
+FROM m
+"""
+
+
+def a28_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28 (extension): pointwise mutual information between two
+    categorical columns — the dependence measure feature stores run to
+    find redundant/leaky features (chi-square's a26 sibling reporting
+    DIRECTION and strength per cell, in nats). One row per
+    (status, priority) cell with its observed count, expected count
+    under independence, PMI = ln(N·n_sp / (n_s·n_p)) and the cell's MI
+    contribution (n_sp/N)·PMI.
+
+    Per-cell outputs only — the MI TOTAL would sum doubles in parallel
+    (order-dependent); readers sum the 15 cells client-side if they
+    want the scalar. All inputs to the float math are exact BIGINTs,
+    so every row is bit-deterministic.
+
+    Scale: one contingency groupBy + two broadcast marginal joins; the
+    cell table is |dom(A)|·|dom(B)| — tiny by construction."""
+    orders = read_table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_cell")
+    )
+    row_m = orders.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_status")
+    )
+    col_m = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_priority")
+    )
+    total = orders.agg(F.count("*").cast("bigint").alias("n_total"))
+    joined = (
+        cells.join(F.broadcast(row_m), "o_orderstatus")
+        .join(F.broadcast(col_m), "o_orderpriority")
+        .crossJoin(F.broadcast(total))
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    pmi = F.log(
+        dbl("n_total") * dbl("n_cell") / (dbl("n_status") * dbl("n_priority"))
+    )
+    return joined.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_cell",
+        (dbl("n_status") * dbl("n_priority") / dbl("n_total")).alias("expected"),
+        pmi.alias("pmi"),
+        ((dbl("n_cell") / dbl("n_total")) * pmi).alias("mi_term"),
+    )
+
+
+A28_ORACLE = """
+WITH cells AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_cell
+  FROM orders GROUP BY 1, 2
+), rm AS (
+  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_status
+  FROM orders GROUP BY 1
+), cm AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_priority
+  FROM orders GROUP BY 1
+), t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders)
+SELECT c.o_orderstatus, c.o_orderpriority, c.n_cell,
+       CAST(n_status AS DOUBLE) * CAST(n_priority AS DOUBLE)
+         / CAST(n_total AS DOUBLE) AS expected,
+       ln(CAST(n_total AS DOUBLE) * CAST(n_cell AS DOUBLE)
+          / (CAST(n_status AS DOUBLE) * CAST(n_priority AS DOUBLE))) AS pmi,
+       (CAST(n_cell AS DOUBLE) / CAST(n_total AS DOUBLE))
+         * ln(CAST(n_total AS DOUBLE) * CAST(n_cell AS DOUBLE)
+              / (CAST(n_status AS DOUBLE) * CAST(n_priority AS DOUBLE)))
+         AS mi_term
+FROM cells c JOIN rm USING (o_orderstatus) JOIN cm USING (o_orderpriority)
+CROSS JOIN t
+"""
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def g3_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: bounded k-core peeling on the part co-purchase graph — the
+    community-density filter that strips low-engagement leaves so that
+    downstream graph ops (triangles, rank propagation) run on the
+    cohesive core. {KCORE_ROUNDS} synchronous peel rounds at K=
+    {KCORE_K}: each round drops every node whose CURRENT degree is
+    < K together with its edges (the parallel-peeling formulation —
+    full coreness would iterate to fixpoint; a bounded round count
+    keeps the plan finite and is itself the standard bulk-synchronous
+    scheme). Output: every node of the sampled graph with its initial
+    degree, final degree (0 if peeled) and the round it was peeled
+    (NULL = survivor).
+
+    Uses g2's deterministic node-sample gate (part ≡ 0 mod
+    {TRIANGLE_NODE_MOD}) and basket cap so both graph queries share
+    one documented subgraph.
+
+    Scale: each round is one degree aggregate + two semi-joins on node
+    keys — {KCORE_ROUNDS}× the edge-list cost, no quadratic term; the
+    peeled-node set only shrinks."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    baskets = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.filter(
+                    F.collect_set("l_partkey"),
+                    lambda p: F.pmod(p, F.lit(TRIANGLE_NODE_MOD)) == 0,
+                )
+            ).alias("items")
+        )
+        .filter(
+            (F.size("items") >= 2) & (F.size("items") <= TRIANGLE_MAX_BASKET)
+        )
+    )
+    n = F.size("items")
+    edges = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), n - 1),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, n),
+                            lambda j: F.struct(
+                                F.element_at("items", i).alias("a"),
+                                F.element_at("items", j).alias("b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .distinct()
+        # materialize ONCE: deg0 + every peel round + the final degree all
+        # re-reference the edge list — lazy lineage would re-run the basket
+        # explosion per round (measured 29 s -> the checkpointed plan's
+        # cost); same hygiene as dup_clusters' iteration
+        .localCheckpoint()
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        both = e.select(F.col("a").alias("v")).unionAll(
+            e.select(F.col("b").alias("v"))
+        )
+        return both.groupBy("v").agg(F.count("*").cast("bigint").alias("d"))
+
+    deg0 = degrees(edges)
+    cur = edges
+    peeled = None  # (v, peel_round)
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = degrees(cur)
+        dropped = deg.filter(F.col("d") < KCORE_K).select(
+            "v", F.lit(rnd).cast("int").alias("peel_round")
+        )
+        peeled = dropped if peeled is None else peeled.unionByName(dropped)
+        keep = deg.filter(F.col("d") >= KCORE_K).select("v")
+        cur = cur.join(
+            keep.withColumnRenamed("v", "a"), "a", "left_semi"
+        ).join(keep.withColumnRenamed("v", "b"), "b", "left_semi").localCheckpoint()
+    final_deg = degrees(cur)
+    return (
+        deg0.withColumnRenamed("d", "degree0")
+        .join(peeled, "v", "left")
+        .join(final_deg.withColumnRenamed("d", "degree_final"), "v", "left")
+        .select(
+            F.col("v").alias("p_partkey"),
+            "degree0",
+            F.coalesce("degree_final", F.lit(0)).cast("bigint").alias(
+                "degree_final"
+            ),
+            "peel_round",
+        )
+    )
+
+
+def _g3_oracle() -> str:
+    peel = """
+, deg{r} AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e{p} UNION ALL SELECT b AS v FROM e{p}
+  ) GROUP BY 1
+), drop{r} AS (SELECT v FROM deg{r} WHERE d < {K})
+, e{r} AS (
+  SELECT a, b FROM e{p}
+  WHERE a NOT IN (SELECT v FROM drop{r})
+    AND b NOT IN (SELECT v FROM drop{r})
+)"""
+    body = "".join(
+        peel.format(r=r, p=r - 1 if r > 1 else "0", K=KCORE_K)
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    peeled_union = " UNION ALL ".join(
+        f"SELECT v, {r} AS peel_round FROM drop{r}"
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    last = KCORE_ROUNDS
+    return f"""
+WITH baskets AS (
+  SELECT l_orderkey,
+         list_filter(list_distinct(list(l_partkey)),
+                     p -> p % {TRIANGLE_NODE_MOD} = 0) AS items
+  FROM lineitem GROUP BY 1
+), e0 AS (
+  SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+  FROM baskets,
+       unnest(items) AS x(p),
+       unnest(items) AS y(p)
+  WHERE len(items) >= 2 AND len(items) <= {TRIANGLE_MAX_BASKET} AND x.p < y.p
+), deg0_ AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS degree0 FROM (
+    SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0
+  ) GROUP BY 1
+){body}
+, peeled AS ({peeled_union})
+, fdeg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS degree_final FROM (
+    SELECT a AS v FROM e{last} UNION ALL SELECT b AS v FROM e{last}
+  ) GROUP BY 1
+)
+SELECT d.v AS p_partkey, d.degree0,
+       CAST(coalesce(f.degree_final, 0) AS BIGINT) AS degree_final,
+       CAST(p.peel_round AS INTEGER) AS peel_round
+FROM deg0_ d
+LEFT JOIN peeled p ON d.v = p.v
+LEFT JOIN fdeg f ON d.v = f.v
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -4765,6 +5085,9 @@ QUERIES = {
     "a27_bootstrap_ci": a27_bootstrap_ci,
     "q_order_reconciliation": q_order_reconciliation,
     "w18_anomaly_ensemble": w18_anomaly_ensemble,
+    "w19_autocorrelation": w19_autocorrelation,
+    "a28_mutual_information": a28_mutual_information,
+    "g3_kcore_decompose": g3_kcore_decompose,
     "a25_hhi_concentration": a25_hhi_concentration,
     "w15_changepoint_cusum": w15_changepoint_cusum,
     "w16_seasonal_decompose": w16_seasonal_decompose,
@@ -4857,6 +5180,9 @@ ORACLES = {
     "a27_bootstrap_ci": A27_ORACLE,
     "q_order_reconciliation": Q_RECON_ORACLE,
     "w18_anomaly_ensemble": W18_ORACLE,
+    "w19_autocorrelation": W19_ORACLE,
+    "a28_mutual_information": A28_ORACLE,
+    "g3_kcore_decompose": _g3_oracle(),
     "a25_hhi_concentration": A25_ORACLE,
     "w15_changepoint_cusum": W15_ORACLE,
     "w16_seasonal_decompose": W16_ORACLE,
