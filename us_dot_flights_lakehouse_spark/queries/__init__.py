@@ -54,6 +54,10 @@ _PRIORITY = (
     "g3_kcore_decompose",  # bounded k-core peeling
     "tp_ranker_auc",  # Mann-Whitney ROC-AUC ranker eval
     "ts_heaps_law",  # vocabulary growth curve + local beta
+    "sim_lsh_recall_audit",  # base-vs-multiprobe LSH recall lift
+    "w20_attribution",  # last-touch conversion attribution
+    "q_freshness_audit",  # per-type staleness SLA table
+    "a29_nation_gini",  # Lorenz curve + Gini concentration
     "dd_exact_substr",  # cross-doc repeated-substring (span) dedup
     "dd_span_dedup_apply",  # span-level removal application
     "ts_entropy_gates",  # char/word entropy quality gates

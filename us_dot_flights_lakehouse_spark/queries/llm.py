@@ -747,6 +747,74 @@ SELECT query_id, rank, neighbor_id, bucket FROM (
 """.format(planes=_lsh_planes_sql())
 
 
+def sim_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM: LSH recall audit — completes the recall-audit family (IVF and
+    PQ already have one): per query, how many exact brute-force
+    top-{TOPK_K} neighbors the single-bucket LSH and the
+    {LSH_MP_PROBES}-probe multi-probe variant each recovered. The table
+    quantifies exactly what multi-probing buys (recall lift at zero
+    index-rebuild cost) — the measurement that justifies probe-count
+    tuning in production.
+
+    Scale: three broadcast-probe retrievals over one corpus scan; the
+    audit joins touch k rows per query."""
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact = similarity.cosine_topk(emb, qs, k=TOPK_K).select(
+        "query_id", "neighbor_id"
+    )
+    base = similarity.lsh_cosine_topk(emb, qs, k=TOPK_K, dim=64).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_b")
+    )
+    mp = similarity.lsh_cosine_topk_multiprobe(
+        emb, qs, k=TOPK_K, dim=64, n_probes=LSH_MP_PROBES
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit_m"))
+    joined = exact.join(base, ["query_id", "neighbor_id"], "left").join(
+        mp, ["query_id", "neighbor_id"], "left"
+    )
+    nb = F.sum(F.coalesce(F.col("hit_b"), F.lit(0)).cast("bigint")).cast(
+        "bigint"
+    )
+    nm = F.sum(F.coalesce(F.col("hit_m"), F.lit(0)).cast("bigint")).cast(
+        "bigint"
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        nb.alias("n_base"),
+        nm.alias("n_multiprobe"),
+        (nb.cast("double") / F.count("*").cast("double")).alias("recall_base"),
+        (nm.cast("double") / F.count("*").cast("double")).alias(
+            "recall_multiprobe"
+        ),
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    return f"""
+WITH exact_k AS ({SIM_TOPK_ORACLE}),
+base_k AS ({SIM_LSH_ORACLE}),
+mp_k AS ({SIM_LSH_MP_ORACLE}),
+joined AS (
+  SELECT e.query_id, e.neighbor_id,
+         CASE WHEN b.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit_b,
+         CASE WHEN m.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit_m
+  FROM exact_k e
+  LEFT JOIN base_k b
+    ON e.query_id = b.query_id AND e.neighbor_id = b.neighbor_id
+  LEFT JOIN mp_k m
+    ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
+)
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(hit_b) AS BIGINT) AS n_base,
+       CAST(sum(hit_m) AS BIGINT) AS n_multiprobe,
+       CAST(sum(hit_b) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_base,
+       CAST(sum(hit_m) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS recall_multiprobe
+FROM joined GROUP BY query_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -8504,6 +8572,7 @@ QUERIES = {
     "dd_incremental_minhash": dd_incremental_minhash,
     "tp_ranker_auc": tp_ranker_auc,
     "ts_heaps_law": ts_heaps_law,
+    "sim_lsh_recall_audit": sim_lsh_recall_audit,
     "tp_sequence_packing": tp_sequence_packing,
     "tp_training_mix": tp_training_mix,
     "ts_pii_scrub": ts_pii_scrub,
@@ -8637,6 +8706,7 @@ ORACLES = {
     "dd_incremental_minhash": _dd_incr_minhash_oracle(),
     "tp_ranker_auc": TP_AUC_ORACLE,
     "ts_heaps_law": TS_HEAPS_ORACLE,
+    "sim_lsh_recall_audit": _lsh_recall_oracle(),
     "tp_sequence_packing": TP_PACK_ORACLE,
     "tp_training_mix": TP_MIX_ORACLE,
     "ts_pii_scrub": _pii_oracle(),

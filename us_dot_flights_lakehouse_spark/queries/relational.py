@@ -5004,6 +5004,244 @@ LEFT JOIN fdeg f ON d.v = f.v
 """
 
 
+def w20_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W20 (extension): last-touch conversion attribution — every
+    purchase event credited to the user's most recent PRIOR touch
+    (click or view), with the touch type and the conversion lag in
+    minutes: the marketing/product analytics query behind every
+    "what drove this conversion" dashboard. Purchases with no prior
+    touch surface with NULL attribution (direct conversions) rather
+    than being dropped.
+
+    Determinism: the per-user event stream is totally ordered by
+    (ts, event_id) so `last(..., ignorenulls)` over the
+    unbounded-preceding frame is unambiguous even under timestamp
+    ties; the lag is an exact microsecond difference with ONE double
+    division.
+
+    Scale: one user-keyed window over the event scan — the same
+    shuffle any sessionization pays; no self-join, no per-user
+    collect."""
+    events = read_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    attributed = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_event_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    return attributed.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        "touch_event_id",
+        "touch_type",
+        (
+            (F.unix_micros("ts") - F.unix_micros("touch_ts")).cast("double")
+            / 60_000_000.0
+        ).alias("gap_minutes"),
+    )
+
+
+W20_ORACLE = """
+WITH attributed AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_event_id,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_ts
+  FROM events
+)
+SELECT event_id AS purchase_event_id, user_id, touch_event_id, touch_type,
+       CAST(epoch_us(ts) - epoch_us(touch_ts) AS DOUBLE) / 60000000.0
+         AS gap_minutes
+FROM attributed WHERE event_type = 'purchase'
+"""
+
+
+def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q (extension): data-freshness audit per event type — last seen
+    timestamp, staleness against the corpus high-water mark, and volume
+    in the trailing 24 corpus-hours: the SLA table every ingestion
+    on-call reads first when a producer goes quiet. Anchored to
+    max(ts) IN the data (not wall-clock) so the audit is deterministic
+    and replayable.
+
+    Scale: one scan with a broadcast 1-row high-water-mark join; all
+    arithmetic on exact microseconds."""
+    events = read_table(spark, sf_dir, "events")
+    hwm = events.agg(F.max("ts").alias("corpus_max"))
+    return (
+        events.crossJoin(F.broadcast(hwm))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.max("corpus_max").alias("corpus_max"),
+            F.sum(
+                (
+                    F.unix_micros("ts")
+                    >= F.unix_micros("corpus_max") - F.lit(86_400_000_000)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_last_24h"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "last_ts",
+            (
+                (
+                    F.unix_micros("corpus_max") - F.unix_micros("last_ts")
+                ).cast("double")
+                / 60_000_000.0
+            ).alias("staleness_minutes"),
+            "n_last_24h",
+        )
+    )
+
+
+Q_FRESHNESS_ORACLE = """
+WITH hwm AS (SELECT max(ts) AS corpus_max FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(ts) AS last_ts,
+       CAST(epoch_us(corpus_max) - epoch_us(max(ts)) AS DOUBLE) / 60000000.0
+         AS staleness_minutes,
+       CAST(sum(CASE WHEN epoch_us(ts) >= epoch_us(corpus_max) - 86400000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_last_24h
+FROM events CROSS JOIN hwm
+GROUP BY event_type, corpus_max
+"""
+
+
+def a29_nation_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29 (extension): Lorenz curve + Gini coefficient of revenue
+    concentration across nations — the inequality rollup that
+    complements a25's HHI (HHI weights the head; Gini reads the whole
+    distribution). Revenue per nation is an exact DECIMAL sum
+    (orders ⋈ customer ⋈ nation, both dims broadcast); nations are
+    ranked ascending by (revenue, name) — a total order — and
+    G = (2·Σ rank·xᵢ)/(n·Σx) − (n+1)/n is computed from exact decimal
+    sums with the float ops confined to the final expression (same
+    discipline as a21/w19). One Lorenz row per nation plus the shared
+    gini value.
+
+    Scale: the ranking window runs over the 25-row AGGREGATE, never
+    the fact table."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    dec = "decimal(38,4)"
+    rev = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue")
+        )
+    )
+    w = W.orderBy("revenue", "n_name")
+    ranked = rev.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    totals = ranked.agg(
+        F.count("*").cast("bigint").alias("n_nations"),
+        F.sum(F.col("revenue").cast(dec)).cast(dec).alias("s_rev"),
+        F.sum(F.col("rank") * F.col("revenue")).cast(dec).alias("s_rank_rev"),
+    )
+
+    def d(name: str):
+        return F.col(name).cast("string").cast("double")
+
+    n = F.col("n_nations").cast("double")
+    gini = (2.0 * d("s_rank_rev")) / (n * d("s_rev")) - (n + 1.0) / n
+    cum = (
+        F.sum(F.col("revenue").cast(dec))
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast(dec)
+    )
+    return (
+        ranked.withColumn("cum_revenue", cum)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            "n_name",
+            F.col("revenue").cast("string").cast("double").alias("revenue"),
+            (F.col("cum_revenue").cast("string").cast("double") / d("s_rev")).alias(
+                "cum_share"
+            ),
+            gini.alias("gini"),
+        )
+    )
+
+
+A29_ORACLE = """
+WITH rev AS (
+  SELECT n_name,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+), ranked AS (
+  SELECT n_name, revenue,
+         CAST(ROW_NUMBER() OVER (ORDER BY revenue, n_name) AS BIGINT) AS rank,
+         CAST(sum(CAST(revenue AS DECIMAL(38,4)))
+                OVER (ORDER BY revenue, n_name
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(38,4)) AS cum_revenue
+  FROM rev
+), totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nations,
+         CAST(sum(CAST(revenue AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS s_rev,
+         CAST(sum(rank * revenue) AS DECIMAL(38,4)) AS s_rank_rev
+  FROM ranked
+)
+SELECT rank, n_name,
+       CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(cum_revenue AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(s_rev AS VARCHAR) AS DOUBLE) AS cum_share,
+       (2.0 * CAST(CAST(s_rank_rev AS VARCHAR) AS DOUBLE))
+         / (CAST(n_nations AS DOUBLE) * CAST(CAST(s_rev AS VARCHAR) AS DOUBLE))
+         - (CAST(n_nations AS DOUBLE) + 1.0) / CAST(n_nations AS DOUBLE)
+         AS gini
+FROM ranked CROSS JOIN totals
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -5088,6 +5326,9 @@ QUERIES = {
     "w19_autocorrelation": w19_autocorrelation,
     "a28_mutual_information": a28_mutual_information,
     "g3_kcore_decompose": g3_kcore_decompose,
+    "w20_attribution": w20_attribution,
+    "q_freshness_audit": q_freshness_audit,
+    "a29_nation_gini": a29_nation_gini,
     "a25_hhi_concentration": a25_hhi_concentration,
     "w15_changepoint_cusum": w15_changepoint_cusum,
     "w16_seasonal_decompose": w16_seasonal_decompose,
@@ -5183,6 +5424,9 @@ ORACLES = {
     "w19_autocorrelation": W19_ORACLE,
     "a28_mutual_information": A28_ORACLE,
     "g3_kcore_decompose": _g3_oracle(),
+    "w20_attribution": W20_ORACLE,
+    "q_freshness_audit": Q_FRESHNESS_ORACLE,
+    "a29_nation_gini": A29_ORACLE,
     "a25_hhi_concentration": A25_ORACLE,
     "w15_changepoint_cusum": W15_ORACLE,
     "w16_seasonal_decompose": W16_ORACLE,
