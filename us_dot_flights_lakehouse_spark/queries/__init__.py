@@ -58,6 +58,8 @@ _PRIORITY = (
     "w20_attribution",  # last-touch conversion attribution
     "q_freshness_audit",  # per-type staleness SLA table
     "a29_nation_gini",  # Lorenz curve + Gini concentration
+    "sim_index_drift",  # incremental IVF cell-growth audit
+    "tp_neyman_allocation",  # variance-optimal sampling budgets
     "dd_exact_substr",  # cross-doc repeated-substring (span) dedup
     "dd_span_dedup_apply",  # span-level removal application
     "ts_entropy_gates",  # char/word entropy quality gates

@@ -5871,6 +5871,215 @@ def sim_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_NEW_MOD = 5  #: vec_id % 5 == 0 is the "newly arrived" batch
+
+
+def sim_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM: incremental ANN-index maintenance audit — when a new vector
+    batch (vec_id ≡ 0 mod {DRIFT_NEW_MOD}, ~20%) is appended to an
+    IVF index WITHOUT retraining the quantizer, which cells absorb the
+    growth and which blow past the rebalance threshold? Per cell:
+    base count, new-batch count, post-append total, growth share, and
+    `needs_split` = cell now holds > 2× the mean cell size — the drift
+    report that schedules centroid re-training in a production vector
+    store (indexes are never retrained per batch at 100 TB; they are
+    monitored and re-split when THIS table says so). Includes empty
+    cells via a literal cell spine.
+
+    Determinism: assignment is the literal-centroid argmin (ties to the
+    lower cell id) proven by sim_ivf_topk; everything else is exact
+    integer counts — `needs_split` compares n_full·nlist > 2·N in
+    BIGINT, no float thresholds.
+
+    Scale: one narrow scan, expression-only assignment, one ≤nlist-row
+    aggregate; the spine join is a broadcast of {IVF_NLIST} rows."""
+    from us_dot_flights_lakehouse_spark.functions.vectors import lit_doubles
+
+    emb = read_corpus(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = similarity.ivf_centroids_from_parquet(
+        f"{sf_dir}/embeddings.parquet", nlist=IVF_NLIST, seed=IVF_SEED
+    )
+
+    def sqdist(c):
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit_doubles(c), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(sqdist(c).alias("d"), F.lit(j).cast("int").alias("c"))
+                for j, c in enumerate(cents.tolist())
+            ]
+        )
+    )
+    assigned = corpus.select(
+        "vec_id",
+        best["c"].alias("cell_id"),
+        (F.pmod(F.col("vec_id"), F.lit(DRIFT_NEW_MOD)) == 0).alias("is_new"),
+    )
+    per_cell = assigned.groupBy("cell_id").agg(
+        F.sum((~F.col("is_new")).cast("bigint")).cast("bigint").alias("n_base"),
+        F.sum(F.col("is_new").cast("bigint")).cast("bigint").alias("n_new"),
+    )
+    spine = spark.range(IVF_NLIST).select(F.col("id").cast("int").alias("cell_id"))
+    total = assigned.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        spine.join(per_cell, "cell_id", "left")
+        .select(
+            "cell_id",
+            F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        )
+        .withColumn("n_full", (F.col("n_base") + F.col("n_new")).cast("bigint"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cell_id",
+            "n_base",
+            "n_new",
+            "n_full",
+            (F.col("n_full") * F.lit(IVF_NLIST) > 2 * F.col("n_total")).alias(
+                "needs_split"
+            ),
+        )
+    )
+
+
+def _index_drift_oracle() -> str:
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = similarity.ivf_centroids_from_parquet(
+        f"{sf_dir}/embeddings.parquet", nlist=IVF_NLIST, seed=IVF_SEED
+    )
+    rows = []
+    for j, c in enumerate(cents.tolist()):
+        rows.append(f"SELECT {j} AS cell_id, {_duck_doubles(c)} AS c")
+    cents_sql = "\n  UNION ALL ".join(rows)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cents AS (
+  {cents_sql}
+), assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+                                     i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))
+               ASC, c.cell_id ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+), per_cell AS (
+  SELECT cell_id,
+         CAST(sum(CASE WHEN vec_id % {DRIFT_NEW_MOD} != 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_base,
+         CAST(sum(CASE WHEN vec_id % {DRIFT_NEW_MOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new
+  FROM assigned GROUP BY 1
+), total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM assigned),
+spine AS (SELECT CAST(unnest(range(0, {IVF_NLIST})) AS INTEGER) AS cell_id)
+SELECT s.cell_id,
+       CAST(coalesce(p.n_base, 0) AS BIGINT) AS n_base,
+       CAST(coalesce(p.n_new, 0) AS BIGINT) AS n_new,
+       CAST(coalesce(p.n_base, 0) + coalesce(p.n_new, 0) AS BIGINT) AS n_full,
+       (coalesce(p.n_base, 0) + coalesce(p.n_new, 0)) * {IVF_NLIST}
+         > 2 * n_total AS needs_split
+FROM spine s LEFT JOIN per_cell p ON s.cell_id = p.cell_id
+CROSS JOIN total
+"""
+
+
+NEYMAN_BUDGET = 10_000  #: total docs the downstream sampler may keep
+
+
+def tp_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: Neyman (variance-optimal) sampling allocation across sources —
+    given a sampling budget of {NEYMAN_BUDGET} docs, each source gets
+    budget ∝ N_g·σ_g (its size × its doc-length standard deviation):
+    the stratified-sampling rule that minimizes estimator variance, and
+    in a data pipeline the principled answer to "how many docs do I keep
+    from each crawl source for the audit sample?" — high-variance
+    sources need proportionally more coverage than uniform sampling
+    gives them.
+
+    Determinism: per-source moments are exact BIGINT sums of n_chars
+    and n_chars²; σ_g = √((n·SS − S²)/n²) is per-row float math from
+    exact ints; the DENOMINATOR Σ N_g·σ_g folds the ~30 source weights
+    sequentially in source order (F.aggregate over a sorted array — the
+    kcenter/inertia bit-exact-fold technique), never a parallel double
+    sum.
+
+    Scale: one groupBy(source) over the scan; the fold runs over the
+    source-count-sized aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars")).cast("bigint").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("ss"),
+    )
+    n = F.col("n_docs").cast("double")
+    var_pop = (
+        F.col("n_docs") * F.col("ss") - F.col("s") * F.col("s")
+    ).cast("double") / (n * n)
+    weighted = per_src.select(
+        "source",
+        "n_docs",
+        F.sqrt(var_pop).alias("sigma"),
+    ).withColumn("weight", n * F.col("sigma"))
+    denom = weighted.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "weight"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["weight"],
+        ).alias("denom")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            "sigma",
+            (F.col("weight") / F.col("denom")).alias("share"),
+            (
+                F.col("weight") / F.col("denom") * F.lit(float(NEYMAN_BUDGET))
+            ).alias("alloc_docs"),
+        )
+    )
+
+
+TP_NEYMAN_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+  FROM documents GROUP BY 1
+), weighted AS (
+  SELECT source, n_docs,
+         sqrt(CAST(n_docs * ss - s * s AS DOUBLE)
+              / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))) AS sigma,
+         CAST(n_docs AS DOUBLE)
+           * sqrt(CAST(n_docs * ss - s * s AS DOUBLE)
+                  / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+           AS weight
+  FROM per_src
+), denom AS (
+  SELECT list_sum(list(weight ORDER BY source)) AS denom FROM weighted
+)
+SELECT source, n_docs, sigma,
+       weight / denom AS share,
+       weight / denom * {float(NEYMAN_BUDGET)!r} AS alloc_docs
+FROM weighted CROSS JOIN denom
+"""
+
+
 def _kmeans_inertia_oracle() -> str:
     import os
 
@@ -8573,6 +8782,8 @@ QUERIES = {
     "tp_ranker_auc": tp_ranker_auc,
     "ts_heaps_law": ts_heaps_law,
     "sim_lsh_recall_audit": sim_lsh_recall_audit,
+    "sim_index_drift": sim_index_drift,
+    "tp_neyman_allocation": tp_neyman_allocation,
     "tp_sequence_packing": tp_sequence_packing,
     "tp_training_mix": tp_training_mix,
     "ts_pii_scrub": ts_pii_scrub,
@@ -8707,6 +8918,8 @@ ORACLES = {
     "tp_ranker_auc": TP_AUC_ORACLE,
     "ts_heaps_law": TS_HEAPS_ORACLE,
     "sim_lsh_recall_audit": _lsh_recall_oracle(),
+    "sim_index_drift": _index_drift_oracle,
+    "tp_neyman_allocation": TP_NEYMAN_ORACLE,
     "tp_sequence_packing": TP_PACK_ORACLE,
     "tp_training_mix": TP_MIX_ORACLE,
     "ts_pii_scrub": _pii_oracle(),
