@@ -102,6 +102,26 @@ WHITELIST: dict[str, set[str]] = {
     #   inherits its whitelisted LSH/assembly joins
     "sim_intrinsic_dimension": {"ONE_PART"},  # 64 variance cells reduce
     #   to one PR row — never row-scale
+    "dd_threshold_sweep": {"ONE_PART"},  # 1-row corpus-count aggregate
+    #   broadcast into the per-threshold dup-rate denominators
+    "q_table_stats_approx": {"ONE_PART"},  # two 1-row profile aggregates
+    #   (sketch pass + exact companions) crossJoined — q_table_stats family
+    "a28_mutual_information": {"ONE_PART"},  # 1-row contingency-total
+    #   aggregate broadcast into the PMI denominators (a26 family)
+    "tp_ranker_auc": {"ONE_PART"},       # prefix-sum window over the
+    #   score-DISTINCT aggregate (score-cardinality-sized) + 1-row AUC
+    "ts_heaps_law": {"ONE_PART"},        # two 1-row conditional-sum folds
+    #   (10 decile counters each) crossJoined — never row-scale
+    "q_freshness_audit": {"ONE_PART"},   # 1-row high-water-mark aggregate
+    #   broadcast into the staleness expressions
+    "a29_nation_gini": {"ONE_PART"},     # rank/cum window over the 25-row
+    #   nation aggregate + 1-row Gini totals
+    "sim_index_drift": {"ONE_PART"},     # 1-row corpus-total aggregate
+    #   broadcast into the needs_split comparison
+    "tp_neyman_allocation": {"ONE_PART"},  # 1-row sequential denominator
+    #   fold over the ~30-source aggregate (tp_temperature_mix family)
+    "sim_lsh_recall_audit": {"SMJ"},     # audit join of three k×|queries|
+    #   top-k result sets — sim_ivf/pq_recall_audit family
 }
 
 
