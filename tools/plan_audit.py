@@ -122,6 +122,8 @@ WHITELIST: dict[str, set[str]] = {
     #   fold over the ~30-source aggregate (tp_temperature_mix family)
     "sim_lsh_recall_audit": {"SMJ"},     # audit join of three k×|queries|
     #   top-k result sets — sim_ivf/pq_recall_audit family
+    "dd_lsh_tuning_curve": {"ONE_PART"},  # five 1-row per-config
+    #   candidate-load aggregates unioned (bucket counting, never pairs)
 }
 
 

@@ -62,6 +62,10 @@ def main():
         round6b_families(spark, factor)
         spark.stop()
         return
+    if only == "round6c":
+        round6c_families(spark, factor)
+        spark.stop()
+        return
     if only == "round5b":
         round5b_families(spark, factor)
         spark.stop()
@@ -920,6 +924,73 @@ def round6b_families(spark, factor):
             qual.read_table,
             st.read_table,
         ) = origs
+
+
+def round6c_families(spark, factor):
+    """Round-6 session-3 shapes at Nx through the REAL catalog code: the
+    sketch profile's session-3 siblings — ACF, mutual information,
+    k-core peel, Mann-Whitney AUC, Heaps' law, LSH recall lift,
+    attribution, freshness SLA, Gini, IVF drift, Neyman allocation,
+    incremental MinHash probe."""
+    import us_dot_flights_lakehouse_spark.queries.llm as llm
+    import us_dot_flights_lakehouse_spark.queries.quality as qual
+    import us_dot_flights_lakehouse_spark.queries.relational as rel
+
+    id_cols = {
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+        "lineitem": "l_orderkey",
+        "orders": "o_orderkey",
+        "customer": "c_custkey",
+        "nation": "n_nationkey",
+        "supplier": "s_suppkey",
+        "region": "r_regionkey",
+        "part": "p_partkey",
+    }
+    cache = {}
+
+    def scaled_table(f):
+        def read(spark_, sf_dir_, name, *a, **k):
+            key = (name, f)
+            if key not in cache:
+                eff = 1 if name in ("nation", "region", "supplier", "part", "customer") else f
+                cache[key] = scaled(spark_, name, eff, id_cols[name]).cache()
+                cache[key].count()
+            return cache[key]
+
+        return read
+
+    targets = [
+        ("w19_autocorrelation", rel.w19_autocorrelation),
+        ("a28_mutual_information", rel.a28_mutual_information),
+        ("g3_kcore_decompose", rel.g3_kcore_decompose),
+        ("tp_ranker_auc", llm.tp_ranker_auc),
+        ("ts_heaps_law", llm.ts_heaps_law),
+        ("sim_lsh_recall_audit", llm.sim_lsh_recall_audit),
+        ("w20_attribution", rel.w20_attribution),
+        ("q_freshness_audit", rel.q_freshness_audit),
+        ("a29_nation_gini", rel.a29_nation_gini),
+        ("sim_index_drift", llm.sim_index_drift),
+        ("tp_neyman_allocation", llm.tp_neyman_allocation),
+    ]
+    origs = (rel.read_table, llm.read_table, llm.read_corpus, qual.read_table)
+    try:
+        for name, fn in targets:
+            times = []
+            for f in (1, factor):
+                rel.read_table = scaled_table(f)
+                llm.read_table = scaled_table(f)
+                llm.read_corpus = scaled_table(f)
+                qual.read_table = scaled_table(f)
+                t = timed(f"{name}@{f}x", fn(spark, SF_DIR))
+                times.append(t)
+            print(
+                f"{name}: growth {times[1] / times[0]:.1f}x at {factor}x rows",
+                flush=True,
+            )
+    finally:
+        rel.read_table, llm.read_table, llm.read_corpus, qual.read_table = origs
 
 
 if __name__ == "__main__":

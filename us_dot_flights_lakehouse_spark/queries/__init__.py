@@ -60,6 +60,7 @@ _PRIORITY = (
     "a29_nation_gini",  # Lorenz curve + Gini concentration
     "sim_index_drift",  # incremental IVF cell-growth audit
     "tp_neyman_allocation",  # variance-optimal sampling budgets
+    "dd_lsh_tuning_curve",  # banding S-curve + measured candidate load
     "dd_exact_substr",  # cross-doc repeated-substring (span) dedup
     "dd_span_dedup_apply",  # span-level removal application
     "ts_entropy_gates",  # char/word entropy quality gates

@@ -1932,6 +1932,153 @@ def _dd_incr_minhash_oracle() -> str:
     )
 
 
+#: Jaccard grid for the S-curve rows
+LSH_TUNE_GRID = (0.1, 0.3, 0.5, 0.7, 0.9)
+
+
+def _lsh_tune_configs() -> list[tuple[int, int]]:
+    """(bands, rows_per_band) factorizations of the MINHASH_K=16 signature."""
+    return [(b, MINHASH_K // b) for b in (1, 2, 4, 8, 16)]
+
+
+def dd_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD: LSH parameter planner — for every (bands b, rows r)
+    factorization of the {MINHASH_K}-perm signature, the detection
+    S-curve P(candidate | jaccard=j) = 1−(1−jʳ)ᵇ on a j grid, the
+    approximate threshold (1/b)^(1/r), AND the MEASURED candidate-pair
+    load that config would generate on THIS corpus (Σ c·(c−1)/2 over its
+    band buckets, from the real MinHash signatures — the join cost a
+    banding choice commits you to). The table answers "which (b, r) do I
+    ship" with both the theory curve and the empirical price.
+
+    Determinism: S-curve and threshold values are config-only —
+    PRECOMPUTED in Python and emitted as literals on BOTH engines (no
+    cross-engine pow()); the data-dependent columns are exact BIGINT
+    bucket combinatorics plus one double division.
+
+    Scale: signatures once (the corpus-heavy step, shared shape with
+    dd_minhash_lsh), then ONE explode of all configs' band keys (31
+    rows/doc) into a single two-level aggregate — bucket counting only,
+    NO candidate self-join is materialized, no per-config job fan-out
+    (the 5-separate-aggregates draft paid 5 job round-trips), and even
+    the corpus size rides the same aggregate (n = Σ bucket counts of any
+    one band slice — every doc lands in exactly one bucket per band), so
+    the whole query is ONE linear plan over one signature pass."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs)
+
+    all_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.lit(band).cast("int").alias("band_id"),
+                dedup._band_key("mh", band, r).alias("band_key"),
+            )
+            for b, r in _lsh_tune_configs()
+            for band in range(b)
+        ]
+    )
+    bands = sigs.select(F.explode(all_keys).alias("k")).select("k.*")
+    per_config = (
+        bands.groupBy("bands", "rows_per_band", "band_id", "band_key")
+        .agg(F.count("*").alias("c"))
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            # c(c-1) is even, so DIV 2 is exact — stays BIGINT end to end
+            F.coalesce(F.sum(F.expr("c * (c - 1) DIV 2")), F.lit(0))
+            .cast("bigint")
+            .alias("candidate_pairs"),
+            F.sum(F.when(F.col("band_id") == 0, F.col("c")))
+            .cast("bigint")
+            .alias("n_sigs"),
+        )
+    )
+
+    grid_rows = []
+    for b, r in _lsh_tune_configs():
+        thr = (1.0 / b) ** (1.0 / r)
+        for j in LSH_TUNE_GRID:
+            grid_rows.append((b, r, float(thr), float(j), 1.0 - (1.0 - j**r) ** b))
+    grid = spark.createDataFrame(
+        grid_rows,
+        "bands int, rows_per_band int, threshold_approx double, "
+        "jaccard double, p_detect double",
+    )
+    return (
+        grid.join(F.broadcast(per_config), ["bands", "rows_per_band"])
+        .select(
+            "bands",
+            "rows_per_band",
+            "threshold_approx",
+            "jaccard",
+            "p_detect",
+            "candidate_pairs",
+            (
+                F.col("candidate_pairs").cast("double")
+                / F.expr("CAST(n_sigs * (n_sigs - 1) DIV 2 AS DOUBLE)")
+            ).alias("selectivity"),
+        )
+    )
+
+
+def _lsh_tuning_oracle() -> str:
+    grid_vals = []
+    for b, r in _lsh_tune_configs():
+        thr = (1.0 / b) ** (1.0 / r)
+        for j in LSH_TUNE_GRID:
+            p = 1.0 - (1.0 - j**r) ** b
+            grid_vals.append(
+                f"({b}, {r}, CAST('{thr!r}' AS DOUBLE), "
+                f"CAST('{float(j)!r}' AS DOUBLE), CAST('{p!r}' AS DOUBLE))"
+            )
+    cfg_ctes = []
+    for b, r in _lsh_tune_configs():
+        keys = ", ".join(
+            "({}, concat_ws('|', {}))".format(
+                band, ", ".join(f"mh{band * r + i}" for i in range(r))
+            )
+            for band in range(b)
+        )
+        cfg_ctes.append(
+            f"""
+SELECT {b} AS bands, {r} AS rows_per_band,
+       CAST(coalesce(sum((c * (c - 1)) // 2), 0) AS BIGINT) AS candidate_pairs
+FROM (
+  SELECT band_id, band_key, count(*) AS c
+  FROM (SELECT b.band_id, b.band_key
+        FROM sig, (VALUES {keys}) AS b(band_id, band_key))
+  GROUP BY 1, 2
+)"""
+        )
+    measured = "\nUNION ALL\n".join(cfg_ctes)
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES} AS shs
+  FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+), s AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+hashed AS (SELECT doc_id, {_HASH28.format(x='sh')} AS h FROM s),
+sig AS (
+  SELECT doc_id,
+    {_sig_mins_sql()}
+  FROM hashed GROUP BY doc_id
+), np AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM sig
+), measured AS ({measured}),
+grid(bands, rows_per_band, threshold_approx, jaccard, p_detect) AS (
+  VALUES {", ".join(grid_vals)}
+)
+SELECT g.bands, g.rows_per_band, g.threshold_approx, g.jaccard, g.p_detect,
+       m.candidate_pairs,
+       CAST(m.candidate_pairs AS DOUBLE)
+         / CAST(n * (n - 1) // 2 AS DOUBLE) AS selectivity
+FROM grid g
+JOIN measured m
+  ON g.bands = m.bands AND g.rows_per_band = m.rows_per_band
+CROSS JOIN np
+"""
+
+
 def tp_ranker_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TP: ROC-AUC of a quality ranker against binary labels via the
     Mann-Whitney rank-sum — the eval every data-selection pipeline runs
@@ -8784,6 +8931,7 @@ QUERIES = {
     "sim_lsh_recall_audit": sim_lsh_recall_audit,
     "sim_index_drift": sim_index_drift,
     "tp_neyman_allocation": tp_neyman_allocation,
+    "dd_lsh_tuning_curve": dd_lsh_tuning_curve,
     "tp_sequence_packing": tp_sequence_packing,
     "tp_training_mix": tp_training_mix,
     "ts_pii_scrub": ts_pii_scrub,
@@ -8920,6 +9068,7 @@ ORACLES = {
     "sim_lsh_recall_audit": _lsh_recall_oracle(),
     "sim_index_drift": _index_drift_oracle,
     "tp_neyman_allocation": TP_NEYMAN_ORACLE,
+    "dd_lsh_tuning_curve": _lsh_tuning_oracle(),
     "tp_sequence_packing": TP_PACK_ORACLE,
     "tp_training_mix": TP_MIX_ORACLE,
     "ts_pii_scrub": _pii_oracle(),
