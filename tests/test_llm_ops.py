@@ -1697,3 +1697,33 @@ def test_kcenter_oversample_matches_greedy_on_planted_clusters(spark):
         greedy.append(nxt)
         mind = np.minimum(mind, ((X - X[nxt]) ** 2).sum(axis=1))
     assert radius(sel) <= 2.0 * radius([int(ids[i]) for i in greedy])
+
+
+def test_frame_cuts_planted_boundary_and_null_contract(spark):
+    """frame_cuts flags exactly the planted scene boundary and emits the
+    null-metric row for undecodable payloads."""
+    import numpy as np
+
+    from us_dot_flights_lakehouse_spark.llm.multimodal import (
+        avi_encode,
+        frame_cuts,
+    )
+
+    f = np.arange(4)[:, None]
+    g = (10 + 7 * f + 3 * np.arange(16)[None, :] + 90 * (f >= 2)).astype(
+        np.uint8
+    )
+    frames = np.repeat(g.reshape(4, 4, 4, 1), 3, axis=3)
+    blob = avi_encode(frames, us_per_frame=40_000)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"not a video"))],
+        "id long, payload binary",
+    )
+    rows = frame_cuts(df, every_ms=40, threshold=1000).collect()
+    by = {(r["id"], r["pair_idx"]): r for r in rows}
+    # video 1: pairs 0..2, boundary at pair 1 (frames 1->2)
+    assert by[(1, 0)]["diff_total"] == 48 * 7 and not by[(1, 0)]["is_cut"]
+    assert by[(1, 1)]["diff_total"] == 48 * 97 and by[(1, 1)]["is_cut"]
+    assert by[(1, 2)]["diff_total"] == 48 * 7 and not by[(1, 2)]["is_cut"]
+    # invalid payload -> one visible null row
+    assert by[(2, None)]["diff_total"] is None and by[(2, None)]["is_cut"] is None

@@ -1250,6 +1250,51 @@ def frame_motion(
     )
 
 
+def frame_cuts(
+    df: DataFrame,
+    every_ms: int,
+    threshold: int,
+    id_col: str = "id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Scene-cut detection FUSED into the sampling kernel
+    (``frame_motion``'s per-pair sibling): one row per consecutive
+    sampled-frame pair with its total absolute pixel delta and the
+    ``is_cut`` verdict (delta > threshold) — the shot-boundary signal a
+    video training-data pipeline uses to split clips before captioning
+    or frame dedup. Same zero-shuffle contract: all of a video's frames
+    live in its one blob, so decode + diffs + thresholding never leave
+    the task; a null-metric row keeps invalid / fully codec-gated inputs
+    visible."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["id"], pdf[bin_col]):
+                decoded = _sampled_frames(blob, every_ms)
+                if not decoded:
+                    rows.append((i, None, None, None))
+                    continue
+                mats = [
+                    px.reshape(-1).astype(np.int64) for *_meta, px in decoded
+                ]
+                if len(mats) < 2:
+                    rows.append((i, None, None, None))
+                    continue
+                for p, (a0, b0) in enumerate(zip(mats, mats[1:])):
+                    total = int(np.abs(b0 - a0).sum())
+                    rows.append((i, p, total, total > threshold))
+            yield pd.DataFrame(
+                rows, columns=["id", "pair_idx", "diff_total", "is_cut"]
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(bin_col)).mapInPandas(
+        kernel,
+        schema="id long, pair_idx int, diff_total bigint, is_cut boolean",
+    )
+
+
 def mp4_encode_mjpeg(frames_gray, frame_ms: int, timescale: int = 1000) -> bytes:
     """Minimal ISO-BMFF/MP4 writer with one MJPEG video track (stdlib
     struct only): ftyp + mdat (concatenated baseline JPEGs) + moov with a

@@ -61,6 +61,7 @@ _PRIORITY = (
     "sim_index_drift",  # incremental IVF cell-growth audit
     "tp_neyman_allocation",  # variance-optimal sampling budgets
     "dd_lsh_tuning_curve",  # banding S-curve + measured candidate load
+    "mm_scene_cuts",  # shot-boundary detection per frame pair
     "dd_exact_substr",  # cross-doc repeated-substring (span) dedup
     "dd_span_dedup_apply",  # span-level removal application
     "ts_entropy_gates",  # char/word entropy quality gates

@@ -1718,6 +1718,67 @@ FROM d
 """
 
 
+SCENE_CUT_THRESHOLD = 1000
+
+
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: shot-boundary (scene-cut) detection — per consecutive
+    sampled-frame pair, the total absolute pixel delta and an
+    ``is_cut`` verdict (``multimodal.frame_cuts``, the per-pair sibling
+    of the fused motion kernel): the clip-splitting signal a video
+    pipeline runs before captioning or frame dedup. The synthesized
+    6-frame AVI plants ONE scene change at frame (doc_id % 4 + 1): scene
+    1 shifts the deterministic gradient by +100 gray levels, all values
+    kept < 256 so NO mod-256 wraparound muddies the margin — within-
+    scene pairs total 48·9 = 432, the boundary pair 48·109 = 5232, and
+    the {SCENE_CUT_THRESHOLD} threshold separates them cleanly. The
+    oracle re-derives every pair's delta from the closed form, so a
+    sampling-order or offset bug hash-fails.
+
+    Scale: zero shuffle — synth, decode, diffs and thresholding all
+    inside one Arrow-batched mapInPandas pass (frame_motion's
+    contract)."""
+    import numpy as np
+
+    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import avi_encode
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                cut = int(d) % 4 + 1
+                f = np.arange(6)[:, None]
+                g = (
+                    2 * (int(d) % 8)
+                    + 9 * f
+                    + 3 * np.arange(16)[None, :]
+                    + 100 * (f >= cut)
+                )
+                frames = np.repeat(
+                    g.astype(np.uint8).reshape(6, 4, 4, 1), 3, axis=3
+                )
+                payloads.append(avi_encode(frames, us_per_frame=40_000))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    vids = docs.mapInPandas(synth, schema="id long, payload binary")
+    return multimodal.frame_cuts(
+        vids, every_ms=40, threshold=SCENE_CUT_THRESHOLD
+    ).select(F.col("id").alias("doc_id"), "pair_idx", "diff_total", "is_cut")
+
+
+MM_SCENE_CUTS_ORACLE = f"""
+SELECT doc_id,
+       CAST(p AS INTEGER) AS pair_idx,
+       CAST(48 * 9 + CASE WHEN p = doc_id % 4 THEN 48 * 100 ELSE 0 END
+            AS BIGINT) AS diff_total,
+       (48 * 9 + CASE WHEN p = doc_id % 4 THEN 48 * 100 ELSE 0 END)
+         > {SCENE_CUT_THRESHOLD} AS is_cut
+FROM documents, (SELECT unnest(range(0, 5)) AS p)
+"""
+
+
 def mm_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM: REAL compressed-codec frame sampling — synthesizes a 6-frame
     8x8 MJPEG AVI per document ('00dc' chunks, each a baseline JPEG;
@@ -8917,6 +8978,7 @@ QUERIES = {
     "mm_image_augment": mm_image_augment,
     "mm_frame_stats": mm_frame_stats,
     "mm_video_motion": mm_video_motion,
+    "mm_scene_cuts": mm_scene_cuts,
     "mm_audio_resample": mm_audio_resample,
     "mm_mjpeg_frame_stats": mm_mjpeg_frame_stats,
     "src_wds_roundtrip": src_wds_roundtrip,
@@ -9054,6 +9116,7 @@ ORACLES = {
     "mm_image_augment": MM_AUGMENT_ORACLE,
     "mm_frame_stats": MM_FRAME_ORACLE,
     "mm_video_motion": MM_MOTION_ORACLE,
+    "mm_scene_cuts": MM_SCENE_CUTS_ORACLE,
     "mm_audio_resample": MM_RESAMPLE_ORACLE,
     "mm_mjpeg_frame_stats": MM_MJPEG_ORACLE,
     "src_wds_roundtrip": SRC_WDS_ORACLE,
