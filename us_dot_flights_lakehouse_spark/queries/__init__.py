@@ -62,6 +62,8 @@ _PRIORITY = (
     "tp_neyman_allocation",  # variance-optimal sampling budgets
     "dd_lsh_tuning_curve",  # banding S-curve + measured candidate load
     "mm_scene_cuts",  # shot-boundary detection per frame pair
+    "ts_ttr_diversity",  # MATTR windowed lexical diversity
+    "a30_weighted_median",  # exact quantity-weighted median price
     "dd_exact_substr",  # cross-doc repeated-substring (span) dedup
     "dd_span_dedup_apply",  # span-level removal application
     "ts_entropy_gates",  # char/word entropy quality gates

@@ -2140,6 +2140,74 @@ CROSS JOIN np
 """
 
 
+TTR_WINDOW = 20  #: tokens per type-token-ratio window
+
+
+def ts_ttr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: windowed lexical diversity (MATTR-style moving-average
+    type-token ratio) — plain TTR collapses with document length, so the
+    standard fix averages TTR over fixed {TTR_WINDOW}-token windows:
+    the vocabulary-richness quality signal that separates fluent prose
+    from keyword-stuffed or template text (complements entropy/Gini/
+    readability gates). Per doc: token count, full-doc TTR, number of
+    full windows, and the windowed-mean TTR (NULL when the doc is
+    shorter than one window).
+
+    Determinism: every window's TTR is distinct-count/window-size from
+    exact ints; the mean folds the window ratios SEQUENTIALLY in window
+    order inside one array expression — no parallel double sum. Zero
+    shuffle: all math is per-row array lambdas over the token array.
+
+    Scale: scan-local (the textstats family contract); window count per
+    row is len/{TTR_WINDOW} array slices, linear in document size."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    n = F.size(toks)
+    n_win = F.floor(n / F.lit(TTR_WINDOW)).cast("int")
+    win_ttrs = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda w: F.size(
+            F.array_distinct(F.slice(toks, w * TTR_WINDOW + 1, TTR_WINDOW))
+        ).cast("double")
+        / F.lit(float(TTR_WINDOW)),
+    )
+    mattr = F.when(
+        n_win > 0,
+        F.aggregate(win_ttrs, F.lit(0.0), lambda acc, x: acc + x)
+        / n_win.cast("double"),
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+        ).alias("ttr_full"),
+        n_win.alias("n_windows"),
+        mattr.alias("mattr"),
+    )
+
+
+TS_TTR_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+), d AS (
+  SELECT doc_id, t, len(t) AS n, CAST(len(t) // {TTR_WINDOW} AS INTEGER) AS n_win
+  FROM base
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS DOUBLE) / CAST(n AS DOUBLE) AS ttr_full,
+       n_win AS n_windows,
+       CASE WHEN n_win > 0 THEN
+         list_sum(list_transform(range(0, n_win),
+           w -> CAST(len(list_distinct(t[w * {TTR_WINDOW} + 1 : w * {TTR_WINDOW} + {TTR_WINDOW}])) AS DOUBLE)
+                / {float(TTR_WINDOW)!r}))
+         / CAST(n_win AS DOUBLE)
+       END AS mattr
+FROM d
+"""
+
+
 def tp_ranker_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TP: ROC-AUC of a quality ranker against binary labels via the
     Mann-Whitney rank-sum — the eval every data-selection pipeline runs
@@ -8989,6 +9057,7 @@ QUERIES = {
     "tp_bloom_incremental_dedup": tp_bloom_incremental_dedup,
     "dd_incremental_minhash": dd_incremental_minhash,
     "tp_ranker_auc": tp_ranker_auc,
+    "ts_ttr_diversity": ts_ttr_diversity,
     "ts_heaps_law": ts_heaps_law,
     "sim_lsh_recall_audit": sim_lsh_recall_audit,
     "sim_index_drift": sim_index_drift,
@@ -9127,6 +9196,7 @@ ORACLES = {
     "tp_bloom_incremental_dedup": TP_INCR_ORACLE,
     "dd_incremental_minhash": _dd_incr_minhash_oracle(),
     "tp_ranker_auc": TP_AUC_ORACLE,
+    "ts_ttr_diversity": TS_TTR_ORACLE,
     "ts_heaps_law": TS_HEAPS_ORACLE,
     "sim_lsh_recall_audit": _lsh_recall_oracle(),
     "sim_index_drift": _index_drift_oracle,

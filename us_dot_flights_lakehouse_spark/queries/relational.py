@@ -5242,6 +5242,78 @@ FROM ranked CROSS JOIN totals
 """
 
 
+def a30_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A30 (extension): exact WEIGHTED median — the price point at which
+    half the shipped QUANTITY (not half the line items) sits below, per
+    return flag: the volume-weighted central price a revenue analyst
+    actually wants (plain median over rows lets one 1-unit line count as
+    much as a 50-unit line). Definition: smallest price p with
+    2·W(≤p) ≥ W_total — the lower weighted median, resolved entirely in
+    exact DECIMAL weight arithmetic, so no float comparison ever decides
+    the cut.
+
+    Scale: one (flag, price) pre-aggregate shrinks the window input to
+    distinct prices; the cumulative-weight window partitions by flag
+    (never a global single partition); the final per-flag argmin is a
+    3-row aggregate."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    per_price = lineitem.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("w")
+    )
+    win = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = per_price.withColumn(
+        "cumw", F.sum("w").over(win).cast("decimal(38,2)")
+    )
+    tot = per_price.groupBy("l_returnflag").agg(
+        F.sum("w").cast("decimal(38,2)").alias("totw"),
+        F.count("*").cast("bigint").alias("n_prices"),
+    )
+    return (
+        cum.join(F.broadcast(tot), "l_returnflag")
+        .filter(F.col("cumw") * 2 >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median_price"),
+            F.min(F.col("totw").cast("string").cast("double")).alias(
+                "total_weight"
+            ),
+            F.min("n_prices").alias("n_prices"),
+        )
+    )
+
+
+A30_ORACLE = """
+WITH per_price AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS w
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, l_extendedprice, w,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(38,2)) AS cumw
+  FROM per_price
+), tot AS (
+  SELECT l_returnflag, CAST(sum(w) AS DECIMAL(38,2)) AS totw,
+         CAST(count(*) AS BIGINT) AS n_prices
+  FROM per_price GROUP BY 1
+)
+SELECT c.l_returnflag,
+       min(c.l_extendedprice) AS weighted_median_price,
+       min(CAST(CAST(t.totw AS VARCHAR) AS DOUBLE)) AS total_weight,
+       min(t.n_prices) AS n_prices
+FROM cum c JOIN tot t USING (l_returnflag)
+WHERE c.cumw * 2 >= t.totw
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -5329,6 +5401,7 @@ QUERIES = {
     "w20_attribution": w20_attribution,
     "q_freshness_audit": q_freshness_audit,
     "a29_nation_gini": a29_nation_gini,
+    "a30_weighted_median": a30_weighted_median,
     "a25_hhi_concentration": a25_hhi_concentration,
     "w15_changepoint_cusum": w15_changepoint_cusum,
     "w16_seasonal_decompose": w16_seasonal_decompose,
@@ -5427,6 +5500,7 @@ ORACLES = {
     "w20_attribution": W20_ORACLE,
     "q_freshness_audit": Q_FRESHNESS_ORACLE,
     "a29_nation_gini": A29_ORACLE,
+    "a30_weighted_median": A30_ORACLE,
     "a25_hhi_concentration": A25_ORACLE,
     "w15_changepoint_cusum": W15_ORACLE,
     "w16_seasonal_decompose": W16_ORACLE,
