@@ -5254,8 +5254,12 @@ def a30_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one (flag, price) pre-aggregate shrinks the window input to
     distinct prices; the cumulative-weight window partitions by flag
-    (never a global single partition); the final per-flag argmin is a
-    3-row aggregate."""
+    (never a global single partition) but its parallelism IS the flag
+    cardinality — with few groups and many distinct values the 100 TB
+    path is two-phase bucket refinement (coarse price-bucket cumulative
+    finds the median bucket, then only that bucket's rows resolve the
+    exact cut — the a20 equi-depth broadcast-back pattern); at this
+    catalog's group counts the direct window wins on job count."""
     lineitem = read_table(spark, sf_dir, "lineitem")
     per_price = lineitem.groupBy("l_returnflag", "l_extendedprice").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,2)"))
