@@ -5318,6 +5318,70 @@ GROUP BY 1
 """
 
 
+def x8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: CDC diff between two committed snapshot versions — upgrades
+    ``sources/versioned.py::diff_snapshots`` from unit-only to an
+    oracle-checked surface. A write-once fixture commits two snapshots
+    of an orders projection through the REAL versioned-table protocol
+    (staging + ``_COMMITTED`` marker): v0 drops keys ≡0 (mod 11); v1
+    drops keys ≡0 (mod 17) and rewrites the status of keys ≡0 (mod 13)
+    — so inserted/deleted/updated are all exercised and the oracle
+    states every changed key's verdict in closed modular form. Any
+    fingerprint, join or time-travel bug hash-fails.
+
+    Scale: the diff is one full-outer join on the table key with only
+    (key, fingerprint) pairs moving — the one shuffle a table diff
+    fundamentally needs (docstring of diff_snapshots)."""
+    import os
+    import tempfile
+
+    from us_dot_flights_lakehouse_spark.sources.versioned import (
+        diff_snapshots,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"{tempfile.gettempdir()}/us_dot_snapdiff_{sf_tag}_v1"
+    if not os.path.isdir(out):  # deterministic fixture, write-once
+        tmp = f"{out}.tmp.{os.getpid()}"
+        write_snapshot(base.filter(k % 11 != 0), tmp)
+        write_snapshot(
+            base.filter(k % 17 != 0).select(
+                "o_orderkey",
+                F.when(k % 13 == 0, F.lit("XX"))
+                .otherwise(F.col("o_orderstatus"))
+                .alias("o_orderstatus"),
+                "o_totalprice",
+            ),
+            tmp,
+        )
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            # another writer won the race; content is deterministic
+            pass
+    versions = snapshot_versions(spark, out)
+    return diff_snapshots(
+        spark, out, ["o_orderkey"], v_old=min(versions), v_new=max(versions)
+    )
+
+
+X8_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 11 = 0 THEN 'inserted'
+            WHEN o_orderkey % 17 = 0 THEN 'deleted'
+            ELSE 'updated' END AS change_type
+FROM orders
+WHERE (o_orderkey % 11 = 0 AND o_orderkey % 17 != 0)
+   OR (o_orderkey % 17 = 0 AND o_orderkey % 11 != 0)
+   OR (o_orderkey % 13 = 0 AND o_orderkey % 11 != 0 AND o_orderkey % 17 != 0)
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -5406,6 +5470,7 @@ QUERIES = {
     "q_freshness_audit": q_freshness_audit,
     "a29_nation_gini": a29_nation_gini,
     "a30_weighted_median": a30_weighted_median,
+    "x8_snapshot_diff": x8_snapshot_diff,
     "a25_hhi_concentration": a25_hhi_concentration,
     "w15_changepoint_cusum": w15_changepoint_cusum,
     "w16_seasonal_decompose": w16_seasonal_decompose,
@@ -5505,6 +5570,7 @@ ORACLES = {
     "q_freshness_audit": Q_FRESHNESS_ORACLE,
     "a29_nation_gini": A29_ORACLE,
     "a30_weighted_median": A30_ORACLE,
+    "x8_snapshot_diff": X8_ORACLE,
     "a25_hhi_concentration": A25_ORACLE,
     "w15_changepoint_cusum": W15_ORACLE,
     "w16_seasonal_decompose": W16_ORACLE,
