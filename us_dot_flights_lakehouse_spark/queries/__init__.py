@@ -65,6 +65,7 @@ _PRIORITY = (
     "ts_ttr_diversity",  # MATTR windowed lexical diversity
     "a30_weighted_median",  # exact quantity-weighted median price
     "x8_snapshot_diff",  # versioned-table CDC diff (time travel)
+    "ts_quality_classifier",  # in-plan linear model inference
     "dd_exact_substr",  # cross-doc repeated-substring (span) dedup
     "dd_span_dedup_apply",  # span-level removal application
     "ts_entropy_gates",  # char/word entropy quality gates

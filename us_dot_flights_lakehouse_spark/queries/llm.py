@@ -3671,6 +3671,90 @@ GROUP BY dense.doc_id
 """
 
 
+def _clf_milli_weights() -> list[int]:
+    """Deterministic milli-weights in [-1000, 1000] for the linear
+    quality classifier — one per hashed-feature bucket, derived from
+    md5 so both engines receive identical literals."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w:{j}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+        for j in range(FH_DIM)
+    ]
+
+
+def ts_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: in-plan LINEAR MODEL INFERENCE — a fasttext-style quality
+    classifier scored at scan speed with zero Python and zero vocab
+    table: each token contributes sign·w[bucket] through the SAME
+    hashing-trick feature map as ``sim_feature_hash``, so the margin is
+    w·x for the exact vector that query materializes. This is the shape
+    model-based filtering takes at 100 TB: weights are trained offline
+    (tiny), shipped as literals, and inference is a pure columnar
+    expression — no UDF, no broadcast model object, no shuffle beyond
+    the per-doc sum.
+
+    Determinism: weights are integer MILLI-weights (literals derived
+    from md5, identical on both engines), so the accumulation
+    Σ sign·m[bucket] is exact BIGINT; the margin divides once by
+    1000·n_tokens. A float dot product would be partition-order
+    dependent — the integer path is not.
+
+    Output per doc: n_tokens, margin_milli (exact), score, keep."""
+    docs = read_table(spark, sf_dir, "documents")
+    weights = _clf_milli_weights()
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fh:"), F.col("tok"))), 1, 8), 16, 10
+    ).cast("long")
+    warr = F.array(*[F.lit(m) for m in weights])
+    contrib = (
+        F.lit(1) - F.lit(2) * F.pmod(F.floor(h / FH_DIM), F.lit(2)).cast("int")
+    ) * F.element_at(warr, F.pmod(h, F.lit(FH_DIM)).cast("int") + 1)
+    agg = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(contrib).cast("bigint").alias("margin_milli"),
+    )
+    score = F.col("margin_milli").cast("double") / (
+        1000.0 * F.col("n_tokens").cast("double")
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "margin_milli",
+        score.alias("score"),
+        (score > 0.0).alias("keep"),
+    )
+
+
+def _quality_clf_oracle() -> str:
+    weights = _clf_milli_weights()
+    wlist = "[" + ", ".join(str(m) for m in weights) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5('fh:' || tok), 1, 8))::BIGINT AS hv FROM t
+), c AS (
+  SELECT doc_id,
+         CAST((1 - 2 * ((hv // {FH_DIM}) % 2))
+              * ({wlist}[CAST(hv % {FH_DIM} AS INTEGER) + 1]) AS BIGINT)
+           AS contrib
+  FROM h
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(contrib) AS BIGINT) AS margin_milli
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, margin_milli,
+       CAST(margin_milli AS DOUBLE) / (1000.0 * CAST(n_tokens AS DOUBLE))
+         AS score,
+       CAST(margin_milli AS DOUBLE) / (1000.0 * CAST(n_tokens AS DOUBLE)) > 0.0
+         AS keep
+FROM agg
+"""
+
+
 def ts_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TS: URL component extraction with the built-in ``parse_url``
     (host / path / query / single query-param) — the crawl-metadata step
@@ -9058,6 +9142,7 @@ QUERIES = {
     "dd_incremental_minhash": dd_incremental_minhash,
     "tp_ranker_auc": tp_ranker_auc,
     "ts_ttr_diversity": ts_ttr_diversity,
+    "ts_quality_classifier": ts_quality_classifier,
     "ts_heaps_law": ts_heaps_law,
     "sim_lsh_recall_audit": sim_lsh_recall_audit,
     "sim_index_drift": sim_index_drift,
@@ -9197,6 +9282,7 @@ ORACLES = {
     "dd_incremental_minhash": _dd_incr_minhash_oracle(),
     "tp_ranker_auc": TP_AUC_ORACLE,
     "ts_ttr_diversity": TS_TTR_ORACLE,
+    "ts_quality_classifier": _quality_clf_oracle(),
     "ts_heaps_law": TS_HEAPS_ORACLE,
     "sim_lsh_recall_audit": _lsh_recall_oracle(),
     "sim_index_drift": _index_drift_oracle,
