@@ -124,6 +124,8 @@ WHITELIST: dict[str, set[str]] = {
     #   top-k result sets — sim_ivf/pq_recall_audit family
     "dd_lsh_tuning_curve": {"ONE_PART"},  # five 1-row per-config
     #   candidate-load aggregates unioned (bucket counting, never pairs)
+    "x8_snapshot_diff": {"SMJ"},         # FULL OUTER key diff — neither
+    #   snapshot side can broadcast (j4 family); only (key, fp) pairs move
 }
 
 

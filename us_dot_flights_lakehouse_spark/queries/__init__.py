@@ -66,6 +66,7 @@ _PRIORITY = (
     "a30_weighted_median",  # exact quantity-weighted median price
     "x8_snapshot_diff",  # versioned-table CDC diff (time travel)
     "ts_quality_classifier",  # in-plan linear model inference
+    "st_windowed_cardinality",  # per-window distinct users + HLL parity
     "dd_exact_substr",  # cross-doc repeated-substring (span) dedup
     "dd_span_dedup_apply",  # span-level removal application
     "ts_entropy_gates",  # char/word entropy quality gates

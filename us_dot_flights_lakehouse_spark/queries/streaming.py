@@ -388,8 +388,60 @@ WHERE rank <= {TOPK_PER_WINDOW}
 """
 
 
+def st_windowed_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per tumbling hour — THE streaming cardinality
+    metric (concurrent-user dashboards), in both the exact form and the
+    production sketch form side by side: per window, exact
+    COUNT(DISTINCT user) is the oracle-checked value and a boolean
+    asserts the DataSketches HLL estimate (a19's sketch, lgK=12) landed
+    within 5% — in sparse mode it is EXACT at these per-window
+    cardinalities, where approx_count_distinct's HLL++ missed 11-user
+    windows by >15%; estimator drift fails the value hash, and unlike
+    HLL++ these sketches also MERGE, which is what a late-data window
+    update needs. The same agg a readStream
+    caller runs (batch/stream parity as everywhere in this module); at
+    100 TB the exact companion is dropped and the MERGEABLE sketch is
+    the only affordable state: fixed KBs per open window instead of a
+    distinct-user set, and late data folds into the sketch without a
+    rescan.
+
+    Scale: one shuffle to (window) groups; sketch state is O(windows)."""
+    events = read_table(spark, sf_dir, "events")
+    agg = events.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12))
+        ).alias("approx_users"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    ok = (
+        F.abs(
+            F.col("approx_users").cast("double") - F.col("n_users").cast("double")
+        )
+        <= F.lit(0.05) * F.col("n_users").cast("double")
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_users",
+        "n_events",
+        ok.alias("sketch_ok"),
+    )
+
+
+ST_CARDINALITY_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS sketch_ok
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "st_windowed_topk": st_windowed_topk,
+    "st_windowed_cardinality": st_windowed_cardinality,
     "st_windowed_events": st_windowed_events,
     "st_sliding_windows": st_sliding_windows,
     "st_sessionize": st_sessionize,
@@ -402,6 +454,7 @@ QUERIES = {
 
 ORACLES = {
     "st_windowed_topk": ST_TOPK_ORACLE,
+    "st_windowed_cardinality": ST_CARDINALITY_ORACLE,
     "st_windowed_events": ST_WINDOW_ORACLE,
     "st_sliding_windows": ST_SLIDING_ORACLE,
     "st_sessionize": ST_SESSION_ORACLE,
