@@ -154,3 +154,25 @@ def test_mutual_information_independent_is_zero(spark, monkeypatch):
         assert r["pmi"] == pytest.approx(0.0, abs=1e-12)
         assert r["mi_term"] == pytest.approx(0.0, abs=1e-12)
         assert r["expected"] == pytest.approx(r["n_cell"])
+
+
+def test_x9_bucketed_join_plan_is_exchange_free(spark):
+    """The bucketed fact-fact join must plan with NO Exchange below the
+    join — the co-location contract the x9 layout pays for at publish
+    time; only the final status rollup may shuffle."""
+    from us_dot_flights_lakehouse_spark.queries import relational as rel
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = rel.x9_bucketed_join(spark, "/root/testdata/sf0.001")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        # the only hash exchange is the final status rollup
+        assert final.count("Exchange hashpartitioning") == 1
+        assert "Exchange hashpartitioning(l_orderkey" not in final
+        assert "Exchange hashpartitioning(o_orderkey" not in final
+        assert "SelectedBucketsCount" in final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -126,6 +126,9 @@ WHITELIST: dict[str, set[str]] = {
     #   candidate-load aggregates unioned (bucket counting, never pairs)
     "x8_snapshot_diff": {"SMJ"},         # FULL OUTER key diff — neither
     #   snapshot side can broadcast (j4 family); only (key, fp) pairs move
+    "x9_bucketed_join": {"SMJ"},         # the POINT of the query: a
+    #   bucketed big-big sort-merge join with ZERO exchanges below it
+    #   (plan-asserted in tests/test_round6_ops.py)
 }
 
 

@@ -67,6 +67,8 @@ _PRIORITY = (
     "x8_snapshot_diff",  # versioned-table CDC diff (time travel)
     "ts_quality_classifier",  # in-plan linear model inference
     "st_windowed_cardinality",  # per-window distinct users + HLL parity
+    "o9_dense_rank_ids",  # distributed zipWithIndex vs ROW_NUMBER
+    "x9_bucketed_join",  # exchange-free bucketed fact-fact join
     "dd_exact_substr",  # cross-doc repeated-substring (span) dedup
     "dd_span_dedup_apply",  # span-level removal application
     "ts_entropy_gates",  # char/word entropy quality gates

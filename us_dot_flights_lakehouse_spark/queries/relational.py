@@ -5382,6 +5382,111 @@ WHERE (o_orderkey % 11 = 0 AND o_orderkey % 17 != 0)
 """
 
 
+def o9_dense_rank_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9: distributed global dense ids — ``operators/physical.py::
+    ordered_dense_ids`` (the range-sort + per-partition-offset
+    zipWithIndex pattern that replaces a single-partition
+    ``row_number() OVER (ORDER BY …)`` funnel) gets a DIRECT oracle
+    surface: 0-based ids over orders in (totalprice, orderkey) total
+    order, hash-compared against an independent engine's ROW_NUMBER.
+    Previously only verified by its own unit test and transitively via
+    ``tp_token_ids``; this pins the global-rank contract per row at two
+    SFs every round.
+
+    Scale: one range shuffle at partition-count parallelism + a
+    partition-count-bounded offset collect — never a one-task sort."""
+    from us_dot_flights_lakehouse_spark.operators.physical import (
+        ordered_dense_ids,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return ordered_dense_ids(
+        orders, ["o_totalprice", "o_orderkey"], id_name="dense_id"
+    ).select("o_orderkey", "o_totalprice", F.col("dense_id").cast("bigint"))
+
+
+O9_ORACLE = """
+SELECT o_orderkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1
+            AS BIGINT) AS dense_id
+FROM orders
+"""
+
+
+def x9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: exchange-free big-big join via BUCKETED storage — lineitem and
+    orders published bucketed+sorted on the order key (8 buckets,
+    session-cached fixture through the real ``write_bucketed`` path),
+    then joined and rolled up to revenue per order status. This is the
+    co-location layout a 100 TB lakehouse pays ONE shuffle for at
+    publish time so every downstream fact⋈fact join runs with no
+    Exchange on either side
+    (tests/test_round6_ops.py::test_x9_bucketed_join_plan asserts the
+    join subtree is exchange-free); the oracle recomputes the rollup
+    from the raw tables, so the bucketed write+read path itself is
+    value-hash-verified every round.
+
+    Scale: the only Exchange in the whole plan is the final ≤3-group
+    status rollup of map-side partials."""
+    import tempfile
+
+    from us_dot_flights_lakehouse_spark.sources.writers import write_bucketed
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    li_t, o_t = f"x9_lineitem_{sf_tag}", f"x9_orders_{sf_tag}"
+    base = f"{tempfile.gettempdir()}/us_dot_x9_{sf_tag}"
+    if not spark.catalog.tableExists(li_t):
+        write_bucketed(
+            read_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            li_t,
+            ["l_orderkey"],
+            8,
+            sort_cols=["l_orderkey"],
+            path=f"{base}/lineitem",
+        )
+    if not spark.catalog.tableExists(o_t):
+        write_bucketed(
+            read_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus"
+            ),
+            o_t,
+            ["o_orderkey"],
+            8,
+            sort_cols=["o_orderkey"],
+            path=f"{base}/orders",
+        )
+    li, o = spark.table(li_t), spark.table(o_t)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(rev).cast("decimal(38,4)").cast("string").cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+X9_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2))
+                        - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DECIMAL(38,4)) AS VARCHAR)::DOUBLE AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -5471,6 +5576,8 @@ QUERIES = {
     "a29_nation_gini": a29_nation_gini,
     "a30_weighted_median": a30_weighted_median,
     "x8_snapshot_diff": x8_snapshot_diff,
+    "o9_dense_rank_ids": o9_dense_rank_ids,
+    "x9_bucketed_join": x9_bucketed_join,
     "a25_hhi_concentration": a25_hhi_concentration,
     "w15_changepoint_cusum": w15_changepoint_cusum,
     "w16_seasonal_decompose": w16_seasonal_decompose,
@@ -5571,6 +5678,8 @@ ORACLES = {
     "a29_nation_gini": A29_ORACLE,
     "a30_weighted_median": A30_ORACLE,
     "x8_snapshot_diff": X8_ORACLE,
+    "o9_dense_rank_ids": O9_ORACLE,
+    "x9_bucketed_join": X9_ORACLE,
     "a25_hhi_concentration": A25_ORACLE,
     "w15_changepoint_cusum": W15_ORACLE,
     "w16_seasonal_decompose": W16_ORACLE,
