@@ -66,6 +66,10 @@ def main():
         round6c_families(spark, factor)
         spark.stop()
         return
+    if only == "round6d":
+        round6d_families(spark, factor)
+        spark.stop()
+        return
     if only == "round5b":
         round5b_families(spark, factor)
         spark.stop()
@@ -991,6 +995,69 @@ def round6c_families(spark, factor):
             )
     finally:
         rel.read_table, llm.read_table, llm.read_corpus, qual.read_table = origs
+
+
+def round6d_families(spark, factor):
+    """Round-6 session-4 shapes at Nx: LSH planner, scene cuts, MATTR,
+    weighted median, in-plan classifier, windowed cardinality, dense-id
+    assignment. (x8/x9 are excluded: their write-once fixtures would be
+    reused across factors, making the ratio meaningless — their scaling
+    shapes are the already-stressed full-outer diff and bucketed join.)"""
+    import us_dot_flights_lakehouse_spark.queries.llm as llm
+    import us_dot_flights_lakehouse_spark.queries.relational as rel
+    import us_dot_flights_lakehouse_spark.queries.streaming as st
+
+    id_cols = {
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+        "lineitem": "l_orderkey",
+        "orders": "o_orderkey",
+        "customer": "c_custkey",
+        "nation": "n_nationkey",
+        "supplier": "s_suppkey",
+        "region": "r_regionkey",
+        "part": "p_partkey",
+    }
+    cache = {}
+
+    def scaled_table(f):
+        def read(spark_, sf_dir_, name, *a, **k):
+            key = (name, f)
+            if key not in cache:
+                eff = 1 if name in ("nation", "region", "supplier", "part", "customer") else f
+                cache[key] = scaled(spark_, name, eff, id_cols[name]).cache()
+                cache[key].count()
+            return cache[key]
+
+        return read
+
+    targets = [
+        ("dd_lsh_tuning_curve", llm.dd_lsh_tuning_curve),
+        ("mm_scene_cuts", llm.mm_scene_cuts),
+        ("ts_ttr_diversity", llm.ts_ttr_diversity),
+        ("ts_quality_classifier", llm.ts_quality_classifier),
+        ("a30_weighted_median", rel.a30_weighted_median),
+        ("st_windowed_cardinality", st.st_windowed_cardinality),
+        ("o9_dense_rank_ids", rel.o9_dense_rank_ids),
+    ]
+    origs = (rel.read_table, llm.read_table, llm.read_corpus, st.read_table)
+    try:
+        for name, fn in targets:
+            times = []
+            for f in (1, factor):
+                rel.read_table = scaled_table(f)
+                llm.read_table = scaled_table(f)
+                llm.read_corpus = scaled_table(f)
+                st.read_table = scaled_table(f)
+                t = timed(f"{name}@{f}x", fn(spark, SF_DIR))
+                times.append(t)
+            print(
+                f"{name}: growth {times[1] / times[0]:.1f}x at {factor}x rows",
+                flush=True,
+            )
+    finally:
+        rel.read_table, llm.read_table, llm.read_corpus, st.read_table = origs
 
 
 if __name__ == "__main__":
