@@ -5487,6 +5487,137 @@ GROUP BY 1
 """
 
 
+def _key_skew(df: DataFrame, col: str, label: str) -> DataFrame:
+    """Distribution stats for one join-key column: key count, row count,
+    hottest-key frequency and share, exact p50/p99 of the per-key
+    frequency (lower-percentile selection over the tiny distinct-
+    frequency table — 2·cum ≥ n / 100·cum ≥ 99·n in exact BIGINTs)."""
+    freqs = df.groupBy(F.col(col).alias("k")).agg(
+        F.count("*").cast("bigint").alias("f")
+    )
+    by_f = freqs.groupBy("f").agg(F.count("*").cast("bigint").alias("nk"))
+    w = W.orderBy("f").rowsBetween(W.unboundedPreceding, 0)
+    cum = by_f.withColumn("cumk", F.sum("nk").over(w).cast("bigint"))
+    tot = freqs.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("f").cast("bigint").alias("n_rows"),
+        F.max("f").cast("bigint").alias("max_freq"),
+    )
+    pcts = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.min(F.when(2 * F.col("cumk") >= F.col("n_keys"), F.col("f"))).alias(
+                "p50_freq"
+            ),
+            F.min(
+                F.when(100 * F.col("cumk") >= 99 * F.col("n_keys"), F.col("f"))
+            ).alias("p99_freq"),
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(pcts))
+        .select(
+            F.lit(label).alias("key_column"),
+            "n_keys",
+            "n_rows",
+            "max_freq",
+            (F.col("max_freq").cast("double") / F.col("n_rows").cast("double")).alias(
+                "top_share"
+            ),
+            "p50_freq",
+            "p99_freq",
+            (
+                F.col("p99_freq").cast("double") / F.col("p50_freq").cast("double")
+            ).alias("skew_ratio"),
+        )
+    )
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q (extension): join-key SKEW report — for each key column a big
+    join shuffles on, the frequency-distribution facts that decide
+    whether to salt, enable AQE skew-join, or broadcast: distinct keys,
+    hottest key's absolute and relative load, and the exact p50/p99
+    per-key frequency with their ratio. At 100 TB this table is read
+    BEFORE the join is written — one hot key = one straggler task, and
+    the p99/p50 ratio is the straggler predictor (BASELINE.md's skew
+    bench measured salting 1.6× faster at ratio ≈ 30).
+
+    Determinism: percentiles are lower-selection over the distinct-
+    frequency table in exact integer arithmetic — no interpolation, no
+    float rank math.
+
+    Scale: per column one groupBy to per-key counts + a distinct-
+    frequency rollup that is histogram-sized; nothing row-scale crosses
+    after the first aggregate."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    reports = [
+        _key_skew(lineitem, "l_orderkey", "lineitem.l_orderkey"),
+        _key_skew(lineitem, "l_partkey", "lineitem.l_partkey"),
+        _key_skew(orders, "o_custkey", "orders.o_custkey"),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _skew_oracle_one(table: str, col: str, label: str) -> str:
+    return f"""
+SELECT '{label}' AS key_column,
+       CAST((SELECT count(*) FROM freqs_{col}) AS BIGINT) AS n_keys,
+       CAST((SELECT sum(f) FROM freqs_{col}) AS BIGINT) AS n_rows,
+       CAST((SELECT max(f) FROM freqs_{col}) AS BIGINT) AS max_freq,
+       CAST((SELECT max(f) FROM freqs_{col}) AS DOUBLE)
+         / CAST((SELECT sum(f) FROM freqs_{col}) AS DOUBLE) AS top_share,
+       (SELECT min(f) FROM cum_{col}
+        WHERE 2 * cumk >= (SELECT count(*) FROM freqs_{col})) AS p50_freq,
+       (SELECT min(f) FROM cum_{col}
+        WHERE 100 * cumk >= 99 * (SELECT count(*) FROM freqs_{col}))
+         AS p99_freq,
+       CAST((SELECT min(f) FROM cum_{col}
+             WHERE 100 * cumk >= 99 * (SELECT count(*) FROM freqs_{col}))
+            AS DOUBLE)
+         / CAST((SELECT min(f) FROM cum_{col}
+                 WHERE 2 * cumk >= (SELECT count(*) FROM freqs_{col}))
+                AS DOUBLE) AS skew_ratio"""
+
+
+Q_SKEW_ORACLE = f"""
+WITH freqs_l_orderkey AS (
+  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS f
+  FROM lineitem GROUP BY 1
+), cum_l_orderkey AS (
+  SELECT f, CAST(sum(nk) OVER (ORDER BY f
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumk
+  FROM (SELECT f, CAST(count(*) AS BIGINT) AS nk
+        FROM freqs_l_orderkey GROUP BY 1)
+), freqs_l_partkey AS (
+  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS f
+  FROM lineitem GROUP BY 1
+), cum_l_partkey AS (
+  SELECT f, CAST(sum(nk) OVER (ORDER BY f
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumk
+  FROM (SELECT f, CAST(count(*) AS BIGINT) AS nk
+        FROM freqs_l_partkey GROUP BY 1)
+), freqs_o_custkey AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS f
+  FROM orders GROUP BY 1
+), cum_o_custkey AS (
+  SELECT f, CAST(sum(nk) OVER (ORDER BY f
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumk
+  FROM (SELECT f, CAST(count(*) AS BIGINT) AS nk
+        FROM freqs_o_custkey GROUP BY 1)
+)
+{_skew_oracle_one('lineitem', 'l_orderkey', 'lineitem.l_orderkey')}
+UNION ALL
+{_skew_oracle_one('lineitem', 'l_partkey', 'lineitem.l_partkey')}
+UNION ALL
+{_skew_oracle_one('orders', 'o_custkey', 'orders.o_custkey')}
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -5578,6 +5709,7 @@ QUERIES = {
     "x8_snapshot_diff": x8_snapshot_diff,
     "o9_dense_rank_ids": o9_dense_rank_ids,
     "x9_bucketed_join": x9_bucketed_join,
+    "q_skew_report": q_skew_report,
     "a25_hhi_concentration": a25_hhi_concentration,
     "w15_changepoint_cusum": w15_changepoint_cusum,
     "w16_seasonal_decompose": w16_seasonal_decompose,
@@ -5680,6 +5812,7 @@ ORACLES = {
     "x8_snapshot_diff": X8_ORACLE,
     "o9_dense_rank_ids": O9_ORACLE,
     "x9_bucketed_join": X9_ORACLE,
+    "q_skew_report": Q_SKEW_ORACLE,
     "a25_hhi_concentration": A25_ORACLE,
     "w15_changepoint_cusum": W15_ORACLE,
     "w16_seasonal_decompose": W16_ORACLE,
