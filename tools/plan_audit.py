@@ -129,6 +129,9 @@ WHITELIST: dict[str, set[str]] = {
     "x9_bucketed_join": {"SMJ"},         # the POINT of the query: a
     #   bucketed big-big sort-merge join with ZERO exchanges below it
     #   (plan-asserted in tests/test_round6_ops.py)
+    "q_skew_report": {"ONE_PART"},       # cumulative window + 1-row
+    #   percentile selection over the HISTOGRAM-sized distinct-frequency
+    #   table (distinct per-key counts, never row-scale)
 }
 
 
