@@ -176,3 +176,25 @@ def test_x9_bucketed_join_plan_is_exchange_free(spark):
         assert "SelectedBucketsCount" in final
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_label_propagation_finds_planted_communities(spark, monkeypatch):
+    """Two 4-cliques joined by one bridge edge resolve to two
+    communities, each labeled by its smallest member."""
+    from us_dot_flights_lakehouse_spark.queries import relational as rel
+
+    mod = rel.TRIANGLE_NODE_MOD
+    c1 = [mod * i for i in range(1, 5)]
+    c2 = [mod * i for i in range(10, 14)]
+    rows = [(1, p) for p in c1] + [(2, p) for p in c2] + [
+        (3, c1[-1]), (3, c2[0]),  # bridge basket
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    monkeypatch.setattr(rel, "read_table", lambda s, d, n: li)
+    out = {r["p_partkey"]: r for r in rel.g4_label_propagation(spark, "x").collect()}
+    for p in c1:
+        assert out[p]["community"] == c1[0]
+    for p in c2:
+        assert out[p]["community"] == c2[0]
+    assert out[c1[0]]["community_size"] == 4
+    assert out[c2[0]]["community_size"] == 4

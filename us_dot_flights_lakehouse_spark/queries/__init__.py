@@ -70,6 +70,7 @@ _PRIORITY = (
     "o9_dense_rank_ids",  # distributed zipWithIndex vs ROW_NUMBER
     "x9_bucketed_join",  # exchange-free bucketed fact-fact join
     "q_skew_report",  # join-key skew / salting-decision audit
+    "g4_label_propagation",  # deterministic LPA communities
     "dd_exact_substr",  # cross-doc repeated-substring (span) dedup
     "dd_span_dedup_apply",  # span-level removal application
     "ts_entropy_gates",  # char/word entropy quality gates

@@ -4854,6 +4854,52 @@ KCORE_K = 3
 KCORE_ROUNDS = 3
 
 
+def _copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """The sampled part co-purchase edge list shared by the iterative
+    graph queries (g3 k-core, g4 label propagation): g2's deterministic
+    node gate (part ≡ 0 mod TRIANGLE_NODE_MOD) and basket cap, pairs
+    expanded INSIDE capped baskets, distinct undirected (a < b) edges.
+    localCheckpointed ONCE — every iteration round re-references the
+    edge list, and lazy lineage would re-run the basket explosion per
+    round (measured 29 s → 5 s on g3); same hygiene as dup_clusters."""
+    baskets = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.filter(
+                    F.collect_set("l_partkey"),
+                    lambda p: F.pmod(p, F.lit(TRIANGLE_NODE_MOD)) == 0,
+                )
+            ).alias("items")
+        )
+        .filter(
+            (F.size("items") >= 2) & (F.size("items") <= TRIANGLE_MAX_BASKET)
+        )
+    )
+    n = F.size("items")
+    return (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), n - 1),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, n),
+                            lambda j: F.struct(
+                                F.element_at("items", i).alias("a"),
+                                F.element_at("items", j).alias("b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
 def g3_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: bounded k-core peeling on the part co-purchase graph — the
     community-density filter that strips low-engagement leaves so that
@@ -4874,47 +4920,7 @@ def g3_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each round is one degree aggregate + two semi-joins on node
     keys — {KCORE_ROUNDS}× the edge-list cost, no quadratic term; the
     peeled-node set only shrinks."""
-    lineitem = read_table(spark, sf_dir, "lineitem")
-    baskets = (
-        lineitem.groupBy("l_orderkey")
-        .agg(
-            F.array_sort(
-                F.filter(
-                    F.collect_set("l_partkey"),
-                    lambda p: F.pmod(p, F.lit(TRIANGLE_NODE_MOD)) == 0,
-                )
-            ).alias("items")
-        )
-        .filter(
-            (F.size("items") >= 2) & (F.size("items") <= TRIANGLE_MAX_BASKET)
-        )
-    )
-    n = F.size("items")
-    edges = (
-        baskets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), n - 1),
-                        lambda i: F.transform(
-                            F.sequence(i + 1, n),
-                            lambda j: F.struct(
-                                F.element_at("items", i).alias("a"),
-                                F.element_at("items", j).alias("b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("e")
-        )
-        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
-        .distinct()
-        # materialize ONCE: deg0 + every peel round + the final degree all
-        # re-reference the edge list — lazy lineage would re-run the basket
-        # explosion per round (measured 29 s -> the checkpointed plan's
-        # cost); same hygiene as dup_clusters' iteration
-        .localCheckpoint()
-    )
+    edges = _copurchase_edges(read_table(spark, sf_dir, "lineitem"))
 
     def degrees(e: DataFrame) -> DataFrame:
         both = e.select(F.col("a").alias("v")).unionAll(
@@ -5618,6 +5624,96 @@ UNION ALL
 """
 
 
+LPA_ROUNDS = 3
+
+
+def g4_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: community detection by synchronous label propagation (LPA,
+    Raghavan et al. 2007) on the part co-purchase graph — {LPA_ROUNDS}
+    bulk-synchronous rounds where every node adopts the label most
+    frequent among its neighbors PLUS its own current label (the
+    self-vote damps oscillation on bipartite-ish structure), ties to the
+    SMALLEST label so every round is deterministic — unlike classic
+    random-tie LPA, this variant is engine-reproducible, which is what
+    makes an oracle possible. Completes the graph family: g1 ranks, g2
+    counts triangles, g3 peels cores, g4 names the communities. Output:
+    (node, community, community_size).
+
+    Scale: per round one neighbor-label join + one (node, label) count
+    + one per-node argmax — all edge-scale equi-shuffles on the shared
+    checkpointed edge list; label state is one row per node."""
+    edges = _copurchase_edges(read_table(spark, sf_dir, "lineitem"))
+    nbr = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("u")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    nodes = nbr.select("v").distinct()
+    labels = nodes.select("v", F.col("v").alias("lbl"))
+    for _ in range(LPA_ROUNDS):
+        votes = nbr.join(
+            labels.select(F.col("v").alias("u"), "lbl"), "u"
+        ).select("v", "lbl").unionAll(labels.select("v", "lbl"))
+        counts = votes.groupBy("v", "lbl").agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        # argmax by (count desc, label asc): max(struct(c, -lbl))
+        best = counts.groupBy("v").agg(
+            F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m")
+        )
+        labels = best.select("v", (-F.col("m.nl")).alias("lbl")).localCheckpoint()
+    sizes = labels.groupBy("lbl").agg(
+        F.count("*").cast("bigint").alias("community_size")
+    )
+    return labels.join(sizes, "lbl").select(
+        F.col("v").alias("p_partkey"),
+        F.col("lbl").alias("community"),
+        "community_size",
+    )
+
+
+def _g4_oracle() -> str:
+    rounds = []
+    for r in range(1, LPA_ROUNDS + 1):
+        p = r - 1
+        rounds.append(f"""
+, votes{r} AS (
+  SELECT n.v, l.lbl FROM nbr n JOIN labels{p} l ON n.u = l.v
+  UNION ALL SELECT v, lbl FROM labels{p}
+), counts{r} AS (
+  SELECT v, lbl, count(*) AS c FROM votes{r} GROUP BY 1, 2
+), labels{r} AS (
+  SELECT v, lbl FROM (
+    SELECT v, lbl,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+    FROM counts{r}
+  ) WHERE rn = 1
+)""")
+    last = LPA_ROUNDS
+    return f"""
+WITH baskets AS (
+  SELECT l_orderkey,
+         list_filter(list_distinct(list(l_partkey)),
+                     p -> p % {TRIANGLE_NODE_MOD} = 0) AS items
+  FROM lineitem GROUP BY 1
+), e AS (
+  SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+  FROM baskets,
+       unnest(items) AS x(p),
+       unnest(items) AS y(p)
+  WHERE len(items) >= 2 AND len(items) <= {TRIANGLE_MAX_BASKET} AND x.p < y.p
+), nbr AS (
+  SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e
+), labels0 AS (
+  SELECT DISTINCT v, v AS lbl FROM nbr
+){"".join(rounds)}
+, sizes AS (
+  SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+  FROM labels{last} GROUP BY 1
+)
+SELECT l.v AS p_partkey, l.lbl AS community, s.community_size
+FROM labels{last} l JOIN sizes s ON l.lbl = s.lbl
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -5710,6 +5806,7 @@ QUERIES = {
     "o9_dense_rank_ids": o9_dense_rank_ids,
     "x9_bucketed_join": x9_bucketed_join,
     "q_skew_report": q_skew_report,
+    "g4_label_propagation": g4_label_propagation,
     "a25_hhi_concentration": a25_hhi_concentration,
     "w15_changepoint_cusum": w15_changepoint_cusum,
     "w16_seasonal_decompose": w16_seasonal_decompose,
@@ -5813,6 +5910,7 @@ ORACLES = {
     "o9_dense_rank_ids": O9_ORACLE,
     "x9_bucketed_join": X9_ORACLE,
     "q_skew_report": Q_SKEW_ORACLE,
+    "g4_label_propagation": _g4_oracle(),
     "a25_hhi_concentration": A25_ORACLE,
     "w15_changepoint_cusum": W15_ORACLE,
     "w16_seasonal_decompose": W16_ORACLE,
