@@ -1040,6 +1040,8 @@ def round6d_families(spark, factor):
         ("a30_weighted_median", rel.a30_weighted_median),
         ("st_windowed_cardinality", st.st_windowed_cardinality),
         ("o9_dense_rank_ids", rel.o9_dense_rank_ids),
+        ("q_skew_report", rel.q_skew_report),
+        ("g4_label_propagation", rel.g4_label_propagation),
     ]
     origs = (rel.read_table, llm.read_table, llm.read_corpus, st.read_table)
     try:
