@@ -71,6 +71,8 @@ _PRIORITY = (
     "x9_bucketed_join",  # exchange-free bucketed fact-fact join
     "q_skew_report",  # join-key skew / salting-decision audit
     "g4_label_propagation",  # deterministic LPA communities
+    "a31_ks_drift",  # exact two-sample KS drift statistic
+    "mm_frame_dedup",  # cross-video frame-level md5 dedup
     "dd_exact_substr",  # cross-doc repeated-substring (span) dedup
     "dd_span_dedup_apply",  # span-level removal application
     "ts_entropy_gates",  # char/word entropy quality gates

@@ -1779,6 +1779,95 @@ FROM documents, (SELECT unnest(range(0, 5)) AS p)
 """
 
 
+def _frame_dedup_pixels(residue: int, frame: int):
+    """The deterministic frame pixels shared by mm_frame_dedup's Spark
+    synth and its oracle builder — ONE definition so the md5 literals
+    can never drift from the kernel."""
+    import numpy as np
+
+    g = (7 * residue + 17 * frame + 5 * np.arange(16)) % 256
+    return np.repeat(g.astype(np.uint8).reshape(4, 4, 1), 3, axis=2)
+
+
+def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: cross-video FRAME-level dedup — sampled frames fingerprinted
+    by md5 over their raw pixel bytes and clustered corpus-wide: the
+    boilerplate-intro / static-logo detector a video pipeline runs
+    before captioning (doc-level video dedup misses a shared 5-second
+    intro; frame-level catches it). Videos are synthesized so content
+    depends only on doc_id mod 16 — every frame recurs across ~n/16
+    documents — and the oracle embeds the 48 ground-truth digests
+    (computed in Python from the SAME pixel definition), so a decode,
+    sampling-order, or byte-layout bug hash-fails. Output: one row per
+    distinct frame with its copy count and (min doc, sample) keeper.
+
+    Scale: synth+decode+digest fused in one mapInPandas pass (zero pixel
+    bytes shuffle — only 32-char digests reach the groupBy); the rollup
+    keys on the digest."""
+    import numpy as np
+
+    docs = read_corpus(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import avi_encode
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                frames = np.stack(
+                    [_frame_dedup_pixels(int(d) % 16, f) for f in range(6)]
+                )
+                payloads.append(avi_encode(frames, us_per_frame=40_000))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    vids = docs.mapInPandas(synth, schema="id long, payload binary")
+
+    def digest(batches):
+        import hashlib
+
+        from us_dot_flights_lakehouse_spark.llm.multimodal import (
+            _sampled_frames,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["id"], pdf["payload"]):
+                for s, (*_meta, px) in enumerate(_sampled_frames(blob, 80)):
+                    rows.append(
+                        (i, s, hashlib.md5(px.tobytes()).hexdigest())
+                    )
+            yield pd.DataFrame(rows, columns=["id", "sample_idx", "frame_md5"])
+
+    frames = vids.mapInPandas(
+        digest, schema="id long, sample_idx int, frame_md5 string"
+    )
+    return frames.groupBy("frame_md5").agg(
+        F.count("*").cast("bigint").alias("n_copies"),
+        F.min("id").cast("bigint").alias("keeper_doc_id"),
+    )
+
+
+def _frame_dedup_oracle() -> str:
+    import hashlib
+
+    rows = []
+    for r in range(16):
+        for s, f in enumerate((0, 2, 4)):  # 80 ms stride over 40 ms frames
+            md5 = hashlib.md5(_frame_dedup_pixels(r, f).tobytes()).hexdigest()
+            rows.append(f"({r}, {s}, '{md5}')")
+    return f"""
+WITH lut(r, s, frame_md5) AS (VALUES {", ".join(rows)}),
+frames AS (
+  SELECT d.doc_id, l.frame_md5
+  FROM documents d JOIN lut l ON l.r = d.doc_id % 16
+)
+SELECT frame_md5,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+FROM frames GROUP BY 1
+"""
+
+
 def mm_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM: REAL compressed-codec frame sampling — synthesizes a 6-frame
     8x8 MJPEG AVI per document ('00dc' chunks, each a baseline JPEG;
@@ -9131,6 +9220,7 @@ QUERIES = {
     "mm_frame_stats": mm_frame_stats,
     "mm_video_motion": mm_video_motion,
     "mm_scene_cuts": mm_scene_cuts,
+    "mm_frame_dedup": mm_frame_dedup,
     "mm_audio_resample": mm_audio_resample,
     "mm_mjpeg_frame_stats": mm_mjpeg_frame_stats,
     "src_wds_roundtrip": src_wds_roundtrip,
@@ -9271,6 +9361,7 @@ ORACLES = {
     "mm_frame_stats": MM_FRAME_ORACLE,
     "mm_video_motion": MM_MOTION_ORACLE,
     "mm_scene_cuts": MM_SCENE_CUTS_ORACLE,
+    "mm_frame_dedup": _frame_dedup_oracle(),
     "mm_audio_resample": MM_RESAMPLE_ORACLE,
     "mm_mjpeg_frame_stats": MM_MJPEG_ORACLE,
     "src_wds_roundtrip": SRC_WDS_ORACLE,

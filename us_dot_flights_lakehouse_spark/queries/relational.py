@@ -5714,6 +5714,126 @@ FROM labels{last} l JOIN sizes s ON l.lbl = s.lbl
 """
 
 
+KS_CUTOFF_DATE = "1995-01-01"
+KS_BUCKET_WIDTH = 1000.0
+
+
+def a31_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31 (extension): exact two-sample Kolmogorov–Smirnov statistic —
+    D = max |F₁(v) − F₂(v)| between the order-price distributions before
+    and after {KS_CUTOFF_DATE}: the standard data-drift detector a
+    pipeline runs between corpus snapshots before trusting a model
+    trained on the old one. Everything is exact integers until ONE final
+    division: per distinct price, cumulative counts c₁, c₂; the
+    numerator |c₁·N₂ − c₂·N₁| is BIGINT; D = max_num / (N₁·N₂).
+
+    Scale — a DISTRIBUTED PREFIX SCAN, not a global window: a plain
+    cumulative sum over ~n distinct prices funnels through one task, so
+    the cumulative splits two-phase — coarse price buckets (width
+    {KS_BUCKET_WIDTH}) get exclusive prefix totals via a bucket-count-
+    sized window, then within-bucket cumulative windows run PARTITIONED
+    BY bucket in parallel and add their bucket's offset. Same exact
+    integers, parallelism = bucket count instead of 1."""
+    orders = read_table(spark, sf_dir, "orders")
+    g1 = (F.col("o_orderdate") < F.lit(KS_CUTOFF_DATE).cast("date")).cast(
+        "bigint"
+    )
+    per_price = (
+        orders.groupBy(F.col("o_totalprice").alias("v"))
+        .agg(
+            F.sum(g1).cast("bigint").alias("n1_v"),
+            F.sum(1 - g1).cast("bigint").alias("n2_v"),
+        )
+        .withColumn(
+            "bkt", F.floor(F.col("v") / F.lit(KS_BUCKET_WIDTH)).cast("bigint")
+        )
+    )
+    btot = per_price.groupBy("bkt").agg(
+        F.sum("n1_v").cast("bigint").alias("t1"),
+        F.sum("n2_v").cast("bigint").alias("t2"),
+    )
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    boff = btot.select(
+        "bkt",
+        F.coalesce(F.sum("t1").over(wb), F.lit(0)).cast("bigint").alias("o1"),
+        F.coalesce(F.sum("t2").over(wb), F.lit(0)).cast("bigint").alias("o2"),
+    )
+    wi = W.partitionBy("bkt").orderBy("v").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = (
+        per_price.join(F.broadcast(boff), "bkt")
+        .withColumn(
+            "c1", (F.col("o1") + F.sum("n1_v").over(wi)).cast("bigint")
+        )
+        .withColumn(
+            "c2", (F.col("o2") + F.sum("n2_v").over(wi)).cast("bigint")
+        )
+    )
+    tot = orders.agg(
+        F.sum(g1).cast("bigint").alias("n1"),
+        F.sum(1 - g1).cast("bigint").alias("n2"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "num",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).cast(
+            "bigint"
+        ),
+    )
+    best = scored.agg(
+        F.max(F.struct(F.col("num"), (-F.col("v")).alias("nv"))).alias("m"),
+        F.min("n1").alias("n1"),
+        F.min("n2").alias("n2"),
+    )
+    return best.select(
+        "n1",
+        "n2",
+        F.col("m.num").alias("ks_numerator"),
+        (
+            F.col("m.num").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+        ).alias("ks_stat"),
+        (-F.col("m.nv")).alias("at_price"),
+    )
+
+
+A31_ORACLE = f"""
+WITH per_price AS (
+  SELECT o_totalprice AS v,
+         CAST(sum(CASE WHEN o_orderdate < DATE '{KS_CUTOFF_DATE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1_v,
+         CAST(sum(CASE WHEN o_orderdate < DATE '{KS_CUTOFF_DATE}'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n2_v
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT v,
+         CAST(sum(n1_v) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+         CAST(sum(n2_v) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2
+  FROM per_price
+), tot AS (
+  SELECT CAST(sum(CASE WHEN o_orderdate < DATE '{KS_CUTOFF_DATE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN o_orderdate < DATE '{KS_CUTOFF_DATE}'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n2
+  FROM orders
+), scored AS (
+  SELECT v, abs(c1 * n2 - c2 * n1) AS num, n1, n2
+  FROM cum CROSS JOIN tot
+), best AS (
+  SELECT n1, n2, num AS ks_numerator, v AS at_price,
+         ROW_NUMBER() OVER (ORDER BY num DESC, v ASC) AS rn
+  FROM scored
+)
+SELECT n1, n2, CAST(ks_numerator AS BIGINT) AS ks_numerator,
+       CAST(ks_numerator AS DOUBLE)
+         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_stat,
+       at_price
+FROM best WHERE rn = 1
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -5807,6 +5927,7 @@ QUERIES = {
     "x9_bucketed_join": x9_bucketed_join,
     "q_skew_report": q_skew_report,
     "g4_label_propagation": g4_label_propagation,
+    "a31_ks_drift": a31_ks_drift,
     "a25_hhi_concentration": a25_hhi_concentration,
     "w15_changepoint_cusum": w15_changepoint_cusum,
     "w16_seasonal_decompose": w16_seasonal_decompose,
@@ -5911,6 +6032,7 @@ ORACLES = {
     "x9_bucketed_join": X9_ORACLE,
     "q_skew_report": Q_SKEW_ORACLE,
     "g4_label_propagation": _g4_oracle(),
+    "a31_ks_drift": A31_ORACLE,
     "a25_hhi_concentration": A25_ORACLE,
     "w15_changepoint_cusum": W15_ORACLE,
     "w16_seasonal_decompose": W16_ORACLE,
