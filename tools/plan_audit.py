@@ -132,6 +132,9 @@ WHITELIST: dict[str, set[str]] = {
     "q_skew_report": {"ONE_PART"},       # cumulative window + 1-row
     #   percentile selection over the HISTOGRAM-sized distinct-frequency
     #   table (distinct per-key counts, never row-scale)
+    "a31_ks_drift": {"ONE_PART"},        # bucket-offset window over the
+    #   ~600-row bucket table + the 1-row KS argmax — the row-scale
+    #   cumulative runs PARTITIONED by bucket (the two-phase scan)
 }
 
 
