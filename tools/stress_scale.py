@@ -1042,6 +1042,8 @@ def round6d_families(spark, factor):
         ("o9_dense_rank_ids", rel.o9_dense_rank_ids),
         ("q_skew_report", rel.q_skew_report),
         ("g4_label_propagation", rel.g4_label_propagation),
+        ("a31_ks_drift", rel.a31_ks_drift),
+        ("mm_frame_dedup", llm.mm_frame_dedup),
     ]
     origs = (rel.read_table, llm.read_table, llm.read_corpus, st.read_table)
     try:
