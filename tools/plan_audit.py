@@ -135,6 +135,9 @@ WHITELIST: dict[str, set[str]] = {
     "a31_ks_drift": {"ONE_PART"},        # bucket-offset window over the
     #   ~600-row bucket table + the 1-row KS argmax — the row-scale
     #   cumulative runs PARTITIONED by bucket (the two-phase scan)
+    "dd_incremental_clusters": {"SMJ"},  # composes the LSH band-bucket
+    #   self-join + two dup_clusters CC iterations (dd_dup_clusters
+    #   family) — all sides row-scale, genuine shuffle joins
 }
 
 

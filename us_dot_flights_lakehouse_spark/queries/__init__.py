@@ -49,6 +49,7 @@ _PRIORITY = (
     # new in round 6 — never driver-verified
     "q_table_stats_approx",  # sketch-based wide-table profile
     "dd_incremental_minhash",  # near-dup probe vs published band history
+    "dd_incremental_clusters",  # attach batch to frozen history clusters
     "w19_autocorrelation",  # gap-aware ACF of hourly revenue
     "a28_mutual_information",  # per-cell PMI/MI dependence audit
     "g3_kcore_decompose",  # bounded k-core peeling

@@ -2486,6 +2486,134 @@ FROM curve a LEFT JOIN curve b ON a.decile = b.decile + 1
 """
 
 
+def dd_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD: INCREMENTAL near-dup cluster maintenance — the nightly step
+    after ``dd_incremental_minhash``'s verdict: attach the new batch's
+    docs to the PUBLISHED history clusters without relabeling history or
+    re-running global connected components. History labels are frozen
+    (computed here in-plan over history-only pairs so the oracle can
+    replay them; in production they are the published cluster table);
+    batch docs get components over batch-batch verified pairs only, and
+    each component adopts the SMALLEST linked history cluster label
+    (cluster continuity) or its own min batch id when it touches
+    nothing. A component touching ≥2 history clusters is the classic
+    incremental-CC merge candidate — surfaced per doc as
+    ``n_history_clusters_touched`` so a periodic full re-cluster can fix
+    exactly those, instead of everything.
+
+    Scale: ONE LSH pass over the corpus split three ways (hist-hist /
+    cross / batch-batch); the iteration in dup_clusters runs only on the
+    BATCH subgraph — the whole point: nightly cost is batch-sized, not
+    corpus-sized."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    cut = INCR_HISTORY_CUTOFF
+    # materialize the verified pair set ONCE: four filtered views (hist/
+    # batch/two cross orientations) would each re-run the whole LSH
+    # candidate+verify pipeline off the lazy plan (measured 33 s -> 9 s)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, threshold=JACCARD_THRESHOLD
+    ).localCheckpoint()
+    a, b = F.col("doc_id_a"), F.col("doc_id_b")
+    pairs_hh = pairs.filter((a < cut) & (b < cut))
+    pairs_bb = pairs.filter((a >= cut) & (b >= cut))
+    # cross links in both orientations -> (batch_id, hist_id)
+    cross = pairs.filter((a < cut) & (b >= cut)).select(
+        b.alias("batch_id"), a.alias("hist_id")
+    ).unionAll(
+        pairs.filter((a >= cut) & (b < cut)).select(
+            a.alias("batch_id"), b.alias("hist_id")
+        )
+    )
+    hist_ids = docs.filter(F.col("doc_id") < cut).select("doc_id")
+    batch_ids = docs.filter(F.col("doc_id") >= cut).select("doc_id")
+    hist_labels = curation.dup_clusters(hist_ids, pairs_hh).select(
+        F.col("node").alias("hist_id"), F.col("cluster_id").alias("hist_lbl")
+    )
+    batch_cc = curation.dup_clusters(batch_ids, pairs_bb).select(
+        F.col("node").alias("doc_id"), F.col("cluster_id").alias("comp")
+    )
+    linked = (
+        cross.join(hist_labels, "hist_id")
+        .join(batch_cc.withColumnRenamed("doc_id", "batch_id"), "batch_id")
+        .groupBy("comp")
+        .agg(
+            F.min("hist_lbl").cast("bigint").alias("min_hist_lbl"),
+            F.count_distinct("hist_lbl").cast("bigint").alias("n_hist"),
+        )
+    )
+    return (
+        batch_cc.join(F.broadcast(linked), "comp", "left")
+        .select(
+            "doc_id",
+            F.coalesce("min_hist_lbl", F.col("comp")).cast("bigint").alias(
+                "cluster_label"
+            ),
+            F.col("min_hist_lbl").isNotNull().alias("attached_to_history"),
+            F.coalesce("n_hist", F.lit(0)).cast("bigint").alias(
+                "n_history_clusters_touched"
+            ),
+        )
+    )
+
+
+DD_INCR_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({{minhash_pairs}}),
+hist_edges AS (
+  SELECT doc_id_a AS x, doc_id_b AS y FROM pairs
+  WHERE doc_id_a < {INCR_HISTORY_CUTOFF} AND doc_id_b < {INCR_HISTORY_CUTOFF}
+  UNION ALL
+  SELECT doc_id_b, doc_id_a FROM pairs
+  WHERE doc_id_a < {INCR_HISTORY_CUTOFF} AND doc_id_b < {INCR_HISTORY_CUTOFF}
+),
+hist_reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  WHERE doc_id < {INCR_HISTORY_CUTOFF}
+  UNION
+  SELECT r.src, e.y FROM hist_reach r JOIN hist_edges e ON r.dst = e.x
+),
+hist_labels AS (
+  SELECT src AS hist_id, MIN(dst) AS hist_lbl FROM hist_reach GROUP BY src
+),
+batch_edges AS (
+  SELECT doc_id_a AS x, doc_id_b AS y FROM pairs
+  WHERE doc_id_a >= {INCR_HISTORY_CUTOFF} AND doc_id_b >= {INCR_HISTORY_CUTOFF}
+  UNION ALL
+  SELECT doc_id_b, doc_id_a FROM pairs
+  WHERE doc_id_a >= {INCR_HISTORY_CUTOFF} AND doc_id_b >= {INCR_HISTORY_CUTOFF}
+),
+batch_reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  WHERE doc_id >= {INCR_HISTORY_CUTOFF}
+  UNION
+  SELECT r.src, e.y FROM batch_reach r JOIN batch_edges e ON r.dst = e.x
+),
+batch_cc AS (
+  SELECT src AS doc_id, MIN(dst) AS comp FROM batch_reach GROUP BY src
+),
+cross_links AS (
+  SELECT doc_id_b AS batch_id, doc_id_a AS hist_id FROM pairs
+  WHERE doc_id_a < {INCR_HISTORY_CUTOFF} AND doc_id_b >= {INCR_HISTORY_CUTOFF}
+  UNION ALL
+  SELECT doc_id_a, doc_id_b FROM pairs
+  WHERE doc_id_a >= {INCR_HISTORY_CUTOFF} AND doc_id_b < {INCR_HISTORY_CUTOFF}
+),
+linked AS (
+  SELECT bc.comp,
+         CAST(MIN(hl.hist_lbl) AS BIGINT) AS min_hist_lbl,
+         CAST(COUNT(DISTINCT hl.hist_lbl) AS BIGINT) AS n_hist
+  FROM cross_links c
+  JOIN hist_labels hl ON c.hist_id = hl.hist_id
+  JOIN batch_cc bc ON c.batch_id = bc.doc_id
+  GROUP BY bc.comp
+)
+SELECT b.doc_id,
+       CAST(COALESCE(l.min_hist_lbl, b.comp) AS BIGINT) AS cluster_label,
+       l.min_hist_lbl IS NOT NULL AS attached_to_history,
+       CAST(COALESCE(l.n_hist, 0) AS BIGINT) AS n_history_clusters_touched
+FROM batch_cc b LEFT JOIN linked l ON b.comp = l.comp
+"""
+
+
 HH_TOPK = 10
 
 
@@ -9230,6 +9358,7 @@ QUERIES = {
     "tp_incremental_dedup": tp_incremental_dedup,
     "tp_bloom_incremental_dedup": tp_bloom_incremental_dedup,
     "dd_incremental_minhash": dd_incremental_minhash,
+    "dd_incremental_clusters": dd_incremental_clusters,
     "tp_ranker_auc": tp_ranker_auc,
     "ts_ttr_diversity": ts_ttr_diversity,
     "ts_quality_classifier": ts_quality_classifier,
@@ -9371,6 +9500,7 @@ ORACLES = {
     "tp_incremental_dedup": TP_INCR_ORACLE,
     "tp_bloom_incremental_dedup": TP_INCR_ORACLE,
     "dd_incremental_minhash": _dd_incr_minhash_oracle(),
+    "dd_incremental_clusters": DD_INCR_CLUSTERS_ORACLE.format(minhash_pairs=DD_MINHASH_ORACLE),
     "tp_ranker_auc": TP_AUC_ORACLE,
     "ts_ttr_diversity": TS_TTR_ORACLE,
     "ts_quality_classifier": _quality_clf_oracle(),
