@@ -1044,6 +1044,7 @@ def round6d_families(spark, factor):
         ("g4_label_propagation", rel.g4_label_propagation),
         ("a31_ks_drift", rel.a31_ks_drift),
         ("mm_frame_dedup", llm.mm_frame_dedup),
+        ("dd_incremental_clusters", llm.dd_incremental_clusters),
     ]
     origs = (rel.read_table, llm.read_table, llm.read_corpus, st.read_table)
     try:
