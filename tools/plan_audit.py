@@ -138,6 +138,8 @@ WHITELIST: dict[str, set[str]] = {
     "dd_incremental_clusters": {"SMJ"},  # composes the LSH band-bucket
     #   self-join + two dup_clusters CC iterations (dd_dup_clusters
     #   family) — all sides row-scale, genuine shuffle joins
+    "g4_label_propagation": {"SMJ"},     # neighbor-label join per LPA
+    #   round — both sides edge-scale (g1_bipartite_rank family)
 }
 
 
