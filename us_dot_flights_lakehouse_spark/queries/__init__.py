@@ -74,6 +74,7 @@ _PRIORITY = (
     "g4_label_propagation",  # deterministic LPA communities
     "a31_ks_drift",  # exact two-sample KS drift statistic
     "mm_frame_dedup",  # cross-video frame-level md5 dedup
+    "q_encoding_profile",  # exact-Gini dictionary-encoding advisor
     "dd_exact_substr",  # cross-doc repeated-substring (span) dedup
     "dd_span_dedup_apply",  # span-level removal application
     "ts_entropy_gates",  # char/word entropy quality gates

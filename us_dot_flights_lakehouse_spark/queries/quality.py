@@ -191,6 +191,79 @@ FROM orders"""
     return rows
 
 
+#: a column whose values repeat ≥ this many times on average is a
+#: dictionary-encoding win
+ENCODING_MIN_AVG_REPEATS = 20
+
+
+def q_encoding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-encoding advisor — per column, the value-concentration
+    facts that decide dictionary/RLE encoding at write time: distinct
+    count, hottest value's share, EXACT Gini impurity 1 − Σ(cᵥ/n)²
+    (computable bit-exactly because Σcᵥ² is a BIGINT — unlike Shannon
+    entropy, whose per-value float terms would sum in partition order),
+    and a deterministic integer-arithmetic recommendation
+    (avg repetitions ≥ {ENCODING_MIN_AVG_REPEATS} → dictionary). The
+    parquet-writer tuning table a lakehouse consults before re-encoding
+    a 100 TB table.
+
+    Scale: one value-cardinality groupBy per column; only (Σc², max c,
+    counts) leave each aggregate."""
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders")
+
+    def profile(col: str) -> DataFrame:
+        counts = orders.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        return counts.agg(
+            F.lit(col).alias("column"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.max("c").cast("bigint").alias("top_freq"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+        ).select(
+            "column",
+            "n_rows",
+            "n_distinct",
+            (F.col("top_freq").cast("double") / F.col("n_rows").cast("double")).alias(
+                "top_share"
+            ),
+            (
+                F.lit(1.0)
+                - F.col("sum_c2").cast("double")
+                / (F.col("n_rows").cast("double") * F.col("n_rows").cast("double"))
+            ).alias("gini_impurity"),
+            (
+                F.col("n_rows")
+                >= F.lit(ENCODING_MIN_AVG_REPEATS) * F.col("n_distinct")
+            ).alias("dict_recommended"),
+        )
+
+    cols = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey")
+    out = profile(cols[0])
+    for c in cols[1:]:
+        out = out.unionByName(profile(c))
+    return out
+
+
+def _encoding_profile_oracle() -> str:
+    parts = []
+    for c in ("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"):
+        parts.append(f"""
+SELECT '{c}' AS column,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share,
+       1.0 - CAST(sum(c * c) AS DOUBLE)
+             / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+         AS gini_impurity,
+       sum(c) >= {ENCODING_MIN_AVG_REPEATS} * count(*) AS dict_recommended
+FROM (SELECT {c} AS v, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1)""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FK orphan audit across the star schema — one row per relationship
     with child count, orphan count (child keys with no parent row; NULL
@@ -363,6 +436,7 @@ QUERIES = {
     "q_quality_report": q_quality_report,
     "q_table_stats": q_table_stats,
     "q_table_stats_approx": q_table_stats_approx,
+    "q_encoding_profile": q_encoding_profile,
     "q_referential_integrity": q_referential_integrity,
     "q_violation_bitmask": q_violation_bitmask,
 }
@@ -370,6 +444,7 @@ ORACLES = {
     "q_quality_report": QUALITY_ORACLE,
     "q_table_stats": _table_stats_oracle(),
     "q_table_stats_approx": _table_stats_approx_oracle(),
+    "q_encoding_profile": _encoding_profile_oracle(),
     "q_referential_integrity": Q_REFINT_ORACLE,
     "q_violation_bitmask": Q_BITMASK_ORACLE,
 }
