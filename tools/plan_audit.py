@@ -140,6 +140,8 @@ WHITELIST: dict[str, set[str]] = {
     #   family) — all sides row-scale, genuine shuffle joins
     "g4_label_propagation": {"SMJ"},     # neighbor-label join per LPA
     #   round — both sides edge-scale (g1_bipartite_rank family)
+    "q_encoding_profile": {"ONE_PART"},  # four 1-row per-column
+    #   concentration aggregates unioned (q_table_stats family)
 }
 
 
