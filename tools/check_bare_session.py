@@ -44,12 +44,21 @@ def main() -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     failures: list[str] = []
+    only = set(sys.argv[2:])
     for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
         try:
             df = fn(spark, sf_dir)
             for col, dtype in df.dtypes:
                 if dtype.startswith(UNHASHABLE_PREFIXES) or dtype == "binary":
                     failures.append(f"{name}: column {col!r} has harness-hostile type {dtype}")
+            # Force EVERY output column end-to-end (noop sink, like
+            # bench.py). Round-6 lesson: ``df.count()`` lets Catalyst
+            # prune all columns, so a31's ANSI DIVIDE_BY_ZERO in a
+            # projected column sailed through the very tool built to
+            # catch driver-session divergence (VERDICT r6 §wrong #2).
+            df.write.format("noop").mode("overwrite").save()
             n = df.count()
             print(f"OK    {name}: {n} rows", flush=True)
         except Exception as exc:  # noqa: BLE001

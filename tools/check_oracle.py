@@ -35,6 +35,26 @@ def norm_hash(cols: list[str], rows: list[tuple]) -> str:
     return hashlib.md5("\x1e".join(norm_rows(cols, rows)).encode()).hexdigest()
 
 
+def degenerate_cols(cols: list[str], rows: list[tuple]) -> list[str]:
+    """Columns that are 100% NULL/NaN over a non-empty result.
+
+    Round-6 lesson: ``cell()`` maps NaN -> ``\\N`` so an all-NaN column
+    (a31's 0/0 ks_stat) hashed green against an all-NULL oracle column —
+    a vacuous match. NaN stays comparable, but a fully-degenerate column
+    now FAILS the check (VERDICT r6 §wrong #3).
+    """
+    if not rows:
+        return []
+    out = []
+    for i, c in enumerate(cols):
+        if all(
+            r[i] is None or (isinstance(r[i], float) and r[i] != r[i])
+            for r in rows
+        ):
+            out.append(c)
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -84,6 +104,9 @@ def main() -> int:
             failures += 1
             continue
         problems = []
+        dg = degenerate_cols(s_cols, s_rows)
+        if dg:
+            problems.append(f"degenerate all-NULL/NaN column(s): {dg}")
         if len(s_rows) != len(o_rows):
             problems.append(f"rows {len(s_rows)} != {len(o_rows)}")
         if sorted(s_cols) != sorted(o_cols):

@@ -785,7 +785,10 @@ def kcenter_oversample(
     oversample, 3 rounds = ~400 MB worst case; tune rounds/oversample
     down or subsample the pool for bigger k).
 
-    Returns the k selected ids (selection order: Gonzalez order)."""
+    Returns EXACTLY k selected ids whenever the dataset has >= k points
+    (extra oversample passes / deterministic padding guarantee it —
+    ADVICE r6); a dataset with n < k points returns all n ids.
+    Selection order: Gonzalez order."""
     import math
 
     import numpy as np
@@ -800,7 +803,13 @@ def kcenter_oversample(
     pool_ids = [int(seed_row["id"])]
     pool_vecs = [np.asarray(seed_row["v"], dtype=np.float64)]
 
-    for _ in range(rounds):
+    # ADVICE r6 contract fix: the docstring promises EXACTLY k ids when
+    # the dataset has >= k points — so past the requested rounds, keep
+    # oversampling while the pool is short AND still growing; a stalled
+    # pool (every remaining point duplicates a pool vector, d = 0) pads
+    # from the unseen ids directly. Only an n < k dataset returns < k.
+    passes = 0
+    while True:
         mat = np.stack(pool_vecs)
         cnorms = (mat * mat).sum(axis=1)
         bmat = sc.broadcast((mat, cnorms))
@@ -821,11 +830,34 @@ def kcenter_oversample(
             .limit(l)
             .collect()
         )
+        # each pass's broadcast pool matrix is superseded by the next —
+        # release executor+driver copies eagerly (ADVICE r6; at dim 1024
+        # and k in the thousands these are hundreds of MB per pass)
+        bmat.destroy()
         seen = set(pool_ids)
+        grew = False
         for r in top:
             if int(r["id"]) not in seen:
                 pool_ids.append(int(r["id"]))
                 pool_vecs.append(np.asarray(r["v"], dtype=np.float64))
+                grew = True
+        passes += 1
+        if passes >= rounds and (len(pool_ids) >= k or not grew):
+            break
+
+    if len(pool_ids) < k:
+        # pool stalled short of k: remaining points are exact duplicates
+        # of pool vectors — pad deterministically (ascending id) so the
+        # exactly-k contract holds whenever the dataset has >= k points
+        pad = (
+            v.filter(~F.col("id").isin(pool_ids))
+            .orderBy("id")
+            .limit(k - len(pool_ids))
+            .collect()
+        )
+        for r in pad:
+            pool_ids.append(int(r["id"]))
+            pool_vecs.append(np.asarray(r["v"], dtype=np.float64))
 
     # driver-local Gonzalez refine over the pool (sorted by id so that
     # np.argmax's first-max rule == smaller-id tie-break)
@@ -835,7 +867,12 @@ def kcenter_oversample(
     sel = [int(np.argmin(ids))]  # global min id seeds (pool always has it)
     mind = ((X - X[sel[0]]) ** 2).sum(axis=1)
     while len(sel) < min(k, len(ids)):
-        nxt = int(np.argmax(mind))
+        # mask already-selected indices: with duplicate points mind goes
+        # 0 everywhere and a plain argmax would re-pick index 0 forever,
+        # returning DUPLICATE ids (r7 fix; surfaced by the exactly-k test)
+        cand = mind.copy()
+        cand[np.asarray(sel)] = -np.inf
+        nxt = int(np.argmax(cand))
         sel.append(nxt)
         mind = np.minimum(mind, ((X - X[nxt]) ** 2).sum(axis=1))
     return [int(ids[i]) for i in sel]

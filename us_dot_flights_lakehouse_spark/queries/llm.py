@@ -6597,14 +6597,20 @@ def tp_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one groupBy(source) over the scan; the fold runs over the
     source-count-sized aggregate."""
     docs = read_table(spark, sf_dir, "documents")
+    # Moments in decimal(38,0), not BIGINT: at 100 TB a source's summed
+    # n_chars passes ~3e9 and s*s would silently wrap int64 under
+    # ansi=false (ADVICE r6). decimal(19,0)*decimal(19,0) -> decimal(38,0)
+    # stays exact to 1e38; the oracle mirrors with HUGEINT (int128).
+    nc = F.col("n_chars").cast("decimal(19,0)")
     per_src = docs.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(F.col("n_chars")).cast("bigint").alias("s"),
-        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("ss"),
+        F.sum(nc).cast("decimal(38,0)").alias("s"),
+        F.sum(nc * nc).cast("decimal(38,0)").alias("ss"),
     )
     n = F.col("n_docs").cast("double")
     var_pop = (
-        F.col("n_docs") * F.col("ss") - F.col("s") * F.col("s")
+        F.col("n_docs").cast("decimal(19,0)") * F.col("ss")
+        - F.col("s") * F.col("s")
     ).cast("double") / (n * n)
     weighted = per_src.select(
         "source",
@@ -6634,9 +6640,12 @@ def tp_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TP_NEYMAN_ORACLE = f"""
 WITH per_src AS (
+  -- HUGEINT (int128) moments: exact where BIGINT would wrap at scale,
+  -- mirroring the Spark side's decimal(38,0)
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(n_chars) AS BIGINT) AS s,
-         CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+         CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+              AS HUGEINT) AS ss
   FROM documents GROUP BY 1
 ), weighted AS (
   SELECT source, n_docs,

@@ -1705,15 +1705,22 @@ def f_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     string get_json_object re-parsing per access, a variant column parses
     once and every extraction is a cheap binary probe — the right
     encoding for semi-structured props at 100 TB. Output is extracted to
-    scalars (variant itself is not hash-comparable cross-engine)."""
+    scalars (variant itself is not hash-comparable cross-engine).
+
+    The missing-key probe ('$.m') hits a key present on event_id ≡ 0
+    (mod 3) rows only — so the column carries BOTH real values and
+    missing→NULL verdicts; a 100%-NULL column would hash green against
+    any engine and verify nothing (the a31/degeneracy-guard lesson)."""
     events = read_table(spark, sf_dir, "events")
+    j = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat(F.lit('{"m": 5,'), F.expr("substring(props, 2)")),
+    ).otherwise(F.col("props"))
     return events.select(
         "event_id",
         F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
         F.expr("variant_get(parse_json(props), '$.k', 'string')").alias("k_str"),
-        F.expr("variant_get(parse_json(props), '$.missing', 'bigint')").alias(
-            "k_missing"
-        ),
+        F.try_variant_get(F.parse_json(j), "$.m", "bigint").alias("k_missing"),
     )
 
 
@@ -1721,7 +1728,9 @@ F_VARIANT_ORACLE = """
 SELECT event_id,
        CAST(props ->> 'k' AS BIGINT) AS k_val,
        props ->> 'k' AS k_str,
-       CAST(props ->> 'missing' AS BIGINT) AS k_missing
+       CAST((CASE WHEN event_id % 3 = 0
+                  THEN '{"m": 5,' || substring(props, 2)
+                  ELSE props END) ->> 'm' AS BIGINT) AS k_missing
 FROM events
 """
 
@@ -1865,12 +1874,20 @@ def p7_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 (extension): error-safe expressions — try_cast, try_divide,
     try_to_number: malformed input yields NULL instead of failing the
     job (the row-level analogue of the corrupt-record quarantine in
-    sources/readers.py::read_csv_robust)."""
+    sources/readers.py::read_csv_robust).
+
+    The try_cast probe mixes numeric strings (even keys) with the letter
+    statuses (odd keys) so the column carries BOTH parsed values and
+    failure→NULLs — o_orderstatus alone is always {P,O,F}, and a
+    100%-NULL column verifies nothing (degeneracy-guard lesson)."""
     orders = read_table(spark, sf_dir, "orders")
+    mixed = F.when(
+        F.col("o_orderkey") % 2 == 0, (F.col("o_orderkey") % 100).cast("string")
+    ).otherwise(F.col("o_orderstatus"))
     return orders.select(
         "o_orderkey",
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
-        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
+        mixed.try_cast("int").alias("status_as_int"),
         F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3).alias(
             "div_maybe_zero"
         ),
@@ -1880,7 +1897,9 @@ def p7_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 P7_ORACLE = """
 SELECT o_orderkey,
        TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
-       TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+       TRY_CAST(CASE WHEN o_orderkey % 2 = 0
+                     THEN CAST(o_orderkey % 100 AS VARCHAR)
+                     ELSE o_orderstatus END AS INTEGER) AS status_as_int,
        o_totalprice / NULLIF(o_custkey % 3, 0) AS div_maybe_zero
 FROM orders
 """
@@ -5347,11 +5366,17 @@ def x8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot,
     )
 
+    from us_dot_flights_lakehouse_spark.fixtures import source_fingerprint
+
     orders = read_table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    out = f"{tempfile.gettempdir()}/us_dot_snapdiff_{sf_tag}_v1"
+    # path keyed by the SOURCE's stat fingerprint: regenerated testdata
+    # gets a fresh fixture instead of silently reading stale snapshots
+    # (ADVICE r6)
+    fp = source_fingerprint(sf_dir, "orders")
+    out = f"{tempfile.gettempdir()}/us_dot_snapdiff_{sf_tag}_{fp}"
     if not os.path.isdir(out):  # deterministic fixture, write-once
         tmp = f"{out}.tmp.{os.getpid()}"
         write_snapshot(base.filter(k % 11 != 0), tmp)
@@ -5438,12 +5463,20 @@ def x9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     status rollup of map-side partials."""
     import tempfile
 
+    from us_dot_flights_lakehouse_spark.fixtures import (
+        bucketed_table_ready,
+        source_fingerprint,
+    )
     from us_dot_flights_lakehouse_spark.sources.writers import write_bucketed
 
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    li_t, o_t = f"x9_lineitem_{sf_tag}", f"x9_orders_{sf_tag}"
-    base = f"{tempfile.gettempdir()}/us_dot_x9_{sf_tag}"
-    if not spark.catalog.tableExists(li_t):
+    # table names + path keyed by the sources' stat fingerprint, and the
+    # data DIRECTORY is checked too — the persistent metastore outlives
+    # /tmp, so tableExists alone can point at vanished data (ADVICE r6)
+    fp = source_fingerprint(sf_dir, "lineitem", "orders")
+    li_t, o_t = f"x9_lineitem_{sf_tag}_{fp}", f"x9_orders_{sf_tag}_{fp}"
+    base = f"{tempfile.gettempdir()}/us_dot_x9_{sf_tag}_{fp}"
+    if not bucketed_table_ready(spark, li_t, f"{base}/lineitem"):
         write_bucketed(
             read_table(spark, sf_dir, "lineitem").select(
                 "l_orderkey", "l_extendedprice", "l_discount"
@@ -5454,7 +5487,7 @@ def x9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             sort_cols=["l_orderkey"],
             path=f"{base}/lineitem",
         )
-    if not spark.catalog.tableExists(o_t):
+    if not bucketed_table_ready(spark, o_t, f"{base}/orders"):
         write_bucketed(
             read_table(spark, sf_dir, "orders").select(
                 "o_orderkey", "o_orderstatus"
@@ -5714,7 +5747,12 @@ FROM labels{last} l JOIN sizes s ON l.lbl = s.lbl
 """
 
 
-KS_CUTOFF_DATE = "1995-01-01"
+# Must split the o_orderdate span (1995-01-01 .. 2001-08-01 per
+# TESTDATA.md at every SF) into two NON-EMPTY samples — the round-6
+# value 1995-01-01 equaled min(o_orderdate), so n1=0 and the statistic
+# was 0/0 (VERDICT r6 §What's wrong #1). 1998-07-01 ~= the median date.
+# tests/test_round7_fixes.py asserts n1>0 and n2>0 at sf0.001.
+KS_CUTOFF_DATE = "1998-07-01"
 KS_BUCKET_WIDTH = 1000.0
 
 
@@ -5789,9 +5827,13 @@ def a31_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "n2",
         F.col("m.num").alias("ks_numerator"),
-        (
-            F.col("m.num").cast("double")
-            / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+        # try_divide: NULL (not NaN/crash) on an empty sample, under BOTH
+        # the engine session (ansi=false) and the driver's ANSI-on Spark 4
+        # default — matching DuckDB's divide-by-zero -> NULL and the A6
+        # NULL-on-/0 convention.
+        F.try_divide(
+            F.col("m.num").cast("double"),
+            F.col("n1").cast("double") * F.col("n2").cast("double"),
         ).alias("ks_stat"),
         (-F.col("m.nv")).alias("at_price"),
     )
@@ -5828,7 +5870,7 @@ WITH per_price AS (
 )
 SELECT n1, n2, CAST(ks_numerator AS BIGINT) AS ks_numerator,
        CAST(ks_numerator AS DOUBLE)
-         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_stat,
+         / NULLIF(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0.0) AS ks_stat,
        at_price
 FROM best WHERE rn = 1
 """
