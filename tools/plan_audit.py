@@ -142,6 +142,11 @@ WHITELIST: dict[str, set[str]] = {
     #   round — both sides edge-scale (g1_bipartite_rank family)
     "q_encoding_profile": {"ONE_PART"},  # four 1-row per-column
     #   concentration aggregates unioned (q_table_stats family)
+    "a32_wasserstein_drift": {"ONE_PART"},  # a31's exact shape: bucket-
+    #   offset window over the ~600-row bucket table + the 1-row W1 sum;
+    #   the row-scale cumulative and lead() run PARTITIONED by bucket
+    "a33_welch_t_drift": {"ONE_PART"},   # 1-row global moment aggregate
+    #   (a3/a8 family)
 }
 
 

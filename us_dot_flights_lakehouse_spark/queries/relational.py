@@ -5876,6 +5876,251 @@ FROM best WHERE rn = 1
 """
 
 
+def a32_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32 (extension): exact 1-D Wasserstein-1 (earth-mover's) distance
+    between the before/after order-price distributions around
+    {KS_CUTOFF_DATE} — the drift detector that complements a31's KS
+    statistic: KS is the WORST single gap between the two empirical
+    CDFs, W₁ is the total area between them (∫|F₁−F₂| dv), so it
+    catches broad low-amplitude shifts KS underweights. Everything is
+    exact integer/decimal arithmetic until ONE final division: prices
+    become integer cents; per distinct price the unnormalized CDF gap
+    |c₁N₂ − c₂N₁| (decimal(38,0) — c·N passes int64 around 3e9 rows per
+    side) is weighted by the cent-gap to the NEXT distinct price, and
+    W₁ = Σ terms / (N₁·N₂·100).
+
+    Scale: the same DISTRIBUTED two-phase PREFIX SCAN as a31 (bucket
+    offsets via a bucket-count-sized window, then per-bucket cumulative
+    windows running in parallel — never a one-task global cumulative).
+    The lead(price) gap also runs per bucket; each bucket's LAST row
+    takes the next bucket's min price from the same bucket-level
+    broadcast, and the global max price gets Δv=0 (its CDF gap is 0 by
+    construction, so the dangling interval never contributes)."""
+    orders = read_table(spark, sf_dir, "orders")
+    vc = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    g1 = (F.col("o_orderdate") < F.lit(KS_CUTOFF_DATE).cast("date")).cast(
+        "bigint"
+    )
+    bkt_cents = int(KS_BUCKET_WIDTH * 100)
+    per_price = (
+        orders.groupBy(vc.alias("v"))
+        .agg(
+            F.sum(g1).cast("bigint").alias("n1_v"),
+            F.sum(1 - g1).cast("bigint").alias("n2_v"),
+        )
+        .withColumn(
+            "bkt", F.floor(F.col("v") / F.lit(bkt_cents)).cast("bigint")
+        )
+    )
+    btot = per_price.groupBy("bkt").agg(
+        F.sum("n1_v").cast("bigint").alias("t1"),
+        F.sum("n2_v").cast("bigint").alias("t2"),
+        F.min("v").alias("vmin"),
+    )
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    boff = btot.select(
+        "bkt",
+        F.coalesce(F.sum("t1").over(wb), F.lit(0)).cast("bigint").alias("o1"),
+        F.coalesce(F.sum("t2").over(wb), F.lit(0)).cast("bigint").alias("o2"),
+        F.lead("vmin").over(W.orderBy("bkt")).alias("nxt_vmin"),
+    )
+    wi = W.partitionBy("bkt").orderBy("v").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    d19 = "decimal(19,0)"
+    cum = (
+        per_price.join(F.broadcast(boff), "bkt")
+        .withColumn(
+            "c1", (F.col("o1") + F.sum("n1_v").over(wi)).cast("bigint")
+        )
+        .withColumn(
+            "c2", (F.col("o2") + F.sum("n2_v").over(wi)).cast("bigint")
+        )
+        .withColumn(
+            "dv",
+            F.coalesce(
+                F.lead("v").over(W.partitionBy("bkt").orderBy("v")),
+                F.col("nxt_vmin"),
+                F.col("v"),  # global max price: dv = v - v = 0
+            )
+            - F.col("v"),
+        )
+    )
+    tot = orders.agg(
+        F.sum(g1).cast("bigint").alias("n1"),
+        F.sum(1 - g1).cast("bigint").alias("n2"),
+    )
+    term = (
+        F.abs(
+            F.col("c1").cast(d19) * F.col("n2").cast(d19)
+            - F.col("c2").cast(d19) * F.col("n1").cast(d19)
+        )
+        * F.col("dv").cast(d19)
+    ).cast("decimal(38,0)")
+    agg = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min("n1").alias("n1"),
+        F.min("n2").alias("n2"),
+        F.sum(term).cast("decimal(38,0)").alias("num"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.col("num").cast("double").alias("w1_numerator"),
+        F.try_divide(
+            F.col("num").cast("double"),
+            F.col("n1").cast("double") * F.col("n2").cast("double") * 100.0,
+        ).alias("w1_distance"),
+    )
+
+
+A32_ORACLE = f"""
+WITH per_price AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CAST(sum(CASE WHEN o_orderdate < DATE '{KS_CUTOFF_DATE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1_v,
+         CAST(sum(CASE WHEN o_orderdate < DATE '{KS_CUTOFF_DATE}'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n2_v
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT v,
+         CAST(sum(n1_v) OVER w AS HUGEINT) AS c1,
+         CAST(sum(n2_v) OVER w AS HUGEINT) AS c2,
+         COALESCE(lead(v) OVER (ORDER BY v), v) - v AS dv
+  FROM per_price
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT CAST(sum(CASE WHEN o_orderdate < DATE '{KS_CUTOFF_DATE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN o_orderdate < DATE '{KS_CUTOFF_DATE}'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n2
+  FROM orders
+)
+SELECT n1, n2,
+       CAST(sum(abs(c1 * n2 - c2 * n1) * CAST(dv AS HUGEINT)) AS DOUBLE)
+         AS w1_numerator,
+       CAST(sum(abs(c1 * n2 - c2 * n1) * CAST(dv AS HUGEINT)) AS DOUBLE)
+         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * 100.0) AS w1_distance
+FROM cum CROSS JOIN tot
+GROUP BY n1, n2
+"""
+
+
+def a33_welch_t_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33 (extension): Welch's two-sample t statistic between the
+    before/after order-price samples around {KS_CUTOFF_DATE} — the
+    mean-shift drift test completing the drift suite (a31 KS = worst
+    CDF gap, a32 W₁ = total CDF area, a33 = standardized mean shift,
+    unequal variances). Moments accumulate EXACTLY — integer cents in
+    decimal(38,0), order-independent under parallel merge — and only
+    the closed-form double arithmetic (division, sqrt: both correctly
+    rounded IEEE-754) runs in floats, so both engines produce identical
+    bits. Zero windows, zero joins: ONE conditional aggregate over the
+    scan."""
+    orders = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(19,0)"
+    )
+    g1 = F.col("o_orderdate") < F.lit(KS_CUTOFF_DATE).cast("date")
+    z = F.lit(0).cast("decimal(19,0)")
+    agg = orders.agg(
+        F.sum(F.when(g1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(g1, 0).otherwise(1)).cast("bigint").alias("n2"),
+        F.sum(F.when(g1, cents).otherwise(z)).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.when(g1, z).otherwise(cents)).cast("decimal(38,0)").alias("s2"),
+        F.sum(F.when(g1, cents * cents).otherwise(z))
+        .cast("decimal(38,0)")
+        .alias("q1"),
+        F.sum(F.when(g1, z).otherwise(cents * cents))
+        .cast("decimal(38,0)")
+        .alias("q2"),
+    )
+    d19 = "decimal(19,0)"
+
+    def mean(s, n):  # dollars
+        return s.cast("double") / n.cast("double") / 100.0
+
+    def var(n, s, q):  # sample variance, dollars^2: (n*q - s^2)/(n*(n-1))/1e4
+        num = (n.cast(d19) * q - s * s).cast("double")
+        return num / (n.cast("double") * (n.cast("double") - 1.0)) / 10000.0
+
+    stats = agg.select(
+        "n1",
+        "n2",
+        mean(F.col("s1"), F.col("n1")).alias("mean_before"),
+        mean(F.col("s2"), F.col("n2")).alias("mean_after"),
+        var(F.col("n1"), F.col("s1"), F.col("q1")).alias("var_before"),
+        var(F.col("n2"), F.col("s2"), F.col("q2")).alias("var_after"),
+    )
+    se1 = F.col("var_before") / F.col("n1").cast("double")
+    se2 = F.col("var_after") / F.col("n2").cast("double")
+    return stats.select(
+        "n1",
+        "n2",
+        "mean_before",
+        "mean_after",
+        "var_before",
+        "var_after",
+        F.try_divide(
+            F.col("mean_before") - F.col("mean_after"), F.sqrt(se1 + se2)
+        ).alias("t_stat"),
+        F.try_divide(
+            (se1 + se2) * (se1 + se2),
+            se1 * se1 / (F.col("n1").cast("double") - 1.0)
+            + se2 * se2 / (F.col("n2").cast("double") - 1.0),
+        ).alias("welch_dof"),
+    )
+
+
+A33_ORACLE = f"""
+WITH m AS (
+  SELECT CAST(sum(CASE WHEN o_orderdate < DATE '{KS_CUTOFF_DATE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN o_orderdate < DATE '{KS_CUTOFF_DATE}'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         sum(CASE WHEN o_orderdate < DATE '{KS_CUTOFF_DATE}'
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS HUGEINT) ELSE 0 END) AS s1,
+         sum(CASE WHEN o_orderdate < DATE '{KS_CUTOFF_DATE}'
+                  THEN 0 ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                   AS HUGEINT) END) AS s2,
+         sum(CASE WHEN o_orderdate < DATE '{KS_CUTOFF_DATE}'
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS HUGEINT)
+                       * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS HUGEINT) ELSE 0 END) AS q1,
+         sum(CASE WHEN o_orderdate < DATE '{KS_CUTOFF_DATE}'
+                  THEN 0 ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                   AS HUGEINT)
+                              * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                     AS HUGEINT) END) AS q2
+  FROM orders
+), s AS (
+  SELECT n1, n2,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS mean_before,
+         CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0 AS mean_after,
+         CAST(CAST(n1 AS HUGEINT) * q1 - s1 * s1 AS DOUBLE)
+           / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) / 10000.0
+           AS var_before,
+         CAST(CAST(n2 AS HUGEINT) * q2 - s2 * s2 AS DOUBLE)
+           / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) / 10000.0
+           AS var_after
+  FROM m
+)
+SELECT n1, n2, mean_before, mean_after, var_before, var_after,
+       (mean_before - mean_after)
+         / sqrt(var_before / CAST(n1 AS DOUBLE)
+                + var_after / CAST(n2 AS DOUBLE)) AS t_stat,
+       ((var_before / CAST(n1 AS DOUBLE) + var_after / CAST(n2 AS DOUBLE))
+        * (var_before / CAST(n1 AS DOUBLE) + var_after / CAST(n2 AS DOUBLE)))
+         / ((var_before / CAST(n1 AS DOUBLE))
+            * (var_before / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)
+            + (var_after / CAST(n2 AS DOUBLE))
+              * (var_after / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
+         AS welch_dof
+FROM s
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -5970,6 +6215,8 @@ QUERIES = {
     "q_skew_report": q_skew_report,
     "g4_label_propagation": g4_label_propagation,
     "a31_ks_drift": a31_ks_drift,
+    "a32_wasserstein_drift": a32_wasserstein_drift,
+    "a33_welch_t_drift": a33_welch_t_drift,
     "a25_hhi_concentration": a25_hhi_concentration,
     "w15_changepoint_cusum": w15_changepoint_cusum,
     "w16_seasonal_decompose": w16_seasonal_decompose,
@@ -6075,6 +6322,8 @@ ORACLES = {
     "q_skew_report": Q_SKEW_ORACLE,
     "g4_label_propagation": _g4_oracle(),
     "a31_ks_drift": A31_ORACLE,
+    "a32_wasserstein_drift": A32_ORACLE,
+    "a33_welch_t_drift": A33_ORACLE,
     "a25_hhi_concentration": A25_ORACLE,
     "w15_changepoint_cusum": W15_ORACLE,
     "w16_seasonal_decompose": W16_ORACLE,
