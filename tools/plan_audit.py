@@ -147,6 +147,11 @@ WHITELIST: dict[str, set[str]] = {
     #   the row-scale cumulative and lead() run PARTITIONED by bucket
     "a33_welch_t_drift": {"ONE_PART"},   # 1-row global moment aggregate
     #   (a3/a8 family)
+    "a34_cramers_v": {"ONE_PART"},       # 15-cell collect + 1-row ordered
+    #   chi-square fold (tp_dataset_card family — never row-scale)
+    "tp_dedup_aware_mixture": {"ONE_PART"},  # 1-row source-ordered sqrt
+    #   normalizer fold over the ~20-row per-source aggregate, broadcast
+    #   back (tp_label_balance family)
 }
 
 

@@ -39,6 +39,55 @@ _MODULES = (llm, streaming, quality, flights, relational)
 #: come first; the long tail of f_* function suites — all driver-green in
 #: round 1 and unchanged since — absorbs any truncation.
 _PRIORITY = (
+    # ---- round-7 front-load (driver samples the FIRST 50 entries) ----
+    # (a) the 21 entries that have NEVER had a driver CORRECTNESS row
+    # across rounds 1-6 (COVERAGE.md rotation list) — closes full-catalog
+    # driver coverage this round:
+    "tp_loss_masking",
+    "sim_ndcg_eval",
+    "w17_holt_winters",
+    "a26_chi2_independence",
+    "src_csv_badrecords",
+    "sim_matryoshka_truncation",
+    "tp_annotation_agreement",
+    "sim_power_iteration",
+    "tp_preference_pairs",
+    "a27_bootstrap_ci",
+    "q_order_reconciliation",
+    "dd_pipeline_verdict",
+    "tp_packing_efficiency",
+    "sim_fisher_separability",
+    "w18_anomaly_ensemble",
+    "st_windowed_topk",
+    "sim_intrinsic_dimension",
+    "dd_source_dedup_report",
+    "mm_audio_normalize_audit",
+    "tp_bpe_merge_step",
+    "dd_threshold_sweep",
+    # (b) new in round 7 — never driver-verified:
+    "a32_wasserstein_drift",  # exact 1-D earth-mover drift distance
+    "a33_welch_t_drift",  # Welch two-sample t from exact moments
+    "j18_salted_skew_join",  # salted skew join oracle surface
+    "o10_systematic_sample",  # every-kth systematic audit sample
+    "a34_cramers_v",  # categorical association strength
+    "g5_neighbor_overlap",  # supplier-pair neighbor Jaccard
+    "dd_soft_dedup_weights",  # SoftDeDup 1/cluster-size weights
+    "tp_context_truncation",  # truncate-vs-chunk waste pricing
+    "tp_dedup_aware_mixture",  # temperature mix over dedup survivors
+    "src_xml_roundtrip",  # Spark 4 built-in XML source round-trip
+    "st_event_rate_alerts",  # trailing-mean ingest spike alerts
+    "mm_hist_equalize",  # integer histogram equalization kernel
+    "dd_incremental_span_probe",  # gram-level probe vs published history
+    "x10_partition_pruned_scan",  # dynamic partition pruning through S5 sink
+    # (c) changed in round 7 — need fresh driver verification:
+    "a31_ks_drift",  # cutoff moved inside data range + try_divide
+    "f_variant_suite",  # k_missing now mixed present/missing
+    "p7_try_functions",  # status_as_int now mixed parse/fail
+    "tp_neyman_allocation",  # decimal(38,0)/HUGEINT moments
+    "x8_snapshot_diff",  # fixture keyed by source fingerprint
+    "x9_bucketed_join",  # fixture keyed + data-dir checked
+    "sim_kcenter_diversity",  # kcenter refine duplicate-id fix
+    # ---- earlier-round ordering below (first occurrence wins) ----
     # round-6 front-load: the 4 catalog entries that have NEVER had a driver
     # CORRECTNESS row (added after the round-5 sample was taken; judge-green
     # in the round-5 full local oracle run — VERDICT r5 "What's wrong" #3)

@@ -9299,6 +9299,424 @@ FROM words w LEFT JOIN clean c USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Round 7: soft dedup, truncation audit, dedup-aware mixture, XML source
+# ---------------------------------------------------------------------------
+
+
+def dd_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD: SoftDeDup — instead of DROPPING duplicates, every doc gets a
+    training-sampling weight 1/|its exact-dup cluster| so each distinct
+    text contributes ONE unit of expected gradient mass regardless of
+    copy count (the down-weighting alternative to hard dedup from the
+    SoftDeDup line of work; hard dedup = this weight rounded to
+    {{0, 1}}). Output per doc: cluster size, weight, and whether hard
+    dedup would have kept it (min-id canonical).
+
+    Scale: one fingerprint groupBy (the exact-dedup shuffle) + one join
+    back on the fingerprint — both map-side combinable; the weight is
+    one exact-integer double division."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    groups = dedup.exact_dedup_groups(docs)  # fingerprint, keeper, n_copies
+    fp = dedup.normalized_fingerprint("text").alias("fingerprint")
+    return (
+        docs.select("doc_id", "source", fp)
+        .join(groups, "fingerprint")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_copies").cast("bigint").alias("cluster_size"),
+            (F.lit(1.0) / F.col("n_copies").cast("double")).alias(
+                "soft_weight"
+            ),
+            (F.col("doc_id") == F.col("keeper_doc_id")).alias(
+                "hard_dedup_keeps"
+            ),
+        )
+    )
+
+
+DD_SOFT_DEDUP_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+), groups AS (
+  SELECT fingerprint, MIN(doc_id) AS keeper_doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM fp GROUP BY 1
+)
+SELECT f.doc_id, f.source,
+       g.n_copies AS cluster_size,
+       1.0 / CAST(g.n_copies AS DOUBLE) AS soft_weight,
+       f.doc_id = g.keeper_doc_id AS hard_dedup_keeps
+FROM fp f JOIN groups g USING (fingerprint)
+"""
+
+
+def tp_context_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: context-window truncation audit — per source, how much text a
+    head-truncation policy at {SEQ_BUDGET} whitespace tokens would throw
+    away: docs over budget, total vs kept tokens, and the waste share.
+    The go/no-go report a pipeline runs BEFORE choosing truncate-vs-
+    chunk (tp_doc_chunking is the chunk alternative; this prices the
+    cheap option).
+
+    Scale: one scan + one source-cardinality aggregate; exact BIGINT
+    token sums, one double division."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    n = F.size(tokenize("text")).cast("bigint")
+    per_doc = docs.select(
+        "source",
+        n.alias("n_tokens"),
+        F.least(n, F.lit(SEQ_BUDGET).cast("bigint")).alias("kept"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_tokens") > SEQ_BUDGET).cast("int"))
+        .cast("bigint")
+        .alias("docs_truncated"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("kept").cast("bigint").alias("kept_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "docs_truncated",
+        "total_tokens",
+        "kept_tokens",
+        (
+            (F.col("total_tokens") - F.col("kept_tokens")).cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("waste_share"),
+    )
+
+
+TP_TRUNCATION_ORACLE = f"""
+WITH t AS (
+  SELECT source, CAST(len({_TOKENS}) AS BIGINT) AS n FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n > {SEQ_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_truncated,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(least(n, {SEQ_BUDGET})) AS BIGINT) AS kept_tokens,
+       CAST(sum(n) - sum(least(n, {SEQ_BUDGET})) AS DOUBLE)
+         / CAST(sum(n) AS DOUBLE) AS waste_share
+FROM t GROUP BY source
+"""
+
+
+def tp_dedup_aware_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: dedup-aware temperature mixture — the tp_temperature_mix
+    recipe (w ∝ √n, α=0.5) recomputed over exact-dedup SURVIVORS
+    instead of raw rows: duplicate-heavy sources otherwise buy sampling
+    weight with copies. Reports raw vs surviving counts, the dedup-aware
+    weight, and the weight shift vs the naive mix — the number that
+    tells a data engineer which sources were gaming the mixture.
+
+    Scale: the exact-dedup groupBy + a source-cardinality aggregate;
+    both normalizers fold source-ordered (bit-stable, the temperature-
+    mix technique)."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    fp = dedup.normalized_fingerprint("text").alias("fingerprint")
+    tagged = docs.select("doc_id", "source", fp)
+    keepers = tagged.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keeper_doc_id")
+    )
+    per_src = (
+        tagged.join(keepers, "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_raw"),
+            F.sum((F.col("doc_id") == F.col("keeper_doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_surviving"),
+        )
+    )
+
+    def z_of(col_name: str):
+        return F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("source", col_name))),
+                lambda s: F.sqrt(s[col_name].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    norm = per_src.agg(
+        z_of("n_raw").alias("z_raw"), z_of("n_surviving").alias("z_surv")
+    )
+    return per_src.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_raw",
+        "n_surviving",
+        (F.sqrt(F.col("n_surviving").cast("double")) / F.col("z_surv")).alias(
+            "weight"
+        ),
+        (
+            F.sqrt(F.col("n_surviving").cast("double")) / F.col("z_surv")
+            - F.sqrt(F.col("n_raw").cast("double")) / F.col("z_raw")
+        ).alias("weight_shift_vs_raw"),
+    )
+
+
+TP_DEDUP_MIX_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+), keep AS (
+  SELECT fingerprint, MIN(doc_id) AS keeper_doc_id FROM fp GROUP BY 1
+), per_src AS (
+  SELECT f.source,
+         CAST(count(*) AS BIGINT) AS n_raw,
+         CAST(sum(CASE WHEN f.doc_id = k.keeper_doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_surviving
+  FROM fp f JOIN keep k USING (fingerprint)
+  GROUP BY 1
+), norm AS (
+  SELECT list_sum(list_transform(
+           list(struct_pack(s := source, n := n_raw) ORDER BY source),
+           e -> sqrt(CAST(e.n AS DOUBLE)))) AS z_raw,
+         list_sum(list_transform(
+           list(struct_pack(s := source, n := n_surviving) ORDER BY source),
+           e -> sqrt(CAST(e.n AS DOUBLE)))) AS z_surv
+  FROM per_src
+)
+SELECT source, n_raw, n_surviving,
+       sqrt(CAST(n_surviving AS DOUBLE)) / z_surv AS weight,
+       sqrt(CAST(n_surviving AS DOUBLE)) / z_surv
+         - sqrt(CAST(n_raw AS DOUBLE)) / z_raw AS weight_shift_vs_raw
+FROM per_src CROSS JOIN norm
+"""
+
+
+INCR_GRAM_SHARE = 0.5
+
+
+def dd_incremental_span_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD: incremental SPAN-level dedup probe — completes the incremental
+    tier (exact ✓ Bloom-prefiltered, fuzzy ✓ band-key probe, clusters ✓
+    frozen-label attach, spans: THIS): each new-batch doc's distinct
+    3-token shingles probe the PUBLISHED history gram set, and the doc
+    is flagged boilerplate_from_history when ≥ {INCR_GRAM_SHARE} of its
+    grams already exist in history — the nightly "how much of today's
+    crawl is re-crawled text" report, at gram granularity where exact
+    dedup sees nothing (partial overlaps, stitched pages).
+
+    Scale: ONE equi-join of the batch gram index against the distinct
+    history gram set (batch-sized left side; at 100 TB publish the
+    history grams bucketed by gram — the dd_incremental_minhash layout —
+    and the probe is exchange-free on the history side; a Bloom prefilter
+    composes for mostly-novel batches). Docs with < 3 tokens have no
+    grams and are absent by construction on both engines."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    grams = shingles(tokenize("text"), 3)
+    hist = (
+        docs.filter(F.col("doc_id") < INCR_HISTORY_CUTOFF)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") >= INCR_HISTORY_CUTOFF).select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+    per_doc = (
+        batch.join(hist.withColumn("_h", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_h"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hist_grams"),
+        )
+    )
+    share = F.col("n_hist_grams").cast("double") / F.col("n_grams").cast(
+        "double"
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_hist_grams",
+        share.alias("hist_share"),
+        (share >= INCR_GRAM_SHARE).alias("boilerplate_from_history"),
+    )
+
+
+DD_INCR_SPAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS g FROM toks
+), hist AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id < {INCR_HISTORY_CUTOFF}
+), batch AS (
+  SELECT doc_id, g FROM grams WHERE doc_id >= {INCR_HISTORY_CUTOFF}
+), per_doc AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN h.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hist_grams
+  FROM batch b LEFT JOIN hist h ON b.g = h.g
+  GROUP BY 1
+)
+SELECT doc_id, n_grams, n_hist_grams,
+       CAST(n_hist_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS hist_share,
+       CAST(n_hist_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+         >= {INCR_GRAM_SHARE} AS boilerplate_from_history
+FROM per_doc
+"""
+
+
+def mm_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM: histogram equalization — the classic contrast-normalization
+    pre-processing step an image pipeline runs before feature
+    extraction: per image, map each gray level v to
+    (cdf(v) − cdf_min) · 255 // (n − cdf_min) (integer floor division —
+    NO floats anywhere, so the kernel is bit-reproducible). The synth
+    plants DUPLICATE-heavy histograms (pixel i = (5·doc_id + i²//3) mod
+    256 on an 8×8 gray PNG), and the oracle re-derives every image's
+    full histogram → CDF → remap → stats chain from the closed form in
+    SQL, so a bug in encode → decode → equalize hash-fails.
+
+    Scale: synth, decode, equalize and the per-image stats all fuse into
+    one Arrow-batched mapInPandas chain — zero shuffle, scan parallel."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from us_dot_flights_lakehouse_spark.llm.multimodal import png_encode
+
+        i = np.arange(64)
+        base = (i * i) // 3
+        for pdf in batches:
+            payloads = [
+                png_encode(
+                    ((5 * int(d) + base) % 256).astype(np.uint8).reshape(8, 8),
+                    "L",
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(synth, schema="id long, payload binary")
+    decoded = multimodal.decode_image(imgs)
+
+    def equalize(batches):
+        for pdf in batches:
+            rows = []
+            for i, px in zip(pdf["id"], pdf["pixels"]):
+                a = np.frombuffer(px, np.uint8).astype(np.int64)
+                n = a.size
+                vals, counts = np.unique(a, return_counts=True)
+                cdf = np.cumsum(counts)
+                cmin = int(cdf[0])
+                if n == cmin:  # constant image: everything maps to 0
+                    m = np.zeros_like(vals)
+                else:
+                    m = (cdf - cmin) * 255 // (n - cmin)
+                rows.append(
+                    (
+                        int(i),
+                        float(int((vals * counts).sum()) / n),
+                        float(int((m * counts).sum()) / n),
+                        int(len(vals)),
+                        int(len(np.unique(m))),
+                        int(m.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "mean_before",
+                    "mean_after",
+                    "n_levels_before",
+                    "n_levels_after",
+                    "max_after",
+                ],
+            )
+
+    return decoded.mapInPandas(
+        equalize,
+        schema=(
+            "doc_id long, mean_before double, mean_after double, "
+            "n_levels_before long, n_levels_after long, max_after long"
+        ),
+    )
+
+
+MM_HIST_EQ_ORACLE = """
+WITH px AS (
+  SELECT d.doc_id, (5 * d.doc_id + (i.i * i.i) // 3) % 256 AS v
+  FROM documents d, (SELECT unnest(range(0, 64)) AS i) i
+), hist AS (
+  SELECT doc_id, v, CAST(count(*) AS BIGINT) AS c FROM px GROUP BY 1, 2
+), cdf AS (
+  SELECT doc_id, v, c,
+         CAST(sum(c) OVER (PARTITION BY doc_id ORDER BY v) AS BIGINT) AS f,
+         CAST(first_value(c) OVER (PARTITION BY doc_id ORDER BY v)
+              AS BIGINT) AS cmin
+  FROM hist
+), mapped AS (
+  SELECT doc_id, v, c,
+         CASE WHEN cmin = 64 THEN 0
+              ELSE ((f - cmin) * 255) // (64 - cmin) END AS m
+  FROM cdf
+)
+SELECT doc_id,
+       CAST(sum(v * c) AS DOUBLE) / 64 AS mean_before,
+       CAST(sum(m * c) AS DOUBLE) / 64 AS mean_after,
+       CAST(count(*) AS BIGINT) AS n_levels_before,
+       CAST(count(DISTINCT m) AS BIGINT) AS n_levels_after,
+       CAST(max(m) AS BIGINT) AS max_after
+FROM mapped GROUP BY doc_id
+"""
+
+
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC: XML round-trip through Spark 4's BUILT-IN xml data source
+    (the spark-xml package merged upstream) — export the documents table
+    as row-tagged XML, scan it back with an explicit schema, and certify
+    fidelity with an md5 over the text (XML entity escaping of &/</> and
+    newline preservation are exactly what this catches).
+
+    Scale: the XML reader splits per file like json; for 100 TB prefer
+    columnar, but feeds ARRIVE as XML — this is the ingest edge."""
+    import tempfile
+
+    from us_dot_flights_lakehouse_spark.fixtures import source_fingerprint
+
+    docs = read_table(spark, sf_dir, "documents")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fp = source_fingerprint(sf_dir, "documents")
+    out = f"{tempfile.gettempdir()}/us_dot_xml_{sf_tag}_{fp}"
+    docs.write.format("xml").option("rootTag", "docs").option(
+        "rowTag", "doc"
+    ).mode("overwrite").save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema(docs.schema)
+        .load(out)
+    )
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+SRC_XML_ORACLE = """
+SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 FROM documents
+"""
+
+
 QUERIES = {
     "ts_entropy_gates": ts_entropy_gates,
     "o8_reservoir_sample": o8_reservoir_sample,
@@ -9316,6 +9734,12 @@ QUERIES = {
     "mm_audio_normalize_audit": mm_audio_normalize_audit,
     "tp_bpe_merge_step": tp_bpe_merge_step,
     "dd_threshold_sweep": dd_threshold_sweep,
+    "dd_soft_dedup_weights": dd_soft_dedup_weights,
+    "tp_context_truncation": tp_context_truncation,
+    "tp_dedup_aware_mixture": tp_dedup_aware_mixture,
+    "src_xml_roundtrip": src_xml_roundtrip,
+    "mm_hist_equalize": mm_hist_equalize,
+    "dd_incremental_span_probe": dd_incremental_span_probe,
     "dd_source_dedup_report": dd_source_dedup_report,
     "sim_fisher_separability": sim_fisher_separability,
     "ts_zipf_audit": ts_zipf_audit,
@@ -9458,6 +9882,12 @@ ORACLES = {
     "mm_audio_normalize_audit": MM_AUDIO_NORM_ORACLE,
     "tp_bpe_merge_step": _bpe_step_oracle,
     "dd_threshold_sweep": _dd_sweep_oracle,
+    "dd_soft_dedup_weights": DD_SOFT_DEDUP_ORACLE,
+    "tp_context_truncation": TP_TRUNCATION_ORACLE,
+    "tp_dedup_aware_mixture": TP_DEDUP_MIX_ORACLE,
+    "src_xml_roundtrip": SRC_XML_ORACLE,
+    "mm_hist_equalize": MM_HIST_EQ_ORACLE,
+    "dd_incremental_span_probe": DD_INCR_SPAN_ORACLE,
     "dd_source_dedup_report": _dd_source_report_oracle,
     "sim_fisher_separability": SIM_FISHER_ORACLE,
     "ts_zipf_audit": TS_ZIPF_ORACLE,

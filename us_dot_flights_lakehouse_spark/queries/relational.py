@@ -6121,6 +6121,424 @@ FROM s
 """
 
 
+J18_SALTS = 8
+
+
+def j18_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J18 (extension): the salted skew join gets an ORACLE surface —
+    ``operators/joins.py::salted_join`` (previously unit-only, X-family)
+    joins the event stream to per-user profile aggregates with the key
+    widened by {J18_SALTS} salts, then rolls up per event type. The
+    oracle recomputes the rollup from a PLAIN join, so any salting bug
+    (dropped salt lanes, replication miscount, residual salt columns)
+    hash-fails. Counts are exact BIGINTs; the one ratio is a single
+    double division.
+
+    Scale: salting re-shards a hot key across {J18_SALTS} tasks at the
+    cost of replicating the other side {J18_SALTS}× — the right trade
+    when the replicated side is over the broadcast threshold and one
+    key dominates (else broadcast, or let AQE skew-split)."""
+    from us_dot_flights_lakehouse_spark.operators.joins import salted_join
+
+    events = read_table(spark, sf_dir, "events")
+    profiles = (
+        events.groupBy(F.col("user_id").alias("p_user"))
+        .agg(F.count("*").cast("bigint").alias("user_total_events"))
+    )
+    joined = salted_join(
+        events.select("event_id", "user_id", "event_type"),
+        profiles,
+        "user_id",
+        "p_user",
+        n_salts=J18_SALTS,
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("user_total_events").cast("bigint").alias("sum_user_totals"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_user_totals",
+            (
+                F.col("sum_user_totals").cast("double")
+                / F.col("n_events").cast("double")
+            ).alias("avg_user_activity"),
+        )
+    )
+
+
+J18_ORACLE = """
+WITH profiles AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS user_total_events
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(p.user_total_events) AS BIGINT) AS sum_user_totals,
+       CAST(sum(p.user_total_events) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_user_activity
+FROM events e JOIN profiles p USING (user_id)
+GROUP BY 1
+"""
+
+
+O10_EVERY_K = 25
+
+
+def o10_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 (extension): systematic sampling — every {O10_EVERY_K}-th row
+    of orders in (o_orderdate, o_orderkey) total order, the classic
+    evenly-spaced audit sample that (unlike the hash gate of
+    s1_deterministic_sample) guarantees uniform coverage of the sort
+    dimension, e.g. one probe per ~{O10_EVERY_K} orders across the whole
+    date range. Built on ``operators/physical.py::ordered_dense_ids``
+    (range-sort + per-partition offsets), so the global rank NEVER
+    funnels through a one-task window; the oracle recomputes the rank
+    with ROW_NUMBER, so any off-by-one in the distributed offsets
+    hash-fails.
+
+    Scale: one range shuffle + a partition-count-bounded offset collect;
+    the modulo filter is scan-local after that."""
+    from us_dot_flights_lakehouse_spark.operators.physical import (
+        ordered_dense_ids,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    ranked = ordered_dense_ids(
+        orders, ["o_orderdate", "o_orderkey"], id_name="rank"
+    )
+    return ranked.filter(F.col("rank") % O10_EVERY_K == 0).select(
+        "o_orderkey", "o_orderdate", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+O10_ORACLE = f"""
+SELECT o_orderkey, o_orderdate, rank FROM (
+  SELECT o_orderkey, o_orderdate,
+         CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1
+              AS BIGINT) AS rank
+  FROM orders
+) WHERE rank % {O10_EVERY_K} = 0
+"""
+
+
+def a34_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A34 (extension): Cramér's V association strength between market
+    segment and order status — the [0,1] summary of a26's chi-square
+    cell table (V = √(χ²/(n·(min(r,c)−1)))), the one-number answer to
+    "are these two categoricals related?" that a profiling pass runs
+    over every column pair. Cell/marginal counts are exact BIGINTs; χ²
+    folds its 15 cell terms in (segment, status) order on BOTH engines
+    (the sorted-fold technique — a parallel float sum would not be
+    reproducible), and sqrt is IEEE-correctly-rounded.
+
+    Scale: one join + one cell-cardinality aggregate; marginals join
+    broadcast against the 15-row cell table."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    pairs = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == customer["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_orderstatus").alias("st")
+    )
+    cells = pairs.groupBy("seg", "st").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    row_t = cells.groupBy("seg").agg(F.sum("o").cast("bigint").alias("rt"))
+    col_t = cells.groupBy("st").agg(F.sum("o").cast("bigint").alias("ct"))
+    full = (
+        cells.join(F.broadcast(row_t), "seg")
+        .join(F.broadcast(col_t), "st")
+    )
+    n = F.sum("o").cast("bigint")
+    folded = full.agg(
+        n.alias("n_total"),
+        F.countDistinct("seg").cast("bigint").alias("n_segments"),
+        F.countDistinct("st").cast("bigint").alias("n_statuses"),
+        F.collect_list(F.struct("seg", "st", "o", "rt", "ct")).alias("cells"),
+    )
+
+    def term(c):
+        e = (
+            c["rt"].cast("double")
+            * c["ct"].cast("double")
+            / F.col("n_total").cast("double")
+        )
+        d = c["o"].cast("double") - e
+        return d * d / e
+
+    chi2 = F.aggregate(
+        F.array_sort(F.col("cells")), F.lit(0.0), lambda acc, c: acc + term(c)
+    )
+    out = folded.select(
+        "n_total",
+        "n_segments",
+        "n_statuses",
+        chi2.alias("chi2"),
+    )
+    k = F.least(F.col("n_segments"), F.col("n_statuses")) - 1
+    return out.select(
+        "n_total",
+        "n_segments",
+        "n_statuses",
+        "chi2",
+        (
+            (F.col("n_segments") - 1) * (F.col("n_statuses") - 1)
+        ).cast("bigint").alias("dof"),
+        F.sqrt(
+            F.col("chi2") / (F.col("n_total").cast("double") * k.cast("double"))
+        ).alias("cramers_v"),
+    )
+
+
+A34_ORACLE = """
+WITH pairs AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderstatus AS st
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), cells AS (
+  SELECT seg, st, CAST(count(*) AS BIGINT) AS o FROM pairs GROUP BY 1, 2
+), full_t AS (
+  SELECT c.seg, c.st, c.o,
+         CAST(sum(c.o) OVER (PARTITION BY c.seg) AS BIGINT) AS rt,
+         CAST(sum(c.o) OVER (PARTITION BY c.st) AS BIGINT) AS ct
+  FROM cells c
+), folded AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n_total,
+         CAST(count(DISTINCT seg) AS BIGINT) AS n_segments,
+         CAST(count(DISTINCT st) AS BIGINT) AS n_statuses,
+         list(struct_pack(seg := seg, st := st, o := o, rt := rt, ct := ct)
+              ORDER BY seg, st) AS cells
+  FROM full_t
+)
+SELECT n_total, n_segments, n_statuses,
+       list_sum(list_transform(cells, c ->
+         (CAST(c.o AS DOUBLE)
+          - CAST(c.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+            / CAST(n_total AS DOUBLE))
+         * (CAST(c.o AS DOUBLE)
+            - CAST(c.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+              / CAST(n_total AS DOUBLE))
+         / (CAST(c.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+            / CAST(n_total AS DOUBLE)))) AS chi2,
+       CAST((n_segments - 1) * (n_statuses - 1) AS BIGINT) AS dof,
+       sqrt(list_sum(list_transform(cells, c ->
+         (CAST(c.o AS DOUBLE)
+          - CAST(c.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+            / CAST(n_total AS DOUBLE))
+         * (CAST(c.o AS DOUBLE)
+            - CAST(c.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+              / CAST(n_total AS DOUBLE))
+         / (CAST(c.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+            / CAST(n_total AS DOUBLE))))
+         / (CAST(n_total AS DOUBLE)
+            * CAST(least(n_segments, n_statuses) - 1 AS DOUBLE)))
+         AS cramers_v
+FROM folded
+"""
+
+
+def x10_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 (extension): DYNAMIC PARTITION PRUNING through the real
+    partitioned sink — orders published partitioned by year through
+    ``sources/writers.py::write_partitioned`` (the S5 sink, previously
+    unit-only as a read-back surface), then joined to a year dimension
+    that keeps only even years. The partition filter is NOT known at
+    plan time (it arrives from the dim side), so Catalyst inserts a
+    dynamicpruning subquery on the fact scan and only the matching
+    year=... directories are read — THE mechanism that makes a
+    date-partitioned 100 TB fact table affordable to query
+    (tests/test_round7_ops.py asserts the dynamicpruning expression in
+    the scan's PartitionFilters). The oracle recomputes the rollup from
+    the raw table, so the partition layout and pruning are
+    value-verified, not just plan-asserted.
+
+    Scale: scan cost ∝ selected partitions; the dim broadcasts; the
+    rollup is year-cardinality."""
+    import os
+    import shutil
+    import tempfile
+
+    from us_dot_flights_lakehouse_spark.fixtures import source_fingerprint
+    from us_dot_flights_lakehouse_spark.sources.writers import (
+        write_partitioned,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fp = source_fingerprint(sf_dir, "orders")
+    out = f"{tempfile.gettempdir()}/us_dot_x10_{sf_tag}_{fp}"
+    if not os.path.isdir(out):  # write-once fixture, fingerprint-keyed
+        tmp = f"{out}.tmp.{os.getpid()}"
+        write_partitioned(
+            orders.select(
+                "o_orderkey",
+                "o_totalprice",
+                F.year("o_orderdate").alias("o_year"),
+            ),
+            tmp,
+            partition_by=["o_year"],
+        )
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if not os.path.isdir(out):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    fact = spark.read.parquet(out)
+    years = (
+        spark.range(1990, 2010)
+        .filter(F.col("id") % 2 == 0)
+        .select(F.col("id").cast("int").alias("o_year"))
+    )
+    return (
+        fact.join(years, "o_year")
+        .groupBy("o_year")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+X10_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE year(o_orderdate) % 2 = 0
+GROUP BY 1
+"""
+
+
+G5_MAX_DEG = 50
+G5_TOPK = 20
+
+
+def g5_neighbor_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 (extension): supplier-pair neighbor overlap — for every pair
+    of suppliers serving a common customer, the shared-customer count
+    and neighbor-set Jaccard (the SimRank-lite structural-similarity
+    signal; completes the graph family: g1 rank, g2 triangles, g3 cores,
+    g4 communities, g5 similarity). Pair generation happens INSIDE each
+    customer's sorted supplier array (the a22 in-array expansion — no
+    edge-table self-join); customers with more than {G5_MAX_DEG}
+    suppliers are EXCLUDED as hubs before pairing (a k-supplier customer
+    emits k²/2 pairs, so by the same Zipf argument as the containment
+    stop-shingle cap the hot tail would dominate at scale; the oracle
+    applies the identical cap, so semantics stay hash-checked). Top
+    {G5_TOPK} pairs by shared count, deterministic tie-break.
+
+    Scale: shuffles are the edge distinct, the customer collect, the
+    pair count, and two broadcast degree joins — pair volume is bounded
+    by cap²/2 per customer."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    edges = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+        )
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+    )
+    adj = (
+        edges.groupBy("cust")
+        .agg(F.array_sort(F.collect_set("supp")).alias("supps"))
+        .filter(F.size("supps") <= G5_MAX_DEG)
+    )
+    kept_edges = adj.select("cust", F.explode("supps").alias("supp"))
+    deg = kept_edges.groupBy("supp").agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    pairs = adj.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("supps"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("supps"),
+                            i + 2,
+                            F.greatest(F.size("supps") - i - 1, F.lit(0)),
+                        ),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("supp_a"), F.col("p.b").alias("supp_b"))
+    shared = pairs.groupBy("supp_a", "supp_b").agg(
+        F.count("*").cast("bigint").alias("n_shared")
+    )
+    scored = (
+        shared.join(
+            F.broadcast(
+                deg.select(F.col("supp").alias("supp_a"), F.col("deg").alias("deg_a"))
+            ),
+            "supp_a",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("supp").alias("supp_b"), F.col("deg").alias("deg_b"))
+            ),
+            "supp_b",
+        )
+        .select(
+            "supp_a",
+            "supp_b",
+            "n_shared",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("n_shared"), F.asc("supp_a"), F.asc("supp_b")
+    ).limit(G5_TOPK)
+
+
+G5_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), keep AS (
+  SELECT cust FROM edges GROUP BY cust HAVING count(*) <= {G5_MAX_DEG}
+), ke AS (
+  SELECT e.cust, e.supp FROM edges e JOIN keep USING (cust)
+), deg AS (
+  SELECT supp, CAST(count(*) AS BIGINT) AS deg FROM ke GROUP BY 1
+), pairs AS (
+  SELECT a.supp AS supp_a, b.supp AS supp_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM ke a JOIN ke b ON a.cust = b.cust AND a.supp < b.supp
+  GROUP BY 1, 2
+)
+SELECT p.supp_a, p.supp_b, p.n_shared, da.deg AS deg_a, db.deg AS deg_b,
+       CAST(p.n_shared AS DOUBLE)
+         / CAST(da.deg + db.deg - p.n_shared AS DOUBLE) AS jaccard
+FROM pairs p
+JOIN deg da ON p.supp_a = da.supp
+JOIN deg db ON p.supp_b = db.supp
+ORDER BY p.n_shared DESC, p.supp_a ASC, p.supp_b ASC
+LIMIT {G5_TOPK}
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -6217,6 +6635,11 @@ QUERIES = {
     "a31_ks_drift": a31_ks_drift,
     "a32_wasserstein_drift": a32_wasserstein_drift,
     "a33_welch_t_drift": a33_welch_t_drift,
+    "j18_salted_skew_join": j18_salted_skew_join,
+    "o10_systematic_sample": o10_systematic_sample,
+    "a34_cramers_v": a34_cramers_v,
+    "g5_neighbor_overlap": g5_neighbor_overlap,
+    "x10_partition_pruned_scan": x10_partition_pruned_scan,
     "a25_hhi_concentration": a25_hhi_concentration,
     "w15_changepoint_cusum": w15_changepoint_cusum,
     "w16_seasonal_decompose": w16_seasonal_decompose,
@@ -6324,6 +6747,11 @@ ORACLES = {
     "a31_ks_drift": A31_ORACLE,
     "a32_wasserstein_drift": A32_ORACLE,
     "a33_welch_t_drift": A33_ORACLE,
+    "j18_salted_skew_join": J18_ORACLE,
+    "o10_systematic_sample": O10_ORACLE,
+    "a34_cramers_v": A34_ORACLE,
+    "g5_neighbor_overlap": G5_ORACLE,
+    "x10_partition_pruned_scan": X10_ORACLE,
     "a25_hhi_concentration": A25_ORACLE,
     "w15_changepoint_cusum": W15_ORACLE,
     "w16_seasonal_decompose": W16_ORACLE,

@@ -439,6 +439,88 @@ FROM events GROUP BY 1, 2
 """
 
 
+RATE_TRAIL_WINDOWS = 6
+RATE_SPIKE_FACTOR = 2.0
+RATE_MIN_HISTORY = 3
+
+
+def st_event_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event-rate spike alerts — tumbling-hour counts compared
+    against the trailing mean of the previous {RATE_TRAIL_WINDOWS}
+    OBSERVED windows (rows-frame, so silent hours don't dilute the
+    baseline the same way on both engines); a window is a spike when its
+    count exceeds {RATE_SPIKE_FACTOR}× that mean with at least
+    {RATE_MIN_HISTORY} windows of history. This is the monitoring rule a
+    streaming pipeline runs on its own ingest rate; counts are exact
+    BIGINTs and the baseline is one exact-integer double division, so
+    the batch form is bit-stable against the oracle (batch/stream parity
+    is the module contract).
+
+    Scale: one (type, hour) aggregate, then windows PARTITIONED BY type
+    over the hour-cardinality aggregate — never row-scale window state;
+    streaming-wise this is the windowed-agg + per-key trailing state
+    shape transformWithState carries."""
+    from pyspark.sql import Window as W
+
+    events = read_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    trail = (
+        W.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-RATE_TRAIL_WINDOWS, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "window_start",
+        "n_events",
+        F.count("n_events").over(trail).cast("bigint").alias("n_prior"),
+        F.sum("n_events").over(trail).cast("bigint").alias("prior_sum"),
+    )
+    mean = F.col("prior_sum").cast("double") / F.col("n_prior").cast("double")
+    return scored.select(
+        "event_type",
+        "window_start",
+        "n_events",
+        "n_prior",
+        F.when(F.col("n_prior") > 0, mean).alias("trailing_mean"),
+        (
+            (F.col("n_prior") >= RATE_MIN_HISTORY)
+            & (
+                F.col("n_events").cast("double")
+                > F.lit(RATE_SPIKE_FACTOR) * mean
+            )
+        ).alias("is_spike"),
+    )
+
+
+ST_RATE_ALERTS_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, window_start, n_events,
+         CAST(count(n_events) OVER w AS BIGINT) AS n_prior,
+         CAST(sum(n_events) OVER w AS BIGINT) AS prior_sum
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+               ROWS BETWEEN {RATE_TRAIL_WINDOWS} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, window_start, n_events, n_prior,
+       CASE WHEN n_prior > 0
+            THEN CAST(prior_sum AS DOUBLE) / CAST(n_prior AS DOUBLE)
+       END AS trailing_mean,
+       n_prior >= {RATE_MIN_HISTORY}
+         AND CAST(n_events AS DOUBLE)
+             > {RATE_SPIKE_FACTOR} * (CAST(prior_sum AS DOUBLE)
+                                      / CAST(n_prior AS DOUBLE)) AS is_spike
+FROM scored
+"""
+
+
 QUERIES = {
     "st_windowed_topk": st_windowed_topk,
     "st_windowed_cardinality": st_windowed_cardinality,
@@ -450,6 +532,7 @@ QUERIES = {
     "st_stream_dedup": st_stream_dedup,
     "st_late_arrival_audit": st_late_arrival_audit,
     "st_interarrival_stats": st_interarrival_stats,
+    "st_event_rate_alerts": st_event_rate_alerts,
 }
 
 ORACLES = {
@@ -463,4 +546,5 @@ ORACLES = {
     "st_stream_dedup": ST_DEDUP_ORACLE,
     "st_late_arrival_audit": ST_LATE_ORACLE,
     "st_interarrival_stats": ST_INTERARRIVAL_ORACLE,
+    "st_event_rate_alerts": ST_RATE_ALERTS_ORACLE,
 }
