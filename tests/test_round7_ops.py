@@ -179,3 +179,48 @@ def test_dd_incremental_span_probe_bounds(spark, sf_small):
     assert all(0.0 <= r["hist_share"] <= 1.0 for r in rows)
     assert any(r["boilerplate_from_history"] for r in rows)
     assert any(not r["boilerplate_from_history"] for r in rows)
+
+
+def test_a35_decile_table_shape(spark, sf_small):
+    rows = {r["decile"]: r for r in qrel.a35_quantile_drift(spark, sf_small).collect()}
+    assert sorted(rows) == list(range(1, 10))
+    # quantiles are monotone within each sample
+    qb = [rows[i]["q_before"] for i in range(1, 10)]
+    qa = [rows[i]["q_after"] for i in range(1, 10)]
+    assert qb == sorted(qb) and qa == sorted(qa)
+    assert all(rows[i]["gap"] == rows[i]["q_after"] - rows[i]["q_before"] for i in rows)
+
+
+def test_w21_band_bounds(spark, sf_small):
+    """p90 of a trailing window lies within that window's min/max —
+    verified on the first 7 days where the window is the full prefix."""
+    rows = sorted(
+        qrel.w21_rolling_quantile(spark, sf_small).collect(),
+        key=lambda r: r["day"],
+    )
+    prefix = [r["revenue"] for r in rows[:7]]
+    for i, r in enumerate(rows[:7]):
+        window = prefix[: i + 1]
+        assert min(window) - 1e-9 <= r["p90_7d"] <= max(window) + 1e-9
+        assert r["n_window_days"] == i + 1
+
+
+def test_ts_code_detect_flags_code(spark):
+    """A code-looking doc trips the verdict; plain prose does not."""
+    from us_dot_flights_lakehouse_spark.queries import llm as qllm
+
+    code = "def f(x):\n    y = x + 1;\n    return {x: [y]};\n" * 3
+    prose = "The quick brown fox jumps over the lazy dog. " * 10
+    df = spark.createDataFrame(
+        [(1, code, "en", "gh", len(code)), (2, prose, "en", "web", len(prose))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.createOrReplaceTempView("_code_probe")
+    # drive the same expressions through the query body via a tmp dir
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in qllm.ts_code_detect(spark, d).collect()}
+    assert out[1]["is_codelike"] is True
+    assert out[2]["is_codelike"] is False

@@ -152,6 +152,10 @@ WHITELIST: dict[str, set[str]] = {
     "tp_dedup_aware_mixture": {"ONE_PART"},  # 1-row source-ordered sqrt
     #   normalizer fold over the ~20-row per-source aggregate, broadcast
     #   back (tp_label_balance family)
+    "w21_rolling_quantile": {"ONE_PART"},  # global ordered window over the
+    #   DAY-cardinality pre-aggregate (~2.4K rows — q_skew_report family)
+    "a35_quantile_drift": {"ONE_PART"},  # 1-row two-array percentile
+    #   aggregate then a 9-row explode (a3/a8 family)
 }
 
 

@@ -54,6 +54,10 @@ def main():
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2] if len(sys.argv) > 2 else None
     spark = get_spark("stress")
+    if only == "round7":
+        round7_families(spark, factor)
+        spark.stop()
+        return
     if only == "round6":
         round6_families(spark, factor)
         spark.stop()
@@ -1064,6 +1068,84 @@ def round6d_families(spark, factor):
     finally:
         rel.read_table, llm.read_table, llm.read_corpus, st.read_table = origs
 
+
+
+
+def round7_families(spark, factor):
+    """Round-7 shapes at Nx through the REAL catalog code (reader-seam
+    monkeypatch, same protocol as round5b/6*): drift suite (KS's W1 and
+    Welch-t siblings), salted skew join, systematic sampling, Cramér's V,
+    neighbor-overlap graph pairs, SoftDeDup weights, truncation audit,
+    dedup-aware mixture, rate alerts, histogram equalization, and the
+    incremental gram probe. Fixture-write-bound queries (x10 partitioned
+    publish, src_xml) are excluded — their fixtures are keyed to the 1x
+    source by content fingerprint, so a scaled reader would silently
+    reuse 1x data; their scan-side scale behavior is the plain
+    partitioned/xml reader path covered by S-family stress."""
+    import us_dot_flights_lakehouse_spark.queries.llm as llm
+    import us_dot_flights_lakehouse_spark.queries.relational as rel
+    import us_dot_flights_lakehouse_spark.queries.streaming as st
+
+    id_cols = {
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+        "lineitem": "l_orderkey",
+        "orders": "o_orderkey",
+        "customer": "c_custkey",
+        "nation": "n_nationkey",
+        "supplier": "s_suppkey",
+        "region": "r_regionkey",
+        "part": "p_partkey",
+    }
+    cache = {}
+
+    def scaled_table(f):
+        def read(spark_, sf_dir_, name, *a, **k):
+            key = (name, f)
+            if key not in cache:
+                eff = 1 if name in ("nation", "region", "supplier", "part", "customer") else f
+                cache[key] = scaled(spark_, name, eff, id_cols[name]).cache()
+                cache[key].count()
+            return cache[key]
+
+        return read
+
+    targets = [
+        ("a32_wasserstein_drift", rel.a32_wasserstein_drift),
+        ("a33_welch_t_drift", rel.a33_welch_t_drift),
+        ("j18_salted_skew_join", rel.j18_salted_skew_join),
+        ("o10_systematic_sample", rel.o10_systematic_sample),
+        ("a34_cramers_v", rel.a34_cramers_v),
+        ("g5_neighbor_overlap", rel.g5_neighbor_overlap),
+        ("dd_soft_dedup_weights", llm.dd_soft_dedup_weights),
+        ("tp_context_truncation", llm.tp_context_truncation),
+        ("tp_dedup_aware_mixture", llm.tp_dedup_aware_mixture),
+        ("dd_incremental_span_probe", llm.dd_incremental_span_probe),
+        ("mm_hist_equalize", llm.mm_hist_equalize),
+        ("st_event_rate_alerts", st.st_event_rate_alerts),
+    ]
+    orig_rel, orig_llm, orig_corpus = rel.read_table, llm.read_table, llm.read_corpus
+    orig_st = st.read_table
+    try:
+        for name, fn in targets:
+            times = []
+            for f in (1, factor):
+                rel.read_table = scaled_table(f)
+                llm.read_table = scaled_table(f)
+                llm.read_corpus = scaled_table(f)
+                st.read_table = scaled_table(f)
+                t = timed(f"{name}@{f}x", fn(spark, SF_DIR))
+                times.append(t)
+            print(
+                f"{name}: growth {times[1] / times[0]:.1f}x at {factor}x rows",
+                flush=True,
+            )
+    finally:
+        rel.read_table = orig_rel
+        llm.read_table = orig_llm
+        llm.read_corpus = orig_corpus
+        st.read_table = orig_st
 
 if __name__ == "__main__":
     main()

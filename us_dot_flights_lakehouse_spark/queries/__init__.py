@@ -79,6 +79,9 @@ _PRIORITY = (
     "mm_hist_equalize",  # integer histogram equalization kernel
     "dd_incremental_span_probe",  # gram-level probe vs published history
     "x10_partition_pruned_scan",  # dynamic partition pruning through S5 sink
+    "a35_quantile_drift",  # decile-table drift report
+    "ts_code_detect",  # code-vs-prose routing signals
+    "w21_rolling_quantile",  # trailing exact rolling p90 band
     # (c) changed in round 7 — need fresh driver verification:
     "a31_ks_drift",  # cutoff moved inside data range + try_divide
     "f_variant_suite",  # k_missing now mixed present/missing

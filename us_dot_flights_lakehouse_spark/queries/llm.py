@@ -9494,6 +9494,73 @@ FROM per_src CROSS JOIN norm
 """
 
 
+def ts_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: code-vs-prose detection signals — the heuristics a pretraining
+    pipeline uses to ROUTE documents (code to the code pipeline, prose
+    to the text one) rather than drop them: brace/bracket density,
+    semicolon-per-line rate, indented-line share, assignment-operator
+    density, and an ``is_codelike`` composite verdict. All exact integer
+    counts with single double divisions — bit-stable, zero shuffle,
+    regexp work fused into the scan projection."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n_chars = F.greatest(F.length(txt), F.lit(1)).cast("double")
+    lines = F.split(txt, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    n_brace = F.regexp_count(txt, F.lit(r"[{}()\[\]]")).cast("bigint")
+    n_semi = F.regexp_count(txt, F.lit(";")).cast("bigint")
+    n_assign = F.regexp_count(txt, F.lit(r"[=:]=?")).cast("bigint")
+    n_indent = F.size(
+        F.filter(lines, lambda l: l.startswith("    ") | l.startswith("\t"))
+    ).cast("bigint")
+    brace_density = n_brace.cast("double") / n_chars
+    semi_rate = n_semi.cast("double") / n_lines
+    indent_share = n_indent.cast("double") / n_lines
+    assign_density = n_assign.cast("double") / n_chars
+    return docs.select(
+        "doc_id",
+        n_brace.alias("n_brackets"),
+        n_semi.alias("n_semicolons"),
+        n_indent.alias("n_indented_lines"),
+        brace_density.alias("bracket_density"),
+        semi_rate.alias("semicolons_per_line"),
+        indent_share.alias("indented_share"),
+        assign_density.alias("assign_density"),
+        (
+            (brace_density > 0.01)
+            | (semi_rate > 0.3)
+            | (indent_share > 0.3)
+        ).alias("is_codelike"),
+    )
+
+
+TS_CODE_DETECT_ORACLE = r"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[{}()\[\]]')) AS BIGINT)
+           AS n_brackets,
+         CAST(len(regexp_extract_all(text, ';')) AS BIGINT) AS n_semicolons,
+         CAST(len(list_filter(string_split(text, chr(10)),
+                              l -> l LIKE '    %' OR l LIKE chr(9) || '%'))
+              AS BIGINT) AS n_indented_lines,
+         CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars,
+         CAST(greatest(len(string_split(text, chr(10))), 1) AS DOUBLE)
+           AS n_lines,
+         CAST(len(regexp_extract_all(text, '[=:]=?')) AS BIGINT) AS n_assign
+  FROM documents
+)
+SELECT doc_id, n_brackets, n_semicolons, n_indented_lines,
+       CAST(n_brackets AS DOUBLE) / n_chars AS bracket_density,
+       CAST(n_semicolons AS DOUBLE) / n_lines AS semicolons_per_line,
+       CAST(n_indented_lines AS DOUBLE) / n_lines AS indented_share,
+       CAST(n_assign AS DOUBLE) / n_chars AS assign_density,
+       (CAST(n_brackets AS DOUBLE) / n_chars > 0.01
+        OR CAST(n_semicolons AS DOUBLE) / n_lines > 0.3
+        OR CAST(n_indented_lines AS DOUBLE) / n_lines > 0.3) AS is_codelike
+FROM m
+"""
+
+
 INCR_GRAM_SHARE = 0.5
 
 
@@ -9740,6 +9807,7 @@ QUERIES = {
     "src_xml_roundtrip": src_xml_roundtrip,
     "mm_hist_equalize": mm_hist_equalize,
     "dd_incremental_span_probe": dd_incremental_span_probe,
+    "ts_code_detect": ts_code_detect,
     "dd_source_dedup_report": dd_source_dedup_report,
     "sim_fisher_separability": sim_fisher_separability,
     "ts_zipf_audit": ts_zipf_audit,
@@ -9888,6 +9956,7 @@ ORACLES = {
     "src_xml_roundtrip": SRC_XML_ORACLE,
     "mm_hist_equalize": MM_HIST_EQ_ORACLE,
     "dd_incremental_span_probe": DD_INCR_SPAN_ORACLE,
+    "ts_code_detect": TS_CODE_DETECT_ORACLE,
     "dd_source_dedup_report": _dd_source_report_oracle,
     "sim_fisher_separability": SIM_FISHER_ORACLE,
     "ts_zipf_audit": TS_ZIPF_ORACLE,

@@ -6121,6 +6121,135 @@ FROM s
 """
 
 
+def a35_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A35 (extension): decile-table drift report — the nine deciles of
+    the before/after order-price samples around {KS_CUTOFF_DATE} side by
+    side with their gaps: the INTERPRETABLE companion to the drift
+    suite's single-number verdicts (a31 KS, a32 W₁, a33 t) that tells an
+    engineer WHERE in the distribution the shift lives. Both quantile
+    sets come from ONE array-percentile aggregate per side (a11's
+    single-pass technique: linear interpolation lo + (hi−lo)·frac,
+    bit-identical to QUANTILE_CONT on both engines).
+
+    Scale: one global aggregate (percentile's sort/accumulate buffers
+    are per-partition then merged); no windows, no joins."""
+    orders = read_table(spark, sf_dir, "orders")
+    g1 = F.col("o_orderdate") < F.lit(KS_CUTOFF_DATE).cast("date")
+    qs = [i / 10 for i in range(1, 10)]
+    agg = orders.agg(
+        F.percentile(F.when(g1, F.col("o_totalprice")), F.lit(qs)).alias(
+            "qb"
+        ),
+        F.percentile(F.when(~g1, F.col("o_totalprice")), F.lit(qs)).alias(
+            "qa"
+        ),
+    )
+    z = agg.select(F.posexplode(F.arrays_zip("qb", "qa")))
+    return z.select(
+        (F.col("pos") + 1).cast("int").alias("decile"),
+        F.col("col.qb").alias("q_before"),
+        F.col("col.qa").alias("q_after"),
+        (F.col("col.qa") - F.col("col.qb")).alias("gap"),
+    )
+
+
+A35_ORACLE = f"""
+WITH q AS (
+  SELECT quantile_cont(CASE WHEN o_orderdate < DATE '{KS_CUTOFF_DATE}'
+                            THEN o_totalprice END,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qb,
+         quantile_cont(CASE WHEN o_orderdate >= DATE '{KS_CUTOFF_DATE}'
+                            THEN o_totalprice END,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qa
+  FROM orders
+)
+SELECT CAST(u.i AS INTEGER) AS decile,
+       qb[u.i] AS q_before,
+       qa[u.i] AS q_after,
+       qa[u.i] - qb[u.i] AS gap
+FROM q, (SELECT unnest(range(1, 10)) AS i) u
+"""
+
+
+def w21_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W21 (extension): trailing 7-day EXACT rolling p90 of daily
+    revenue — the percentile-band monitoring line a revenue dashboard
+    draws (rolling mean hides spikes; a rolling quantile does not).
+    Spark has no percentile window function, so the 7-value frame is
+    collected per row, sorted, and linearly interpolated with the SAME
+    lo + (hi−lo)·frac arithmetic as a11/QUANTILE_CONT, on exact integer
+    cents — both engines fold identical doubles. The frame is ≤7 values,
+    so the collect is constant-size per row.
+
+    Scale: the window runs over the DAY-CARDINALITY pre-aggregate (one
+    row per calendar day — ~2.4K rows for 7 years), never row-scale; the
+    one shuffle is the daily rollup."""
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    arr = F.sort_array(F.collect_list("cents").over(w))
+    n = F.size(arr)
+    idx = F.lit(0.9) * (n - 1).cast("double")
+    lo = F.floor(idx).cast("int")
+    hi = F.ceil(idx).cast("int")
+    frac = idx - lo.cast("double")
+    p90_cents = (
+        F.element_at(arr, lo + 1).cast("double")
+        + (
+            F.element_at(arr, hi + 1).cast("double")
+            - F.element_at(arr, lo + 1).cast("double")
+        )
+        * frac
+    )
+    scored = daily.select(
+        "day",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (p90_cents / 100.0).alias("p90_7d"),
+        n.cast("bigint").alias("n_window_days"),
+    )
+    return scored.withColumn(
+        "above_p90", F.col("revenue") > F.col("p90_7d")
+    )
+
+
+W21_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), framed AS (
+  SELECT day, cents,
+         list_sort(list(cents) OVER (ORDER BY day
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+  FROM daily
+), scored AS (
+  SELECT day, cents, arr, len(arr) AS n,
+         0.9 * CAST(len(arr) - 1 AS DOUBLE) AS idx
+  FROM framed
+)
+SELECT day,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       (CAST(arr[CAST(floor(idx) AS INTEGER) + 1] AS DOUBLE)
+        + (CAST(arr[CAST(ceil(idx) AS INTEGER) + 1] AS DOUBLE)
+           - CAST(arr[CAST(floor(idx) AS INTEGER) + 1] AS DOUBLE))
+          * (idx - CAST(floor(idx) AS DOUBLE))) / 100.0 AS p90_7d,
+       CAST(n AS BIGINT) AS n_window_days,
+       CAST(cents AS DOUBLE) / 100.0
+         > (CAST(arr[CAST(floor(idx) AS INTEGER) + 1] AS DOUBLE)
+            + (CAST(arr[CAST(ceil(idx) AS INTEGER) + 1] AS DOUBLE)
+               - CAST(arr[CAST(floor(idx) AS INTEGER) + 1] AS DOUBLE))
+              * (idx - CAST(floor(idx) AS DOUBLE))) / 100.0 AS above_p90
+FROM scored
+"""
+
+
 J18_SALTS = 8
 
 
@@ -6640,6 +6769,8 @@ QUERIES = {
     "a34_cramers_v": a34_cramers_v,
     "g5_neighbor_overlap": g5_neighbor_overlap,
     "x10_partition_pruned_scan": x10_partition_pruned_scan,
+    "a35_quantile_drift": a35_quantile_drift,
+    "w21_rolling_quantile": w21_rolling_quantile,
     "a25_hhi_concentration": a25_hhi_concentration,
     "w15_changepoint_cusum": w15_changepoint_cusum,
     "w16_seasonal_decompose": w16_seasonal_decompose,
@@ -6752,6 +6883,8 @@ ORACLES = {
     "a34_cramers_v": A34_ORACLE,
     "g5_neighbor_overlap": G5_ORACLE,
     "x10_partition_pruned_scan": X10_ORACLE,
+    "a35_quantile_drift": A35_ORACLE,
+    "w21_rolling_quantile": W21_ORACLE,
     "a25_hhi_concentration": A25_ORACLE,
     "w15_changepoint_cusum": W15_ORACLE,
     "w16_seasonal_decompose": W16_ORACLE,
