@@ -156,6 +156,14 @@ WHITELIST: dict[str, set[str]] = {
     #   DAY-cardinality pre-aggregate (~2.4K rows — q_skew_report family)
     "a35_quantile_drift": {"ONE_PART"},  # 1-row two-array percentile
     #   aggregate then a 9-row explode (a3/a8 family)
+    "q_pk_uniqueness_audit": {"ONE_PART"},  # five 1-row per-table PK
+    #   profiles unioned (q_table_stats family)
+    "w22_period_over_period": {"ONE_PART"},  # lag window over the ~84-row
+    #   MONTH-cardinality aggregate (w21/q_skew_report family)
+    "tp_final_sample_weights": {"ONE_PART"},  # 1-row sqrt-normalizer fold
+    #   (tp_temperature_mix family)
+    "ts_boilerplate_lines": {"ONE_PART"},  # 1-row corpus-count aggregate
+    #   broadcast into doc_share + TakeOrdered top-k merge
 }
 
 

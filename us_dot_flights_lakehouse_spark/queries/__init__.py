@@ -82,6 +82,11 @@ _PRIORITY = (
     "a35_quantile_drift",  # decile-table drift report
     "ts_code_detect",  # code-vs-prose routing signals
     "w21_rolling_quantile",  # trailing exact rolling p90 band
+    "q_pk_uniqueness_audit",  # star-schema PK duplicate audit
+    "w22_period_over_period",  # MoM/YoY revenue deltas
+    "ts_boilerplate_lines",  # top cross-doc boilerplate report
+    "st_new_user_rate",  # per-hour first-seen user split
+    "tp_final_sample_weights",  # composed quality*dedup*mix weight
     # (c) changed in round 7 — need fresh driver verification:
     "a31_ks_drift",  # cutoff moved inside data range + try_divide
     "f_variant_suite",  # k_missing now mixed present/missing

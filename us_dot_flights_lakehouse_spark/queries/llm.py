@@ -9561,6 +9561,166 @@ FROM m
 """
 
 
+BOILERPLATE_TOPK = 20
+
+
+def ts_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: top cross-document boilerplate lines — the normalized lines
+    (trimmed, lowercased) that appear in the MOST distinct documents,
+    with document-frequency and corpus share: the report a data engineer
+    reads BEFORE tuning line-level dedup (``dd_line_dedup`` applies the
+    removal; this shows what would be removed and how much). Counts are
+    exact distinct-doc BIGINTs; top-{BOILERPLATE_TOPK} with
+    deterministic tie-break.
+
+    Scale: explode → distinct → one groupBy(line) with map-side
+    combine; the global top-k is a TakeOrdered merge of k rows."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    line = F.lower(F.trim(F.col("line")))
+    exploded = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("line")
+        )
+        .select("doc_id", line.alias("line"))
+        .filter(F.length("line") > 0)
+        .distinct()
+    )
+    n_docs = docs.select(F.count("*").cast("bigint").alias("n_docs"))
+    counts = exploded.groupBy("line").agg(
+        F.count("*").cast("bigint").alias("df_docs")
+    )
+    return (
+        counts.crossJoin(F.broadcast(n_docs))
+        .select(
+            "line",
+            "df_docs",
+            (
+                F.col("df_docs").cast("double") / F.col("n_docs").cast("double")
+            ).alias("doc_share"),
+        )
+        .orderBy(F.desc("df_docs"), F.asc("line"))
+        .limit(BOILERPLATE_TOPK)
+    )
+
+
+TS_BOILERPLATE_ORACLE = f"""
+WITH lines AS (
+  SELECT DISTINCT doc_id, lower(trim(l.line)) AS line
+  FROM documents, unnest(string_split(text, chr(10))) AS l(line)
+  WHERE length(lower(trim(l.line))) > 0
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT line, CAST(count(*) AS BIGINT) AS df_docs,
+       CAST(count(*) AS DOUBLE) / CAST(any_value(n.n_docs) AS DOUBLE)
+         AS doc_share
+FROM lines CROSS JOIN n
+GROUP BY line
+ORDER BY df_docs DESC, line ASC
+LIMIT {BOILERPLATE_TOPK}
+"""
+
+
+def tp_final_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP: the capstone composition — ONE per-doc training sampling
+    weight from the three curation signals the catalog computes
+    separately: quality gate (keep iff quality_score ≥ {QUALITY_CUTOFF},
+    ts_quality family), SoftDeDup down-weighting (1/exact-dup-cluster
+    size, dd_soft_dedup_weights), and the √n temperature source weight
+    (tp_temperature_mix). final_weight = gate · soft · source_weight —
+    the number a data loader actually samples by, produced as one lazy
+    Catalyst plan (scan-fused stats, one fingerprint groupBy, two tiny
+    broadcast aggregates).
+
+    Scale: the exact-dedup shuffle dominates; everything else is
+    broadcast against it."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    stats = textstats.text_stats(docs).select(
+        "doc_id", "quality_score", "fingerprint"
+    )
+    sizes = stats.groupBy("fingerprint").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    src = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    z = src.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("source", "n_docs"))),
+                lambda s: F.sqrt(s["n_docs"].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("z")
+    )
+    srcw = src.crossJoin(F.broadcast(z)).select(
+        "source",
+        (F.sqrt(F.col("n_docs").cast("double")) / F.col("z")).alias(
+            "source_weight"
+        ),
+    )
+    gate = (F.col("quality_score") >= QUALITY_CUTOFF).cast("double")
+    soft = F.lit(1.0) / F.col("cluster_size").cast("double")
+    return (
+        docs.select("doc_id", "source")
+        .join(stats, "doc_id")
+        .join(sizes, "fingerprint")
+        .join(F.broadcast(srcw), "source")
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            "cluster_size",
+            F.col("source_weight"),
+            (gate * soft * F.col("source_weight")).alias("final_weight"),
+        )
+    )
+
+
+TP_FINAL_WEIGHTS_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source,
+    CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
+    CAST(len(list_distinct({_TOKENS})) AS INTEGER) AS n_unique_tokens,
+    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS INTEGER)
+      AS n_punct,
+    CAST(length(text) AS INTEGER) AS n_chars,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, fingerprint,
+    (CASE WHEN n_tokens >= 20 AND n_tokens <= 80 THEN CAST(0.4 AS DOUBLE)
+          ELSE CAST(0.0 AS DOUBLE) END
+     + CASE WHEN CAST(n_unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 >= 0.3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+     + CASE WHEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) < 0.1
+            THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+    ) AS quality_score
+  FROM base
+), sizes AS (
+  SELECT fingerprint, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM scored GROUP BY 1
+), src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+), z AS (
+  SELECT list_sum(list_transform(
+           list(struct_pack(s := source, n := n_docs) ORDER BY source),
+           e -> sqrt(CAST(e.n AS DOUBLE)))) AS z
+  FROM src
+), srcw AS (
+  SELECT source, sqrt(CAST(n_docs AS DOUBLE)) / z.z AS source_weight
+  FROM src CROSS JOIN z
+)
+SELECT s.doc_id, s.source, s.quality_score, c.cluster_size, w.source_weight,
+       (CASE WHEN s.quality_score >= {QUALITY_CUTOFF} THEN 1.0 ELSE 0.0 END)
+         * (1.0 / CAST(c.cluster_size AS DOUBLE)) * w.source_weight
+         AS final_weight
+FROM scored s
+JOIN sizes c USING (fingerprint)
+JOIN srcw w USING (source)
+"""
+
+
 INCR_GRAM_SHARE = 0.5
 
 
@@ -9808,6 +9968,8 @@ QUERIES = {
     "mm_hist_equalize": mm_hist_equalize,
     "dd_incremental_span_probe": dd_incremental_span_probe,
     "ts_code_detect": ts_code_detect,
+    "ts_boilerplate_lines": ts_boilerplate_lines,
+    "tp_final_sample_weights": tp_final_sample_weights,
     "dd_source_dedup_report": dd_source_dedup_report,
     "sim_fisher_separability": sim_fisher_separability,
     "ts_zipf_audit": ts_zipf_audit,
@@ -9957,6 +10119,8 @@ ORACLES = {
     "mm_hist_equalize": MM_HIST_EQ_ORACLE,
     "dd_incremental_span_probe": DD_INCR_SPAN_ORACLE,
     "ts_code_detect": TS_CODE_DETECT_ORACLE,
+    "ts_boilerplate_lines": TS_BOILERPLATE_ORACLE,
+    "tp_final_sample_weights": TP_FINAL_WEIGHTS_ORACLE,
     "dd_source_dedup_report": _dd_source_report_oracle,
     "sim_fisher_separability": SIM_FISHER_ORACLE,
     "ts_zipf_audit": TS_ZIPF_ORACLE,

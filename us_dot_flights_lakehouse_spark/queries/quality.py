@@ -432,7 +432,92 @@ FROM agg
 """
 
 
+def q_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q: primary-key uniqueness audit across the star schema — per
+    table: rows, distinct keys, duplicated keys, rows carried by dups,
+    and the is_unique verdict. The first gate a lakehouse runs after
+    every ingest (the reference's gold expectations check exactly this
+    for its dims/fact — gold_expectations.py PK suite), here as ONE
+    driver-facing report over five tables.
+
+    Scale: per table one distinct-count aggregate pair (partial+final);
+    the union is 5 rows. Key-distinct at 100 TB is the one genuinely
+    expensive profile op — swap in approx_count_distinct (the
+    q_table_stats_approx pattern) when exactness isn't required."""
+    from pyspark.sql import functions as F
+
+    specs = [
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey||l_linenumber"),
+        ("customer", "c_custkey"),
+        ("part", "p_partkey"),
+        ("events", "event_id"),
+    ]
+    outs = []
+    for table, key in specs:
+        df = read_table(spark, sf_dir, table)
+        if "||" in key:
+            a, b = key.split("||")
+            k = F.concat_ws("\x1f", F.col(a), F.col(b))
+        else:
+            k = F.col(key)
+        per_key = df.groupBy(k.alias("k")).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        outs.append(
+            per_key.agg(
+                F.lit(table).alias("table_name"),
+                F.lit(key).alias("pk"),
+                F.sum("c").cast("bigint").alias("n_rows"),
+                F.count("*").cast("bigint").alias("n_distinct_keys"),
+                F.sum((F.col("c") > 1).cast("int"))
+                .cast("bigint")
+                .alias("n_dup_keys"),
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+                .cast("bigint")
+                .alias("n_rows_in_dups"),
+            ).select(
+                "*",
+                (F.col("n_dup_keys") == 0).alias("is_unique"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+Q_PK_AUDIT_ORACLE = """
+WITH ks AS (
+  SELECT 'orders' AS table_name, 'o_orderkey' AS pk,
+         CAST(o_orderkey AS VARCHAR) AS k FROM orders
+  UNION ALL
+  SELECT 'lineitem', 'l_orderkey||l_linenumber',
+         CAST(l_orderkey AS VARCHAR) || chr(31) || CAST(l_linenumber AS VARCHAR)
+  FROM lineitem
+  UNION ALL
+  SELECT 'customer', 'c_custkey', CAST(c_custkey AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'part', 'p_partkey', CAST(p_partkey AS VARCHAR) FROM part
+  UNION ALL
+  SELECT 'events', 'event_id', CAST(event_id AS VARCHAR) FROM events
+), per_key AS (
+  SELECT table_name, pk, k, CAST(count(*) AS BIGINT) AS c
+  FROM ks GROUP BY 1, 2, 3
+)
+SELECT table_name, pk,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct_keys,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+         AS n_rows_in_dups,
+       sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0 AS is_unique
+FROM per_key GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "q_pk_uniqueness_audit": q_pk_uniqueness_audit,
     "q_quality_report": q_quality_report,
     "q_table_stats": q_table_stats,
     "q_table_stats_approx": q_table_stats_approx,
@@ -441,6 +526,7 @@ QUERIES = {
     "q_violation_bitmask": q_violation_bitmask,
 }
 ORACLES = {
+    "q_pk_uniqueness_audit": Q_PK_AUDIT_ORACLE,
     "q_quality_report": QUALITY_ORACLE,
     "q_table_stats": _table_stats_oracle(),
     "q_table_stats_approx": _table_stats_approx_oracle(),

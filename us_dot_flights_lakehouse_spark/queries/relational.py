@@ -6250,6 +6250,60 @@ FROM scored
 """
 
 
+def w22_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W22 (extension): month-over-month and year-over-year revenue
+    deltas — the classic BI period-comparison table (the one report
+    every finance dashboard opens with), from exact integer-cent
+    monthly sums with lag(1) and lag(12) over the month-cardinality
+    aggregate. Change ratios are single double divisions of exact
+    integers — bit-stable; months without a comparison period carry
+    NULLs (try-divide semantics).
+
+    Scale: one monthly rollup shuffle; the window runs over ~84 rows
+    (month cardinality), never row-scale."""
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = W.orderBy("month")
+    prev = F.lag("cents", 1).over(w)
+    yoy = F.lag("cents", 12).over(w)
+    return monthly.select(
+        "month",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.try_divide(
+            (F.col("cents") - prev).cast("double"), prev.cast("double")
+        ).alias("mom_change"),
+        F.try_divide(
+            (F.col("cents") - yoy).cast("double"), yoy.cast("double")
+        ).alias("yoy_change"),
+    )
+
+
+W22_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT month, cents,
+         lag(cents, 1) OVER (ORDER BY month) AS prev,
+         lag(cents, 12) OVER (ORDER BY month) AS yoy
+  FROM monthly
+)
+SELECT month,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(cents - prev AS DOUBLE) / CAST(prev AS DOUBLE) AS mom_change,
+       CAST(cents - yoy AS DOUBLE) / CAST(yoy AS DOUBLE) AS yoy_change
+FROM lagged
+"""
+
+
 J18_SALTS = 8
 
 
@@ -6771,6 +6825,7 @@ QUERIES = {
     "x10_partition_pruned_scan": x10_partition_pruned_scan,
     "a35_quantile_drift": a35_quantile_drift,
     "w21_rolling_quantile": w21_rolling_quantile,
+    "w22_period_over_period": w22_period_over_period,
     "a25_hhi_concentration": a25_hhi_concentration,
     "w15_changepoint_cusum": w15_changepoint_cusum,
     "w16_seasonal_decompose": w16_seasonal_decompose,
@@ -6885,6 +6940,7 @@ ORACLES = {
     "x10_partition_pruned_scan": X10_ORACLE,
     "a35_quantile_drift": A35_ORACLE,
     "w21_rolling_quantile": W21_ORACLE,
+    "w22_period_over_period": W22_ORACLE,
     "a25_hhi_concentration": A25_ORACLE,
     "w15_changepoint_cusum": W15_ORACLE,
     "w16_seasonal_decompose": W16_ORACLE,

@@ -439,6 +439,64 @@ FROM events GROUP BY 1, 2
 """
 
 
+def st_new_user_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour NEW-user rate — each hour's distinct active users split
+    into first-ever-seen vs returning (the growth-vs-retention split
+    every product stream computes; in streaming form this is the
+    first-seen keyed state of transformWithState — batch form here,
+    bit-identical semantics, which makes the oracle valid). Counts are
+    exact BIGINTs; the share is one double division.
+
+    Scale: one per-user min aggregate + one per-hour distinct rollup —
+    both map-side combinable; no windows."""
+    from pyspark.sql import functions as F
+
+    events = read_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("first_hour")
+    )
+    active = (
+        events.select(hour.alias("window_start"), "user_id")
+        .distinct()
+        .join(first_seen, "user_id")
+    )
+    agg = active.groupBy("window_start").agg(
+        F.count("*").cast("bigint").alias("n_active_users"),
+        F.sum((F.col("window_start") == F.col("first_hour")).cast("int"))
+        .cast("bigint")
+        .alias("n_new_users"),
+    )
+    return agg.select(
+        "window_start",
+        "n_active_users",
+        "n_new_users",
+        (
+            F.col("n_new_users").cast("double")
+            / F.col("n_active_users").cast("double")
+        ).alias("new_share"),
+    )
+
+
+ST_NEW_USER_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, time_bucket(INTERVAL 1 HOUR, min(ts)) AS first_hour
+  FROM events GROUP BY 1
+), active AS (
+  SELECT DISTINCT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, user_id
+  FROM events
+)
+SELECT a.window_start,
+       CAST(count(*) AS BIGINT) AS n_active_users,
+       CAST(sum(CASE WHEN a.window_start = f.first_hour THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new_users,
+       CAST(sum(CASE WHEN a.window_start = f.first_hour THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS new_share
+FROM active a JOIN first_seen f USING (user_id)
+GROUP BY 1
+"""
+
+
 RATE_TRAIL_WINDOWS = 6
 RATE_SPIKE_FACTOR = 2.0
 RATE_MIN_HISTORY = 3
@@ -533,6 +591,7 @@ QUERIES = {
     "st_late_arrival_audit": st_late_arrival_audit,
     "st_interarrival_stats": st_interarrival_stats,
     "st_event_rate_alerts": st_event_rate_alerts,
+    "st_new_user_rate": st_new_user_rate,
 }
 
 ORACLES = {
@@ -547,4 +606,5 @@ ORACLES = {
     "st_late_arrival_audit": ST_LATE_ORACLE,
     "st_interarrival_stats": ST_INTERARRIVAL_ORACLE,
     "st_event_rate_alerts": ST_RATE_ALERTS_ORACLE,
+    "st_new_user_rate": ST_NEW_USER_ORACLE,
 }
