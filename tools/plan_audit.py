@@ -164,6 +164,9 @@ WHITELIST: dict[str, set[str]] = {
     #   (tp_temperature_mix family)
     "ts_boilerplate_lines": {"ONE_PART"},  # 1-row corpus-count aggregate
     #   broadcast into doc_share + TakeOrdered top-k merge
+    "f_udtf_partitioned": {"PY_ROW", "ONE_PART"},  # the query EXISTS to
+    #   exercise the TABLE-argument Python UDTF (f_udtf_shingles family);
+    #   PARTITION BY source plans a hash exchange + per-partition UDTF
 }
 
 

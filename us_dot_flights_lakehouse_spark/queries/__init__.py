@@ -64,7 +64,17 @@ _PRIORITY = (
     "mm_audio_normalize_audit",
     "tp_bpe_merge_step",
     "dd_threshold_sweep",
-    # (b) new in round 7 — never driver-verified:
+    # (c) changed in round 7 — need fresh driver verification:
+    "a31_ks_drift",  # cutoff moved inside data range + try_divide
+    "f_variant_suite",  # k_missing now mixed present/missing
+    "p7_try_functions",  # status_as_int now mixed parse/fail
+    "tp_neyman_allocation",  # decimal(38,0)/HUGEINT moments
+    "x8_snapshot_diff",  # fixture keyed by source fingerprint
+    "x9_bucketed_join",  # fixture keyed + data-dir checked
+    "sim_kcenter_diversity",  # kcenter refine duplicate-id fix
+    # (b) new in round 7 — never driver-verified. The head-50 cut falls
+    # inside this section: entries past the cut (the Spark-4 API trio,
+    # added last) roll into the round-8 rotation:
     "a32_wasserstein_drift",  # exact 1-D earth-mover drift distance
     "a33_welch_t_drift",  # Welch two-sample t from exact moments
     "j18_salted_skew_join",  # salted skew join oracle surface
@@ -87,14 +97,9 @@ _PRIORITY = (
     "ts_boilerplate_lines",  # top cross-doc boilerplate report
     "st_new_user_rate",  # per-hour first-seen user split
     "tp_final_sample_weights",  # composed quality*dedup*mix weight
-    # (c) changed in round 7 — need fresh driver verification:
-    "a31_ks_drift",  # cutoff moved inside data range + try_divide
-    "f_variant_suite",  # k_missing now mixed present/missing
-    "p7_try_functions",  # status_as_int now mixed parse/fail
-    "tp_neyman_allocation",  # decimal(38,0)/HUGEINT moments
-    "x8_snapshot_diff",  # fixture keyed by source fingerprint
-    "x9_bucketed_join",  # fixture keyed + data-dir checked
-    "sim_kcenter_diversity",  # kcenter refine duplicate-id fix
+    "f_sql_udf",  # SQL scalar UDF (inlined, codegen)
+    "f_param_sql",  # parameterized SQL binding
+    "f_udtf_partitioned",  # TABLE-arg UDTF with PARTITION BY
     # ---- earlier-round ordering below (first occurrence wins) ----
     # round-6 front-load: the 4 catalog entries that have NEVER had a driver
     # CORRECTNESS row (added after the round-5 sample was taken; judge-green

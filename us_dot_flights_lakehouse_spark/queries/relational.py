@@ -6250,6 +6250,136 @@ FROM scored
 """
 
 
+def f_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-sql-udf (extension): SQL scalar UDF (Spark 4 ``CREATE FUNCTION
+    … RETURN <expr>``) — the discounted-price function defined ONCE in
+    SQL and reused; unlike Python UDFs, SQL UDFs INLINE into the
+    Catalyst plan (full codegen, zero serialization), which is why they
+    are the recommended way to share row-level business logic at scale.
+    The body works in exact DECIMAL so the grouped sums stay
+    order-independent; the oracle inlines the same arithmetic.
+
+    Scale: indistinguishable from writing the expression inline — one
+    grouped aggregate over the scan."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DECIMAL(16,4) "
+        "RETURN CAST(p AS DECIMAL(12,2)) "
+        "* (CAST(1 AS DECIMAL(3,2)) - CAST(d AS DECIMAL(3,2)))"
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("f_sql_udf_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(disc_price(l_extendedprice, l_discount)) AS DOUBLE)
+                 AS revenue
+        FROM f_sql_udf_lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+F_SQL_UDF_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+F_PARAM_CAP = 50_000.0
+
+
+def f_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-param (extension): parameterized SQL (Spark 4 named-argument
+    binding + DataFrame template references) — the injection-safe way a
+    service layer issues user-driven queries: the threshold arrives as a
+    bound ``:cap`` parameter and the table as a ``{{df}}`` template ref,
+    never string concatenation. Semantics identical to the literal
+    query, which is what the oracle asserts.
+
+    Scale: the bound parameter folds to a literal at plan time, so
+    pushdown/pruning behave exactly as the inline form."""
+    orders = read_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM {orders}
+        WHERE o_totalprice < :cap
+        GROUP BY o_orderpriority
+        """,
+        args={"cap": F_PARAM_CAP},
+        orders=orders,
+    )
+
+
+F_PARAM_SQL_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_totalprice < {F_PARAM_CAP}
+GROUP BY o_orderpriority
+"""
+
+
+def f_udtf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-udtf-2 (extension): Python UDTF over a TABLE argument with
+    PARTITION BY (the Spark 4 analytic-UDTF surface, complementing
+    f_udtf_shingles' lateral form) — a per-source accumulator that sees
+    every row of one source and emits one summary row from
+    ``terminate()``. This is the UDTF shape for per-group logic that
+    genuinely needs Python state across rows; for THIS logic a groupBy
+    is strictly faster (the oracle proves equivalence), which is exactly
+    the point the docstring pins.
+
+    Scale: rows stream through Python row-at-a-time (the slow path —
+    plan-audit whitelists this query as the capability demo); partition
+    parallelism = source cardinality."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="source string, n_docs bigint, total_chars bigint")
+    class SourceSummary:
+        def __init__(self) -> None:
+            self._src = None
+            self._n = 0
+            self._chars = 0
+
+        def eval(self, row) -> None:
+            self._src = row["source"]
+            self._n += 1
+            self._chars += int(row["n_chars"])
+
+        def terminate(self):
+            if self._src is not None:
+                yield self._src, self._n, self._chars
+
+    spark.udtf.register("f_source_summary", SourceSummary)
+    docs = read_table(spark, sf_dir, "documents")
+    docs.select("source", "n_chars").createOrReplaceTempView(
+        "f_udtf2_docs"
+    )
+    return spark.sql(
+        "SELECT * FROM f_source_summary(TABLE(f_udtf2_docs) "
+        "PARTITION BY source)"
+    )
+
+
+F_UDTF2_ORACLE = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+"""
+
+
 def w22_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W22 (extension): month-over-month and year-over-year revenue
     deltas — the classic BI period-comparison table (the one report
@@ -6826,6 +6956,9 @@ QUERIES = {
     "a35_quantile_drift": a35_quantile_drift,
     "w21_rolling_quantile": w21_rolling_quantile,
     "w22_period_over_period": w22_period_over_period,
+    "f_sql_udf": f_sql_udf,
+    "f_param_sql": f_param_sql,
+    "f_udtf_partitioned": f_udtf_partitioned,
     "a25_hhi_concentration": a25_hhi_concentration,
     "w15_changepoint_cusum": w15_changepoint_cusum,
     "w16_seasonal_decompose": w16_seasonal_decompose,
@@ -6941,6 +7074,9 @@ ORACLES = {
     "a35_quantile_drift": A35_ORACLE,
     "w21_rolling_quantile": W21_ORACLE,
     "w22_period_over_period": W22_ORACLE,
+    "f_sql_udf": F_SQL_UDF_ORACLE,
+    "f_param_sql": F_PARAM_SQL_ORACLE,
+    "f_udtf_partitioned": F_UDTF2_ORACLE,
     "a25_hhi_concentration": A25_ORACLE,
     "w15_changepoint_cusum": W15_ORACLE,
     "w16_seasonal_decompose": W16_ORACLE,
