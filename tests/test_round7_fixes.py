@@ -108,6 +108,26 @@ _RAW_SPLITS = [
 ]
 
 
+def test_silence_gap_threshold_splits(duck):
+    """SILENCE_GAP_HOURS must flag some gaps and leave most unflagged."""
+    from us_dot_flights_lakehouse_spark.queries.streaming import (
+        SILENCE_GAP_HOURS,
+    )
+
+    above, below = duck.execute(
+        f"""WITH g AS (
+          SELECT epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)) / 3600.0
+                 AS gap_h
+          FROM events)
+        SELECT count(*) FILTER (gap_h > {SILENCE_GAP_HOURS}),
+               count(*) FILTER (gap_h IS NOT NULL
+                                AND gap_h <= {SILENCE_GAP_HOURS}) FROM g"""
+    ).fetchone()
+    assert above > 0, "silence threshold flags nothing at sf0.001"
+    assert below > 0, "silence threshold flags every gap"
+
+
 @pytest.mark.parametrize("name,table,pred", _RAW_SPLITS)
 def test_constant_splits_raw_table(duck, name, table, pred):
     lo, hi = duck.execute(

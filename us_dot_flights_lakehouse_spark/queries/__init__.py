@@ -100,6 +100,8 @@ _PRIORITY = (
     "f_sql_udf",  # SQL scalar UDF (inlined, codegen)
     "f_param_sql",  # parameterized SQL binding
     "f_udtf_partitioned",  # TABLE-arg UDTF with PARTITION BY
+    "a36_boxplot_profile",  # five-number + Tukey fence card
+    "st_silence_gaps",  # device-went-silent gap alerts
     # ---- earlier-round ordering below (first occurrence wins) ----
     # round-6 front-load: the 4 catalog entries that have NEVER had a driver
     # CORRECTNESS row (added after the round-5 sample was taken; judge-green

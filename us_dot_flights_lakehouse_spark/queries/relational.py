@@ -6250,6 +6250,85 @@ FROM scored
 """
 
 
+def a36_boxplot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A36 (extension): boxplot (five-number + Tukey fences) profile of
+    extended price per return flag, WITH exact outlier counts — the
+    distribution card a profiler renders per numeric column. Two passes:
+    one array-percentile aggregate per group (a11's single-pass
+    technique), then the 3-row fence table broadcasts back for exact
+    BIGINT outlier counting — never a sort of row-scale data to the
+    driver. Fence arithmetic (1.5·IQR) is plain double math, identical
+    on both engines.
+
+    Scale: a grouped percentile aggregate + one broadcast join + one
+    grouped conditional count."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    q = lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])).alias("qs"),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
+    fences = q.select(
+        "l_returnflag",
+        "n_items",
+        F.col("qs")[0].alias("p25"),
+        F.col("qs")[1].alias("p50"),
+        F.col("qs")[2].alias("p75"),
+        (F.col("qs")[2] - F.col("qs")[0]).alias("iqr"),
+        (F.col("qs")[0] - 1.5 * (F.col("qs")[2] - F.col("qs")[0])).alias(
+            "fence_lo"
+        ),
+        (F.col("qs")[2] + 1.5 * (F.col("qs")[2] - F.col("qs")[0])).alias(
+            "fence_hi"
+        ),
+    )
+    joined = lineitem.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(fences), "l_returnflag"
+    )
+    return joined.groupBy(
+        "l_returnflag",
+        "n_items",
+        "p25",
+        "p50",
+        "p75",
+        "iqr",
+        "fence_lo",
+        "fence_hi",
+    ).agg(
+        F.sum((F.col("l_extendedprice") < F.col("fence_lo")).cast("int"))
+        .cast("bigint")
+        .alias("n_low_outliers"),
+        F.sum((F.col("l_extendedprice") > F.col("fence_hi")).cast("int"))
+        .cast("bigint")
+        .alias("n_high_outliers"),
+    )
+
+
+A36_ORACLE = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n_items,
+         quantile_cont(l_extendedprice, 0.25) AS p25,
+         quantile_cont(l_extendedprice, 0.5) AS p50,
+         quantile_cont(l_extendedprice, 0.75) AS p75
+  FROM lineitem GROUP BY 1
+), fences AS (
+  SELECT l_returnflag, n_items, p25, p50, p75,
+         p75 - p25 AS iqr,
+         p25 - 1.5 * (p75 - p25) AS fence_lo,
+         p75 + 1.5 * (p75 - p25) AS fence_hi
+  FROM q
+)
+SELECT f.l_returnflag, f.n_items, f.p25, f.p50, f.p75, f.iqr,
+       f.fence_lo, f.fence_hi,
+       CAST(sum(CASE WHEN l.l_extendedprice < f.fence_lo
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(sum(CASE WHEN l.l_extendedprice > f.fence_hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+FROM lineitem l JOIN fences f USING (l_returnflag)
+GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+"""
+
+
 def f_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F-sql-udf (extension): SQL scalar UDF (Spark 4 ``CREATE FUNCTION
     … RETURN <expr>``) — the discounted-price function defined ONCE in
@@ -6959,6 +7038,7 @@ QUERIES = {
     "f_sql_udf": f_sql_udf,
     "f_param_sql": f_param_sql,
     "f_udtf_partitioned": f_udtf_partitioned,
+    "a36_boxplot_profile": a36_boxplot_profile,
     "a25_hhi_concentration": a25_hhi_concentration,
     "w15_changepoint_cusum": w15_changepoint_cusum,
     "w16_seasonal_decompose": w16_seasonal_decompose,
@@ -7077,6 +7157,7 @@ ORACLES = {
     "f_sql_udf": F_SQL_UDF_ORACLE,
     "f_param_sql": F_PARAM_SQL_ORACLE,
     "f_udtf_partitioned": F_UDTF2_ORACLE,
+    "a36_boxplot_profile": A36_ORACLE,
     "a25_hhi_concentration": A25_ORACLE,
     "w15_changepoint_cusum": W15_ORACLE,
     "w16_seasonal_decompose": W16_ORACLE,

@@ -497,6 +497,56 @@ GROUP BY 1
 """
 
 
+SILENCE_GAP_HOURS = 48
+
+
+def st_silence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Device-went-silent detection — per user, the consecutive-event
+    gaps longer than {SILENCE_GAP_HOURS} hours, with exact microsecond
+    arithmetic (the alerting twin of st_interarrival_stats' percentiles;
+    in streaming form this is a per-key timer in transformWithState —
+    batch form here, identical semantics). The threshold splits the
+    sf0.001 data non-degenerately (16 of 985 gaps exceed it —
+    tests/test_round7_fixes.py asserts both sides stay non-empty).
+
+    Scale: one lag window PARTITIONED by user — row-scale but perfectly
+    parallel; the filter is scan-local after it."""
+    from pyspark.sql import Window as W
+
+    events = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    flagged = events.select(
+        "user_id",
+        prev.alias("silence_start"),
+        F.col("ts").alias("silence_end"),
+        (gap_us.cast("double") / 3.6e9).alias("gap_hours"),
+    ).filter(
+        F.col("silence_start").isNotNull()
+        & (F.col("gap_hours") > SILENCE_GAP_HOURS)
+    )
+    return flagged
+
+
+ST_SILENCE_ORACLE = f"""
+WITH g AS (
+  SELECT user_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS silence_start,
+         ts AS silence_end,
+         CAST(epoch_us(ts)
+              - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+              AS DOUBLE) / 3600000000.0 AS gap_hours
+  FROM events
+)
+SELECT user_id, silence_start, silence_end, gap_hours
+FROM g
+WHERE silence_start IS NOT NULL AND gap_hours > {SILENCE_GAP_HOURS}
+"""
+
+
 RATE_TRAIL_WINDOWS = 6
 RATE_SPIKE_FACTOR = 2.0
 RATE_MIN_HISTORY = 3
@@ -592,6 +642,7 @@ QUERIES = {
     "st_interarrival_stats": st_interarrival_stats,
     "st_event_rate_alerts": st_event_rate_alerts,
     "st_new_user_rate": st_new_user_rate,
+    "st_silence_gaps": st_silence_gaps,
 }
 
 ORACLES = {
@@ -607,4 +658,5 @@ ORACLES = {
     "st_interarrival_stats": ST_INTERARRIVAL_ORACLE,
     "st_event_rate_alerts": ST_RATE_ALERTS_ORACLE,
     "st_new_user_rate": ST_NEW_USER_ORACLE,
+    "st_silence_gaps": ST_SILENCE_ORACLE,
 }
