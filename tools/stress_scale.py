@@ -58,6 +58,10 @@ def main():
         round7_families(spark, factor)
         spark.stop()
         return
+    if only == "round7b":
+        round7b_families(spark, factor)
+        spark.stop()
+        return
     if only == "round6":
         round6_families(spark, factor)
         spark.stop()
@@ -1146,6 +1150,82 @@ def round7_families(spark, factor):
         llm.read_table = orig_llm
         llm.read_corpus = orig_corpus
         st.read_table = orig_st
+
+def round7b_families(spark, factor):
+    """Round-7 waves 4-6 at Nx through the REAL catalog code (same
+    reader-seam protocol): quantile drift table, code detection, rolling
+    p90 band, PK audit, period-over-period, boilerplate report, new-user
+    rate, composed sample weights, SQL UDF, parameterized SQL,
+    partitioned UDTF, boxplot profile, silence gaps."""
+    import us_dot_flights_lakehouse_spark.queries.llm as llm
+    import us_dot_flights_lakehouse_spark.queries.quality as qual
+    import us_dot_flights_lakehouse_spark.queries.relational as rel
+    import us_dot_flights_lakehouse_spark.queries.streaming as st
+
+    id_cols = {
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+        "lineitem": "l_orderkey",
+        "orders": "o_orderkey",
+        "customer": "c_custkey",
+        "nation": "n_nationkey",
+        "supplier": "s_suppkey",
+        "region": "r_regionkey",
+        "part": "p_partkey",
+    }
+    cache = {}
+
+    def scaled_table(f):
+        def read(spark_, sf_dir_, name, *a, **k):
+            key = (name, f)
+            if key not in cache:
+                eff = 1 if name in ("nation", "region", "supplier", "part", "customer") else f
+                cache[key] = scaled(spark_, name, eff, id_cols[name]).cache()
+                cache[key].count()
+            return cache[key]
+
+        return read
+
+    targets = [
+        ("a35_quantile_drift", rel.a35_quantile_drift),
+        ("ts_code_detect", llm.ts_code_detect),
+        ("w21_rolling_quantile", rel.w21_rolling_quantile),
+        ("q_pk_uniqueness_audit", qual.q_pk_uniqueness_audit),
+        ("w22_period_over_period", rel.w22_period_over_period),
+        ("ts_boilerplate_lines", llm.ts_boilerplate_lines),
+        ("st_new_user_rate", st.st_new_user_rate),
+        ("tp_final_sample_weights", llm.tp_final_sample_weights),
+        ("f_sql_udf", rel.f_sql_udf),
+        ("f_param_sql", rel.f_param_sql),
+        ("f_udtf_partitioned", rel.f_udtf_partitioned),
+        ("a36_boxplot_profile", rel.a36_boxplot_profile),
+        ("st_silence_gaps", st.st_silence_gaps),
+    ]
+    orig_rel, orig_llm, orig_corpus = rel.read_table, llm.read_table, llm.read_corpus
+    orig_st, orig_qual = st.read_table, qual.read_table
+    try:
+        for name, fn in targets:
+            times = []
+            for f in (1, factor):
+                rel.read_table = scaled_table(f)
+                llm.read_table = scaled_table(f)
+                llm.read_corpus = scaled_table(f)
+                st.read_table = scaled_table(f)
+                qual.read_table = scaled_table(f)
+                t = timed(f"{name}@{f}x", fn(spark, SF_DIR))
+                times.append(t)
+            print(
+                f"{name}: growth {times[1] / times[0]:.1f}x at {factor}x rows",
+                flush=True,
+            )
+    finally:
+        rel.read_table = orig_rel
+        llm.read_table = orig_llm
+        llm.read_corpus = orig_corpus
+        st.read_table = orig_st
+        qual.read_table = orig_qual
+
 
 if __name__ == "__main__":
     main()
