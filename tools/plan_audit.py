@@ -167,6 +167,11 @@ WHITELIST: dict[str, set[str]] = {
     "f_udtf_partitioned": {"PY_ROW", "ONE_PART"},  # the query EXISTS to
     #   exercise the TABLE-argument Python UDTF (f_udtf_shingles family);
     #   PARTITION BY source plans a hash exchange + per-partition UDTF
+    "a37_anova_oneway": {"ONE_PART"},  # 1-row 5-group moment fold
+    #   (a33/a34 family)
+    "dd_corpus_snapshot_diff": {"SMJ"},  # FULL OUTER corpus-version key
+    #   diff — neither snapshot side can broadcast (x8/j4 family); only
+    #   (doc_id, md5) pairs move
 }
 
 

@@ -102,6 +102,8 @@ _PRIORITY = (
     "f_udtf_partitioned",  # TABLE-arg UDTF with PARTITION BY
     "a36_boxplot_profile",  # five-number + Tukey fence card
     "st_silence_gaps",  # device-went-silent gap alerts
+    "a37_anova_oneway",  # k-group mean F test from exact moments
+    "dd_corpus_snapshot_diff",  # corpus-release added/removed/changed
     # ---- earlier-round ordering below (first occurrence wins) ----
     # round-6 front-load: the 4 catalog entries that have NEVER had a driver
     # CORRECTNESS row (added after the round-5 sample was taken; judge-green

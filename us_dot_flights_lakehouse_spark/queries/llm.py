@@ -9561,6 +9561,56 @@ FROM m
 """
 
 
+def dd_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD: corpus-version diff — given two dataset snapshots (derived
+    here in closed modular form: v0 drops doc_id ≡0 mod 7, v1 drops
+    ≡0 mod 11 and rewrites the text of ≡0 mod 13), classify every
+    differing doc as added / removed / changed by comparing text md5
+    across a FULL OUTER join on doc_id. This is the dataset-card diff a
+    training team reviews between corpus releases (x8_snapshot_diff is
+    the relational twin through the real versioned-table protocol; this
+    one needs NO fixture write — both sides derive in-plan, so the
+    oracle states every verdict in closed form).
+
+    Scale: one full-outer join on doc_id with only (id, md5) moving —
+    the minimum a corpus diff fundamentally shuffles."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    v0 = docs.filter(k % 7 != 0).select(
+        "doc_id", F.md5("text").alias("fp0")
+    )
+    v1 = docs.filter(k % 11 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(k % 13 == 0, F.concat(F.col("text"), F.lit(" [rev2]")))
+            .otherwise(F.col("text"))
+        ).alias("fp1"),
+    )
+    joined = v0.join(v1, "doc_id", "full_outer")
+    verdict = (
+        F.when(F.col("fp0").isNull(), F.lit("added"))
+        .when(F.col("fp1").isNull(), F.lit("removed"))
+        .when(F.col("fp0") != F.col("fp1"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change_type", verdict)
+        .filter(F.col("change_type").isNotNull())
+        .select("doc_id", "change_type")
+    )
+
+
+DD_CORPUS_DIFF_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN 'added'
+            WHEN doc_id % 11 = 0 THEN 'removed'
+            ELSE 'changed' END AS change_type
+FROM documents
+WHERE (doc_id % 7 = 0 AND doc_id % 11 != 0)
+   OR (doc_id % 11 = 0 AND doc_id % 7 != 0)
+   OR (doc_id % 13 = 0 AND doc_id % 7 != 0 AND doc_id % 11 != 0)
+"""
+
+
 BOILERPLATE_TOPK = 20
 
 
@@ -9969,6 +10019,7 @@ QUERIES = {
     "dd_incremental_span_probe": dd_incremental_span_probe,
     "ts_code_detect": ts_code_detect,
     "ts_boilerplate_lines": ts_boilerplate_lines,
+    "dd_corpus_snapshot_diff": dd_corpus_snapshot_diff,
     "tp_final_sample_weights": tp_final_sample_weights,
     "dd_source_dedup_report": dd_source_dedup_report,
     "sim_fisher_separability": sim_fisher_separability,
@@ -10120,6 +10171,7 @@ ORACLES = {
     "dd_incremental_span_probe": DD_INCR_SPAN_ORACLE,
     "ts_code_detect": TS_CODE_DETECT_ORACLE,
     "ts_boilerplate_lines": TS_BOILERPLATE_ORACLE,
+    "dd_corpus_snapshot_diff": DD_CORPUS_DIFF_ORACLE,
     "tp_final_sample_weights": TP_FINAL_WEIGHTS_ORACLE,
     "dd_source_dedup_report": _dd_source_report_oracle,
     "sim_fisher_separability": SIM_FISHER_ORACLE,

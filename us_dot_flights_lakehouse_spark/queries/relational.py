@@ -6250,6 +6250,116 @@ FROM scored
 """
 
 
+def a37_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A37 (extension): one-way ANOVA F statistic of order price across
+    market segments — completes the statistical-test family (a26/a34
+    categorical×categorical, a33 two-group means, a31/a32/a35
+    distributions; THIS is the k-group mean test). Per-group moments
+    accumulate EXACTLY (integer cents in decimal(38,0)); the
+    between/within sums of squares fold their 5 per-group double terms
+    in SEGMENT order on both engines (sorted-fold technique), and F is
+    two double divisions — bit-stable.
+
+    Scale: one customer⋈orders broadcast join + one 5-group moment
+    aggregate; the folds run over the group-cardinality collect."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(19,0)"
+    )
+    pairs = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == customer["c_custkey"],
+    ).select(F.col("c_mktsegment").alias("seg"), cents.alias("v"))
+    groups = pairs.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("decimal(38,0)").alias("q"),
+    )
+    folded = groups.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum("s").cast("decimal(38,0)").alias("s_total"),
+        F.collect_list(F.struct("seg", "n", "s", "q")).alias("gs"),
+    )
+    grand_mean = F.col("s_total").cast("double") / F.col("n_total").cast(
+        "double"
+    )
+
+    def ssb_term(g):
+        m = g["s"].cast("double") / g["n"].cast("double")
+        d = m - grand_mean
+        return g["n"].cast("double") * d * d
+
+    def ssw_term(g):
+        # q - s^2/n, all from exact decimals cast late
+        return g["q"].cast("double") - (
+            g["s"].cast("double") * g["s"].cast("double")
+        ) / g["n"].cast("double")
+
+    sorted_gs = F.array_sort(F.col("gs"))
+    ssb = F.aggregate(
+        sorted_gs, F.lit(0.0), lambda acc, g: acc + ssb_term(g)
+    )
+    ssw = F.aggregate(
+        sorted_gs, F.lit(0.0), lambda acc, g: acc + ssw_term(g)
+    )
+    out = folded.select(
+        "n_total",
+        "k_groups",
+        (ssb / 10000.0).alias("ss_between"),
+        (ssw / 10000.0).alias("ss_within"),
+    )
+    return out.select(
+        "n_total",
+        "k_groups",
+        "ss_between",
+        "ss_within",
+        F.try_divide(
+            F.col("ss_between") / (F.col("k_groups") - 1).cast("double"),
+            F.col("ss_within")
+            / (F.col("n_total") - F.col("k_groups")).cast("double"),
+        ).alias("f_stat"),
+    )
+
+
+A37_ORACLE = """
+WITH pairs AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), groups AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS HUGEINT) AS s,
+         CAST(sum(v * v) AS HUGEINT) AS q
+  FROM pairs GROUP BY 1
+), folded AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS k_groups,
+         CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS grand_mean,
+         list(struct_pack(seg := seg, n := n, s := s, q := q)
+              ORDER BY seg) AS gs
+  FROM groups
+), ss AS (
+  SELECT n_total, k_groups,
+         list_sum(list_transform(gs, g ->
+           CAST(g.n AS DOUBLE)
+           * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE) - grand_mean)
+           * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE) - grand_mean)))
+           / 10000.0 AS ss_between,
+         list_sum(list_transform(gs, g ->
+           CAST(g.q AS DOUBLE)
+           - (CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE))
+             / CAST(g.n AS DOUBLE))) / 10000.0 AS ss_within
+  FROM folded
+)
+SELECT n_total, k_groups, ss_between, ss_within,
+       (ss_between / CAST(k_groups - 1 AS DOUBLE))
+         / (ss_within / CAST(n_total - k_groups AS DOUBLE)) AS f_stat
+FROM ss
+"""
+
+
 def a36_boxplot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A36 (extension): boxplot (five-number + Tukey fences) profile of
     extended price per return flag, WITH exact outlier counts — the
@@ -7039,6 +7149,7 @@ QUERIES = {
     "f_param_sql": f_param_sql,
     "f_udtf_partitioned": f_udtf_partitioned,
     "a36_boxplot_profile": a36_boxplot_profile,
+    "a37_anova_oneway": a37_anova_oneway,
     "a25_hhi_concentration": a25_hhi_concentration,
     "w15_changepoint_cusum": w15_changepoint_cusum,
     "w16_seasonal_decompose": w16_seasonal_decompose,
@@ -7158,6 +7269,7 @@ ORACLES = {
     "f_param_sql": F_PARAM_SQL_ORACLE,
     "f_udtf_partitioned": F_UDTF2_ORACLE,
     "a36_boxplot_profile": A36_ORACLE,
+    "a37_anova_oneway": A37_ORACLE,
     "a25_hhi_concentration": A25_ORACLE,
     "w15_changepoint_cusum": W15_ORACLE,
     "w16_seasonal_decompose": W16_ORACLE,
