@@ -6962,7 +6962,9 @@ def g5_neighbor_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = kept_edges.groupBy("supp").agg(
         F.count("*").cast("bigint").alias("deg")
     )
-    pairs = adj.select(
+    # single-supplier customers contribute no pairs — drop them BEFORE
+    # the O(k²) expansion (degrees above still count their edges)
+    pairs = adj.filter(F.size("supps") >= 2).select(
         F.explode(
             F.flatten(
                 F.transform(
