@@ -172,6 +172,10 @@ WHITELIST: dict[str, set[str]] = {
     "dd_corpus_snapshot_diff": {"SMJ"},  # FULL OUTER corpus-version key
     #   diff — neither snapshot side can broadcast (x8/j4 family); only
     #   (doc_id, md5) pairs move
+    "dd_shingle_df_profile": {"ONE_PART"},  # 1-row shingle-total aggregate
+    #   broadcast into the share denominators (tfidf precedent)
+    "sim_distance_histogram": {"ONE_PART"},  # 1-row vector-count + 1-row
+    #   pair-total aggregates broadcast into partner ids / shares
 }
 
 

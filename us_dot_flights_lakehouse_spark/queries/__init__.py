@@ -104,6 +104,8 @@ _PRIORITY = (
     "st_silence_gaps",  # device-went-silent gap alerts
     "a37_anova_oneway",  # k-group mean F test from exact moments
     "dd_corpus_snapshot_diff",  # corpus-release added/removed/changed
+    "dd_shingle_df_profile",  # Zipf-tail stop-shingle evidence
+    "sim_distance_histogram",  # distance-concentration ANN audit
     # ---- earlier-round ordering below (first occurrence wins) ----
     # round-6 front-load: the 4 catalog entries that have NEVER had a driver
     # CORRECTNESS row (added after the round-5 sample was taken; judge-green

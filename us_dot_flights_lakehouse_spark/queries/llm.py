@@ -9561,6 +9561,141 @@ FROM m
 """
 
 
+def dd_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD: shingle document-frequency profile — how Zipf-heavy is the
+    3-gram tail: distinct shingles and total postings per df bucket
+    (df=1, 2-10, 11-100, >100). This is the EVIDENCE behind every
+    stop-shingle cap in the dedup family (a shingle in f docs emits f²
+    candidate pairs, so the >100 bucket is the quadratic threat); run it
+    before tuning `max_shingle_freq`. Exact BIGINT counts; shares are
+    single double divisions.
+
+    Scale: one explode + two tiny aggregates — the same inverted-index
+    shuffle the dedup operators pay anyway."""
+    docs = read_corpus(spark, sf_dir, "documents")
+    idx = docs.select(
+        "doc_id", F.explode(shingles(tokenize("text"), 3)).alias("sh")
+    )
+    df_per_sh = idx.groupBy("sh").agg(F.count("*").cast("bigint").alias("df"))
+    bucket = (
+        F.when(F.col("df") == 1, "1_unique")
+        .when(F.col("df") <= 10, "2_low")
+        .when(F.col("df") <= 100, "3_mid")
+        .otherwise("4_hot")
+    )
+    per_bucket = df_per_sh.groupBy(bucket.alias("df_bucket")).agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum("df").cast("bigint").alias("n_postings"),
+    )
+    tot = df_per_sh.agg(
+        F.count("*").cast("bigint").alias("t_sh"),
+        F.sum("df").cast("bigint").alias("t_po"),
+    )
+    return per_bucket.crossJoin(F.broadcast(tot)).select(
+        "df_bucket",
+        "n_shingles",
+        "n_postings",
+        (F.col("n_shingles").cast("double") / F.col("t_sh").cast("double")).alias(
+            "shingle_share"
+        ),
+        (F.col("n_postings").cast("double") / F.col("t_po").cast("double")).alias(
+            "posting_share"
+        ),
+    )
+
+
+DD_SHINGLE_DF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+), idx AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS sh FROM toks
+), dfs AS (
+  SELECT sh, CAST(count(*) AS BIGINT) AS df FROM idx GROUP BY 1
+), bucketed AS (
+  SELECT CASE WHEN df = 1 THEN '1_unique'
+              WHEN df <= 10 THEN '2_low'
+              WHEN df <= 100 THEN '3_mid'
+              ELSE '4_hot' END AS df_bucket,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(df) AS BIGINT) AS n_postings
+  FROM dfs GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS t_sh, CAST(sum(df) AS BIGINT) AS t_po
+  FROM dfs
+)
+SELECT df_bucket, n_shingles, n_postings,
+       CAST(n_shingles AS DOUBLE) / CAST(t_sh AS DOUBLE) AS shingle_share,
+       CAST(n_postings AS DOUBLE) / CAST(t_po AS DOUBLE) AS posting_share
+FROM bucketed CROSS JOIN tot
+"""
+
+
+def sim_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM: pairwise cosine-similarity histogram over a DETERMINISTIC
+    pair sample (vector i paired with (31·i+7) mod N) — the
+    concentration-of-distances audit run before trusting ANN on a new
+    embedding space: if most random-pair similarities crowd one bucket,
+    neighbors are not meaningfully closer than strangers and recall
+    targets need revisiting. One cosine per sampled pair (N pairs, not
+    N²); exact BIGINT bucket counts over floor(10·cos).
+
+    Scale: one self-join on the derived partner id (equi-join, AQE
+    broadcasts the smaller projection) + a ≤21-bucket aggregate."""
+    from us_dot_flights_lakehouse_spark.functions import vectors as V
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array("embedding").alias("v")
+    )
+    n = emb.agg(F.count("*").cast("bigint").alias("n"))
+    left = emb.crossJoin(F.broadcast(n)).select(
+        "vec_id",
+        F.col("v").alias("va"),
+        F.pmod(F.col("vec_id") * 31 + 7, F.col("n")).alias("partner"),
+    )
+    right = emb.select(F.col("vec_id").alias("partner"), F.col("v").alias("vb"))
+    pairs = left.join(right, "partner").filter(
+        F.col("vec_id") != F.col("partner")
+    )
+    cos = V.cosine(F.col("va"), F.col("vb"))
+    hist = pairs.select(
+        F.floor(cos * 10).cast("int").alias("cos_bucket")
+    ).groupBy("cos_bucket").agg(F.count("*").cast("bigint").alias("n_pairs"))
+    tot = hist.agg(F.sum("n_pairs").cast("bigint").alias("t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "cos_bucket",
+        "n_pairs",
+        (F.col("n_pairs").cast("double") / F.col("t").cast("double")).alias(
+            "pair_share"
+        ),
+    )
+
+
+SIM_DIST_HIST_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+pairs AS (
+  SELECT a.vec_id,
+         list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65),
+                                           i -> a.v[i] * a.v[i])))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                                             i -> b.v[i] * b.v[i])))) AS cos
+  FROM e a CROSS JOIN n
+  JOIN e b ON b.vec_id = (a.vec_id * 31 + 7) % n.n
+  WHERE a.vec_id != b.vec_id
+), hist AS (
+  SELECT CAST(floor(cos * 10) AS INTEGER) AS cos_bucket,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY 1
+), tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM hist)
+SELECT cos_bucket, n_pairs,
+       CAST(n_pairs AS DOUBLE) / CAST(t AS DOUBLE) AS pair_share
+FROM hist CROSS JOIN tot
+"""
+
+
 def dd_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DD: corpus-version diff — given two dataset snapshots (derived
     here in closed modular form: v0 drops doc_id ≡0 mod 7, v1 drops
@@ -10020,6 +10155,8 @@ QUERIES = {
     "ts_code_detect": ts_code_detect,
     "ts_boilerplate_lines": ts_boilerplate_lines,
     "dd_corpus_snapshot_diff": dd_corpus_snapshot_diff,
+    "dd_shingle_df_profile": dd_shingle_df_profile,
+    "sim_distance_histogram": sim_distance_histogram,
     "tp_final_sample_weights": tp_final_sample_weights,
     "dd_source_dedup_report": dd_source_dedup_report,
     "sim_fisher_separability": sim_fisher_separability,
@@ -10172,6 +10309,8 @@ ORACLES = {
     "ts_code_detect": TS_CODE_DETECT_ORACLE,
     "ts_boilerplate_lines": TS_BOILERPLATE_ORACLE,
     "dd_corpus_snapshot_diff": DD_CORPUS_DIFF_ORACLE,
+    "dd_shingle_df_profile": DD_SHINGLE_DF_ORACLE,
+    "sim_distance_histogram": SIM_DIST_HIST_ORACLE,
     "tp_final_sample_weights": TP_FINAL_WEIGHTS_ORACLE,
     "dd_source_dedup_report": _dd_source_report_oracle,
     "sim_fisher_separability": SIM_FISHER_ORACLE,
