@@ -39,7 +39,28 @@ _MODULES = (llm, streaming, quality, flights, relational)
 #: come first; the long tail of f_* function suites — all driver-green in
 #: round 1 and unchanged since — absorbs any truncation.
 _PRIORITY = (
-    # ---- round-7 front-load (driver samples the FIRST 50 entries) ----
+    # ---- round-8 front-load (driver samples the FIRST 50 entries) ----
+    # (a) the 9 round-7 additions that landed past the round-7 head-50
+    # cut and therefore have NEVER had a driver CORRECTNESS row
+    # (VERDICT r7 item 1 / COVERAGE.md rotation queue) — a green row for
+    # each closes full-catalog driver coverage, 290/290 lifetime:
+    "f_sql_udf",
+    "f_param_sql",
+    "f_udtf_partitioned",
+    "a36_boxplot_profile",
+    "st_silence_gaps",
+    "a37_anova_oneway",
+    "dd_corpus_snapshot_diff",
+    "dd_shingle_df_profile",
+    "sim_distance_histogram",
+    # (b) changed in round 8 (ADVICE r7 fixes) — need fresh driver rows:
+    "q_pk_uniqueness_audit",  # NULL-safe composite-key encoding
+    "f_variant_suite",  # try_parse_json guard (+ json_valid oracle)
+    "src_xml_roundtrip",  # write-once fixture guard (x10 pattern)
+    # (c) new in round 8:
+    "a38_kll_quantile_sketch",  # mergeable KLL sketch vs exact quantiles
+    "w23_sketch_rolling_quantile",  # per-month sketch merge rolling p90
+    # ---- round-7 front-load kept below for the rotation record ----
     # (a) the 21 entries that have NEVER had a driver CORRECTNESS row
     # across rounds 1-6 (COVERAGE.md rotation list) — closes full-catalog
     # driver coverage this round:
@@ -72,9 +93,12 @@ _PRIORITY = (
     "x8_snapshot_diff",  # fixture keyed by source fingerprint
     "x9_bucketed_join",  # fixture keyed + data-dir checked
     "sim_kcenter_diversity",  # kcenter refine duplicate-id fix
-    # (b) new in round 7 — never driver-verified. The head-50 cut falls
-    # inside this section: entries past the cut (the Spark-4 API trio,
-    # added last) roll into the round-8 rotation:
+    # (b) new in round 7. The round-7 head-50 cut fell inside this
+    # section: the NINE entries past it (f_sql_udf, f_param_sql,
+    # f_udtf_partitioned, a36_boxplot_profile, st_silence_gaps,
+    # a37_anova_oneway, dd_corpus_snapshot_diff, dd_shingle_df_profile,
+    # sim_distance_histogram) rolled into the round-8 rotation and are
+    # now pinned at the catalog head above:
     "a32_wasserstein_drift",  # exact 1-D earth-mover drift distance
     "a33_welch_t_drift",  # Welch two-sample t from exact moments
     "j18_salted_skew_join",  # salted skew join oracle surface

@@ -10098,6 +10098,7 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the XML reader splits per file like json; for 100 TB prefer
     columnar, but feeds ARRIVE as XML — this is the ingest edge."""
+    import os
     import tempfile
 
     from us_dot_flights_lakehouse_spark.fixtures import source_fingerprint
@@ -10106,9 +10107,23 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     fp = source_fingerprint(sf_dir, "documents")
     out = f"{tempfile.gettempdir()}/us_dot_xml_{sf_tag}_{fp}"
-    docs.write.format("xml").option("rootTag", "docs").option(
-        "rowTag", "doc"
-    ).mode("overwrite").save(out)
+    if not os.path.isdir(out):  # write-once fixture, fingerprint-keyed
+        # x10 pattern (ADVICE r7): export to a pid-suffixed temp dir and
+        # atomically rename into place, so repeat runs skip the export
+        # and a killed run can never leave a torn directory that later
+        # reads would treat as a valid fixture.
+        tmp = f"{out}.tmp.{os.getpid()}"
+        docs.write.format("xml").option("rootTag", "docs").option(
+            "rowTag", "doc"
+        ).mode("overwrite").save(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if not os.path.isdir(out):
+                raise
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     back = (
         spark.read.format("xml")
         .option("rowTag", "doc")

@@ -457,8 +457,20 @@ def q_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for table, key in specs:
         df = read_table(spark, sf_dir, table)
         if "||" in key:
+            # NULL-safe composite encoding (ADVICE r7): concat_ws SKIPS
+            # null parts, so (NULL, 3) would collapse to "3" == a row whose
+            # first part IS "3" with a missing second. Encode each part
+            # through COALESCE with an out-of-band sentinel (\x1e = record
+            # separator, never in these numeric keys) and mirror it in the
+            # oracle, where || would otherwise propagate NULL instead.
             a, b = key.split("||")
-            k = F.concat_ws("\x1f", F.col(a), F.col(b))
+            k = F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x1eNULL"))
+                    for c in (a, b)
+                ],
+            )
         else:
             k = F.col(key)
         per_key = df.groupBy(k.alias("k")).agg(
@@ -493,7 +505,9 @@ WITH ks AS (
          CAST(o_orderkey AS VARCHAR) AS k FROM orders
   UNION ALL
   SELECT 'lineitem', 'l_orderkey||l_linenumber',
-         CAST(l_orderkey AS VARCHAR) || chr(31) || CAST(l_linenumber AS VARCHAR)
+         coalesce(CAST(l_orderkey AS VARCHAR), chr(30) || 'NULL')
+           || chr(31)
+           || coalesce(CAST(l_linenumber AS VARCHAR), chr(30) || 'NULL')
   FROM lineitem
   UNION ALL
   SELECT 'customer', 'c_custkey', CAST(c_custkey AS VARCHAR) FROM customer

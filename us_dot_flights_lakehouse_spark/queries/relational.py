@@ -1712,6 +1712,11 @@ def f_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing→NULL verdicts; a 100%-NULL column would hash green against
     any engine and verify nothing (the a31/degeneracy-guard lesson)."""
     events = read_table(spark, sf_dir, "events")
+    # The '$.m' splice assumes props is a non-empty unpadded JSON object;
+    # generated data always satisfies that, but a regeneration must not be
+    # able to turn the latent assumption into an ANSI crash (ADVICE r7).
+    # try_parse_json yields NULL on a malformed splice instead of throwing;
+    # the oracle mirrors it with a json_valid() guard.
     j = F.when(
         F.col("event_id") % 3 == 0,
         F.concat(F.lit('{"m": 5,'), F.expr("substring(props, 2)")),
@@ -1720,18 +1725,25 @@ def f_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
         F.expr("variant_get(parse_json(props), '$.k', 'string')").alias("k_str"),
-        F.try_variant_get(F.parse_json(j), "$.m", "bigint").alias("k_missing"),
+        F.try_variant_get(F.try_parse_json(j), "$.m", "bigint").alias(
+            "k_missing"
+        ),
     )
 
 
 F_VARIANT_ORACLE = """
+WITH spliced AS (
+  SELECT event_id, props,
+         CASE WHEN event_id % 3 = 0
+              THEN '{"m": 5,' || substring(props, 2)
+              ELSE props END AS j
+  FROM events
+)
 SELECT event_id,
        CAST(props ->> 'k' AS BIGINT) AS k_val,
        props ->> 'k' AS k_str,
-       CAST((CASE WHEN event_id % 3 = 0
-                  THEN '{"m": 5,' || substring(props, 2)
-                  ELSE props END) ->> 'm' AS BIGINT) AS k_missing
-FROM events
+       CASE WHEN json_valid(j) THEN CAST(j ->> 'm' AS BIGINT) END AS k_missing
+FROM spliced
 """
 
 
@@ -6172,9 +6184,17 @@ FROM q, (SELECT unnest(range(1, 10)) AS i) u
 
 
 def w21_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W21 (extension): trailing 7-day EXACT rolling p90 of daily
-    revenue — the percentile-band monitoring line a revenue dashboard
-    draws (rolling mean hides spikes; a rolling quantile does not).
+    """W21 (extension): trailing 7-OBSERVED-DAY EXACT rolling p90 of
+    daily revenue — the percentile-band monitoring line a revenue
+    dashboard draws (rolling mean hides spikes; a rolling quantile does
+    not). The frame is ROWS BETWEEN 6 PRECEDING over the daily series,
+    i.e. the last 7 days THAT HAD ORDERS, not 7 calendar days: the
+    generated series has gaps (~1.1K distinct days over a ~2.4K-day
+    span at sf0.001), so a band can span ~15 calendar days — the
+    st_event_rate_alerts observed-window semantics, chosen so the band
+    width (and the statistic's sample size) stays constant through
+    quiet periods. For strict calendar-day semantics, densify with the
+    o3/w5 date-spine pattern first and keep the same frame.
     Spark has no percentile window function, so the 7-value frame is
     collected per row, sorted, and linearly interpolated with the SAME
     lo + (hi−lo)·frac arithmetic as a11/QUANTILE_CONT, on exact integer
