@@ -34,6 +34,19 @@ def test_query_without_oracle_runs(spark, sf_small, name):
     assert df.columns
 
 
+def test_priority_names_all_resolve():
+    """Every _PRIORITY rotation name must be a real catalog entry. The
+    registry's ``if n in merged`` filter SILENTLY drops unknown names —
+    round 8 shipped two dangling entries (a38/w23, then-unimplemented)
+    with zero errors anywhere, which would have burned driver head-50
+    sample slots on nothing (VERDICT r8 item 2). A typo in _PRIORITY
+    must fail loudly, here."""
+    from us_dot_flights_lakehouse_spark.queries import _PRIORITY
+
+    dangling = set(_PRIORITY) - set(QUERIES)
+    assert not dangling, f"_PRIORITY names with no catalog query: {sorted(dangling)}"
+
+
 def test_no_query_returns_complex_columns(spark, sf_small):
     """The correctness driver canonicalizes results with a pandas
     sort_values, which throws ``TypeError: unhashable type`` on array /

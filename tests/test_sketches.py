@@ -1,0 +1,206 @@
+"""KLL sketch kernel + Spark wiring tests (operators/sketches.py).
+
+Pins the module's load-bearing claim: the tracked ``err`` is a HARD
+worst-case rank bound — for any target rank t, the returned value v
+satisfies ``count(x < v) <= t - 1 + err`` and ``count(x <= v) >= t - err``
+over the true multiset — across extend, merge, and serialize paths
+(VERDICT r8 item 1; the a38/w23 oracle booleans assume exactly this).
+"""
+
+from __future__ import annotations
+
+import random
+from bisect import bisect_left, bisect_right
+
+import pytest
+
+from us_dot_flights_lakehouse_spark.operators.sketches import (
+    kll_dumps,
+    kll_extend,
+    kll_loads,
+    kll_merge,
+    kll_new,
+    kll_query,
+    make_partial_builder,
+    make_sketch_merger,
+)
+
+
+def _assert_rank_bound(sk: dict, values: list[int]) -> None:
+    ordered = sorted(values)
+    n = len(ordered)
+    assert sk["n"] == n, "row-count conservation violated"
+    targets = sorted({1, n // 4 or 1, n // 2 or 1, (3 * n) // 4 or 1, n})
+    for t in targets:
+        v = kll_query(sk, t)
+        lt = bisect_left(ordered, v)
+        le = bisect_right(ordered, v)
+        assert lt <= t - 1 + sk["err"], (
+            f"count(x<{v})={lt} > t-1+err={t - 1 + sk['err']}"
+        )
+        assert le >= t - sk["err"], (
+            f"count(x<={v})={le} < t-err={t - sk['err']}"
+        )
+
+
+def _weight(sk: dict) -> int:
+    return sum(len(buf) << lvl for lvl, buf in enumerate(sk["levels"]))
+
+
+@pytest.mark.parametrize("k", [8, 32, 200])
+@pytest.mark.parametrize(
+    "dist",
+    ["uniform", "zipf_dupes", "sorted_runs", "constant"],
+)
+def test_err_bound_extend(k: int, dist: str):
+    rng = random.Random(42)
+    n = 5000
+    if dist == "uniform":
+        values = [rng.randrange(10**9) for _ in range(n)]
+    elif dist == "zipf_dupes":
+        values = [rng.randrange(1, 50) ** 3 for _ in range(n)]
+    elif dist == "sorted_runs":
+        values = sorted(rng.randrange(10**6) for _ in range(n))
+    else:
+        values = [7] * n
+    sk = kll_new(k)
+    for i in range(0, n, 977):  # uneven batches exercise mid-buffer state
+        kll_extend(sk, values[i : i + 977])
+    assert _weight(sk) == n, "level-weight conservation violated"
+    _assert_rank_bound(sk, values)
+    # the bound must be USEFUL at k=200, not just true: err << n
+    if k == 200:
+        assert sk["err"] < n // 10
+
+
+@pytest.mark.parametrize("k", [8, 64])
+def test_err_bound_merge(k: int):
+    rng = random.Random(7)
+    parts = [
+        [rng.randrange(10**6) for _ in range(rng.randrange(1, 3000))]
+        for _ in range(9)
+    ]
+    sketches = []
+    for chunk in parts:
+        sk = kll_new(k)
+        kll_extend(sk, chunk)
+        sketches.append(sk)
+    merged = sketches[0]
+    for other in sketches[1:]:
+        merged = kll_merge(merged, other)
+    allv = [v for chunk in parts for v in chunk]
+    assert _weight(merged) == len(allv)
+    _assert_rank_bound(merged, allv)
+
+
+def test_err_bound_serialize_roundtrip():
+    rng = random.Random(3)
+    values = [rng.randrange(10**6) for _ in range(4000)]
+    sk = kll_new(32)
+    kll_extend(sk, values[:2500])
+    other = kll_loads(kll_dumps(kll_new(32)))
+    kll_extend(other, values[2500:])
+    merged = kll_merge(kll_loads(kll_dumps(sk)), kll_loads(kll_dumps(other)))
+    _assert_rank_bound(kll_loads(kll_dumps(merged)), values)
+
+
+def test_deterministic():
+    values = list(range(1000)) * 3
+    a, b = kll_new(16), kll_new(16)
+    kll_extend(a, values)
+    kll_extend(b, values)
+    assert kll_dumps(a) == kll_dumps(b)
+
+
+def test_query_extremes():
+    sk = kll_new(8)
+    kll_extend(sk, list(range(100, 0, -1)))
+    assert kll_query(sk, 1) >= 1  # some stored value
+    assert kll_query(sk, 100) <= 100
+
+
+# ---------------------------------------------------------------------------
+# Spark wiring: mapInPandas partials → applyInPandas merge
+# ---------------------------------------------------------------------------
+
+
+def test_spark_partial_build_and_merge(spark):
+    rng = random.Random(11)
+    rows = [
+        ("g%d" % (i % 3), rng.randrange(10**6)) for i in range(6000)
+    ]
+    df = spark.createDataFrame(rows, "key string, v long").repartition(7)
+    partials = df.mapInPandas(
+        make_partial_builder("key", "v", k=64),
+        schema="key string, payload string, err long, n_rows long",
+    )
+    # one partial per (task, key) at most — never a per-row explosion
+    assert partials.count() <= 7 * 3
+    merged = (
+        partials.groupBy("key")
+        .applyInPandas(
+            make_sketch_merger("key", [("p50", 1, 2), ("p90", 9, 10)]),
+            schema=(
+                "key string, payload string, err long, n_rows long, "
+                "est_p50 long, t_p50 long, est_p90 long, t_p90 long"
+            ),
+        )
+        .collect()
+    )
+    by_key: dict[str, list[int]] = {}
+    for key, v in rows:
+        by_key.setdefault(key, []).append(v)
+    assert len(merged) == 3
+    for r in merged:
+        values = sorted(by_key[r["key"]])
+        assert r["n_rows"] == len(values)
+        sk = kll_loads(r["payload"])
+        assert sk["err"] == r["err"] and sk["n"] == r["n_rows"]
+        for name, num, den in (("p50", 1, 2), ("p90", 9, 10)):
+            t = r[f"t_{name}"]
+            assert t == -(-num * len(values) // den)
+            v = r[f"est_{name}"]
+            assert bisect_left(values, v) <= t - 1 + r["err"]
+            assert bisect_right(values, v) >= t - r["err"]
+
+
+def test_spark_partial_builder_empty_partitions(spark):
+    # 1 row across 8 partitions: 7 tasks emit empty frames — the Arrow
+    # conversion of the empty object-dtype frame must not crash
+    df = spark.createDataFrame([("a", 5)], "key string, v long").repartition(8)
+    partials = df.mapInPandas(
+        make_partial_builder("key", "v"),
+        schema="key string, payload string, err long, n_rows long",
+    ).collect()
+    assert len(partials) == 1
+    assert partials[0]["n_rows"] == 1 and partials[0]["err"] == 0
+
+
+def test_a38_catalog_query_nondegenerate(spark, sf_small):
+    from us_dot_flights_lakehouse_spark.queries.relational import (
+        a38_kll_quantile_sketch,
+    )
+
+    rows = a38_kll_quantile_sketch(spark, sf_small).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_rows"] > 0
+        assert (
+            r["exact_p50_cents"]
+            <= r["exact_p90_cents"]
+            <= r["exact_p99_cents"]
+        )
+        assert r["sketch_ok_p50"] and r["sketch_ok_p90"] and r["sketch_ok_p99"]
+
+
+def test_w23_catalog_query_nondegenerate(spark, sf_small):
+    from us_dot_flights_lakehouse_spark.queries.relational import (
+        w23_sketch_rolling_quantile,
+    )
+
+    rows = w23_sketch_rolling_quantile(spark, sf_small).collect()
+    assert len(rows) > 12
+    widths = {r["n_window_months"] for r in rows}
+    assert widths == {1, 2, 3}  # ramp-in months then steady trailing-3
+    assert all(r["sketch_ok_p90"] for r in rows)
+    assert all(r["n_window_rows"] > 0 for r in rows)

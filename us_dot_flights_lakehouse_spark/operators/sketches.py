@@ -30,6 +30,15 @@ Design (Karnin–Lall–Liberty compactor hierarchy, deterministic variant):
   ``err`` add. Uniform level capacity keeps the structure trivially
   JSON-serializable (arrays of ints) at ~``k * log2(n/k)`` items — for
   k=200 and n=10^12 about 6.6K ints per blob, a few KB.
+- Error growth: with UNIFORM level capacities this is the MRL shape,
+  not true KLL — worst-case ``err`` grows as ~``(n/k)·log2(n/k)``
+  absolute rank error (≈16% relative at k=200, n=10^12), versus true
+  KLL's O(n/k) from geometrically decaying capacities. The tracked
+  ``err`` keeps the contract honest regardless (queries assert against
+  the ACTUAL bound, never the asymptotic one), but for large-n
+  deployments scale ``k`` with ``log2(n)`` — k ≈ 200·log2(n/10^6)
+  holds relative rank error near the k=200/n=10^6 level — or adopt
+  geometrically decreasing level capacities.
 
 Determinism: no randomness anywhere (the classic KLL flips a coin per
 compaction; we alternate parity instead). The tracked ``err`` bound is

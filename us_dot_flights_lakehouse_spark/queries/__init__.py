@@ -39,11 +39,17 @@ _MODULES = (llm, streaming, quality, flights, relational)
 #: come first; the long tail of f_* function suites — all driver-green in
 #: round 1 and unchanged since — absorbs any truncation.
 _PRIORITY = (
-    # ---- round-8 front-load (driver samples the FIRST 50 entries) ----
-    # (a) the 9 round-7 additions that landed past the round-7 head-50
-    # cut and therefore have NEVER had a driver CORRECTNESS row
-    # (VERDICT r7 item 1 / COVERAGE.md rotation queue) — a green row for
-    # each closes full-catalog driver coverage, 290/290 lifetime:
+    # ---- round-9 front-load (driver samples the FIRST 50 entries) ----
+    # Lifetime driver coverage closed in r8 (every catalog entry has ≥1
+    # green row), so the head-50 is now NEW + CHANGED queries only.
+    # (a) new in round 9 — the KLL sketch queries the r8 _PRIORITY
+    # pre-registered but never implemented (VERDICT r8 item 1):
+    "a38_kll_quantile_sketch",  # mergeable KLL sketch vs exact quantiles
+    "w23_sketch_rolling_quantile",  # per-month sketch merge rolling p90
+    # (b) changed in round 9 (ADVICE r8 fixes) — need fresh driver rows:
+    "f_variant_suite",  # dup-key splice gate mirrored both sides
+    "src_xml_roundtrip",  # fixture validity now keyed on _SUCCESS marker
+    # ---- round-8 front-load kept below for the rotation record ----
     "f_sql_udf",
     "f_param_sql",
     "f_udtf_partitioned",
@@ -53,13 +59,7 @@ _PRIORITY = (
     "dd_corpus_snapshot_diff",
     "dd_shingle_df_profile",
     "sim_distance_histogram",
-    # (b) changed in round 8 (ADVICE r7 fixes) — need fresh driver rows:
     "q_pk_uniqueness_audit",  # NULL-safe composite-key encoding
-    "f_variant_suite",  # try_parse_json guard (+ json_valid oracle)
-    "src_xml_roundtrip",  # write-once fixture guard (x10 pattern)
-    # (c) new in round 8:
-    "a38_kll_quantile_sketch",  # mergeable KLL sketch vs exact quantiles
-    "w23_sketch_rolling_quantile",  # per-month sketch merge rolling p90
     # ---- round-7 front-load kept below for the rotation record ----
     # (a) the 21 entries that have NEVER had a driver CORRECTNESS row
     # across rounds 1-6 (COVERAGE.md rotation list) — closes full-catalog

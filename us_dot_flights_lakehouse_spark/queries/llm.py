@@ -10107,11 +10107,15 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     fp = source_fingerprint(sf_dir, "documents")
     out = f"{tempfile.gettempdir()}/us_dot_xml_{sf_tag}_{fp}"
-    if not os.path.isdir(out):  # write-once fixture, fingerprint-keyed
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.isfile(marker):  # write-once fixture, fingerprint-keyed
         # x10 pattern (ADVICE r7): export to a pid-suffixed temp dir and
         # atomically rename into place, so repeat runs skip the export
         # and a killed run can never leave a torn directory that later
-        # reads would treat as a valid fixture.
+        # reads would treat as a valid fixture. Validity is keyed on
+        # Spark's _SUCCESS commit marker, not bare existence (ADVICE r8):
+        # a torn directory at `out` — left by pre-fix code or external
+        # interference — is evicted and rebuilt, never trusted.
         tmp = f"{out}.tmp.{os.getpid()}"
         docs.write.format("xml").option("rootTag", "docs").option(
             "rowTag", "doc"
@@ -10119,11 +10123,15 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             os.rename(tmp, out)
         except OSError:
-            if not os.path.isdir(out):
-                raise
             import shutil
 
-            shutil.rmtree(tmp, ignore_errors=True)
+            if os.path.isfile(marker):
+                # a concurrent run committed first — keep theirs
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # torn/markerless directory squatting at out: evict it
+                shutil.rmtree(out, ignore_errors=True)
+                os.rename(tmp, out)
     back = (
         spark.read.format("xml")
         .option("rowTag", "doc")

@@ -1716,9 +1716,17 @@ def f_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generated data always satisfies that, but a regeneration must not be
     # able to turn the latent assumption into an ANSI crash (ADVICE r7).
     # try_parse_json yields NULL on a malformed splice instead of throwing;
-    # the oracle mirrors it with a json_valid() guard.
+    # the oracle mirrors it with a json_valid() guard. The splice is ALSO
+    # gated on props not already containing an 'm' key (ADVICE r8):
+    # Spark's variant parser rejects duplicate keys (VARIANT_DUPLICATE_KEY
+    # → NULL under try_parse_json) while DuckDB's json_valid accepts them,
+    # so an ungated splice over regenerated props with an 'm' key would
+    # silently diverge. The gate is mirrored in the oracle (NOT LIKE).
+    spliceable = (F.col("event_id") % 3 == 0) & (
+        ~F.col("props").contains('"m"')
+    )
     j = F.when(
-        F.col("event_id") % 3 == 0,
+        spliceable,
         F.concat(F.lit('{"m": 5,'), F.expr("substring(props, 2)")),
     ).otherwise(F.col("props"))
     return events.select(
@@ -1734,7 +1742,7 @@ def f_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 F_VARIANT_ORACLE = """
 WITH spliced AS (
   SELECT event_id, props,
-         CASE WHEN event_id % 3 = 0
+         CASE WHEN event_id % 3 = 0 AND props NOT LIKE '%"m"%'
               THEN '{"m": 5,' || substring(props, 2)
               ELSE props END AS j
   FROM events
@@ -7063,6 +7071,305 @@ LIMIT {G5_TOPK}
 """
 
 
+def a38_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A38 (extension): MERGEABLE quantile sketch (deterministic KLL,
+    operators/sketches.py) — the quantile analogue of a19's HLL rollup
+    and the mergeable answer a12's in-aggregate GK sketch cannot give:
+    per-task partial sketches are built executor-side (mapInPandas,
+    Arrow-batched — the map-side-combine shape: one ~KB row per key per
+    task, never raw rows into the shuffle), merged per group
+    (applyInPandas), and the resulting blob can recombine into ANY later
+    rollup window without rescanning raw rows.
+
+    Oracle contract (the a12/a19 sketch+exact-companion pattern): the
+    sketch estimates are implementation-defined, so the output carries
+    (a) exact companions both engines compute identically — per-flag row
+    count (cross-checked against the sketch's conserved ``n``) and exact
+    discrete quantiles (smallest value whose rank reaches
+    t = ceil(p*n), integer arithmetic) — and (b) booleans asserting the
+    tracked HARD error bound ``|true_rank(est) - t| <= err``
+    (operators/sketches.py:24-28): count(x < est) <= t-1+err and
+    count(x <= est) >= t-err, computed in-plan from the raw rows. The
+    oracle pins the booleans to literal TRUE, so a bound violation —
+    impossible unless the kernel is wrong — fails the value hash.
+
+    Scale: partials stream per task (no per-key row explosion); the only
+    row-scale shuffles are the exact-companion window sort and the
+    rank-count aggregate, both of which exist only to CHECK the sketch —
+    at 100 TB you ship the 3 KB-blob rows alone."""
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        make_partial_builder,
+        make_sketch_merger,
+    )
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    vals = lineitem.select(
+        F.col("l_returnflag").alias("flag"), cents.alias("cents")
+    )
+    partials = vals.mapInPandas(
+        make_partial_builder("flag", "cents"),
+        schema="flag string, payload string, err long, n_rows long",
+    )
+    probs = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+    merged = partials.groupBy("flag").applyInPandas(
+        make_sketch_merger("flag", probs),
+        schema=(
+            "flag string, payload string, err long, n_rows long, "
+            "est_p50 long, t_p50 long, est_p90 long, t_p90 long, "
+            "est_p99 long, t_p99 long"
+        ),
+    )
+    est = F.broadcast(merged.drop("payload"))
+    # true rank of each estimate over the raw multiset (one agg pass)
+    bound_aggs = []
+    for p in ("p50", "p90", "p99"):
+        bound_aggs.append(
+            F.sum((F.col("cents") < F.col(f"est_{p}")).cast("bigint"))
+            .alias(f"lt_{p}")
+        )
+        bound_aggs.append(
+            F.sum((F.col("cents") <= F.col(f"est_{p}")).cast("bigint"))
+            .alias(f"le_{p}")
+        )
+    ranks = (
+        vals.join(est, "flag")
+        .groupBy("flag", "err", "n_rows", "t_p50", "t_p90", "t_p99")
+        .agg(*bound_aggs)
+    )
+    # exact discrete quantiles: smallest value whose rank reaches
+    # t = ceil(p*n) = (num*n + den - 1) DIV den — identical integer
+    # arithmetic in DuckDB (the interpolation-free variant of a11/w21)
+    wrank = W.partitionBy("flag").orderBy("cents")
+    ranked = vals.select(
+        "flag",
+        "cents",
+        F.row_number().over(wrank).alias("rn"),
+        F.count("*").over(W.partitionBy("flag")).alias("n"),
+    )
+
+    def _exact(name: str, num: int, den: int):
+        t = F.expr(f"({num} * n + {den - 1}) DIV {den}")
+        return F.min(F.when(F.col("rn") >= t, F.col("cents"))).alias(
+            f"exact_{name}_cents"
+        )
+
+    exacts = ranked.groupBy("flag").agg(
+        _exact("p50", 1, 2), _exact("p90", 9, 10), _exact("p99", 99, 100)
+    )
+    out = ranks.join(F.broadcast(exacts), "flag")
+    ok_cols = [
+        (
+            (F.col(f"lt_{p}") <= F.col(f"t_{p}") - 1 + F.col("err"))
+            & (F.col(f"le_{p}") >= F.col(f"t_{p}") - F.col("err"))
+        ).alias(f"sketch_ok_{p}")
+        for p in ("p50", "p90", "p99")
+    ]
+    return out.select(
+        "flag",
+        F.col("n_rows").alias("n_rows"),
+        "exact_p50_cents",
+        "exact_p90_cents",
+        "exact_p99_cents",
+        *ok_cols,
+    )
+
+
+A38_ORACLE = """
+WITH vals AS (
+  SELECT l_returnflag AS flag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem
+), ranked AS (
+  SELECT flag, cents,
+         row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY flag) AS n
+  FROM vals
+)
+SELECT flag,
+       CAST(max(n) AS BIGINT) AS n_rows,
+       min(CASE WHEN rn >= (1 * n + 1) // 2 THEN cents END)
+         AS exact_p50_cents,
+       min(CASE WHEN rn >= (9 * n + 9) // 10 THEN cents END)
+         AS exact_p90_cents,
+       min(CASE WHEN rn >= (99 * n + 99) // 100 THEN cents END)
+         AS exact_p99_cents,
+       TRUE AS sketch_ok_p50,
+       TRUE AS sketch_ok_p90,
+       TRUE AS sketch_ok_p99
+FROM ranked GROUP BY flag
+"""
+
+
+def w23_sketch_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W23 (extension): ROLLING quantile from persisted month sketches —
+    the mergeable counterpart of w21's exact rolling p90 and the payoff
+    the KLL kernel exists for: one KLL blob per OBSERVED month (built
+    once: mapInPandas partials → applyInPandas merge), then every
+    trailing-3-observed-month window p90 is a union of ≤3 KB-sized blobs
+    — never a rescan of raw order rows. A new month's arrival costs one
+    month scan; w21's exact pass re-touches every window it enters.
+
+    Oracle contract (a38 pattern): exact companions — per-window raw-row
+    count (cross-checks the merged sketch's conserved ``n``), window
+    month-width, and the exact discrete p90 (rank t = ceil(0.9*n)) —
+    plus the in-plan hard-bound boolean count(x < est) <= t-1+err AND
+    count(x <= est) >= t-err, pinned TRUE in the oracle.
+
+    Scale: the sketch path shuffles month-keyed KB blobs (≤3 per window
+    after the explode); the raw-row window expansion exists only for the
+    exact CHECK. The ~84-row month index uses a global row_number — a
+    one-task window over month-cardinality rows (w22 family)."""
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        make_partial_builder,
+        make_sketch_merger,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    vals = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        cents.alias("cents"),
+    )
+    partials = vals.mapInPandas(
+        make_partial_builder("month", "cents"),
+        schema="month string, payload string, err long, n_rows long",
+    )
+    monthly = partials.groupBy("month").applyInPandas(
+        make_sketch_merger("month", []),
+        schema="month string, payload string, err long, n_rows long",
+    )
+    # observed-month index (dense, gap-skipping — the w21 observed-window
+    # semantics); month-cardinality rows, one-task window
+    midx = vals.select("month").distinct().select(
+        "month", F.row_number().over(W.orderBy("month")).alias("idx")
+    )
+    # each month blob serves windows idx..idx+2; inner-join to real
+    # window labels drops phantom trailing windows
+    contrib = (
+        monthly.join(F.broadcast(midx), "month")
+        .select(
+            F.explode(
+                F.sequence(F.col("idx"), F.col("idx") + F.lit(2))
+            ).alias("widx"),
+            "payload",
+            "err",
+            "n_rows",
+        )
+        .join(
+            F.broadcast(
+                midx.select(
+                    F.col("idx").alias("widx"), F.col("month").alias("w_month")
+                )
+            ),
+            "widx",
+        )
+        .select(F.col("w_month").alias("month"), "payload", "err", "n_rows")
+    )
+    rolled = contrib.groupBy("month").applyInPandas(
+        make_sketch_merger("month", [("p90", 9, 10)]),
+        schema=(
+            "month string, payload string, err long, n_rows long, "
+            "est_p90 long, t_p90 long"
+        ),
+    )
+    # exact companion: expand raw rows into their trailing windows via the
+    # same month map (≤3 window rows per order row, broadcast map)
+    wmap = midx.alias("w").join(
+        F.broadcast(midx.alias("m")),
+        (F.col("m.idx") >= F.col("w.idx") - 2)
+        & (F.col("m.idx") <= F.col("w.idx")),
+    ).select(
+        F.col("w.month").alias("w_month"), F.col("m.month").alias("member")
+    )
+    expanded = vals.join(
+        F.broadcast(wmap), vals["month"] == wmap["member"]
+    ).select(F.col("w_month").alias("month"), "cents")
+    ranked = expanded.select(
+        "month",
+        "cents",
+        F.row_number()
+        .over(W.partitionBy("month").orderBy("cents"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("month")).alias("n"),
+    )
+    exacts = ranked.groupBy("month").agg(
+        F.min(
+            F.when(
+                F.col("rn") >= F.expr("(9 * n + 9) DIV 10"), F.col("cents")
+            )
+        ).alias("exact_p90_cents")
+    )
+    n_months = wmap.groupBy(F.col("w_month").alias("month")).agg(
+        F.count("*").cast("bigint").alias("n_window_months")
+    )
+    est = F.broadcast(rolled.drop("payload"))
+    bounds = (
+        expanded.join(est, "month")
+        .groupBy("month", "err", "n_rows", "t_p90")
+        .agg(
+            F.sum((F.col("cents") < F.col("est_p90")).cast("bigint")).alias(
+                "lt_p90"
+            ),
+            F.sum((F.col("cents") <= F.col("est_p90")).cast("bigint")).alias(
+                "le_p90"
+            ),
+        )
+    )
+    return (
+        bounds.join(F.broadcast(exacts), "month")
+        .join(F.broadcast(n_months), "month")
+        .select(
+            "month",
+            F.col("n_rows").alias("n_window_rows"),
+            "n_window_months",
+            "exact_p90_cents",
+            (
+                (F.col("lt_p90") <= F.col("t_p90") - 1 + F.col("err"))
+                & (F.col("le_p90") >= F.col("t_p90") - F.col("err"))
+            ).alias("sketch_ok_p90"),
+        )
+    )
+
+
+W23_ORACLE = """
+WITH vals AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), midx AS (
+  SELECT month, row_number() OVER (ORDER BY month) AS idx
+  FROM (SELECT DISTINCT month FROM vals)
+), wmap AS (
+  SELECT w.month AS w_month, m.month AS member
+  FROM midx w JOIN midx m ON m.idx BETWEEN w.idx - 2 AND w.idx
+), expanded AS (
+  SELECT wmap.w_month AS month, v.cents
+  FROM vals v JOIN wmap ON v.month = wmap.member
+), ranked AS (
+  SELECT month, cents,
+         row_number() OVER (PARTITION BY month ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY month) AS n
+  FROM expanded
+), exacts AS (
+  SELECT month,
+         CAST(max(n) AS BIGINT) AS n_window_rows,
+         min(CASE WHEN rn >= (9 * n + 9) // 10 THEN cents END)
+           AS exact_p90_cents
+  FROM ranked GROUP BY month
+), widths AS (
+  SELECT w_month AS month, CAST(count(*) AS BIGINT) AS n_window_months
+  FROM wmap GROUP BY 1
+)
+SELECT e.month, e.n_window_rows, w.n_window_months, e.exact_p90_cents,
+       TRUE AS sketch_ok_p90
+FROM exacts e JOIN widths w ON e.month = w.month
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -7166,6 +7473,8 @@ QUERIES = {
     "x10_partition_pruned_scan": x10_partition_pruned_scan,
     "a35_quantile_drift": a35_quantile_drift,
     "w21_rolling_quantile": w21_rolling_quantile,
+    "a38_kll_quantile_sketch": a38_kll_quantile_sketch,
+    "w23_sketch_rolling_quantile": w23_sketch_rolling_quantile,
     "w22_period_over_period": w22_period_over_period,
     "f_sql_udf": f_sql_udf,
     "f_param_sql": f_param_sql,
@@ -7286,6 +7595,8 @@ ORACLES = {
     "x10_partition_pruned_scan": X10_ORACLE,
     "a35_quantile_drift": A35_ORACLE,
     "w21_rolling_quantile": W21_ORACLE,
+    "a38_kll_quantile_sketch": A38_ORACLE,
+    "w23_sketch_rolling_quantile": W23_ORACLE,
     "w22_period_over_period": W22_ORACLE,
     "f_sql_udf": F_SQL_UDF_ORACLE,
     "f_param_sql": F_PARAM_SQL_ORACLE,
