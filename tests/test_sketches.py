@@ -21,8 +21,15 @@ from us_dot_flights_lakehouse_spark.operators.sketches import (
     kll_merge,
     kll_new,
     kll_query,
+    make_mg_merger,
+    make_mg_partial_builder,
     make_partial_builder,
     make_sketch_merger,
+    mg_dumps,
+    mg_loads,
+    mg_merge,
+    mg_new,
+    mg_update,
 )
 
 
@@ -191,6 +198,197 @@ def test_a38_catalog_query_nondegenerate(spark, sf_small):
             <= r["exact_p99_cents"]
         )
         assert r["sketch_ok_p50"] and r["sketch_ok_p90"] and r["sketch_ok_p99"]
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries frequency sketch (round 10): both hard invariants —
+# (1) c(x) - d <= est(x) <= c(x) for EVERY item, (2) d*(cap+1) <= n —
+# across update, merge, and serialize paths, plus the containment
+# corollary (count > d => item present) the a39 oracle booleans assume.
+# ---------------------------------------------------------------------------
+
+
+def _assert_mg_invariants(sk: dict, values: list[str]) -> None:
+    from collections import Counter
+
+    exact = Counter(values)
+    assert sk["n"] == len(values), "row-count conservation violated"
+    assert len(sk["counters"]) <= sk["cap"]
+    assert sk["d"] * (sk["cap"] + 1) <= sk["n"], "weight invariant violated"
+    for x, c in exact.items():
+        est = sk["counters"].get(x, 0)
+        assert est <= c, f"est({x})={est} > true {c}"
+        assert est >= c - sk["d"], f"est({x})={est} < true-d {c - sk['d']}"
+        if c > sk["d"]:
+            assert x in sk["counters"], f"heavy item {x} (c={c}>d) missing"
+
+
+@pytest.mark.parametrize("cap", [4, 8, 64])
+@pytest.mark.parametrize("dist", ["uniform", "zipf", "constant"])
+def test_mg_invariants_update(cap: int, dist: str):
+    rng = random.Random(42)
+    n = 5000
+    if dist == "uniform":
+        values = [str(rng.randrange(500)) for _ in range(n)]
+    elif dist == "zipf":
+        # ~90% of mass on 7 hot items over a long uniform tail — the
+        # a39 shape; the sketch must actually find the hot items
+        values = [
+            str(rng.randrange(7)) if rng.random() < 0.9
+            else str(1000 + rng.randrange(400))
+            for _ in range(n)
+        ]
+    else:
+        values = ["x"] * n
+    from collections import Counter
+
+    sk = mg_new(cap)
+    for i in range(0, n, 977):  # uneven batches exercise mid-state
+        mg_update(sk, Counter(values[i : i + 977]))
+    _assert_mg_invariants(sk, values)
+    if dist == "zipf" and cap >= 8:
+        # containment must BIND here: every hot item has count >> d
+        assert {str(i) for i in range(7)} <= set(sk["counters"])
+
+
+@pytest.mark.parametrize("cap", [4, 32])
+def test_mg_invariants_merge_and_serialize(cap: int):
+    from collections import Counter
+
+    rng = random.Random(7)
+    parts = [
+        [str(rng.randrange(1, 40) ** 2) for _ in range(rng.randrange(1, 2000))]
+        for _ in range(9)
+    ]
+    sketches = []
+    for chunk in parts:
+        sk = mg_new(cap)
+        mg_update(sk, Counter(chunk))
+        sketches.append(mg_loads(mg_dumps(sk), sk["d"], sk["n"], cap))
+    merged = sketches[0]
+    for other in sketches[1:]:
+        merged = mg_merge(merged, other)
+    _assert_mg_invariants(merged, [v for chunk in parts for v in chunk])
+
+
+def test_mg_deterministic():
+    from collections import Counter
+
+    values = [str(i % 23) for i in range(3000)]
+    a, b = mg_new(8), mg_new(8)
+    mg_update(a, Counter(values))
+    for i in range(0, 3000, 700):
+        mg_update(b, Counter(values[i : i + 700]))
+    # different batching may change counters, but serialization of the
+    # SAME batching is stable
+    c = mg_new(8)
+    mg_update(c, Counter(values))
+    assert mg_dumps(a) == mg_dumps(c)
+    _assert_mg_invariants(b, values)
+
+
+def test_mg_spark_partial_build_and_merge(spark):
+    from collections import Counter
+
+    rng = random.Random(11)
+    rows = [
+        (
+            "g%d" % (i % 2),
+            str(rng.randrange(5)) if rng.random() < 0.8 else str(i),
+        )
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "key string, item string").repartition(7)
+    partials = df.mapInPandas(
+        make_mg_partial_builder("key", "item", 8),
+        schema="key string, counters string, d long, n_rows long",
+    )
+    assert partials.count() <= 7 * 2  # one row per (task, key) at most
+    merged = (
+        partials.groupBy("key")
+        .applyInPandas(
+            make_mg_merger("key", 8),
+            schema="key string, counters string, d long, n_rows long",
+        )
+        .collect()
+    )
+    assert len(merged) == 2
+    by_key: dict[str, list[str]] = {}
+    for key, item in rows:
+        by_key.setdefault(key, []).append(item)
+    for r in merged:
+        sk = mg_loads(r["counters"], r["d"], r["n_rows"], 8)
+        _assert_mg_invariants(sk, by_key[r["key"]])
+        # the 5 engineered hot items dominate every task's sample
+        assert {str(i) for i in range(5)} <= set(sk["counters"])
+
+
+def test_mg_builder_rejects_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None)], "key string, item string"
+    )
+    partials = df.mapInPandas(
+        make_mg_partial_builder("key", "item", 8),
+        schema="key string, counters string, d long, n_rows long",
+    )
+    with pytest.raises(Exception, match="non-null"):
+        partials.collect()
+
+
+def test_a39_catalog_query_nondegenerate(spark, sf_small):
+    from us_dot_flights_lakehouse_spark.queries.relational import (
+        MG_TOPK,
+        a39_mg_topk_sketch,
+    )
+
+    rows = a39_mg_topk_sketch(spark, sf_small).collect()
+    flags = {r["flag"] for r in rows}
+    assert len(rows) == len(flags) * MG_TOPK
+    for r in rows:
+        assert 1 <= r["rank"] <= MG_TOPK
+        assert r["cnt"] > 0
+        assert r["mg_ok"] and r["derr_ok"] and r["n_ok"]
+    # within a flag, cnt is non-increasing with rank
+    by_flag: dict[str, list] = {}
+    for r in rows:
+        by_flag.setdefault(r["flag"], []).append(r)
+    for rs in by_flag.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert all(a["cnt"] >= b["cnt"] for a, b in zip(rs, rs[1:]))
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r9 kernel guards
+# ---------------------------------------------------------------------------
+
+
+def test_kll_query_empty_sketch_raises():
+    with pytest.raises(ValueError, match="empty sketch"):
+        kll_query(kll_new(8), 1)
+
+
+def test_kll_builder_rejects_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None)], "key string, v long"
+    )
+    partials = df.mapInPandas(
+        make_partial_builder("key", "v"),
+        schema="key string, payload string, err long, n_rows long",
+    )
+    with pytest.raises(Exception, match="non-null"):
+        partials.collect()
+
+
+def test_kll_builder_rejects_null_keys(spark):
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2)], "key string, v long"
+    )
+    partials = df.mapInPandas(
+        make_partial_builder("key", "v"),
+        schema="key string, payload string, err long, n_rows long",
+    )
+    with pytest.raises(Exception, match="non-null"):
+        partials.collect()
 
 
 def test_w23_catalog_query_nondegenerate(spark, sf_small):

@@ -54,6 +54,10 @@ def main():
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2] if len(sys.argv) > 2 else None
     spark = get_spark("stress")
+    if only == "round10":
+        round10_families(spark, factor, sys.argv[3] if len(sys.argv) > 3 else None)
+        spark.stop()
+        return
     if only == "round7":
         round7_families(spark, factor)
         spark.stop()
@@ -1073,6 +1077,96 @@ def round6d_families(spark, factor):
         rel.read_table, llm.read_table, llm.read_corpus, st.read_table = origs
 
 
+
+
+def round10_families(spark, factor, only_target=None):
+    """The 100x probe (VERDICT r7 item 2, carried to r10): the heaviest
+    bench families — pair-output-bound dedup, graph expansions, the
+    rolling-anomaly Arrow kernel — plus the round-9/10 sketch queries,
+    at Nx through the REAL catalog code (reader-seam monkeypatch, dims
+    held at 1x). Run with factor=100 for the scale-evidence gap the
+    r7-r9 verdicts flagged; an optional 4th argv selects ONE target so
+    long runs can be driven incrementally under a per-command timeout:
+
+        python tools/stress_scale.py 100 round10 [target]
+
+    Interpretation notes (mirrored in BASELINE.md when recorded):
+    - pair-mining families (dd_minhash_lsh, dd_cluster_keep_best) have
+      pair OUTPUT that grows with true duplicate density; this corpus
+      construction (perturbed copies) makes every copy-set a near-dup
+      clique, so super-linear pair counts are a property of the DATA,
+      not the plan — the check is that runtime tracks candidate/pair
+      count, not that it stays linear;
+    - g1/g5 graph expansions grow with edge count x neighborhood size;
+    - the sketch queries must stay ~linear (partials are cap-bounded;
+      only the exact-companion CHECK is row-scale)."""
+    import us_dot_flights_lakehouse_spark.queries.llm as llm
+    import us_dot_flights_lakehouse_spark.queries.relational as rel
+
+    id_cols = {
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+        "lineitem": "l_orderkey",
+        "orders": "o_orderkey",
+        "customer": "c_custkey",
+        "nation": "n_nationkey",
+        "supplier": "s_suppkey",
+        "region": "r_regionkey",
+        "part": "p_partkey",
+    }
+    cache = {}
+
+    def scaled_table(f):
+        def read(spark_, sf_dir_, name, *a, **k):
+            key = (name, f)
+            if key not in cache:
+                eff = 1 if name in ("nation", "region", "supplier", "part", "customer") else f
+                cache[key] = scaled(spark_, name, eff, id_cols[name]).cache()
+                cache[key].count()
+            return cache[key]
+
+        return read
+
+    targets = [
+        ("a38_kll_quantile_sketch", rel.a38_kll_quantile_sketch),
+        ("a39_mg_topk_sketch", rel.a39_mg_topk_sketch),
+        ("w23_sketch_rolling_quantile", rel.w23_sketch_rolling_quantile),
+        ("w8_rolling_anomaly", rel.w8_rolling_anomaly),
+        ("g1_bipartite_rank", rel.g1_bipartite_rank),
+        ("g5_neighbor_overlap", rel.g5_neighbor_overlap),
+        ("dd_minhash_lsh", llm.dd_minhash_lsh),
+        ("dd_cluster_keep_best", llm.dd_cluster_keep_best),
+        ("dd_incremental_clusters", llm.dd_incremental_clusters),
+    ]
+    if only_target:
+        targets = [(n, f) for n, f in targets if n == only_target]
+        if not targets:
+            sys.exit(f"unknown round10 target {only_target!r}")
+    orig_rel, orig_llm, orig_corpus = rel.read_table, llm.read_table, llm.read_corpus
+    try:
+        for name, fn in targets:
+            times = []
+            for f in (1, factor):
+                rel.read_table = scaled_table(f)
+                llm.read_table = scaled_table(f)
+                llm.read_corpus = scaled_table(f)
+                t = timed(f"{name}@{f}x", fn(spark, SF_DIR))
+                times.append(t)
+            print(
+                f"{name}: growth {times[1] / times[0]:.1f}x at {factor}x rows",
+                flush=True,
+            )
+            # free the Nx caches between targets — at 100x two cached
+            # tables can already be tens of GiB
+            for key, df in list(cache.items()):
+                if key[1] != 1:
+                    df.unpersist()
+                    del cache[key]
+    finally:
+        rel.read_table = orig_rel
+        llm.read_table = orig_llm
+        llm.read_corpus = orig_corpus
 
 
 def round7_families(spark, factor):

@@ -124,6 +124,8 @@ def kll_query(sk: dict, target_rank: int) -> int:
         w = 1 << level
         items.extend((v, w) for v in buf)
     items.sort()
+    if not items:
+        raise ValueError("kll_query on an empty sketch (n == 0)")
     cum = 0
     for v, w in items:
         cum += w
@@ -141,6 +143,82 @@ def kll_loads(payload: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Mergeable frequency sketch (Misra–Gries / SpaceSaving family)
+# ---------------------------------------------------------------------------
+#
+# The frequency counterpart of the KLL section above and the mergeable
+# answer ts_countmin_sketch cannot give (its CM estimates never leave the
+# query as a recombinable blob): at most ``cap`` counters per sketch, a
+# deterministic merge, and TWO hard invariants tracked exactly in ``d``:
+#
+#   (1) per item:   c(x) - d  <=  est(x)  <=  c(x)
+#       (est(x) = counter value, 0 if absent — so any item with true
+#       count > d is GUARANTEED to be among the counters), and
+#   (2) globally:   d * (cap + 1)  <=  n
+#       (each stream decrement retires cap+1 units of weight; each merge
+#       reduction by the (cap+1)-th largest value m retires >= (cap+1)*m
+#       — the Agarwal et al. "Mergeable Summaries" argument), so the
+#       bound survives ANY merge tree, i.e. any partitioning.
+#
+# Both invariants are asserted in-plan by a39_mg_topk_sketch and pinned
+# TRUE in its oracle, making the sketch self-verifying on every run, the
+# same contract shape as the KLL queries. Deterministic throughout: ties
+# in the reduction threshold are resolved by value, not arrival order.
+
+
+def mg_new(cap: int) -> dict:
+    return {"cap": cap, "counters": {}, "d": 0, "n": 0}
+
+
+def _mg_reduce(sk: dict) -> None:
+    """If over capacity: subtract the (cap+1)-th largest counter value
+    from every counter and drop the non-positive ones. Weight retired is
+    >= (cap+1)*m, which is what keeps invariant (2) true under merge."""
+    counters = sk["counters"]
+    if len(counters) <= sk["cap"]:
+        return
+    m = sorted(counters.values(), reverse=True)[sk["cap"]]
+    sk["counters"] = {x: c - m for x, c in counters.items() if c > m}
+    sk["d"] += m
+
+
+def mg_update(sk: dict, counts: dict) -> None:
+    """Fold EXACT item counts (e.g. one Arrow batch's value_counts) into
+    the sketch via the merge rule — equivalent guarantee to one-at-a-time
+    Misra-Gries, vectorized-friendly. Keys must be strings (JSON-stable),
+    counts positive ints."""
+    counters = sk["counters"]
+    for x, c in counts.items():
+        c = int(c)
+        counters[x] = counters.get(x, 0) + c
+        sk["n"] += c
+    _mg_reduce(sk)
+
+
+def mg_merge(a: dict, b: dict) -> dict:
+    """Merge b into a (in place) and return a. d and n are additive on
+    top of any reduction the combined counter set forces."""
+    for x, c in b["counters"].items():
+        a["counters"][x] = a["counters"].get(x, 0) + c
+    a["d"] += b["d"]
+    a["n"] += b["n"]
+    _mg_reduce(a)
+    return a
+
+
+def mg_dumps(sk: dict) -> str:
+    """Counters only — a plain JSON object, so Spark's
+    from_json(..., 'map<string,bigint>') can probe it JVM-side; d and n
+    travel as first-class LONG columns next to the payload."""
+    return json.dumps(sk["counters"], separators=(",", ":"), sort_keys=True)
+
+
+def mg_loads(counters_json: str, d: int, n: int, cap: int) -> dict:
+    """cap is required and must match the builder's (see make_mg_merger)."""
+    return {"cap": cap, "counters": json.loads(counters_json), "d": d, "n": n}
+
+
+# ---------------------------------------------------------------------------
 # Spark wiring: Arrow-batched partials + grouped merge
 # ---------------------------------------------------------------------------
 
@@ -154,12 +232,23 @@ def make_partial_builder(key_col: str, value_col: str, k: int = K_DEFAULT):
     Accumulates ACROSS Arrow batches within the task so a 10^9-row
     partition still emits one ~KB row per key it saw — the map-side
     combine shape; the per-key shuffle moves sketches, never rows.
+
+    Precondition: ``key_col`` and ``value_col`` must be non-null.
+    pandas ``groupby`` drops NULL keys silently (and NULL values would
+    TypeError inside the compaction sort), which would diverge from a
+    SQL oracle's NULL group — so nulls fail loudly here instead.
+    Callers with nullable inputs must filter first.
     """
     import pandas as pd
 
     def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         sketches: dict = {}
         for pdf in batches:
+            if pdf[key_col].isna().any() or pdf[value_col].isna().any():
+                raise ValueError(
+                    f"kll partial builder requires non-null {key_col!r} and "
+                    f"{value_col!r}; filter nulls before sketching"
+                )
             for key, grp in pdf.groupby(key_col, sort=False):
                 sk = sketches.setdefault(key, kll_new(k))
                 kll_extend(sk, grp[value_col].to_numpy().tolist())
@@ -177,6 +266,68 @@ def make_partial_builder(key_col: str, value_col: str, k: int = K_DEFAULT):
         )
 
     return build
+
+
+def make_mg_partial_builder(key_col: str, item_col: str, cap: int):
+    """mapInPandas fn: one partial Misra-Gries sketch per (task, key).
+
+    Batch items are counted exactly (vectorized value_counts) and folded
+    into the sketch via the MERGE rule rather than item-at-a-time — same
+    guarantee, ~100× less Python. Non-null precondition as for the KLL
+    builder (pandas groupby/value_counts silently drop NULLs)."""
+    import pandas as pd
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        sketches: dict = {}
+        for pdf in batches:
+            if pdf[key_col].isna().any() or pdf[item_col].isna().any():
+                raise ValueError(
+                    f"mg partial builder requires non-null {key_col!r} and "
+                    f"{item_col!r}; filter nulls before sketching"
+                )
+            for key, grp in pdf.groupby(key_col, sort=False):
+                sk = sketches.setdefault(key, mg_new(cap))
+                counts = grp[item_col].astype(str).value_counts()
+                mg_update(sk, dict(zip(counts.index, counts.to_numpy())))
+        rows = [
+            {
+                key_col: key,
+                "counters": mg_dumps(sk),
+                "d": sk["d"],
+                "n_rows": sk["n"],
+            }
+            for key, sk in sketches.items()
+        ]
+        yield pd.DataFrame(rows, columns=[key_col, "counters", "d", "n_rows"])
+
+    return build
+
+
+def make_mg_merger(key_col: str, cap: int):
+    """applyInPandas fn: merge a group's partial MG sketches into one.
+
+    cap must MATCH the builder's: deriving it from len(counters) would
+    understate capacity on partials that never filled up, over-reduce on
+    merge, and inflate d past the cap-keyed invariant (2)."""
+    import pandas as pd
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sk = None
+        for counters, d, n in zip(pdf["counters"], pdf["d"], pdf["n_rows"]):
+            part = mg_loads(counters, int(d), int(n), cap)
+            sk = part if sk is None else mg_merge(sk, part)
+        return pd.DataFrame(
+            [
+                {
+                    key_col: pdf[key_col].iloc[0],
+                    "counters": mg_dumps(sk),
+                    "d": sk["d"],
+                    "n_rows": sk["n"],
+                }
+            ]
+        )
+
+    return merge
 
 
 def make_sketch_merger(key_col: str, probs: list[tuple[str, int, int]]):

@@ -39,6 +39,19 @@ _MODULES = (llm, streaming, quality, flights, relational)
 #: come first; the long tail of f_* function suites — all driver-green in
 #: round 1 and unchanged since — absorbs any truncation.
 _PRIORITY = (
+    # ---- round-10 front-load (driver samples the FIRST 50 entries) ----
+    # (a) new in round 10 — mergeable Misra-Gries frequency sketch
+    # (VERDICT r9 item 7):
+    "a39_mg_topk_sketch",
+    # (b) changed in round 10 — need fresh driver rows: the KLL queries
+    # (operators/sketches.py grew null/empty guards on their hot path),
+    # the PK audit (composite-key encoding factored into
+    # composite_pk_expr), and the XML round-trip (eviction rename now
+    # race-guarded, ADVICE r9):
+    "a38_kll_quantile_sketch",
+    "w23_sketch_rolling_quantile",
+    "q_pk_uniqueness_audit",
+    "src_xml_roundtrip",
     # ---- round-9 front-load (driver samples the FIRST 50 entries) ----
     # Lifetime driver coverage closed in r8 (every catalog entry has ≥1
     # green row), so the head-50 is now NEW + CHANGED queries only.

@@ -10129,9 +10129,17 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # a concurrent run committed first — keep theirs
                 shutil.rmtree(tmp, ignore_errors=True)
             else:
-                # torn/markerless directory squatting at out: evict it
+                # torn/markerless directory squatting at out: evict it.
+                # The post-eviction rename can still race a concurrent
+                # run recreating `out` (ADVICE r9) — re-check the marker
+                # and fall back to that run's fixture instead of failing.
                 shutil.rmtree(out, ignore_errors=True)
-                os.rename(tmp, out)
+                try:
+                    os.rename(tmp, out)
+                except OSError:
+                    if not os.path.isfile(marker):
+                        raise
+                    shutil.rmtree(tmp, ignore_errors=True)
     back = (
         spark.read.format("xml")
         .option("rowTag", "doc")

@@ -432,6 +432,27 @@ FROM agg
 """
 
 
+def composite_pk_expr(cols):
+    """NULL-safe composite-key encoding (ADVICE r7): concat_ws SKIPS
+    null parts, so (NULL, 3) would collapse to "3" == a row whose
+    first part IS "3" with a missing second. Encode each part
+    through COALESCE with an out-of-band sentinel (\\x1e = record
+    separator, never in these numeric keys) and join on \\x1f; the
+    oracle mirrors it as coalesce(CAST(c AS VARCHAR), chr(30)||'NULL')
+    joined with chr(31), where || would otherwise propagate NULL.
+    Factored out so tests can drive NULL-component frames through the
+    exact production expression (tests/test_round89_fixes.py)."""
+    from pyspark.sql import functions as F
+
+    return F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x1eNULL"))
+            for c in cols
+        ],
+    )
+
+
 def q_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q: primary-key uniqueness audit across the star schema — per
     table: rows, distinct keys, duplicated keys, rows carried by dups,
@@ -457,20 +478,7 @@ def q_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for table, key in specs:
         df = read_table(spark, sf_dir, table)
         if "||" in key:
-            # NULL-safe composite encoding (ADVICE r7): concat_ws SKIPS
-            # null parts, so (NULL, 3) would collapse to "3" == a row whose
-            # first part IS "3" with a missing second. Encode each part
-            # through COALESCE with an out-of-band sentinel (\x1e = record
-            # separator, never in these numeric keys) and mirror it in the
-            # oracle, where || would otherwise propagate NULL instead.
-            a, b = key.split("||")
-            k = F.concat_ws(
-                "\x1f",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x1eNULL"))
-                    for c in (a, b)
-                ],
-            )
+            k = composite_pk_expr(key.split("||"))
         else:
             k = F.col(key)
         per_key = df.groupBy(k.alias("k")).agg(

@@ -1722,8 +1722,17 @@ def f_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # → NULL under try_parse_json) while DuckDB's json_valid accepts them,
     # so an ungated splice over regenerated props with an 'm' key would
     # silently diverge. The gate is mirrored in the oracle (NOT LIKE).
-    spliceable = (F.col("event_id") % 3 == 0) & (
-        ~F.col("props").contains('"m"')
+    # AND gated on a '{"' prefix (round 10, found by the unhappy-path
+    # tests): splicing an EMPTY object yields '{"m": 5,}', whose trailing
+    # comma DuckDB's json_valid ACCEPTS (yyjson leniency → extracts 5)
+    # while Spark's try_parse_json rejects it (NULL) — the only splice
+    # input the json_valid guard does not keep aligned. Requiring a
+    # non-empty unpadded object keeps every reachable splice either
+    # valid JSON on both engines or invalid on both.
+    spliceable = (
+        (F.col("event_id") % 3 == 0)
+        & ~F.col("props").contains('"m"')
+        & F.col("props").startswith('{"')
     )
     j = F.when(
         spliceable,
@@ -1743,6 +1752,7 @@ F_VARIANT_ORACLE = """
 WITH spliced AS (
   SELECT event_id, props,
          CASE WHEN event_id % 3 = 0 AND props NOT LIKE '%"m"%'
+                   AND props LIKE '{"%'
               THEN '{"m": 5,' || substring(props, 2)
               ELSE props END AS j
   FROM events
@@ -7370,6 +7380,128 @@ FROM exacts e JOIN widths w ON e.month = w.month
 """
 
 
+#: Misra-Gries capacity / report depth for a39. cap=8 forces real
+#: reductions even at sf0.001 (10 suppliers -> >8 distinct items per
+#: flag), so the d-tracking paths are exercised at every scale.
+MG_CAP = 8
+MG_TOPK = 3
+
+
+def a39_mg_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A39 (extension): MERGEABLE frequency sketch (deterministic
+    Misra-Gries, operators/sketches.py) — the heavy-hitter analogue of
+    a38's KLL: per-task partial sketches (mapInPandas, exact batch
+    value_counts folded via the merge rule), merged per flag
+    (applyInPandas), at most MG_CAP counters per blob. What
+    ts_countmin_sketch cannot offer: the counter blob is a first-class
+    mergeable value — any later rollup window recombines KB-sized blobs
+    instead of rescanning rows — and the error term ``d`` is tracked
+    EXACTLY, not probabilistically.
+
+    Oracle contract (a38 pattern): output rows are the EXACT top-k items
+    per flag (count desc, item asc — deterministic both engines), plus
+    three in-plan booleans the oracle pins to literal TRUE:
+      mg_ok    — cnt - d <= est(item) <= cnt (est probed JVM-side via
+                 from_json + try_element_at on the blob; holds for ALL
+                 items by the MG guarantee, absent => est 0 and cnt<=d);
+      derr_ok  — d * (cap+1) <= n, the merge-tree-independent weight
+                 argument (Agarwal et al., Mergeable Summaries), so ANY
+                 partitioning of the scan must satisfy it;
+      n_ok     — the sketch's conserved n equals the exact row count.
+    A kernel bug fails the value hash on the next run.
+
+    Item skew is engineered (TPC-H keys are uniform — the adversarial
+    no-heavy-hitter case): 90% of rows (l_quantity <= 45) fold onto 7
+    hot items, the rest keep their raw suppkey, mirrored verbatim in the
+    oracle. The sketch must then actually FIND the hot items for mg_ok's
+    lower bound to bind.
+
+    Scale: partials stream per task (cap-bounded rows into the shuffle,
+    never raw rows); the exact groupBy(flag, item) count + top-k window
+    exist only to CHECK the sketch and are droppable at 100 TB.
+
+    Reference parity: no frequency-sketch operator exists in the
+    reference; extends its profiling tier (gold_expectations.py) the
+    same way a38 does for quantiles."""
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        make_mg_merger,
+        make_mg_partial_builder,
+    )
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    item = (
+        F.when(F.col("l_quantity") <= 45, F.col("l_suppkey") % 7)
+        .otherwise(F.col("l_suppkey"))
+        .cast("bigint")
+    )
+    vals = lineitem.select(
+        F.col("l_returnflag").alias("flag"), item.alias("item")
+    )
+    partials = vals.mapInPandas(
+        make_mg_partial_builder("flag", "item", MG_CAP),
+        schema="flag string, counters string, d long, n_rows long",
+    )
+    merged = partials.groupBy("flag").applyInPandas(
+        make_mg_merger("flag", MG_CAP),
+        schema="flag string, counters string, d long, n_rows long",
+    )
+    est_side = merged.select(
+        "flag",
+        F.from_json("counters", "map<string,bigint>").alias("cmap"),
+        "d",
+        "n_rows",
+    )
+    exact = vals.groupBy("flag", "item").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    totals = exact.groupBy("flag").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    )
+    wtop = W.partitionBy("flag").orderBy(F.col("cnt").desc(), F.col("item"))
+    top = exact.select(
+        "flag", "item", "cnt", F.row_number().over(wtop).alias("rank")
+    ).where(F.col("rank") <= MG_TOPK)
+    est = F.coalesce(
+        F.try_element_at("cmap", F.col("item").cast("string")), F.lit(0)
+    )
+    return (
+        top.join(F.broadcast(est_side), "flag")
+        .join(F.broadcast(totals), "flag")
+        .select(
+            "flag",
+            "rank",
+            "item",
+            "cnt",
+            ((est <= F.col("cnt")) & (est >= F.col("cnt") - F.col("d"))).alias(
+                "mg_ok"
+            ),
+            (F.col("d") * (MG_CAP + 1) <= F.col("n_rows")).alias("derr_ok"),
+            (F.col("n_rows") == F.col("total")).alias("n_ok"),
+        )
+    )
+
+
+A39_ORACLE = f"""
+WITH vals AS (
+  SELECT l_returnflag AS flag,
+         CAST(CASE WHEN l_quantity <= 45 THEN l_suppkey % 7
+              ELSE l_suppkey END AS BIGINT) AS item
+  FROM lineitem
+), exact AS (
+  SELECT flag, item, CAST(count(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY 1, 2
+), ranked AS (
+  SELECT flag, item, cnt,
+         row_number() OVER (PARTITION BY flag ORDER BY cnt DESC, item)
+           AS rank
+  FROM exact
+)
+SELECT flag, CAST(rank AS INTEGER) AS rank, item, cnt,
+       TRUE AS mg_ok, TRUE AS derr_ok, TRUE AS n_ok
+FROM ranked WHERE rank <= {MG_TOPK}
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -7475,6 +7607,7 @@ QUERIES = {
     "w21_rolling_quantile": w21_rolling_quantile,
     "a38_kll_quantile_sketch": a38_kll_quantile_sketch,
     "w23_sketch_rolling_quantile": w23_sketch_rolling_quantile,
+    "a39_mg_topk_sketch": a39_mg_topk_sketch,
     "w22_period_over_period": w22_period_over_period,
     "f_sql_udf": f_sql_udf,
     "f_param_sql": f_param_sql,
@@ -7597,6 +7730,7 @@ ORACLES = {
     "w21_rolling_quantile": W21_ORACLE,
     "a38_kll_quantile_sketch": A38_ORACLE,
     "w23_sketch_rolling_quantile": W23_ORACLE,
+    "a39_mg_topk_sketch": A39_ORACLE,
     "w22_period_over_period": W22_ORACLE,
     "f_sql_udf": F_SQL_UDF_ORACLE,
     "f_param_sql": F_PARAM_SQL_ORACLE,
