@@ -357,6 +357,24 @@ def test_a39_catalog_query_nondegenerate(spark, sf_small):
         assert all(a["cnt"] >= b["cnt"] for a, b in zip(rs, rs[1:]))
 
 
+def test_w24_catalog_query_nondegenerate(spark, sf_small):
+    from us_dot_flights_lakehouse_spark.queries.relational import (
+        MG_TOPK,
+        w24_mg_rolling_topk,
+    )
+
+    rows = w24_mg_rolling_topk(spark, sf_small).collect()
+    months = {r["month"] for r in rows}
+    assert len(months) > 12  # the sf0.001 order spine spans years
+    for r in rows:
+        assert 1 <= r["rank"] <= MG_TOPK
+        assert r["cnt"] > 0
+        assert r["mg_ok"] and r["derr_ok"] and r["n_ok"]
+    # the engineered hot items (custkey % 5) dominate every window's top
+    hot = sum(1 for r in rows if r["rank"] == 1 and r["item"] < 5)
+    assert hot == len(months), "rank-1 item should be a folded hot customer"
+
+
 # ---------------------------------------------------------------------------
 # ADVICE r9 kernel guards
 # ---------------------------------------------------------------------------

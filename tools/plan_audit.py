@@ -176,6 +176,7 @@ WHITELIST: dict[str, set[str]] = {
     #   broadcast into the share denominators (tfidf precedent)
     "sim_distance_histogram": {"ONE_PART"},  # 1-row vector-count + 1-row
     #   pair-total aggregates broadcast into partner ids / shares
+    "w24_mg_rolling_topk": {"ONE_PART"},  # same ~84-row month index window
     "w23_sketch_rolling_quantile": {"ONE_PART"},  # global row_number over
     #   the ~84-row DISTINCT-month index (w22/q_skew_report family) —
     #   never row-scale; the data path shuffles KB sketch blobs

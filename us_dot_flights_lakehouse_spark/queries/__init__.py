@@ -41,8 +41,9 @@ _MODULES = (llm, streaming, quality, flights, relational)
 _PRIORITY = (
     # ---- round-10 front-load (driver samples the FIRST 50 entries) ----
     # (a) new in round 10 — mergeable Misra-Gries frequency sketch
-    # (VERDICT r9 item 7):
+    # (VERDICT r9 item 7) + its rolling-window payoff query:
     "a39_mg_topk_sketch",
+    "w24_mg_rolling_topk",
     # (b) changed in round 10 — need fresh driver rows: the KLL queries
     # (operators/sketches.py grew null/empty guards on their hot path),
     # the PK audit (composite-key encoding factored into

@@ -7502,6 +7502,155 @@ FROM ranked WHERE rank <= {MG_TOPK}
 """
 
 
+def w24_mg_rolling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W24 (extension): ROLLING heavy hitters from persisted month MG
+    blobs — the frequency counterpart of w23 and the payoff the
+    Misra-Gries kernel's mergeability exists for: one cap-bounded
+    counter blob per OBSERVED month (built once), then every
+    trailing-3-observed-month window's top customers come from merging
+    ≤3 KB-sized blobs — never a rescan of raw order rows. A new month's
+    arrival costs one month scan; the exact pass re-touches every
+    window it enters.
+
+    Oracle contract (a39 pattern): output rows are the EXACT top-k
+    items per window (count desc, item asc), plus the three in-plan
+    booleans pinned TRUE — mg_ok (per-item bound vs the WINDOW-merged
+    blob), derr_ok (d*(cap+1) <= n survives the two-level merge tree:
+    task partials -> month blobs -> window merge), n_ok (merged n
+    equals the window's exact row count). Item skew engineered as in
+    a39 (90% of rows fold onto 5 hot customers), mirrored in the
+    oracle.
+
+    Scale: the sketch path shuffles month-keyed KB blobs (≤3 per window
+    after the explode); the raw-row window expansion exists only for
+    the exact CHECK. The ~84-row month index uses a global row_number —
+    one-task window over month-cardinality rows (w22/w23 family)."""
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        make_mg_merger,
+        make_mg_partial_builder,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    item = (
+        F.when(F.dayofmonth("o_orderdate") <= 27, F.col("o_custkey") % 5)
+        .otherwise(F.col("o_custkey"))
+        .cast("bigint")
+    )
+    vals = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        item.alias("item"),
+    )
+    mg_schema = "month string, counters string, d long, n_rows long"
+    partials = vals.mapInPandas(
+        make_mg_partial_builder("month", "item", MG_CAP), schema=mg_schema
+    )
+    monthly = partials.groupBy("month").applyInPandas(
+        make_mg_merger("month", MG_CAP), schema=mg_schema
+    )
+    # observed-month index + blob fan-out to trailing windows (w23 shape)
+    midx = vals.select("month").distinct().select(
+        "month", F.row_number().over(W.orderBy("month")).alias("idx")
+    )
+    contrib = (
+        monthly.join(F.broadcast(midx), "month")
+        .select(
+            F.explode(
+                F.sequence(F.col("idx"), F.col("idx") + F.lit(2))
+            ).alias("widx"),
+            "counters",
+            "d",
+            "n_rows",
+        )
+        .join(
+            F.broadcast(
+                midx.select(
+                    F.col("idx").alias("widx"), F.col("month").alias("w_month")
+                )
+            ),
+            "widx",
+        )
+        .select(F.col("w_month").alias("month"), "counters", "d", "n_rows")
+    )
+    rolled = contrib.groupBy("month").applyInPandas(
+        make_mg_merger("month", MG_CAP), schema=mg_schema
+    )
+    est_side = rolled.select(
+        "month",
+        F.from_json("counters", "map<string,bigint>").alias("cmap"),
+        "d",
+        "n_rows",
+    )
+    # exact companion: expand raw rows into their trailing windows
+    wmap = midx.alias("w").join(
+        F.broadcast(midx.alias("m")),
+        (F.col("m.idx") >= F.col("w.idx") - 2)
+        & (F.col("m.idx") <= F.col("w.idx")),
+    ).select(
+        F.col("w.month").alias("w_month"), F.col("m.month").alias("member")
+    )
+    expanded = vals.join(
+        F.broadcast(wmap), vals["month"] == wmap["member"]
+    ).select(F.col("w_month").alias("month"), "item")
+    exact = expanded.groupBy("month", "item").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    totals = exact.groupBy("month").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    )
+    wtop = W.partitionBy("month").orderBy(F.col("cnt").desc(), F.col("item"))
+    top = exact.select(
+        "month", "item", "cnt", F.row_number().over(wtop).alias("rank")
+    ).where(F.col("rank") <= MG_TOPK)
+    est = F.coalesce(
+        F.try_element_at("cmap", F.col("item").cast("string")), F.lit(0)
+    )
+    return (
+        top.join(F.broadcast(est_side), "month")
+        .join(F.broadcast(totals), "month")
+        .select(
+            "month",
+            "rank",
+            "item",
+            "cnt",
+            ((est <= F.col("cnt")) & (est >= F.col("cnt") - F.col("d"))).alias(
+                "mg_ok"
+            ),
+            (F.col("d") * (MG_CAP + 1) <= F.col("n_rows")).alias("derr_ok"),
+            (F.col("n_rows") == F.col("total")).alias("n_ok"),
+        )
+    )
+
+
+W24_ORACLE = f"""
+WITH vals AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(CASE WHEN day(o_orderdate) <= 27 THEN o_custkey % 5
+              ELSE o_custkey END AS BIGINT) AS item
+  FROM orders
+), midx AS (
+  SELECT month, row_number() OVER (ORDER BY month) AS idx
+  FROM (SELECT DISTINCT month FROM vals)
+), wmap AS (
+  SELECT w.month AS w_month, m.month AS member
+  FROM midx w JOIN midx m ON m.idx BETWEEN w.idx - 2 AND w.idx
+), expanded AS (
+  SELECT wmap.w_month AS month, v.item
+  FROM vals v JOIN wmap ON v.month = wmap.member
+), exact AS (
+  SELECT month, item, CAST(count(*) AS BIGINT) AS cnt
+  FROM expanded GROUP BY 1, 2
+), ranked AS (
+  SELECT month, item, cnt,
+         row_number() OVER (PARTITION BY month ORDER BY cnt DESC, item)
+           AS rank
+  FROM exact
+)
+SELECT month, CAST(rank AS INTEGER) AS rank, item, cnt,
+       TRUE AS mg_ok, TRUE AS derr_ok, TRUE AS n_ok
+FROM ranked WHERE rank <= {MG_TOPK}
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -7608,6 +7757,7 @@ QUERIES = {
     "a38_kll_quantile_sketch": a38_kll_quantile_sketch,
     "w23_sketch_rolling_quantile": w23_sketch_rolling_quantile,
     "a39_mg_topk_sketch": a39_mg_topk_sketch,
+    "w24_mg_rolling_topk": w24_mg_rolling_topk,
     "w22_period_over_period": w22_period_over_period,
     "f_sql_udf": f_sql_udf,
     "f_param_sql": f_param_sql,
@@ -7731,6 +7881,7 @@ ORACLES = {
     "a38_kll_quantile_sketch": A38_ORACLE,
     "w23_sketch_rolling_quantile": W23_ORACLE,
     "a39_mg_topk_sketch": A39_ORACLE,
+    "w24_mg_rolling_topk": W24_ORACLE,
     "w22_period_over_period": W22_ORACLE,
     "f_sql_udf": F_SQL_UDF_ORACLE,
     "f_param_sql": F_PARAM_SQL_ORACLE,
