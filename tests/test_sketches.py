@@ -375,6 +375,51 @@ def test_w24_catalog_query_nondegenerate(spark, sf_small):
     assert hot == len(months), "rank-1 item should be a folded hot customer"
 
 
+def test_st_windowed_quantile_sketch_nondegenerate(spark, sf_small):
+    from us_dot_flights_lakehouse_spark.queries.streaming import (
+        st_windowed_quantile_sketch,
+    )
+
+    rows = st_windowed_quantile_sketch(spark, sf_small).collect()
+    assert len(rows) > 10  # the event spine spans ~a month of days
+    for r in rows:
+        assert r["n_events"] > 0
+        assert r["exact_p50_cents"] <= r["exact_p95_cents"]
+        assert r["sketch_ok_p50"] and r["sketch_ok_p95"]
+
+
+def test_st_windowed_quantile_compactor_active_at_sf001(spark):
+    """The query's k=64 claim: at sf0.01 (hundreds of events/day) the
+    per-day sketches COMPACT (err > 0), so the bound booleans verify the
+    error-tracking path, not just buffer concatenation."""
+    from pyspark.sql import functions as F
+
+    from us_dot_flights_lakehouse_spark.sources.readers import read_table
+
+    events = read_table(spark, "/root/testdata/sf0.01", "events")
+    vals = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    merged = (
+        vals.mapInPandas(
+            make_partial_builder("day", "cents", k=64),
+            schema="day string, payload string, err long, n_rows long",
+        )
+        .groupBy("day")
+        .applyInPandas(
+            make_sketch_merger("day", []),
+            schema="day string, payload string, err long, n_rows long",
+        )
+        .collect()
+    )
+    assert sum(r["err"] for r in merged) > 0, (
+        "no compaction at sf0.01: the sketch path is degenerate there"
+    )
+
+
 # ---------------------------------------------------------------------------
 # ADVICE r9 kernel guards
 # ---------------------------------------------------------------------------

@@ -44,6 +44,7 @@ _PRIORITY = (
     # (VERDICT r9 item 7) + its rolling-window payoff query:
     "a39_mg_topk_sketch",
     "w24_mg_rolling_topk",
+    "st_windowed_quantile_sketch",
     # (b) changed in round 10 — need fresh driver rows: the KLL queries
     # (operators/sketches.py grew null/empty guards on their hot path),
     # the PK audit (composite-key encoding factored into

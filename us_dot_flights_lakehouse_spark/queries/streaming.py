@@ -629,9 +629,134 @@ FROM scored
 """
 
 
+def st_windowed_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day value quantiles (p50/p95) in both the exact form and the
+    MERGEABLE-sketch form side by side — the latency-percentile
+    dashboard metric, completing the windowed-sketch symmetry:
+    st_windowed_cardinality pairs exact COUNT DISTINCT with an HLL
+    sketch, this pairs exact discrete quantiles with the KLL blob
+    (operators/sketches.py). Same agg a readStream caller runs
+    (batch/stream parity as everywhere in this module); at 100 TB the
+    exact companion is dropped and the KB-sized KLL blob is the only
+    affordable per-open-window state — late data folds into the blob
+    with one merge instead of a window rescan, and a coarser rollup
+    (weekly p95) is a union of daily blobs, never a second pass.
+
+    Oracle contract (the a38 pattern over event-time windows): exact
+    companions — per-day row count (conserved exactly by the sketch's
+    ``n``, so the sketch-side value hashes against the oracle's
+    COUNT(*)) and exact discrete quantiles at rank t = ceil(p*n) —
+    plus the tracked HARD bound booleans count(x < est) <= t-1+err AND
+    count(x <= est) >= t-err, pinned TRUE in the oracle. k=64 keeps the
+    compactor ACTIVE at sf0.01+ (hundreds of rows/day > k), so the
+    error-tracking path is genuinely exercised, not just the
+    concatenation path.
+
+    Scale: partials stream per task (one ~KB row per (task, day));
+    the raw-row rank pass exists only to CHECK the sketch."""
+    from pyspark.sql import Window as W
+
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        make_partial_builder,
+        make_sketch_merger,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    vals = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), cents.alias("cents")
+    )
+    partials = vals.mapInPandas(
+        make_partial_builder("day", "cents", k=64),
+        schema="day string, payload string, err long, n_rows long",
+    )
+    probs = [("p50", 1, 2), ("p95", 19, 20)]
+    merged = partials.groupBy("day").applyInPandas(
+        make_sketch_merger("day", probs),
+        schema=(
+            "day string, payload string, err long, n_rows long, "
+            "est_p50 long, t_p50 long, est_p95 long, t_p95 long"
+        ),
+    )
+    est = F.broadcast(merged.drop("payload"))
+    bound_aggs = []
+    for p in ("p50", "p95"):
+        bound_aggs.append(
+            F.sum((F.col("cents") < F.col(f"est_{p}")).cast("bigint")).alias(
+                f"lt_{p}"
+            )
+        )
+        bound_aggs.append(
+            F.sum((F.col("cents") <= F.col(f"est_{p}")).cast("bigint")).alias(
+                f"le_{p}"
+            )
+        )
+    ranks = (
+        vals.join(est, "day")
+        .groupBy("day", "err", "n_rows", "t_p50", "t_p95")
+        .agg(*bound_aggs)
+    )
+    wrank = W.partitionBy("day").orderBy("cents")
+    ranked = vals.select(
+        "day",
+        "cents",
+        F.row_number().over(wrank).alias("rn"),
+        F.count("*").over(W.partitionBy("day")).alias("n"),
+    )
+
+    def _exact(name: str, num: int, den: int):
+        t = F.expr(f"({num} * n + {den - 1}) DIV {den}")
+        return F.min(F.when(F.col("rn") >= t, F.col("cents"))).alias(
+            f"exact_{name}_cents"
+        )
+
+    exacts = ranked.groupBy("day").agg(
+        _exact("p50", 1, 2), _exact("p95", 19, 20)
+    )
+    out = ranks.join(F.broadcast(exacts), "day")
+    ok_cols = [
+        (
+            (F.col(f"lt_{p}") <= F.col(f"t_{p}") - 1 + F.col("err"))
+            & (F.col(f"le_{p}") >= F.col(f"t_{p}") - F.col("err"))
+        ).alias(f"sketch_ok_{p}")
+        for p in ("p50", "p95")
+    ]
+    return out.select(
+        "day",
+        F.col("n_rows").alias("n_events"),
+        "exact_p50_cents",
+        "exact_p95_cents",
+        *ok_cols,
+    )
+
+
+ST_WINDOWED_QUANTILE_ORACLE = """
+WITH vals AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), ranked AS (
+  SELECT day, cents,
+         row_number() OVER (PARTITION BY day ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY day) AS n
+  FROM vals
+)
+SELECT day,
+       CAST(max(n) AS BIGINT) AS n_events,
+       min(CASE WHEN rn >= (1 * n + 1) // 2 THEN cents END)
+         AS exact_p50_cents,
+       min(CASE WHEN rn >= (19 * n + 19) // 20 THEN cents END)
+         AS exact_p95_cents,
+       TRUE AS sketch_ok_p50,
+       TRUE AS sketch_ok_p95
+FROM ranked GROUP BY day
+"""
+
+
 QUERIES = {
     "st_windowed_topk": st_windowed_topk,
     "st_windowed_cardinality": st_windowed_cardinality,
+    "st_windowed_quantile_sketch": st_windowed_quantile_sketch,
     "st_windowed_events": st_windowed_events,
     "st_sliding_windows": st_sliding_windows,
     "st_sessionize": st_sessionize,
@@ -648,6 +773,7 @@ QUERIES = {
 ORACLES = {
     "st_windowed_topk": ST_TOPK_ORACLE,
     "st_windowed_cardinality": ST_CARDINALITY_ORACLE,
+    "st_windowed_quantile_sketch": ST_WINDOWED_QUANTILE_ORACLE,
     "st_windowed_events": ST_WINDOW_ORACLE,
     "st_sliding_windows": ST_SLIDING_ORACLE,
     "st_sessionize": ST_SESSION_ORACLE,
