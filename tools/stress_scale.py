@@ -1102,6 +1102,7 @@ def round10_families(spark, factor, only_target=None):
       only the exact-companion CHECK is row-scale)."""
     import us_dot_flights_lakehouse_spark.queries.llm as llm
     import us_dot_flights_lakehouse_spark.queries.relational as rel
+    import us_dot_flights_lakehouse_spark.queries.streaming as st
 
     id_cols = {
         "events": "event_id",
@@ -1132,6 +1133,8 @@ def round10_families(spark, factor, only_target=None):
         ("a38_kll_quantile_sketch", rel.a38_kll_quantile_sketch),
         ("a39_mg_topk_sketch", rel.a39_mg_topk_sketch),
         ("w23_sketch_rolling_quantile", rel.w23_sketch_rolling_quantile),
+        ("w24_mg_rolling_topk", rel.w24_mg_rolling_topk),
+        ("st_windowed_quantile_sketch", st.st_windowed_quantile_sketch),
         ("w8_rolling_anomaly", rel.w8_rolling_anomaly),
         ("g1_bipartite_rank", rel.g1_bipartite_rank),
         ("g5_neighbor_overlap", rel.g5_neighbor_overlap),
@@ -1144,6 +1147,7 @@ def round10_families(spark, factor, only_target=None):
         if not targets:
             sys.exit(f"unknown round10 target {only_target!r}")
     orig_rel, orig_llm, orig_corpus = rel.read_table, llm.read_table, llm.read_corpus
+    orig_st = st.read_table
     try:
         for name, fn in targets:
             times = []
@@ -1151,6 +1155,7 @@ def round10_families(spark, factor, only_target=None):
                 rel.read_table = scaled_table(f)
                 llm.read_table = scaled_table(f)
                 llm.read_corpus = scaled_table(f)
+                st.read_table = scaled_table(f)
                 t = timed(f"{name}@{f}x", fn(spark, SF_DIR))
                 times.append(t)
             print(
@@ -1167,6 +1172,7 @@ def round10_families(spark, factor, only_target=None):
         rel.read_table = orig_rel
         llm.read_table = orig_llm
         llm.read_corpus = orig_corpus
+        st.read_table = orig_st
 
 
 def round7_families(spark, factor):
