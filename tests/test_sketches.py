@@ -465,3 +465,30 @@ def test_w23_catalog_query_nondegenerate(spark, sf_small):
     assert widths == {1, 2, 3}  # ramp-in months then steady trailing-3
     assert all(r["sketch_ok_p90"] for r in rows)
     assert all(r["n_window_rows"] > 0 for r in rows)
+
+
+def test_mg_loads_rejects_undersized_cap():
+    """ADVICE r10: a merger configured with a SMALLER cap than the builder
+    (the over-reduce / d-inflating direction) must fail loudly on load —
+    a valid cap-C blob never carries more than C counters."""
+    sk = mg_new(8)
+    mg_update(sk, {str(i): i + 1 for i in range(20)})
+    blob = mg_dumps(sk)
+    assert len(sk["counters"]) == 8
+    loaded = mg_loads(blob, sk["d"], sk["n"], 8)  # matching cap: fine
+    assert loaded["counters"] == sk["counters"]
+    with pytest.raises(ValueError, match="cap=4"):
+        mg_loads(blob, sk["d"], sk["n"], 4)
+
+
+def test_priority_registry_unique_and_resolvable():
+    """ADVICE r10: _PRIORITY must carry no duplicates (hand-counting the
+    driver's head-50 budget depends on it) and every name must resolve."""
+    from us_dot_flights_lakehouse_spark import queries as qreg
+
+    assert len(qreg._PRIORITY) == len(set(qreg._PRIORITY))
+    merged = {}
+    for m in qreg._MODULES:
+        merged.update(m.QUERIES)
+    missing = [n for n in qreg._PRIORITY if n not in merged]
+    assert not missing, f"_PRIORITY names with no implementation: {missing}"

@@ -214,8 +214,25 @@ def mg_dumps(sk: dict) -> str:
 
 
 def mg_loads(counters_json: str, d: int, n: int, cap: int) -> dict:
-    """cap is required and must match the builder's (see make_mg_merger)."""
-    return {"cap": cap, "counters": json.loads(counters_json), "d": d, "n": n}
+    """cap is required and must match the builder's (see make_mg_merger).
+
+    A cap mismatch cannot be fully detected from a blob (the payload is a
+    plain counters map so from_json can probe it JVM-side, so the builder
+    cap does not travel with it), but the dangerous direction — a merger
+    built with a SMALLER cap than the builder, which would over-reduce and
+    inflate ``d`` past the cap-keyed invariant (2) — is loudly rejected
+    here: a valid cap-C blob never carries more than C counters (ADVICE
+    r10). The other direction (merger cap larger than builder's) weakens
+    invariant (2)'s assertable form, which the catalog queries pin TRUE in
+    their oracles, so it surfaces as an oracle mismatch rather than a
+    silent weakening."""
+    counters = json.loads(counters_json)
+    if len(counters) > cap:
+        raise ValueError(
+            f"mg_loads: blob carries {len(counters)} counters but cap={cap}; "
+            "the merger's cap must match the builder's (see make_mg_merger)"
+        )
+    return {"cap": cap, "counters": counters, "d": d, "n": n}
 
 
 # ---------------------------------------------------------------------------

@@ -59,11 +59,11 @@ _PRIORITY = (
     # green row), so the head-50 is now NEW + CHANGED queries only.
     # (a) new in round 9 — the KLL sketch queries the r8 _PRIORITY
     # pre-registered but never implemented (VERDICT r8 item 1):
-    "a38_kll_quantile_sketch",  # mergeable KLL sketch vs exact quantiles
-    "w23_sketch_rolling_quantile",  # per-month sketch merge rolling p90
+    # "a38_kll_quantile_sketch",  # mergeable KLL sketch vs exact quantiles  [shadowed dup]
+    # "w23_sketch_rolling_quantile",  # per-month sketch merge rolling p90  [shadowed dup]
     # (b) changed in round 9 (ADVICE r8 fixes) — need fresh driver rows:
     "f_variant_suite",  # dup-key splice gate mirrored both sides
-    "src_xml_roundtrip",  # fixture validity now keyed on _SUCCESS marker
+    # "src_xml_roundtrip",  # fixture validity now keyed on _SUCCESS marker  [shadowed dup]
     # ---- round-8 front-load kept below for the rotation record ----
     "f_sql_udf",
     "f_param_sql",
@@ -74,7 +74,7 @@ _PRIORITY = (
     "dd_corpus_snapshot_diff",
     "dd_shingle_df_profile",
     "sim_distance_histogram",
-    "q_pk_uniqueness_audit",  # NULL-safe composite-key encoding
+    # "q_pk_uniqueness_audit",  # NULL-safe composite-key encoding  [shadowed dup]
     # ---- round-7 front-load kept below for the rotation record ----
     # (a) the 21 entries that have NEVER had a driver CORRECTNESS row
     # across rounds 1-6 (COVERAGE.md rotation list) — closes full-catalog
@@ -102,7 +102,7 @@ _PRIORITY = (
     "dd_threshold_sweep",
     # (c) changed in round 7 — need fresh driver verification:
     "a31_ks_drift",  # cutoff moved inside data range + try_divide
-    "f_variant_suite",  # k_missing now mixed present/missing
+    # "f_variant_suite",  # k_missing now mixed present/missing  [shadowed dup]
     "p7_try_functions",  # status_as_int now mixed parse/fail
     "tp_neyman_allocation",  # decimal(38,0)/HUGEINT moments
     "x8_snapshot_diff",  # fixture keyed by source fingerprint
@@ -123,7 +123,7 @@ _PRIORITY = (
     "dd_soft_dedup_weights",  # SoftDeDup 1/cluster-size weights
     "tp_context_truncation",  # truncate-vs-chunk waste pricing
     "tp_dedup_aware_mixture",  # temperature mix over dedup survivors
-    "src_xml_roundtrip",  # Spark 4 built-in XML source round-trip
+    # "src_xml_roundtrip",  # Spark 4 built-in XML source round-trip  [shadowed dup]
     "st_event_rate_alerts",  # trailing-mean ingest spike alerts
     "mm_hist_equalize",  # integer histogram equalization kernel
     "dd_incremental_span_probe",  # gram-level probe vs published history
@@ -131,20 +131,20 @@ _PRIORITY = (
     "a35_quantile_drift",  # decile-table drift report
     "ts_code_detect",  # code-vs-prose routing signals
     "w21_rolling_quantile",  # trailing exact rolling p90 band
-    "q_pk_uniqueness_audit",  # star-schema PK duplicate audit
+    # "q_pk_uniqueness_audit",  # star-schema PK duplicate audit  [shadowed dup]
     "w22_period_over_period",  # MoM/YoY revenue deltas
     "ts_boilerplate_lines",  # top cross-doc boilerplate report
     "st_new_user_rate",  # per-hour first-seen user split
     "tp_final_sample_weights",  # composed quality*dedup*mix weight
-    "f_sql_udf",  # SQL scalar UDF (inlined, codegen)
-    "f_param_sql",  # parameterized SQL binding
-    "f_udtf_partitioned",  # TABLE-arg UDTF with PARTITION BY
-    "a36_boxplot_profile",  # five-number + Tukey fence card
-    "st_silence_gaps",  # device-went-silent gap alerts
-    "a37_anova_oneway",  # k-group mean F test from exact moments
-    "dd_corpus_snapshot_diff",  # corpus-release added/removed/changed
-    "dd_shingle_df_profile",  # Zipf-tail stop-shingle evidence
-    "sim_distance_histogram",  # distance-concentration ANN audit
+    # "f_sql_udf",  # SQL scalar UDF (inlined, codegen)  [shadowed dup]
+    # "f_param_sql",  # parameterized SQL binding  [shadowed dup]
+    # "f_udtf_partitioned",  # TABLE-arg UDTF with PARTITION BY  [shadowed dup]
+    # "a36_boxplot_profile",  # five-number + Tukey fence card  [shadowed dup]
+    # "st_silence_gaps",  # device-went-silent gap alerts  [shadowed dup]
+    # "a37_anova_oneway",  # k-group mean F test from exact moments  [shadowed dup]
+    # "dd_corpus_snapshot_diff",  # corpus-release added/removed/changed  [shadowed dup]
+    # "dd_shingle_df_profile",  # Zipf-tail stop-shingle evidence  [shadowed dup]
+    # "sim_distance_histogram",  # distance-concentration ANN audit  [shadowed dup]
     # ---- earlier-round ordering below (first occurrence wins) ----
     # round-6 front-load: the 4 catalog entries that have NEVER had a driver
     # CORRECTNESS row (added after the round-5 sample was taken; judge-green
@@ -167,19 +167,19 @@ _PRIORITY = (
     "q_freshness_audit",  # per-type staleness SLA table
     "a29_nation_gini",  # Lorenz curve + Gini concentration
     "sim_index_drift",  # incremental IVF cell-growth audit
-    "tp_neyman_allocation",  # variance-optimal sampling budgets
+    # "tp_neyman_allocation",  # variance-optimal sampling budgets  [shadowed dup]
     "dd_lsh_tuning_curve",  # banding S-curve + measured candidate load
     "mm_scene_cuts",  # shot-boundary detection per frame pair
     "ts_ttr_diversity",  # MATTR windowed lexical diversity
     "a30_weighted_median",  # exact quantity-weighted median price
-    "x8_snapshot_diff",  # versioned-table CDC diff (time travel)
+    # "x8_snapshot_diff",  # versioned-table CDC diff (time travel)  [shadowed dup]
     "ts_quality_classifier",  # in-plan linear model inference
     "st_windowed_cardinality",  # per-window distinct users + HLL parity
     "o9_dense_rank_ids",  # distributed zipWithIndex vs ROW_NUMBER
-    "x9_bucketed_join",  # exchange-free bucketed fact-fact join
+    # "x9_bucketed_join",  # exchange-free bucketed fact-fact join  [shadowed dup]
     "q_skew_report",  # join-key skew / salting-decision audit
     "g4_label_propagation",  # deterministic LPA communities
-    "a31_ks_drift",  # exact two-sample KS drift statistic
+    # "a31_ks_drift",  # exact two-sample KS drift statistic  [shadowed dup]
     "mm_frame_dedup",  # cross-video frame-level md5 dedup
     "q_encoding_profile",  # exact-Gini dictionary-encoding advisor
     "dd_exact_substr",  # cross-doc repeated-substring (span) dedup
@@ -200,27 +200,27 @@ _PRIORITY = (
     "tp_pack_bestfit",  # best-fit-decreasing sequence packing
     "dd_minhash_calibration",  # sketch-estimate vs exact Jaccard audit
     "ts_zipf_audit",  # Zipf-law vocabulary fingerprint
-    "tp_loss_masking",  # SFT loss-span offset bookkeeping
-    "sim_ndcg_eval",  # NDCG@k retrieval ranking eval
-    "w17_holt_winters",  # three-state seasonal smoothing kernel
-    "a26_chi2_independence",  # contingency chi-square cells
-    "src_csv_badrecords",  # PERMISSIVE corrupt-record quarantine
-    "sim_matryoshka_truncation",  # prefix-energy truncation audit
-    "tp_annotation_agreement",  # Cohen's kappa labeling QA
-    "sim_power_iteration",  # matrix-free top-eigenvector PCA
-    "tp_preference_pairs",  # DPO chosen/rejected pairing
-    "a27_bootstrap_ci",  # deterministic bootstrap CI
-    "q_order_reconciliation",  # cross-table value reconciliation
-    "dd_pipeline_verdict",  # end-to-end dedup stack composition
-    "tp_packing_efficiency",  # concat-vs-FFD padding waste
-    "sim_fisher_separability",  # supervised per-dim Fisher ratio
-    "w18_anomaly_ensemble",  # majority-vote anomaly flags
-    "st_windowed_topk",  # per-window trending leaderboard
-    "sim_intrinsic_dimension",  # participation-ratio dimensionality
-    "dd_source_dedup_report",  # per-source dedup action rollup
-    "mm_audio_normalize_audit",  # peak-normalization pre-flight
-    "tp_bpe_merge_step",  # one full distributed BPE training step
-    "dd_threshold_sweep",  # dedup-threshold sensitivity curve
+    # "tp_loss_masking",  # SFT loss-span offset bookkeeping  [shadowed dup]
+    # "sim_ndcg_eval",  # NDCG@k retrieval ranking eval  [shadowed dup]
+    # "w17_holt_winters",  # three-state seasonal smoothing kernel  [shadowed dup]
+    # "a26_chi2_independence",  # contingency chi-square cells  [shadowed dup]
+    # "src_csv_badrecords",  # PERMISSIVE corrupt-record quarantine  [shadowed dup]
+    # "sim_matryoshka_truncation",  # prefix-energy truncation audit  [shadowed dup]
+    # "tp_annotation_agreement",  # Cohen's kappa labeling QA  [shadowed dup]
+    # "sim_power_iteration",  # matrix-free top-eigenvector PCA  [shadowed dup]
+    # "tp_preference_pairs",  # DPO chosen/rejected pairing  [shadowed dup]
+    # "a27_bootstrap_ci",  # deterministic bootstrap CI  [shadowed dup]
+    # "q_order_reconciliation",  # cross-table value reconciliation  [shadowed dup]
+    # "dd_pipeline_verdict",  # end-to-end dedup stack composition  [shadowed dup]
+    # "tp_packing_efficiency",  # concat-vs-FFD padding waste  [shadowed dup]
+    # "sim_fisher_separability",  # supervised per-dim Fisher ratio  [shadowed dup]
+    # "w18_anomaly_ensemble",  # majority-vote anomaly flags  [shadowed dup]
+    # "st_windowed_topk",  # per-window trending leaderboard  [shadowed dup]
+    # "sim_intrinsic_dimension",  # participation-ratio dimensionality  [shadowed dup]
+    # "dd_source_dedup_report",  # per-source dedup action rollup  [shadowed dup]
+    # "mm_audio_normalize_audit",  # peak-normalization pre-flight  [shadowed dup]
+    # "tp_bpe_merge_step",  # one full distributed BPE training step  [shadowed dup]
+    # "dd_threshold_sweep",  # dedup-threshold sensitivity curve  [shadowed dup]
     # round-5 fixes — the ONLY red rows in CORRECTNESS_r04 (array outputs
     # crashed the driver canonicalizer; now serialized to CSV scalars)
     "tp_token_ids",
@@ -273,11 +273,11 @@ _PRIORITY = (
     "ts_readability",  # Flesch reading-ease gate
     "tp_sft_format",  # chat-template SFT assembly
     "mm_audio_vad_segments",  # multi-burst VAD segmentation
-    "sim_kcenter_diversity",  # farthest-point coreset selection
-    "sim_pq_recall_audit",  # PQ compression-loss recall@k
-    "q_violation_bitmask",  # rule-combination triage masks
-    "w13_activity_bitmap",  # weekly-presence bitmap aggregation
-    "w14_holt_forecast",  # Holt level+trend smoothing kernel
+    # "sim_kcenter_diversity",  # farthest-point coreset selection  [shadowed dup]
+    # "sim_pq_recall_audit",  # PQ compression-loss recall@k  [shadowed dup]
+    # "q_violation_bitmask",  # rule-combination triage masks  [shadowed dup]
+    # "w13_activity_bitmap",  # weekly-presence bitmap aggregation  [shadowed dup]
+    # "w14_holt_forecast",  # Holt level+trend smoothing kernel  [shadowed dup]
     "w8_rolling_anomaly",  # REWRITTEN: bucketed int-cents Arrow kernel
     # round-5 semantics/plan changes needing fresh driver verification
     "dd_containment",  # stop-shingle df cap added (oracle mirrored)
@@ -301,7 +301,7 @@ _PRIORITY = (
     "w5_gapfill_resample",  # hourly spine zero-fill
     "w6_forward_fill",  # LOCF imputation
     "w7_event_funnel",  # ordered funnel stages
-    "w8_rolling_anomaly",  # rolling z-score flags
+    # "w8_rolling_anomaly",  # rolling z-score flags  [shadowed dup]
     "ts_countmin_sketch",  # CM estimate vs exact
     "ts_source_similarity",  # cross-source vocab Jaccard
     "st_sliding_windows",  # 1h/30m sliding windows
@@ -333,6 +333,11 @@ _PRIORITY = (
     # flagship
     "daily_segment_performance",
 )
+# The rotation-record blocks above retain entries later front-loads
+# re-pinned; the shadowed duplicates are commented out (first
+# occurrence wins in queries() anyway — ADVICE r10) and uniqueness is
+# asserted so hand-counting the driver head-50 budget stays honest.
+assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate _PRIORITY entries"
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

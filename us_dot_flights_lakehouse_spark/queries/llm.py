@@ -10133,10 +10133,21 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # The post-eviction rename can still race a concurrent
                 # run recreating `out` (ADVICE r9) — re-check the marker
                 # and fall back to that run's fixture instead of failing.
+                # The concurrent run may have recreated `out` without
+                # having written its marker YET (mid-build), so the
+                # re-check is a short bounded retry, not a single probe
+                # (ADVICE r10): fingerprint-keyed fixtures are
+                # byte-equivalent, so waiting for theirs is always safe.
+                import time
+
                 shutil.rmtree(out, ignore_errors=True)
                 try:
                     os.rename(tmp, out)
                 except OSError:
+                    for _ in range(40):  # <= ~10 s; export takes ~1 s
+                        if os.path.isfile(marker):
+                            break
+                        time.sleep(0.25)
                     if not os.path.isfile(marker):
                         raise
                     shutil.rmtree(tmp, ignore_errors=True)
