@@ -492,3 +492,193 @@ def test_priority_registry_unique_and_resolvable():
         merged.update(m.QUERIES)
     missing = [n for n in qreg._PRIORITY if n not in merged]
     assert not missing, f"_PRIORITY names with no implementation: {missing}"
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def _md5_60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def test_kmv_hash_engine_parity():
+    """The kernel/oracle contract rests on md5-prefix parity: Python's
+    hashlib (kernel tests), DuckDB's ('0x'||substr(md5,1,15))::BIGINT
+    (oracles), and Spark's conv(substring(md5,1,15),16,10) (queries) all
+    produce the same 60-bit int. Spark side is covered by the catalog
+    queries hashing JVM-side and still oracle-matching; this pins the
+    DuckDB<->Python leg."""
+    import duckdb
+
+    con = duckdb.connect()
+    for v in ["kmv:123", "kmv:", "kmv:a b c", "kmv:ünïcode"]:
+        d = con.execute(
+            "SELECT ('0x' || substr(md5(?),1,15))::BIGINT", [v]
+        ).fetchone()[0]
+        assert d == _md5_60(v), v
+
+
+@pytest.mark.parametrize("k", [16, 64])
+def test_kmv_merge_equals_direct_and_estimate(k: int):
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        kmv_add_hashes,
+        kmv_estimate,
+        kmv_merge,
+        kmv_new,
+    )
+
+    hs = [_md5_60(f"kmv:{i}") for i in range(4000)]
+    direct = kmv_new(k)
+    kmv_add_hashes(direct, hs)
+    # any partitioning into partials must merge to the identical blob
+    parts = [kmv_new(k) for _ in range(7)]
+    for i, h in enumerate(hs):
+        kmv_add_hashes(parts[i % 7], [h])
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = kmv_merge(merged, p)
+    assert merged["hashes"] == direct["hashes"]
+    est = kmv_estimate(direct)
+    assert abs(est - 4000) / 4000 < 5 / (k - 2) ** 0.5  # ~5 sigma
+    # below-k sketches are exact
+    small = kmv_new(k)
+    kmv_add_hashes(small, hs[: k - 3])
+    assert kmv_estimate(small) == float(k - 3)
+    # duplicates don't change the state (set semantics)
+    dup = kmv_new(k)
+    kmv_add_hashes(dup, hs + hs)
+    assert dup["hashes"] == direct["hashes"]
+
+
+def test_kmv_loads_rejects_undersized_k():
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        kmv_add_hashes,
+        kmv_dumps,
+        kmv_loads,
+        kmv_new,
+    )
+
+    sk = kmv_new(32)
+    kmv_add_hashes(sk, [_md5_60(f"kmv:{i}") for i in range(100)])
+    blob = kmv_dumps(sk)
+    assert kmv_loads(blob, 32)["hashes"] == sk["hashes"]
+    with pytest.raises(ValueError, match="k=16"):
+        kmv_loads(blob, 16)
+
+
+def test_kmv_spark_partial_build_and_merge(spark):
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        kmv_loads,
+        make_kmv_merger,
+        make_kmv_partial_builder,
+    )
+
+    rows = [("g1", i % 500) for i in range(3000)] + [
+        ("g2", i) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "key string, v long").repartition(8)
+    from pyspark.sql import functions as F
+
+    hashed = df.select(
+        "key",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("v").cast("string"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    k = 64
+    merged = (
+        hashed.mapInPandas(
+            make_kmv_partial_builder("key", "h", k),
+            schema="key string, payload string",
+        )
+        .groupBy("key")
+        .applyInPandas(
+            make_kmv_merger("key", k),
+            schema="key string, payload string, n_hashes long, kth long",
+        )
+    )
+    out = {r["key"]: r for r in merged.collect()}
+    # g1: 500 distinct values -> full sketch, estimate within ~5 sigma
+    g1 = out["g1"]
+    assert g1["n_hashes"] == k and g1["kth"] is not None
+    est = (k - 1) * float(1 << 60) / g1["kth"]
+    assert abs(est - 500) / 500 < 5 / (k - 2) ** 0.5
+    # the blob equals a single-threaded build over the same hash set
+    expect = sorted(
+        {_md5_60(f"kmv:{v}") for v in range(500)}
+    )[:k]
+    assert kmv_loads(g1["payload"], k)["hashes"] == expect
+    # g2: 40 < k distinct -> exact, kth is NULL
+    g2 = out["g2"]
+    assert g2["n_hashes"] == 40 and g2["kth"] is None
+
+
+def test_kmv_builder_rejects_nulls(spark):
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        make_kmv_partial_builder,
+    )
+
+    df = spark.createDataFrame([("a", 1), ("a", None)], "key string, h long")
+    partials = df.mapInPandas(
+        make_kmv_partial_builder("key", "h", 8),
+        schema="key string, payload string",
+    )
+    with pytest.raises(Exception, match="non-null"):
+        partials.collect()
+
+
+def test_a40_catalog_query_nondegenerate(spark, sf_small):
+    from us_dot_flights_lakehouse_spark.queries.relational import (
+        KMV_K,
+        a40_kmv_distinct_sketch,
+    )
+
+    rows = a40_kmv_distinct_sketch(spark, sf_small).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["exact_distinct"] > 0
+        if r["n_hashes"] == KMV_K:  # estimator branch
+            assert abs(r["rel_err"]) < 0.7  # 5 sigma at k=64
+        else:  # exact branch
+            assert r["est_distinct"] == float(r["exact_distinct"])
+
+
+def test_w25_catalog_query_nondegenerate(spark, sf_small):
+    from us_dot_flights_lakehouse_spark.queries.relational import (
+        KMV_K,
+        w25_kmv_rolling_distinct,
+    )
+
+    rows = w25_kmv_rolling_distinct(spark, sf_small).collect()
+    assert len(rows) > 12
+    widths = {r["n_window_months"] for r in rows}
+    assert widths == {1, 2, 3}
+    for r in rows:
+        if r["n_hashes"] < KMV_K:
+            assert r["est_distinct"] == float(r["exact_distinct"])
+            assert r["rel_err"] == 0.0
+        else:
+            assert abs(r["rel_err"]) < 0.7
+
+
+def test_dd_kmv_source_overlap_nondegenerate(spark, sf_small):
+    from us_dot_flights_lakehouse_spark.queries.llm import (
+        dd_kmv_source_overlap,
+    )
+
+    rows = dd_kmv_source_overlap(spark, sf_small).collect()
+    n_src = {r["src_a"] for r in rows} | {r["src_b"] for r in rows}
+    assert len(rows) == len(n_src) * (len(n_src) - 1) // 2
+    assert all(0.0 <= r["est_jaccard"] <= 1.0 for r in rows)
+    assert all(r["n_union"] >= r["n_inter"] for r in rows)
+    # estimates must track truth: mean absolute Jaccard error small
+    mae = sum(abs(r["jac_err"]) for r in rows) / len(rows)
+    assert mae < 0.1

@@ -177,6 +177,11 @@ WHITELIST: dict[str, set[str]] = {
     "sim_distance_histogram": {"ONE_PART"},  # 1-row vector-count + 1-row
     #   pair-total aggregates broadcast into partner ids / shares
     "w24_mg_rolling_topk": {"ONE_PART"},  # same ~84-row month index window
+    "w25_kmv_rolling_distinct": {"ONE_PART"},  # same ~80-row month index
+    # window (w22/w23/w24 family); the sketch/blob path itself is keyed
+    "dd_kmv_source_overlap": {"SMJ"},  # the EXACT-companion shingle
+    # self-join (both sides row-scale, df-bounded by source count) — the
+    # dd_ngram_jaccard shape; the KMV sketch path broadcasts everywhere
     "w23_sketch_rolling_quantile": {"ONE_PART"},  # global row_number over
     #   the ~84-row DISTINCT-month index (w22/q_skew_report family) —
     #   never row-scale; the data path shuffles KB sketch blobs

@@ -1135,6 +1135,9 @@ def round10_families(spark, factor, only_target=None):
         ("w23_sketch_rolling_quantile", rel.w23_sketch_rolling_quantile),
         ("w24_mg_rolling_topk", rel.w24_mg_rolling_topk),
         ("st_windowed_quantile_sketch", st.st_windowed_quantile_sketch),
+        ("a40_kmv_distinct_sketch", rel.a40_kmv_distinct_sketch),
+        ("w25_kmv_rolling_distinct", rel.w25_kmv_rolling_distinct),
+        ("dd_kmv_source_overlap", llm.dd_kmv_source_overlap),
         ("w8_rolling_anomaly", rel.w8_rolling_anomaly),
         ("g1_bipartite_rank", rel.g1_bipartite_rank),
         ("g5_neighbor_overlap", rel.g5_neighbor_overlap),

@@ -375,3 +375,147 @@ def make_sketch_merger(key_col: str, probs: list[tuple[str, int, int]]):
         return pd.DataFrame([row])
 
     return merge
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketch (KMV / bottom-k minimum values)
+# ---------------------------------------------------------------------------
+#
+# The cardinality member of the mergeable-blob family (KLL = quantiles,
+# MG = frequencies): keep the k SMALLEST distinct 60-bit hash values of a
+# set. Properties the catalog keys on:
+#
+#   - Mergeable: bottom-k(A ∪ B) ⊆ bottom-k(A) ∪ bottom-k(B), so merging
+#     blobs is a set-union + truncate — any rollup window recombines
+#     KB-sized blobs instead of rescanning rows (the w23/w24 payoff).
+#   - Exactly SQL-reproducible: the hash is a fixed md5 60-bit prefix
+#     (``conv(substring(md5(x),1,15),16,10)`` in Spark ≡
+#     ``('0x' || substr(md5(x),1,15))::BIGINT`` in DuckDB ≡
+#     ``int(hashlib.md5(x).hexdigest()[:15], 16)`` in Python — parity
+#     verified in tests), so a SQL oracle reproduces the ESTIMATE itself
+#     bit-for-bit, a stronger check than the bound-pinning contract the
+#     KLL/MG queries use (possible because, unlike those, the KMV state
+#     is a pure deterministic function of the input SET).
+#   - Set-operation capable: for two sets, the k smallest hashes of the
+#     UNION double as a uniform sample of A ∪ B, so
+#     |{h in bottom-k(U)} present in both A and B| / k estimates Jaccard
+#     — the overlap estimator Spark's built-in HLL union cannot give
+#     (HLL has no intersection).
+#
+# Estimator: hashes are uniform on [0, 2**60); with U_k the k-th smallest,
+# distinct ≈ (k-1) * 2**60 / U_k (the classic KMV/bottom-k estimator,
+# unbiased, relative std ≈ 1/sqrt(k-2)). When fewer than k distinct
+# hashes exist the sketch holds ALL of them and the count is EXACT.
+# Deterministic throughout — no seeds, no randomness; two runs (and two
+# engines) produce identical blobs and identical estimates.
+
+KMV_SPACE = 1 << 60  # hash domain: md5 60-bit prefix, uniform
+
+
+def kmv_new(k: int) -> dict:
+    return {"k": k, "hashes": []}  # sorted ascending, distinct, len <= k
+
+
+def kmv_add_hashes(sk: dict, hashes) -> None:
+    """Fold an iterable of int hash values into the sketch."""
+    merged = set(sk["hashes"])
+    merged.update(int(h) for h in hashes)
+    sk["hashes"] = sorted(merged)[: sk["k"]]
+
+
+def kmv_merge(a: dict, b: dict) -> dict:
+    """Merge b into a (in place) and return a — set-union + truncate."""
+    kmv_add_hashes(a, b["hashes"])
+    return a
+
+
+def kmv_estimate(sk: dict) -> float:
+    """Distinct-count estimate; EXACT (as a float) while the sketch is
+    not full. Matches the SQL form
+    ``CASE WHEN n < k THEN n ELSE (k-1) * 2^60 / kth END`` evaluated in
+    IEEE doubles — (k-1) and 2**60 are both exactly representable."""
+    n = len(sk["hashes"])
+    if n < sk["k"]:
+        return float(n)
+    return float(sk["k"] - 1) * float(KMV_SPACE) / float(sk["hashes"][-1])
+
+
+def kmv_dumps(sk: dict) -> str:
+    """Hashes only — a plain JSON array so Spark's
+    from_json(..., 'array<bigint>') can explode it JVM-side; k travels
+    as the query-level constant (mg pattern)."""
+    return json.dumps(sk["hashes"], separators=(",", ":"))
+
+
+def kmv_loads(payload: str, k: int) -> dict:
+    """k must match the builder's. A valid k-blob never carries more
+    than k hashes, so the dangerous mismatch direction (merger k smaller
+    than builder's — silent truncation bias) fails loudly (mg pattern)."""
+    hashes = json.loads(payload)
+    if len(hashes) > k:
+        raise ValueError(
+            f"kmv_loads: blob carries {len(hashes)} hashes but k={k}; "
+            "the merger's k must match the builder's"
+        )
+    return {"k": k, "hashes": hashes}
+
+
+def make_kmv_partial_builder(key_col: str, hash_col: str, k: int):
+    """mapInPandas fn: one partial KMV sketch per (task, key).
+
+    Takes a PRE-HASHED long column (compute the md5 prefix JVM-side with
+    ``conv(substring(md5(x),1,15),16,10)`` so hashing stays in codegen);
+    the kernel is then pure numpy bottom-k: per batch, unique + truncate.
+    Non-null precondition as for the KLL/MG builders (pandas unique
+    would silently drop NaN-coerced values)."""
+    import numpy as np
+    import pandas as pd
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        sketches: dict = {}
+        for pdf in batches:
+            if pdf[key_col].isna().any() or pdf[hash_col].isna().any():
+                raise ValueError(
+                    f"kmv partial builder requires non-null {key_col!r} "
+                    f"and {hash_col!r}; filter nulls before sketching"
+                )
+            for key, grp in pdf.groupby(key_col, sort=False):
+                sk = sketches.setdefault(key, kmv_new(k))
+                kmv_add_hashes(
+                    sk, np.unique(grp[hash_col].to_numpy())[:k].tolist()
+                )
+        rows = [
+            {key_col: key, "payload": kmv_dumps(sk)}
+            for key, sk in sketches.items()
+        ]
+        yield pd.DataFrame(rows, columns=[key_col, "payload"])
+
+    return build
+
+
+def make_kmv_merger(key_col: str, k: int):
+    """applyInPandas fn: merge a group's partial KMV sketches into one.
+
+    Emits the blob plus the two numbers every downstream estimate needs:
+    n_hashes (= exact distinct count while < k) and kth (the k-th
+    smallest hash; NULL while the sketch is not full)."""
+    import pandas as pd
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sk = None
+        for payload in pdf["payload"]:
+            part = kmv_loads(payload, k)
+            sk = part if sk is None else kmv_merge(sk, part)
+        full = len(sk["hashes"]) == k
+        return pd.DataFrame(
+            [
+                {
+                    key_col: pdf[key_col].iloc[0],
+                    "payload": kmv_dumps(sk),
+                    "n_hashes": len(sk["hashes"]),
+                    "kth": sk["hashes"][-1] if full else None,
+                }
+            ]
+        )
+
+    return merge

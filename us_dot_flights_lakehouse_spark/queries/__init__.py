@@ -39,6 +39,14 @@ _MODULES = (llm, streaming, quality, flights, relational)
 #: come first; the long tail of f_* function suites — all driver-green in
 #: round 1 and unchanged since — absorbs any truncation.
 _PRIORITY = (
+    # ---- round-11 front-load (driver samples the FIRST 50 entries) ----
+    # New in round 11 — mergeable KMV/bottom-k distinct-count sketch
+    # (cardinality member of the a38/a39 family; estimates reproduced
+    # bit-for-bit by the oracle) + its rolling-window and set-overlap
+    # payoff queries:
+    "a40_kmv_distinct_sketch",
+    "w25_kmv_rolling_distinct",
+    "dd_kmv_source_overlap",
     # ---- round-10 front-load (driver samples the FIRST 50 entries) ----
     # (a) new in round 10 — mergeable Misra-Gries frequency sketch
     # (VERDICT r9 item 7) + its rolling-window payoff query:

@@ -10171,6 +10171,231 @@ SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 FROM documents
 """
 
 
+KMV_OVERLAP_K = 128
+#: (K - 1) * 2**60 as an EXACT double (127 fits in 7 mantissa bits)
+KMV_OVERLAP_NUM = float((KMV_OVERLAP_K - 1) << 60)
+
+
+def dd_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD: corpus-overlap estimation from MERGEABLE KMV sketches — the
+    set-operation payoff of the bottom-k kernel (operators/sketches.py)
+    and the estimator Spark's built-in HLL family cannot give: HLL blobs
+    union but never INTERSECT, while the k smallest hashes of A ∪ B are
+    a uniform sample of the union, so the fraction of them present in
+    both sides estimates Jaccard directly. Per source: one ≤k-hash blob
+    over its distinct 3-token shingles (task partials → merge, md5 stays
+    JVM-side). Per source pair (all 190): combine the two blobs
+    JVM-side (explode + flag-union + row_number ≤ k) into the union's
+    bottom-k → est_jaccard = |in both| / k, est_union = (k-1)·2^60/kth.
+    This is the planning query a dedup pipeline runs BEFORE the
+    expensive pairwise pass: which source pairs overlap enough to gate.
+
+    Oracle contract (a40 pattern — stronger than bound-pinning): every
+    estimate is a pure deterministic function of the input set via the
+    fixed md5 60-bit prefix, so DuckDB reproduces est_jaccard/est_union
+    bit-for-bit from the same hashes, next to the exact
+    intersection/union/Jaccard companions computed by a shingle
+    self-join.
+
+    Scale: sketch path ships one KB blob per source and compares pairs
+    over k-sized hash lists — 100 TB sources reduce to a dim-table-sized
+    problem (the exact shingle self-join companion is the CHECK and is
+    droppable; its per-shingle expansion is already df-bounded by the
+    source count)."""
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        make_kmv_merger,
+        make_kmv_partial_builder,
+    )
+
+    K = KMV_OVERLAP_K
+    docs = read_corpus(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(shingles(tokenize("text"), 3)).alias("sh")
+    )
+    hashed = sh.select(
+        "source",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("sh"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    partials = hashed.mapInPandas(
+        make_kmv_partial_builder("source", "h", K),
+        schema="source string, payload string",
+    )
+    merged = partials.groupBy("source").applyInPandas(
+        make_kmv_merger("source", K),
+        schema="source string, payload string, n_hashes long, kth long",
+    )
+    blobs = merged.select(
+        "source", F.explode(F.from_json("payload", "array<bigint>")).alias("h")
+    )
+    pairs = merged.select(F.col("source").alias("src_a")).join(
+        F.broadcast(merged.select(F.col("source").alias("src_b"))),
+        F.col("src_a") < F.col("src_b"),
+    )
+    a_side = pairs.join(
+        F.broadcast(blobs.withColumnRenamed("source", "src_a")), "src_a"
+    ).select(
+        "src_a", "src_b", "h",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    b_side = pairs.join(
+        F.broadcast(blobs.withColumnRenamed("source", "src_b")), "src_b"
+    ).select(
+        "src_a", "src_b", "h",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    u = (
+        a_side.unionByName(b_side)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("h")
+    sketch = (
+        u.withColumn("r", F.row_number().over(wp))
+        .where(F.col("r") <= K)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_union_k"),
+            F.max("h").alias("kth_u"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_both_k"),
+        )
+    )
+    # exact companions: distinct shingle sets per source
+    ss = sh.distinct()
+    sizes = ss.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    inter = (
+        ss.alias("x")
+        .join(
+            ss.alias("y"),
+            (F.col("x.sh") == F.col("y.sh"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    base = (
+        pairs.join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+            ),
+            "src_b",
+        )
+        .join(inter, ["src_a", "src_b"], "left")
+        .withColumn(
+            "n_inter", F.coalesce("n_inter", F.lit(0).cast("bigint"))
+        )
+        .withColumn(
+            "n_union",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("bigint"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double") / F.col("n_union").cast("double"),
+        )
+    )
+    est_u = F.when(
+        F.col("n_union_k") < K, F.col("n_union_k").cast("double")
+    ).otherwise(F.lit(KMV_OVERLAP_NUM) / F.col("kth_u").cast("double"))
+    return (
+        base.join(F.broadcast(sketch), ["src_a", "src_b"])
+        .withColumn(
+            "est_jaccard",
+            F.col("n_both_k").cast("double") / F.col("n_union_k").cast("double"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            "n_union",
+            "jaccard",
+            "est_jaccard",
+            est_u.alias("est_union"),
+            (F.col("est_jaccard") - F.col("jaccard")).alias("jac_err"),
+        )
+    )
+
+
+DD_KMV_OVERLAP_ORACLE = f"""
+WITH t AS (
+  SELECT source, {_TOKENS} AS t FROM documents
+), sh AS (
+  SELECT DISTINCT source, unnest({_SHINGLES}) AS sh FROM t
+), hashed AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5('kmv:' || sh), 1, 15))::BIGINT AS h
+  FROM sh
+), rk AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS r
+  FROM hashed
+), bk AS (
+  SELECT source, h FROM rk WHERE r <= {KMV_OVERLAP_K}
+), srcs AS (
+  SELECT DISTINCT source FROM sh
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+), u AS (
+  SELECT p.src_a, p.src_b, x.h,
+         max(CASE WHEN x.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN x.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN bk x ON x.source IN (p.src_a, p.src_b)
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS r
+  FROM u
+), sk AS (
+  SELECT src_a, src_b,
+         CAST(count(*) AS BIGINT) AS n_union_k,
+         max(h) AS kth_u,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both_k
+  FROM ranked WHERE r <= {KMV_OVERLAP_K} GROUP BY 1, 2
+), inter AS (
+  SELECT x.source AS src_a, y.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.source < y.source
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
+), base AS (
+  SELECT p.src_a, p.src_b,
+         COALESCE(i.n_inter, CAST(0 AS BIGINT)) AS n_inter,
+         CAST(sa.n + sb.n - COALESCE(i.n_inter, CAST(0 AS BIGINT)) AS BIGINT)
+           AS n_union
+  FROM pairs p
+  JOIN sizes sa ON sa.source = p.src_a
+  JOIN sizes sb ON sb.source = p.src_b
+  LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+)
+SELECT b.src_a, b.src_b, b.n_inter, b.n_union,
+       CAST(b.n_inter AS DOUBLE) / CAST(b.n_union AS DOUBLE) AS jaccard,
+       CAST(s.n_both_k AS DOUBLE) / CAST(s.n_union_k AS DOUBLE)
+         AS est_jaccard,
+       CASE WHEN s.n_union_k < {KMV_OVERLAP_K}
+            THEN CAST(s.n_union_k AS DOUBLE)
+            ELSE CAST({KMV_OVERLAP_NUM!r} AS DOUBLE) / CAST(s.kth_u AS DOUBLE)
+       END AS est_union,
+       CAST(s.n_both_k AS DOUBLE) / CAST(s.n_union_k AS DOUBLE)
+         - CAST(b.n_inter AS DOUBLE) / CAST(b.n_union AS DOUBLE) AS jac_err
+FROM base b JOIN sk s ON s.src_a = b.src_a AND s.src_b = b.src_b
+"""
+
+
 QUERIES = {
     "ts_entropy_gates": ts_entropy_gates,
     "o8_reservoir_sample": o8_reservoir_sample,
@@ -10192,6 +10417,7 @@ QUERIES = {
     "tp_context_truncation": tp_context_truncation,
     "tp_dedup_aware_mixture": tp_dedup_aware_mixture,
     "src_xml_roundtrip": src_xml_roundtrip,
+    "dd_kmv_source_overlap": dd_kmv_source_overlap,
     "mm_hist_equalize": mm_hist_equalize,
     "dd_incremental_span_probe": dd_incremental_span_probe,
     "ts_code_detect": ts_code_detect,
@@ -10346,6 +10572,7 @@ ORACLES = {
     "tp_context_truncation": TP_TRUNCATION_ORACLE,
     "tp_dedup_aware_mixture": TP_DEDUP_MIX_ORACLE,
     "src_xml_roundtrip": SRC_XML_ORACLE,
+    "dd_kmv_source_overlap": DD_KMV_OVERLAP_ORACLE,
     "mm_hist_equalize": MM_HIST_EQ_ORACLE,
     "dd_incremental_span_probe": DD_INCR_SPAN_ORACLE,
     "ts_code_detect": TS_CODE_DETECT_ORACLE,

@@ -7651,6 +7651,277 @@ FROM ranked WHERE rank <= {MG_TOPK}
 """
 
 
+KMV_K = 64
+#: (KMV_K - 1) * 2**60 as an EXACT double literal (63 fits in 6 mantissa
+#: bits) — the estimator numerator, written identically in both engines so
+#: the single division est = NUM / kth is bit-stable.
+KMV_NUM = float((KMV_K - 1) << 60)
+
+
+def _kmv_hash(col):
+    """60-bit md5-prefix hash, JVM-side (codegen) — engine parity:
+    ``('0x' || substr(md5('kmv:' || x), 1, 15))::BIGINT`` in DuckDB and
+    ``int(md5(b'kmv:'+x).hexdigest()[:15], 16)`` in Python (parity
+    asserted in tests/test_sketches.py)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def a40_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A40 (extension): MERGEABLE distinct-count sketch (KMV / bottom-k,
+    operators/sketches.py) — the cardinality member of the a38/a39
+    family: per-task partial sketches (mapInPandas over a JVM-hashed
+    column, so md5 stays in codegen), merged per order status
+    (applyInPandas), k smallest distinct 60-bit hashes per blob.
+    Estimate: exact while the sketch holds < k hashes, else the classic
+    (k-1)·2^60 / kth-smallest.
+
+    Oracle contract — STRONGER than a38/a39's bound-pinning: because the
+    KMV state is a pure deterministic function of the input SET (fixed
+    md5 hash, no randomness, no order dependence), DuckDB reproduces the
+    ESTIMATE ITSELF bit-for-bit (same bottom-k via row_number over the
+    same hashes, same IEEE division), not just an invariant about it.
+    What Spark's built-in approx_count_distinct / hll_sketch_agg cannot
+    offer here: a first-class recombinable blob (w25 merges these across
+    windows) AND an engine-independent value.
+
+    Scale: partials ship ≤ k longs per (task, status) into the shuffle,
+    never raw rows; the exact count-distinct companion is the CHECK and
+    is droppable at 100 TB."""
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        make_kmv_merger,
+        make_kmv_partial_builder,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    hashed = orders.select(
+        F.col("o_orderstatus").alias("status"),
+        _kmv_hash(F.col("o_custkey")).alias("h"),
+    )
+    partials = hashed.mapInPandas(
+        make_kmv_partial_builder("status", "h", KMV_K),
+        schema="status string, payload string",
+    )
+    merged = partials.groupBy("status").applyInPandas(
+        make_kmv_merger("status", KMV_K),
+        schema="status string, payload string, n_hashes long, kth long",
+    )
+    exact = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct"),
+    )
+    est = F.when(
+        F.col("n_hashes") < KMV_K, F.col("n_hashes").cast("double")
+    ).otherwise(F.lit(KMV_NUM) / F.col("kth").cast("double"))
+    return (
+        exact.join(F.broadcast(merged), "status")
+        .withColumn("est_distinct", est)
+        .select(
+            "status",
+            "n_rows",
+            "exact_distinct",
+            "n_hashes",
+            "est_distinct",
+            (
+                (F.col("est_distinct") - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_err"),
+        )
+    )
+
+
+A40_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT o_orderstatus AS status,
+         ('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM orders
+), ranked AS (
+  SELECT status, h,
+         row_number() OVER (PARTITION BY status ORDER BY h) AS r,
+         count(*) OVER (PARTITION BY status) AS nd
+  FROM h
+), sk AS (
+  SELECT status,
+         CAST(LEAST(nd, {KMV_K}) AS BIGINT) AS n_hashes,
+         max(CASE WHEN r = {KMV_K} THEN h END) AS kth
+  FROM ranked GROUP BY status, nd
+), est AS (
+  SELECT status, n_hashes,
+         CASE WHEN n_hashes < {KMV_K} THEN CAST(n_hashes AS DOUBLE)
+              ELSE CAST({KMV_NUM!r} AS DOUBLE) / CAST(kth AS DOUBLE)
+         END AS est_distinct
+  FROM sk
+), exact AS (
+  SELECT o_orderstatus AS status,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM orders GROUP BY 1
+)
+SELECT status, n_rows, exact_distinct, n_hashes, est_distinct,
+       (est_distinct - CAST(exact_distinct AS DOUBLE))
+         / CAST(exact_distinct AS DOUBLE) AS rel_err
+FROM exact JOIN est USING (status)
+"""
+
+
+def w25_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W25 (extension): ROLLING distinct customers from persisted month
+    KMV blobs — the cardinality counterpart of w23/w24 and the payoff
+    the bottom-k kernel's mergeability exists for: one ≤k-hash blob per
+    OBSERVED month (built once), then every trailing-3-observed-month
+    window's distinct-customer estimate comes from merging ≤3 KB-sized
+    blobs — never a rescan of raw order rows, and never a re-count:
+    Spark's own count(DISTINCT)/HLL state can't be persisted+recombined
+    across arbitrary windows like this.
+
+    Oracle contract: the merge identity bottom-k(A ∪ B) =
+    bottom-k(bottom-k(A) ∪ bottom-k(B)) means the window-merged blob
+    equals the bottom-k of the window's full distinct-hash set — which
+    is exactly what DuckDB computes from raw rows. The oracle therefore
+    reproduces n_hashes, the estimate, and rel_err bit-for-bit; any
+    kernel merge bug (lost hash, broken truncation) hash-fails. Window
+    widths at the calendar's start exercise the exact (< k) branch;
+    steady-state windows (~500 distinct) exercise the estimator branch.
+
+    Scale: the sketch path shuffles month-keyed KB blobs (≤3 per window
+    after the explode); the raw-row window expansion exists only for the
+    exact CHECK. The ~80-row month index uses a global row_number —
+    one-task window over month-cardinality rows (w22/w23/w24 family)."""
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        make_kmv_merger,
+        make_kmv_partial_builder,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_custkey").alias("cust"),
+        _kmv_hash(F.col("o_custkey")).alias("h"),
+    )
+    partials = vals.select("month", "h").mapInPandas(
+        make_kmv_partial_builder("month", "h", KMV_K),
+        schema="month string, payload string",
+    )
+    kmv_schema = "month string, payload string, n_hashes long, kth long"
+    monthly = partials.groupBy("month").applyInPandas(
+        make_kmv_merger("month", KMV_K), schema=kmv_schema
+    )
+    # observed-month index + blob fan-out to trailing windows (w24 shape)
+    midx = vals.select("month").distinct().select(
+        "month", F.row_number().over(W.orderBy("month")).alias("idx")
+    )
+    contrib = (
+        monthly.join(F.broadcast(midx), "month")
+        .select(
+            F.explode(
+                F.sequence(F.col("idx"), F.col("idx") + F.lit(2))
+            ).alias("widx"),
+            "payload",
+        )
+        .join(
+            F.broadcast(
+                midx.select(
+                    F.col("idx").alias("widx"), F.col("month").alias("w_month")
+                )
+            ),
+            "widx",
+        )
+        .select(F.col("w_month").alias("month"), "payload")
+    )
+    rolled = contrib.groupBy("month").applyInPandas(
+        make_kmv_merger("month", KMV_K), schema=kmv_schema
+    )
+    # exact companion: expand distinct (month, cust) pairs into windows
+    wmap = midx.alias("w").join(
+        F.broadcast(midx.alias("m")),
+        (F.col("m.idx") >= F.col("w.idx") - 2)
+        & (F.col("m.idx") <= F.col("w.idx")),
+    ).select(
+        F.col("w.month").alias("w_month"), F.col("m.month").alias("member")
+    )
+    pairs = vals.select("month", "cust").distinct()
+    exact = (
+        pairs.join(F.broadcast(wmap), pairs["month"] == wmap["member"])
+        .select(F.col("w_month").alias("month"), "cust")
+        .groupBy("month")
+        .agg(F.countDistinct("cust").cast("bigint").alias("exact_distinct"))
+    )
+    nw = wmap.groupBy(F.col("w_month").alias("month")).agg(
+        F.count("*").cast("bigint").alias("n_window_months")
+    )
+    est = F.when(
+        F.col("n_hashes") < KMV_K, F.col("n_hashes").cast("double")
+    ).otherwise(F.lit(KMV_NUM) / F.col("kth").cast("double"))
+    return (
+        exact.join(F.broadcast(rolled), "month")
+        .join(F.broadcast(nw), "month")
+        .withColumn("est_distinct", est)
+        .select(
+            "month",
+            "n_window_months",
+            "exact_distinct",
+            "n_hashes",
+            "est_distinct",
+            (
+                (F.col("est_distinct") - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_err"),
+        )
+    )
+
+
+W25_ORACLE = f"""
+WITH vals AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_custkey AS cust,
+         ('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM orders
+), midx AS (
+  SELECT month, row_number() OVER (ORDER BY month) AS idx
+  FROM (SELECT DISTINCT month FROM vals)
+), wmap AS (
+  SELECT w.month AS w_month, m.month AS member
+  FROM midx w JOIN midx m ON m.idx BETWEEN w.idx - 2 AND w.idx
+), hexp AS (
+  SELECT DISTINCT wmap.w_month AS month, v.h
+  FROM (SELECT DISTINCT month, h FROM vals) v
+  JOIN wmap ON v.month = wmap.member
+), ranked AS (
+  SELECT month, h,
+         row_number() OVER (PARTITION BY month ORDER BY h) AS r,
+         count(*) OVER (PARTITION BY month) AS nd
+  FROM hexp
+), sk AS (
+  SELECT month,
+         CAST(LEAST(nd, {KMV_K}) AS BIGINT) AS n_hashes,
+         max(CASE WHEN r = {KMV_K} THEN h END) AS kth
+  FROM ranked GROUP BY month, nd
+), est AS (
+  SELECT month, n_hashes,
+         CASE WHEN n_hashes < {KMV_K} THEN CAST(n_hashes AS DOUBLE)
+              ELSE CAST({KMV_NUM!r} AS DOUBLE) / CAST(kth AS DOUBLE)
+         END AS est_distinct
+  FROM sk
+), cexp AS (
+  SELECT DISTINCT wmap.w_month AS month, v.cust
+  FROM (SELECT DISTINCT month, cust FROM vals) v
+  JOIN wmap ON v.month = wmap.member
+), exact AS (
+  SELECT month, CAST(count(*) AS BIGINT) AS exact_distinct
+  FROM cexp GROUP BY month
+), nw AS (
+  SELECT w_month AS month, CAST(count(*) AS BIGINT) AS n_window_months
+  FROM wmap GROUP BY 1
+)
+SELECT month, n_window_months, exact_distinct, n_hashes, est_distinct,
+       (est_distinct - CAST(exact_distinct AS DOUBLE))
+         / CAST(exact_distinct AS DOUBLE) AS rel_err
+FROM exact JOIN est USING (month) JOIN nw USING (month)
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -7758,6 +8029,8 @@ QUERIES = {
     "w23_sketch_rolling_quantile": w23_sketch_rolling_quantile,
     "a39_mg_topk_sketch": a39_mg_topk_sketch,
     "w24_mg_rolling_topk": w24_mg_rolling_topk,
+    "a40_kmv_distinct_sketch": a40_kmv_distinct_sketch,
+    "w25_kmv_rolling_distinct": w25_kmv_rolling_distinct,
     "w22_period_over_period": w22_period_over_period,
     "f_sql_udf": f_sql_udf,
     "f_param_sql": f_param_sql,
@@ -7882,6 +8155,8 @@ ORACLES = {
     "w23_sketch_rolling_quantile": W23_ORACLE,
     "a39_mg_topk_sketch": A39_ORACLE,
     "w24_mg_rolling_topk": W24_ORACLE,
+    "a40_kmv_distinct_sketch": A40_ORACLE,
+    "w25_kmv_rolling_distinct": W25_ORACLE,
     "w22_period_over_period": W22_ORACLE,
     "f_sql_udf": F_SQL_UDF_ORACLE,
     "f_param_sql": F_PARAM_SQL_ORACLE,
