@@ -682,3 +682,135 @@ def test_dd_kmv_source_overlap_nondegenerate(spark, sf_small):
     # estimates must track truth: mean absolute Jaccard error small
     mae = sum(abs(r["jac_err"]) for r in rows) / len(rows)
     assert mae < 0.1
+
+
+# ---------------------------------------------------------------------------
+# Property-based merge-tree invariance (hypothesis): the guarantee every
+# catalog sketch query leans on is that a sketch built over ANY
+# partitioning + merge order of the data upholds its contract. KMV is
+# strictly partition-INVARIANT (same blob regardless); KLL/MG blobs may
+# differ per tree, but their tracked error contracts must hold for all.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    vals=hst.lists(hst.integers(min_value=0, max_value=2000), min_size=1, max_size=600),
+    cuts=hst.lists(hst.integers(min_value=0, max_value=599), max_size=6),
+    k=hst.sampled_from([8, 32, 64]),
+)
+def test_kmv_partition_invariance_property(vals, cuts, k):
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        kmv_add_hashes,
+        kmv_estimate,
+        kmv_merge,
+        kmv_new,
+    )
+
+    hs = [_md5_60(f"kmv:{v}") for v in vals]
+    direct = kmv_new(k)
+    kmv_add_hashes(direct, hs)
+    bounds = sorted({c for c in cuts if c < len(hs)} | {0, len(hs)})
+    parts = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        p = kmv_new(k)
+        kmv_add_hashes(p, hs[lo:hi])
+        parts.append(p)
+    merged = parts[0] if parts else kmv_new(k)
+    for p in parts[1:]:
+        merged = kmv_merge(merged, p)
+    assert merged["hashes"] == direct["hashes"]
+    nd = len(set(hs))
+    if nd < k:  # exact branch
+        assert kmv_estimate(direct) == float(nd)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    vals=hst.lists(hst.integers(min_value=0, max_value=50), min_size=1, max_size=500),
+    cuts=hst.lists(hst.integers(min_value=0, max_value=499), max_size=5),
+    cap=hst.sampled_from([4, 8]),
+)
+def test_mg_merge_tree_invariants_property(vals, cuts, cap):
+    from collections import Counter
+
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        mg_merge,
+        mg_new,
+        mg_update,
+    )
+
+    bounds = sorted({c for c in cuts if c < len(vals)} | {0, len(vals)})
+    parts = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        p = mg_new(cap)
+        mg_update(p, dict(Counter(str(v) for v in vals[lo:hi])))
+        parts.append(p)
+    sk = parts[0] if parts else mg_new(cap)
+    for p in parts[1:]:
+        sk = mg_merge(sk, p)
+    true = Counter(str(v) for v in vals)
+    assert sk["n"] == len(vals)
+    assert sk["d"] * (cap + 1) <= sk["n"]  # invariant (2), any tree
+    for x, c in true.items():  # invariant (1), every item
+        est = sk["counters"].get(x, 0)
+        assert c - sk["d"] <= est <= c
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    vals=hst.lists(hst.integers(min_value=-1000, max_value=1000), min_size=1, max_size=400),
+    cuts=hst.lists(hst.integers(min_value=0, max_value=399), max_size=4),
+)
+def test_kll_merge_tree_rank_bound_property(vals, cuts):
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        kll_extend,
+        kll_merge,
+        kll_new,
+    )
+
+    bounds = sorted({c for c in cuts if c < len(vals)} | {0, len(vals)})
+    parts = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        p = kll_new(16)
+        kll_extend(p, vals[lo:hi])
+        parts.append(p)
+    sk = parts[0] if parts else kll_new(16)
+    for p in parts[1:]:
+        sk = kll_merge(sk, p)
+    _assert_rank_bound(sk, vals)
+
+
+def test_o11_universe_sample_join_consistency(spark, sf_small):
+    """Universe sampling keeps joins consistent: every sampled order's
+    customer is sampled too (same key universe), so the joined count
+    equals the sampled-order count — the property independent row
+    sampling lacks — and estimates scale by exactly U_RATE."""
+    from us_dot_flights_lakehouse_spark.queries.relational import (
+        U_RATE,
+        o11_universe_sample,
+    )
+
+    rows = o11_universe_sample(spark, sf_small).collect()
+    assert len(rows) == 5  # every market segment survives zero-samples
+    assert sum(r["n_cust_s"] for r in rows) > 0
+    for r in rows:
+        assert r["est_cust"] == float(U_RATE * r["n_cust_s"])
+        assert r["est_orders"] == float(U_RATE * r["n_ord_s"])
+        assert r["exact_cust"] >= r["n_cust_s"]
+        assert r["exact_orders"] >= r["n_ord_s"]

@@ -47,6 +47,9 @@ _PRIORITY = (
     "a40_kmv_distinct_sketch",
     "w25_kmv_rolling_distinct",
     "dd_kmv_source_overlap",
+    # Join-consistent universe (hash) sampling — same md5-60 hash family,
+    # every estimate engine-reproducible:
+    "o11_universe_sample",
     # ---- round-10 front-load (driver samples the FIRST 50 entries) ----
     # (a) new in round 10 — mergeable Misra-Gries frequency sketch
     # (VERDICT r9 item 7) + its rolling-window payoff query:

@@ -7922,6 +7922,164 @@ FROM exact JOIN est USING (month) JOIN nw USING (month)
 """
 
 
+U_RATE = 8  # keep 1/U_RATE of the customer-key universe
+U_THRESH = (1 << 60) // U_RATE  # h < U_THRESH <=> key sampled
+
+
+def o11_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 (extension): UNIVERSE (hash) sampling — the join-consistent
+    sampling technique uniform row sampling cannot give. Sampling rows
+    independently from two fact tables keeps only p² of their join
+    pairs; sampling the join-key UNIVERSE (keep key x iff
+    md5_60('us:'||x) < 2^60/U_RATE, the a40 hash family) selects the
+    SAME keys on every table, so sampled orders join sampled customers
+    with ZERO pair loss and any per-key group is either fully in or
+    fully out — the correlated/universe sampling of the AQP literature
+    (BlinkDB/Quickr lineage), and the sampling mode a 100 TB
+    training-data pipeline uses for cheap cross-table dashboards:
+    filters push to the scan (hash predicate on the key column,
+    no shuffle added), estimates scale by U_RATE.
+
+    Per market segment: sampled customer/order counts, the scaled
+    estimates, exact companions, and the join-consistency count
+    (n_ord_joined == n_ord_s, impossible under independent row
+    sampling). Revenue goes through exact DECIMAL accumulation cast to
+    double (catalog convention) so the oracle hash-matches; the
+    deterministic md5 hash makes every estimate engine-reproducible
+    (a40 contract).
+
+    Scale: two scan-local hash filters + one broadcast-dim join; the
+    exact companions are the CHECK. Segments that drew no sampled
+    customer surface with zeroed counts (LEFT join + COALESCE both
+    engines)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+
+    def uh(col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("us:"), col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    scust = cust.where(uh(F.col("c_custkey")) < U_THRESH)
+    sord = orders.where(uh(F.col("o_custkey")) < U_THRESH)
+    dec_rev = lambda c: F.sum(F.col(c).cast("decimal(18,2)"))  # noqa: E731
+    samp_cust = scust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("n_cust_s")
+    )
+    samp_join = (
+        sord.join(
+            F.broadcast(scust.select("c_custkey", "c_mktsegment")),
+            sord["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_ord_joined"),
+            dec_rev("o_totalprice").alias("rev_s_dec"),
+        )
+    )
+    exact = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("exact_orders"),
+            dec_rev("o_totalprice").alias("exact_rev_dec"),
+        )
+    )
+    exact_cust = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("exact_cust")
+    )
+    z = F.lit(0).cast("bigint")
+    out = (
+        exact.join(F.broadcast(exact_cust), "segment")
+        .join(F.broadcast(samp_cust), "segment", "left")
+        .join(F.broadcast(samp_join), "segment", "left")
+        .select(
+            "segment",
+            "exact_cust",
+            "exact_orders",
+            F.col("exact_rev_dec").cast("double").alias("exact_rev"),
+            F.coalesce("n_cust_s", z).alias("n_cust_s"),
+            F.coalesce("n_ord_joined", z).alias("n_ord_s"),
+            (
+                F.lit(float(U_RATE)) * F.coalesce("n_cust_s", z).cast("double")
+            ).alias("est_cust"),
+            (
+                F.lit(float(U_RATE))
+                * F.coalesce("n_ord_joined", z).cast("double")
+            ).alias("est_orders"),
+            (
+                F.lit(float(U_RATE))
+                * F.coalesce(
+                    F.col("rev_s_dec").cast("double"), F.lit(0.0)
+                )
+            ).alias("est_rev"),
+        )
+    )
+    return out.withColumn(
+        "rel_err_rev",
+        (F.col("est_rev") - F.col("exact_rev")) / F.col("exact_rev"),
+    )
+
+
+O11_ORACLE = f"""
+WITH scust AS (
+  SELECT * FROM customer
+  WHERE ('0x' || substr(md5('us:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+        < {U_THRESH}
+), sord AS (
+  SELECT * FROM orders
+  WHERE ('0x' || substr(md5('us:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+        < {U_THRESH}
+), samp_cust AS (
+  SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_cust_s
+  FROM scust GROUP BY 1
+), samp_join AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS n_ord_joined,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_s_dec
+  FROM sord o JOIN scust c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+), exact AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS exact_orders,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS exact_rev_dec
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+), exact_cust AS (
+  SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS exact_cust
+  FROM customer GROUP BY 1
+)
+SELECT e.segment, ec.exact_cust, e.exact_orders,
+       CAST(e.exact_rev_dec AS DOUBLE) AS exact_rev,
+       COALESCE(sc.n_cust_s, CAST(0 AS BIGINT)) AS n_cust_s,
+       COALESCE(sj.n_ord_joined, CAST(0 AS BIGINT)) AS n_ord_s,
+       CAST({U_RATE} AS DOUBLE)
+         * CAST(COALESCE(sc.n_cust_s, CAST(0 AS BIGINT)) AS DOUBLE)
+         AS est_cust,
+       CAST({U_RATE} AS DOUBLE)
+         * CAST(COALESCE(sj.n_ord_joined, CAST(0 AS BIGINT)) AS DOUBLE)
+         AS est_orders,
+       CAST({U_RATE} AS DOUBLE)
+         * COALESCE(CAST(sj.rev_s_dec AS DOUBLE), CAST(0 AS DOUBLE))
+         AS est_rev,
+       (CAST({U_RATE} AS DOUBLE)
+          * COALESCE(CAST(sj.rev_s_dec AS DOUBLE), CAST(0 AS DOUBLE))
+          - CAST(e.exact_rev_dec AS DOUBLE))
+         / CAST(e.exact_rev_dec AS DOUBLE) AS rel_err_rev
+FROM exact e
+JOIN exact_cust ec ON ec.segment = e.segment
+LEFT JOIN samp_cust sc ON sc.segment = e.segment
+LEFT JOIN samp_join sj ON sj.segment = e.segment
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -8031,6 +8189,7 @@ QUERIES = {
     "w24_mg_rolling_topk": w24_mg_rolling_topk,
     "a40_kmv_distinct_sketch": a40_kmv_distinct_sketch,
     "w25_kmv_rolling_distinct": w25_kmv_rolling_distinct,
+    "o11_universe_sample": o11_universe_sample,
     "w22_period_over_period": w22_period_over_period,
     "f_sql_udf": f_sql_udf,
     "f_param_sql": f_param_sql,
@@ -8157,6 +8316,7 @@ ORACLES = {
     "w24_mg_rolling_topk": W24_ORACLE,
     "a40_kmv_distinct_sketch": A40_ORACLE,
     "w25_kmv_rolling_distinct": W25_ORACLE,
+    "o11_universe_sample": O11_ORACLE,
     "w22_period_over_period": W22_ORACLE,
     "f_sql_udf": F_SQL_UDF_ORACLE,
     "f_param_sql": F_PARAM_SQL_ORACLE,
