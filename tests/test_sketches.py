@@ -814,3 +814,59 @@ def test_o11_universe_sample_join_consistency(spark, sf_small):
         assert r["est_orders"] == float(U_RATE * r["n_ord_s"])
         assert r["exact_cust"] >= r["n_cust_s"]
         assert r["exact_orders"] >= r["n_ord_s"]
+
+
+def test_x11_incremental_equals_recompute(spark, sf_small):
+    """The maintained mart (partial-agg(base) ⊎ partial-agg(delta) →
+    re-aggregate) must equal a direct full recompute, row for row,
+    including the exact-decimal revenue."""
+    from pyspark.sql import functions as F
+
+    from us_dot_flights_lakehouse_spark.queries.relational import (
+        x11_incremental_mart,
+    )
+    from us_dot_flights_lakehouse_spark.sources.readers import read_table
+
+    maintained = {
+        (r["month"], r["status"]): (r["n_orders"], r["revenue"])
+        for r in x11_incremental_mart(spark, sf_small).collect()
+    }
+    full = {
+        (r["month"], r["status"]): (r["n_orders"], r["revenue"])
+        for r in read_table(spark, sf_small, "orders")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .collect()
+    }
+    assert maintained == full
+    # the delta window spans exactly 3 observed months
+    in_delta = {
+        r["month"]
+        for r in x11_incremental_mart(spark, sf_small).collect()
+        if r["in_delta"]
+    }
+    assert len(in_delta) == 3
+
+
+def test_st_windowed_distinct_sketch_nondegenerate(spark, sf_small):
+    from us_dot_flights_lakehouse_spark.queries.streaming import (
+        KMV_WIN_K,
+        st_windowed_distinct_sketch,
+    )
+
+    rows = st_windowed_distinct_sketch(spark, sf_small).collect()
+    assert len(rows) >= 28  # ~a month of days
+    for r in rows:
+        assert r["n_events"] > 0 and r["exact_users"] > 0
+        if r["n_hashes"] < KMV_WIN_K:
+            assert r["est_users"] == float(r["exact_users"])
+        else:
+            assert abs(r["rel_err"]) < 0.7

@@ -177,6 +177,8 @@ WHITELIST: dict[str, set[str]] = {
     "sim_distance_histogram": {"ONE_PART"},  # 1-row vector-count + 1-row
     #   pair-total aggregates broadcast into partner ids / shares
     "w24_mg_rolling_topk": {"ONE_PART"},  # same ~84-row month index window
+    "x11_incremental_mart": {"ONE_PART"},  # 1-row cutoff max-aggregate,
+    # broadcast to both branches (a3/x10 pattern)
     "w25_kmv_rolling_distinct": {"ONE_PART"},  # same ~80-row month index
     # window (w22/w23/w24 family); the sketch/blob path itself is keyed
     "dd_kmv_source_overlap": {"SMJ"},  # the EXACT-companion shingle

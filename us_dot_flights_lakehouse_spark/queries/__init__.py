@@ -50,6 +50,10 @@ _PRIORITY = (
     # Join-consistent universe (hash) sampling — same md5-60 hash family,
     # every estimate engine-reproducible:
     "o11_universe_sample",
+    # Incremental mart maintenance (partial-agg merge hash-proven ≡ full
+    # recompute) and the windowed KMV distinct (windowed-sketch symmetry):
+    "x11_incremental_mart",
+    "st_windowed_distinct_sketch",
     # ---- round-10 front-load (driver samples the FIRST 50 entries) ----
     # (a) new in round 10 — mergeable Misra-Gries frequency sketch
     # (VERDICT r9 item 7) + its rolling-window payoff query:

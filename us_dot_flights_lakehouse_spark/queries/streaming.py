@@ -753,10 +753,123 @@ FROM ranked GROUP BY day
 """
 
 
+KMV_WIN_K = 64
+KMV_WIN_NUM = float((KMV_WIN_K - 1) << 60)  # exact double (63 = 6 bits)
+
+
+def st_windowed_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct users in both the exact form and the MERGEABLE
+    KMV-blob form side by side — completing the windowed-sketch
+    symmetry: st_windowed_cardinality pairs exact COUNT DISTINCT with
+    Spark's built-in HLL, st_windowed_quantile_sketch pairs exact
+    quantiles with the KLL blob, and this pairs exact distinct counts
+    with the bottom-k blob (operators/sketches.py). What the HLL pairing
+    cannot give: the KMV blob is engine-reproducible (fixed md5-60
+    hashes, so the ORACLE recomputes the estimate bit-for-bit — the a40
+    contract) and set-operation capable (two days' audiences intersect
+    via dd_kmv_source_overlap's estimator). Same agg a readStream caller
+    runs (batch/stream parity as everywhere in this module); at 100 TB
+    the per-open-window state is the ≤k-hash blob, late data folds in
+    with one set-union merge, and any rollup (weekly uniques) is a blob
+    union, never a re-count.
+
+    Scale: partials ship ≤k longs per (task, day); the exact
+    count-distinct companion is the CHECK."""
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        make_kmv_merger,
+        make_kmv_partial_builder,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    vals = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("kmv:"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    partials = vals.mapInPandas(
+        make_kmv_partial_builder("day", "h", KMV_WIN_K),
+        schema="day string, payload string",
+    )
+    merged = partials.groupBy("day").applyInPandas(
+        make_kmv_merger("day", KMV_WIN_K),
+        schema="day string, payload string, n_hashes long, kth long",
+    )
+    exact = events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    est = F.when(
+        F.col("n_hashes") < KMV_WIN_K, F.col("n_hashes").cast("double")
+    ).otherwise(F.lit(KMV_WIN_NUM) / F.col("kth").cast("double"))
+    return (
+        exact.join(F.broadcast(merged), "day")
+        .withColumn("est_users", est)
+        .select(
+            "day",
+            "n_events",
+            "exact_users",
+            "n_hashes",
+            "est_users",
+            (
+                (F.col("est_users") - F.col("exact_users").cast("double"))
+                / F.col("exact_users").cast("double")
+            ).alias("rel_err"),
+        )
+    )
+
+
+ST_KMV_DISTINCT_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+         ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), ranked AS (
+  SELECT day, h,
+         row_number() OVER (PARTITION BY day ORDER BY h) AS r,
+         count(*) OVER (PARTITION BY day) AS nd
+  FROM h
+), sk AS (
+  SELECT day,
+         CAST(LEAST(nd, {KMV_WIN_K}) AS BIGINT) AS n_hashes,
+         max(CASE WHEN r = {KMV_WIN_K} THEN h END) AS kth
+  FROM ranked GROUP BY day, nd
+), est AS (
+  SELECT day, n_hashes,
+         CASE WHEN n_hashes < {KMV_WIN_K} THEN CAST(n_hashes AS DOUBLE)
+              ELSE CAST({KMV_WIN_NUM!r} AS DOUBLE) / CAST(kth AS DOUBLE)
+         END AS est_users
+  FROM sk
+), exact AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT day, n_events, exact_users, n_hashes, est_users,
+       (est_users - CAST(exact_users AS DOUBLE))
+         / CAST(exact_users AS DOUBLE) AS rel_err
+FROM exact JOIN est USING (day)
+"""
+
+
 QUERIES = {
     "st_windowed_topk": st_windowed_topk,
     "st_windowed_cardinality": st_windowed_cardinality,
     "st_windowed_quantile_sketch": st_windowed_quantile_sketch,
+    "st_windowed_distinct_sketch": st_windowed_distinct_sketch,
     "st_windowed_events": st_windowed_events,
     "st_sliding_windows": st_sliding_windows,
     "st_sessionize": st_sessionize,
@@ -774,6 +887,7 @@ ORACLES = {
     "st_windowed_topk": ST_TOPK_ORACLE,
     "st_windowed_cardinality": ST_CARDINALITY_ORACLE,
     "st_windowed_quantile_sketch": ST_WINDOWED_QUANTILE_ORACLE,
+    "st_windowed_distinct_sketch": ST_KMV_DISTINCT_ORACLE,
     "st_windowed_events": ST_WINDOW_ORACLE,
     "st_sliding_windows": ST_SLIDING_ORACLE,
     "st_sessionize": ST_SESSION_ORACLE,
