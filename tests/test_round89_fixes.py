@@ -195,3 +195,74 @@ def test_xml_committed_fixture_reused(spark, sf_small):
     qllm.src_xml_roundtrip(spark, sf_small).count()
     assert sorted(os.listdir(out)) == before
     assert os.path.getmtime(out) == mtime  # untouched — no rebuild
+
+
+def test_xml_rename_race_waits_for_concurrent_marker(spark, sf_small, monkeypatch):
+    """ADVICE r10: when the post-eviction rename keeps failing because a
+    concurrent run is recreating the fixture, the bounded retry must
+    wait for that run's _SUCCESS marker and fall back to its fixture
+    instead of failing loudly mid-build."""
+    import threading
+    import time
+
+    out = _xml_fixture_path(sf_small)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)  # markerless squatter -> eviction branch engages
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if dst == out:
+            raise OSError(39, "simulated rename race")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+
+    def commit_later():
+        time.sleep(1.0)
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "part-concurrent.xml"), "w") as f:
+            f.write(
+                "<docs><doc><doc_id>1</doc_id><text>t</text>"
+                "<lang>en</lang><source>src0</source>"
+                "<n_chars>1</n_chars></doc></docs>"
+            )
+        open(os.path.join(out, "_SUCCESS"), "w").close()
+
+    t = threading.Thread(target=commit_later)
+    t.start()
+    try:
+        n = qllm.src_xml_roundtrip(spark, sf_small).count()
+    finally:
+        t.join()
+    assert n == 1  # the concurrent run's fixture was honored, no raise
+    # our losing tmp export was cleaned up
+    leftovers = [
+        p
+        for p in os.listdir(os.path.dirname(out))
+        if p.startswith(os.path.basename(out) + ".tmp.")
+    ]
+    assert not leftovers
+    shutil.rmtree(out, ignore_errors=True)  # don't poison later tests
+
+
+def test_xml_rename_race_reraises_without_marker(spark, sf_small, monkeypatch):
+    """If no concurrent run ever commits, the bounded retry must expire
+    and re-raise rather than spin forever or silently succeed."""
+    import pytest
+
+    out = _xml_fixture_path(sf_small)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)  # markerless squatter
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if dst == out:
+            raise OSError(39, "simulated rename race")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(OSError):
+        qllm.src_xml_roundtrip(spark, sf_small).count()
+    shutil.rmtree(out, ignore_errors=True)
