@@ -30,10 +30,83 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from us_dot_flights_lakehouse_spark import queries as registry
 from us_dot_flights_lakehouse_spark.session import get_spark
 
+#: in-bench readings above this multiple of the BASELINE.md anchor get an
+#: automatic isolated re-time appended to the run (VERDICT r11 item 2)
+RETIME_THRESHOLD = 1.5
+
 
 def force(df) -> None:
     """Execute the full plan without moving rows to the driver."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def load_anchors(run_sf: float | None = None) -> dict[str, float]:
+    """Per-query anchors from BASELINE.md's generated ANCHOR_TABLE block
+    (two query/anchor column pairs per row). Missing file/markers → {},
+    as does a run at a DIFFERENT scale factor than the anchors' (the
+    ratios would be meaningless); bench still runs, the retime pass is
+    just skipped."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    try:
+        text = open(path).read()
+        block = text.split("<!-- ANCHOR_TABLE_BEGIN")[1].split(
+            "<!-- ANCHOR_TABLE_END"
+        )[0]
+    except (OSError, IndexError):
+        return {}
+    if run_sf is not None:
+        m = re.search(r"\(sf=([0-9.]+)\)", block)
+        if m and float(m.group(1)) != run_sf:
+            return {}
+    anchors: dict[str, float] = {}
+    for line in block.splitlines():
+        cells = [c.strip() for c in line.split("|")[1:-1]]
+        # rows carry two (query, anchor) column pairs
+        for name, val in zip(cells[::2], cells[1::2]):
+            if re.fullmatch(r"\w+", name) and re.fullmatch(r"[0-9.]+", val):
+                anchors[name] = float(val)
+    return anchors
+
+
+def retime_outliers(
+    spark, qs, sf_dir: str, timings: dict, anchors: dict[str, float]
+) -> dict[str, dict]:
+    """Isolated median-of-5 re-time (tools/retime.py protocol: warmup,
+    then clearCache+GC between reps) for every query whose in-bench
+    median read > RETIME_THRESHOLD x its anchor. In-bench readings
+    inflate late-catalog queries via Python-worker rotation (BASELINE.md
+    protocol note); putting the adjudication IN the artifact replaces the
+    per-round manual retime ritual (VERDICT r11 'What's wrong' #2)."""
+    out: dict[str, dict] = {}
+    reps = int(os.environ.get("RETIME_REPS", "5"))
+    for name, s in timings.items():
+        anchor = anchors.get(name)
+        if not isinstance(s, float) or anchor is None or s <= RETIME_THRESHOLD * anchor:
+            continue
+        fn = qs[name]
+        try:
+            force(fn(spark, sf_dir))  # warmup
+            runs = []
+            for _ in range(reps):
+                spark.catalog.clearCache()
+                gc.collect()
+                t0 = time.perf_counter()
+                force(fn(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            iso = round(statistics.median(runs), 4)
+        except Exception as exc:
+            out[name] = {"in_bench": s, "anchor": anchor,
+                         "err": f"{type(exc).__name__}: {exc}"[:200]}
+            continue
+        out[name] = {
+            "in_bench": s,
+            "isolated": iso,
+            "anchor": anchor,
+            "isolated_ratio": round(iso / anchor, 3),
+        }
+        print(json.dumps({"retimed": name, **out[name]}))
+        sys.stdout.flush()
+    return out
 
 
 def main() -> None:
@@ -93,6 +166,13 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # auto-adjudicate outliers: isolated re-time for anything >1.5x its
+    # anchor, so the noise-vs-regression call ships in the artifact
+    # (skippable for quick partial runs via BENCH_NO_RETIME=1)
+    if not os.environ.get("BENCH_NO_RETIME"):
+        retimed = retime_outliers(spark, qs, sf_dir, timings, load_anchors(sf))
+        if retimed:
+            out["retimed_outliers"] = retimed
     line = json.dumps(out)
     # file copy first so a truncated/noisy pipe can't lose the result
     # ($BENCH_OUT, default bench_out.json)
@@ -114,6 +194,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_err": len(errors),
+                "n_retimed": len(out.get("retimed_outliers", {})),
                 "queries_path": bench_out,
             }
         )

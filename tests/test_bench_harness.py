@@ -60,3 +60,53 @@ def test_bench_isolates_query_failures(tmp_path, monkeypatch):
     assert out["value"] > 0
     perq = {d["q"]: d["s"] for d in lines[:-2] if "q" in d}
     assert perq == out["queries"]
+
+
+def test_load_anchors_parses_baseline_table():
+    """The auto-retime pass is only as good as its anchor parse: the
+    generated ANCHOR_TABLE block must yield one float per catalog query."""
+    import bench
+
+    anchors = bench.load_anchors()
+    assert len(anchors) >= 300
+    assert all(isinstance(v, float) and v > 0 for v in anchors.values())
+    assert "a40_kmv_distinct_sketch" in anchors
+
+
+def test_retime_outliers_adjudicates_only_above_threshold(spark):
+    """Queries reading >1.5x their anchor get an isolated median re-time
+    recorded next to the in-bench number; at-or-below-threshold and
+    anchorless queries are left alone (VERDICT r11 item 2)."""
+    import bench
+    from pyspark.sql import functions as F
+
+    qs = {
+        "slow_q": lambda s, sf: s.range(100).select(F.col("id")),
+        "fine_q": lambda s, sf: s.range(100).select(F.col("id")),
+        "new_q": lambda s, sf: s.range(100).select(F.col("id")),
+    }
+    timings = {"slow_q": 10.0, "fine_q": 1.0, "new_q": 10.0, "err_q": "ERR"}
+    anchors = {"slow_q": 1.0, "fine_q": 1.0}  # new_q unanchored
+    import os
+
+    os.environ["RETIME_REPS"] = "1"
+    try:
+        out = bench.retime_outliers(spark, qs, "unused_sf_dir", timings, anchors)
+    finally:
+        del os.environ["RETIME_REPS"]
+    assert set(out) == {"slow_q"}
+    rec = out["slow_q"]
+    assert rec["in_bench"] == 10.0
+    assert rec["anchor"] == 1.0
+    assert isinstance(rec["isolated"], float)
+    assert rec["isolated_ratio"] == round(rec["isolated"] / 1.0, 3)
+
+
+def test_load_anchors_skips_foreign_scale_factor():
+    """Anchors are sf0.1 numbers; a run at any other sf must get {} so
+    the retime pass never adjudicates against meaningless ratios."""
+    import bench
+
+    assert bench.load_anchors(0.001) == {}
+    assert len(bench.load_anchors(0.1)) >= 300
+    assert len(bench.load_anchors(None)) >= 300
