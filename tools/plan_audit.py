@@ -30,6 +30,10 @@ WHITELIST: dict[str, set[str]] = {
     "o4_recursive_month_spine": {"ONE_PART"},  # 24-row spine
     "a8_describe_orders": {"ONE_PART"},  # 1-row global aggregate
     "a3_global_summary": {"ONE_PART"},   # 1-row global aggregate
+    "o11_universe_sample": {"ONE_PART"},  # the two 1-row zero-pair-loss
+    #   observables added by ADVICE r11 (scan-only sampled-order count vs
+    #   summed joined count) — a3's 2-phase global-agg shape, broadcast
+    #   onto 5 segment rows
     "a19_sketch_rollup": {"ONE_PART"},   # 1-row union of ~80 monthly HLL blobs
     # big-big joins that are genuinely shuffle joins (both sides large)
     "dd_ngram_jaccard": {"SMJ"},         # inverted-index self-join

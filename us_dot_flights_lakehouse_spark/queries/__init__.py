@@ -41,12 +41,23 @@ _MODULES = (llm, streaming, quality, flights, relational)
 #: `git log -L :_PRIORITY:us_dot_flights_lakehouse_spark/queries/__init__.py`).
 _PRIORITY = (
     # ---- round-12 front-load (driver samples the FIRST 50 entries) ----
-    # (placeholder: round-12 additions are prepended as they land)
+    # New: persisted incremental sketch-mart maintenance through the S5
+    # MERGE-upsert seam (x11's ⊎ algebra with KMV-blob state, maintained
+    # mart hash-proven ≡ recompute across the write/read boundary):
+    "x12_sketch_mart_maintenance",
+    # New: the o11 × a40 composition — KMV over the universe-sampled
+    # subset, scaled estimate tracking the full-set estimate, both
+    # estimator branches (under-k exact / over-k bottom-k) in one result:
+    "a41_sampled_kmv_crosscheck",
+    # Changed this round — need fresh driver rows: o11 grew the
+    # observable zero-pair-loss columns (ADVICE r11), src_xml_roundtrip's
+    # rename-race retry is now liveness-bounded (ADVICE r11):
+    "o11_universe_sample",
+    "src_xml_roundtrip",
     # ---- rounds 1-11 accumulated ordering (first occurrence wins) ----
     "a40_kmv_distinct_sketch",
     "w25_kmv_rolling_distinct",
     "dd_kmv_source_overlap",
-    "o11_universe_sample",
     "x11_incremental_mart",
     "st_windowed_distinct_sketch",
     "a39_mg_topk_sketch",
@@ -55,7 +66,6 @@ _PRIORITY = (
     "a38_kll_quantile_sketch",
     "w23_sketch_rolling_quantile",
     "q_pk_uniqueness_audit",
-    "src_xml_roundtrip",
     "f_variant_suite",
     "f_sql_udf",
     "f_param_sql",

@@ -10135,21 +10135,46 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # and fall back to that run's fixture instead of failing.
                 # The concurrent run may have recreated `out` without
                 # having written its marker YET (mid-build), so the
-                # re-check is a short bounded retry, not a single probe
-                # (ADVICE r10): fingerprint-keyed fixtures are
-                # byte-equivalent, so waiting for theirs is always safe.
+                # re-check waits for theirs: fingerprint-keyed fixtures
+                # are byte-equivalent, so adopting it is always safe
+                # (ADVICE r10). The wait is LIVENESS-bounded, not a
+                # fixed budget (ADVICE r11: a 10 s constant tuned to
+                # sf_small's ~1 s export spuriously expires at larger
+                # scale factors): keep waiting while the concurrent
+                # builder shows progress — its pid-suffixed tmp export
+                # dir or the recreated `out` advancing its mtime — and
+                # expire only after a progress-free grace period.
+                import glob
                 import time
 
                 shutil.rmtree(out, ignore_errors=True)
                 try:
                     os.rename(tmp, out)
                 except OSError:
-                    for _ in range(40):  # <= ~10 s; export takes ~1 s
-                        if os.path.isfile(marker):
-                            break
+
+                    def progress_stamp() -> float:
+                        # newest mtime across the OTHER builders' tmp
+                        # dirs and the (possibly markerless) out dir;
+                        # our own tmp must not count as liveness
+                        stamps = [0.0]
+                        for d in glob.glob(f"{out}.tmp.*") + [out]:
+                            if d == tmp:
+                                continue
+                            try:
+                                stamps.append(os.path.getmtime(d))
+                            except OSError:
+                                pass
+                        return max(stamps)
+
+                    grace = 10.0  # seconds WITHOUT progress, not total
+                    last, deadline = progress_stamp(), time.monotonic() + grace
+                    while not os.path.isfile(marker):
+                        if time.monotonic() > deadline:
+                            raise
                         time.sleep(0.25)
-                    if not os.path.isfile(marker):
-                        raise
+                        cur = progress_stamp()
+                        if cur > last:  # builder alive: extend the wait
+                            last, deadline = cur, time.monotonic() + grace
                     shutil.rmtree(tmp, ignore_errors=True)
     back = (
         spark.read.format("xml")

@@ -7941,10 +7941,15 @@ def o11_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle added), estimates scale by U_RATE.
 
     Per market segment: sampled customer/order counts, the scaled
-    estimates, exact companions, and the join-consistency count
-    (n_ord_joined == n_ord_s, impossible under independent row
-    sampling). Revenue goes through exact DECIMAL accumulation cast to
-    double (catalog convention) so the oracle hash-matches; the
+    estimates, and exact companions. The zero-pair-loss property is
+    surfaced as an OBSERVABLE pair of global columns (ADVICE r11):
+    ``n_ord_sampled_tot`` counts sampled orders from the sord scan ALONE
+    (no customer join) while ``n_ord_joined_tot`` sums the per-segment
+    joined counts — equality states that every sampled order found its
+    (necessarily sampled) customer, which independent row sampling
+    cannot promise; the unit test asserts it and the oracle hash pins
+    both numbers. Revenue goes through exact DECIMAL accumulation cast
+    to double (catalog convention) so the oracle hash-matches; the
     deterministic md5 hash makes every estimate engine-reproducible
     (a40 contract).
 
@@ -7995,11 +8000,24 @@ def o11_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_cust = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count("*").cast("bigint").alias("exact_cust")
     )
+    # zero-pair-loss observables (ADVICE r11): sampled-order count from
+    # the scan alone vs the sum of joined counts — 1-row aggregates,
+    # broadcast onto every segment row
+    sord_tot = sord.agg(
+        F.count("*").cast("bigint").alias("n_ord_sampled_tot")
+    )
+    joined_tot = samp_join.agg(
+        F.coalesce(F.sum("n_ord_joined"), F.lit(0))
+        .cast("bigint")
+        .alias("n_ord_joined_tot")
+    )
     z = F.lit(0).cast("bigint")
     out = (
         exact.join(F.broadcast(exact_cust), "segment")
         .join(F.broadcast(samp_cust), "segment", "left")
         .join(F.broadcast(samp_join), "segment", "left")
+        .crossJoin(F.broadcast(sord_tot))
+        .crossJoin(F.broadcast(joined_tot))
         .select(
             "segment",
             "exact_cust",
@@ -8007,6 +8025,8 @@ def o11_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_rev_dec").cast("double").alias("exact_rev"),
             F.coalesce("n_cust_s", z).alias("n_cust_s"),
             F.coalesce("n_ord_joined", z).alias("n_ord_s"),
+            "n_ord_sampled_tot",
+            "n_ord_joined_tot",
             (
                 F.lit(float(U_RATE)) * F.coalesce("n_cust_s", z).cast("double")
             ).alias("est_cust"),
@@ -8055,11 +8075,18 @@ WITH scust AS (
 ), exact_cust AS (
   SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS exact_cust
   FROM customer GROUP BY 1
+), sord_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ord_sampled_tot FROM sord
+), joined_tot AS (
+  SELECT CAST(COALESCE(sum(n_ord_joined), 0) AS BIGINT) AS n_ord_joined_tot
+  FROM samp_join
 )
 SELECT e.segment, ec.exact_cust, e.exact_orders,
        CAST(e.exact_rev_dec AS DOUBLE) AS exact_rev,
        COALESCE(sc.n_cust_s, CAST(0 AS BIGINT)) AS n_cust_s,
        COALESCE(sj.n_ord_joined, CAST(0 AS BIGINT)) AS n_ord_s,
+       st.n_ord_sampled_tot,
+       jt.n_ord_joined_tot,
        CAST({U_RATE} AS DOUBLE)
          * CAST(COALESCE(sc.n_cust_s, CAST(0 AS BIGINT)) AS DOUBLE)
          AS est_cust,
@@ -8077,6 +8104,8 @@ FROM exact e
 JOIN exact_cust ec ON ec.segment = e.segment
 LEFT JOIN samp_cust sc ON sc.segment = e.segment
 LEFT JOIN samp_join sj ON sj.segment = e.segment
+CROSS JOIN sord_tot st
+CROSS JOIN joined_tot jt
 """
 
 
@@ -8157,6 +8186,354 @@ SELECT strftime(o_orderdate, '%Y-%m') AS month,
          >= (SELECT strftime(c, '%Y-%m') FROM cut) AS in_delta
 FROM orders
 GROUP BY 1, 2
+"""
+
+
+#: delta-batch predicate for x12: rows whose md5-60 hash of 'xd:'||orderkey
+#: is ≡ 0 (mod 4) form the late-arriving delta (~25%, touching EVERY month
+#: so blob-merge is exercised on every mart row); the rest are the base load
+X12_DELTA_MOD = 4
+
+
+def x12_sketch_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 (extension): PERSISTED incremental SKETCH-mart maintenance —
+    x11's partial-⊎ maintenance algebra where the partial state is a
+    mergeable KMV blob (operators/sketches.py), carried across a real
+    write/read boundary through the S5 MERGE-upsert seam
+    (sources/writers.py::merge_upsert_partitioned). This turns the
+    w23/w25 "blobs persist and recombine" design claim into an
+    oracle-checked end-to-end fact (VERDICT r11 item 3).
+
+    Protocol (write-once fixture, source-fingerprint-keyed): (1) the
+    BASE load — rows whose md5-60('xd:'||o_orderkey) is NOT ≡0 (mod 4)
+    — builds one distinct-customer KMV blob per month, written as a
+    month-partitioned parquet mart; (2) the DELTA batch (the remaining
+    ~25%, late-arriving rows touching every month) builds its own
+    partial blobs, which are set-union-merged with the STORED blobs and
+    MERGE-upserted back at mart grain — O(delta + mart), the base rows
+    are never rescanned; (3) the query reads the maintained mart from
+    disk and joins exact companions.
+
+    Oracle contract: DuckDB recomputes each month's bottom-k from ALL
+    rows directly — hash equality therefore PROVES maintained ≡
+    recomputed THROUGH the persisted mart (any blob-merge, upsert,
+    publish, or read bug hash-fails), bit-for-bit on the estimate
+    itself (a40's KMV contract). Maintenance is idempotent by
+    construction (set-union ∪ truncate), so re-runs and crash-retries
+    converge to the same mart.
+
+    Scale: the mart is month-grain — KB blobs, dim-table-sized; the
+    delta pass ships ≤k longs per (task, month); the upsert rewrites
+    touched month partitions only (here all, by the delta's design).
+    The exact count-distinct companion is the CHECK and is droppable at
+    100 TB. Reference parity: the reference maintains its Delta marts
+    by MERGE (spark_jobs/gold_marts/*); this is that contract with
+    sketch-valued state and a cross-engine proof."""
+    import os
+    import shutil
+    import tempfile
+
+    from us_dot_flights_lakehouse_spark.fixtures import source_fingerprint
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        make_kmv_merger,
+        make_kmv_partial_builder,
+    )
+    from us_dot_flights_lakehouse_spark.sources.writers import (
+        merge_upsert_partitioned,
+        write_partitioned,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    delta_pred = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("xd:"), F.col("o_orderkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % X12_DELTA_MOD
+        == 0
+    )
+
+    def month_blobs(df) -> DataFrame:
+        hashed = df.select(month, _kmv_hash(F.col("o_custkey")).alias("h"))
+        partials = hashed.mapInPandas(
+            make_kmv_partial_builder("month", "h", KMV_K),
+            schema="month string, payload string",
+        )
+        return partials.groupBy("month").applyInPandas(
+            make_kmv_merger("month", KMV_K),
+            schema="month string, payload string, n_hashes long, kth long",
+        )
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fp = source_fingerprint(sf_dir, "orders")
+    out = f"{tempfile.gettempdir()}/us_dot_x12mart_{sf_tag}_{fp}"
+    ready = os.path.join(out, "_MART_READY")
+    if not os.path.isfile(ready):
+        tmp = f"{out}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        # (1) base load -> v0 mart
+        write_partitioned(
+            month_blobs(orders.where(~delta_pred)),
+            tmp,
+            partition_by=["month"],
+        )
+        # (2) incremental maintenance: stored blobs ∪ delta partials ->
+        # re-merge at mart grain -> MERGE upsert through the S5 seam
+        stored = spark.read.parquet(tmp).select("month", "payload")
+        delta_hashed = orders.where(delta_pred).select(
+            month, _kmv_hash(F.col("o_custkey")).alias("h")
+        )
+        delta_partials = delta_hashed.mapInPandas(
+            make_kmv_partial_builder("month", "h", KMV_K),
+            schema="month string, payload string",
+        )
+        maintained = (
+            stored.unionByName(delta_partials)
+            .groupBy("month")
+            .applyInPandas(
+                make_kmv_merger("month", KMV_K),
+                schema="month string, payload string, n_hashes long, kth long",
+            )
+        )
+        merge_upsert_partitioned(
+            maintained, tmp, keys=["month"], partition_by=["month"]
+        )
+        open(os.path.join(tmp, "_MART_READY"), "w").close()
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if os.path.isfile(ready):
+                # a concurrent run committed first; fingerprint-keyed
+                # marts are byte-equivalent — adopt theirs
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise
+    mart = spark.read.parquet(out).select(
+        F.col("month").cast("string").alias("month"), "n_hashes", "kth"
+    )
+    exact = orders.groupBy(month).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct"),
+    )
+    est = F.when(
+        F.col("n_hashes") < KMV_K, F.col("n_hashes").cast("double")
+    ).otherwise(F.lit(KMV_NUM) / F.col("kth").cast("double"))
+    return (
+        exact.join(F.broadcast(mart), "month")
+        .withColumn("est_distinct", est)
+        .select(
+            "month",
+            "n_rows",
+            "exact_distinct",
+            "n_hashes",
+            "est_distinct",
+            (
+                (F.col("est_distinct") - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_err"),
+        )
+    )
+
+
+X12_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month,
+         ('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM orders
+), ranked AS (
+  SELECT month, h,
+         row_number() OVER (PARTITION BY month ORDER BY h) AS r,
+         count(*) OVER (PARTITION BY month) AS nd
+  FROM h
+), sk AS (
+  SELECT month,
+         CAST(LEAST(nd, {KMV_K}) AS BIGINT) AS n_hashes,
+         max(CASE WHEN r = {KMV_K} THEN h END) AS kth
+  FROM ranked GROUP BY month, nd
+), est AS (
+  SELECT month, n_hashes,
+         CASE WHEN n_hashes < {KMV_K} THEN CAST(n_hashes AS DOUBLE)
+              ELSE CAST({KMV_NUM!r} AS DOUBLE) / CAST(kth AS DOUBLE)
+         END AS est_distinct
+  FROM sk
+), exact AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM orders GROUP BY 1
+)
+SELECT month, n_rows, exact_distinct, n_hashes, est_distinct,
+       (est_distinct - CAST(exact_distinct AS DOUBLE))
+         / CAST(exact_distinct AS DOUBLE) AS rel_err
+FROM exact JOIN est USING (month)
+"""
+
+
+def a41_sampled_kmv_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A41 (extension): UNIVERSE-SAMPLED sketch cross-check — the o11 ×
+    a40 composition (VERDICT r11 item 4): the two hash families stack,
+    because universe sampling on the key ('us:' md5-60 predicate,
+    INDEPENDENT of the sketch's 'kmv:' hash) keeps each distinct key
+    with probability exactly 1/U_RATE, so distinct counts — unlike
+    under uniform ROW sampling, where distinct does not scale linearly
+    — recover as est_distinct(sample) × U_RATE. This is the
+    sampled-sketch dashboard an AQP tier serves at 100 TB: the KMV runs
+    over 1/U_RATE of the rows (the sample predicate pushes to the
+    scan), and the scaled estimate tracks the full-set estimate.
+
+    Per order status: the full-set KMV estimate (a40's), the
+    sampled-set KMV estimate and its × U_RATE scale-up, exact
+    companions for both sets, and the tracking error. At sf0.001 the
+    sampled sketches stay UNDER k (exact branch: samp_est ==
+    samp_exact_distinct) while the full-set sketches overflow
+    (estimator branch) — both branches oracle-pinned in one result; at
+    sf0.01 every sketch overflows. Every number is a pure deterministic
+    function of the input set (fixed md5 hashes, no randomness), so
+    DuckDB reproduces ALL of it bit-for-bit (a40 contract).
+
+    Scale: both sketch passes ship ≤k longs per (task, status); the
+    sampled pass reads 1/U_RATE of the data behind a scan-local hash
+    predicate; exact count-distinct companions are the CHECK and are
+    droppable at 100 TB."""
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        make_kmv_merger,
+        make_kmv_partial_builder,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    sample_pred = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("us:"), F.col("o_custkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        < U_THRESH
+    )
+
+    def status_sketch(df, prefix: str) -> DataFrame:
+        hashed = df.select(
+            F.col("o_orderstatus").alias("status"),
+            _kmv_hash(F.col("o_custkey")).alias("h"),
+        )
+        partials = hashed.mapInPandas(
+            make_kmv_partial_builder("status", "h", KMV_K),
+            schema="status string, payload string",
+        )
+        merged = partials.groupBy("status").applyInPandas(
+            make_kmv_merger("status", KMV_K),
+            schema="status string, payload string, n_hashes long, kth long",
+        )
+        est = F.when(
+            F.col("n_hashes") < KMV_K, F.col("n_hashes").cast("double")
+        ).otherwise(F.lit(KMV_NUM) / F.col("kth").cast("double"))
+        return merged.select(
+            "status",
+            F.col("n_hashes").alias(f"{prefix}_n_hashes"),
+            est.alias(f"{prefix}_est"),
+        )
+
+    sampled = orders.where(sample_pred)
+    full_sk = status_sketch(orders, "full")
+    samp_sk = status_sketch(sampled, "samp")
+    exact = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    samp_exact = sampled.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("samp_exact_distinct")
+    )
+    scaled = F.lit(float(U_RATE)) * F.col("samp_est")
+    return (
+        exact.join(F.broadcast(samp_exact), "status")
+        .join(F.broadcast(full_sk), "status")
+        .join(F.broadcast(samp_sk), "status")
+        .withColumn("scaled_samp_est", scaled)
+        .select(
+            "status",
+            "exact_distinct",
+            "samp_exact_distinct",
+            "full_n_hashes",
+            "full_est",
+            "samp_n_hashes",
+            "samp_est",
+            "scaled_samp_est",
+            (
+                (F.col("scaled_samp_est") - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_err_vs_exact"),
+            (
+                (F.col("scaled_samp_est") - F.col("full_est")) / F.col("full_est")
+            ).alias("rel_err_vs_full_est"),
+        )
+    )
+
+
+A41_ORACLE = f"""
+WITH samp AS (
+  SELECT * FROM orders
+  WHERE ('0x' || substr(md5('us:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+        < {U_THRESH}
+), fh AS (
+  SELECT DISTINCT o_orderstatus AS status,
+         ('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM orders
+), sh AS (
+  SELECT DISTINCT o_orderstatus AS status,
+         ('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM samp
+), fsk AS (
+  SELECT status, CAST(LEAST(nd, {KMV_K}) AS BIGINT) AS full_n_hashes,
+         CASE WHEN nd < {KMV_K} THEN CAST(LEAST(nd, {KMV_K}) AS DOUBLE)
+              ELSE CAST({KMV_NUM!r} AS DOUBLE)
+                   / CAST(max(CASE WHEN r = {KMV_K} THEN h END) AS DOUBLE)
+         END AS full_est
+  FROM (
+    SELECT status, h,
+           row_number() OVER (PARTITION BY status ORDER BY h) AS r,
+           count(*) OVER (PARTITION BY status) AS nd
+    FROM fh
+  ) GROUP BY status, nd
+), ssk AS (
+  SELECT status, CAST(LEAST(nd, {KMV_K}) AS BIGINT) AS samp_n_hashes,
+         CASE WHEN nd < {KMV_K} THEN CAST(LEAST(nd, {KMV_K}) AS DOUBLE)
+              ELSE CAST({KMV_NUM!r} AS DOUBLE)
+                   / CAST(max(CASE WHEN r = {KMV_K} THEN h END) AS DOUBLE)
+         END AS samp_est
+  FROM (
+    SELECT status, h,
+           row_number() OVER (PARTITION BY status ORDER BY h) AS r,
+           count(*) OVER (PARTITION BY status) AS nd
+    FROM sh
+  ) GROUP BY status, nd
+), exact AS (
+  SELECT o_orderstatus AS status,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM orders GROUP BY 1
+), sexact AS (
+  SELECT o_orderstatus AS status,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS samp_exact_distinct
+  FROM samp GROUP BY 1
+)
+SELECT status, exact_distinct, samp_exact_distinct,
+       full_n_hashes, full_est, samp_n_hashes, samp_est,
+       CAST({U_RATE} AS DOUBLE) * samp_est AS scaled_samp_est,
+       (CAST({U_RATE} AS DOUBLE) * samp_est - CAST(exact_distinct AS DOUBLE))
+         / CAST(exact_distinct AS DOUBLE) AS rel_err_vs_exact,
+       (CAST({U_RATE} AS DOUBLE) * samp_est - full_est) / full_est
+         AS rel_err_vs_full_est
+FROM exact
+JOIN sexact USING (status)
+JOIN fsk USING (status)
+JOIN ssk USING (status)
 """
 
 
@@ -8271,6 +8648,8 @@ QUERIES = {
     "w25_kmv_rolling_distinct": w25_kmv_rolling_distinct,
     "o11_universe_sample": o11_universe_sample,
     "x11_incremental_mart": x11_incremental_mart,
+    "x12_sketch_mart_maintenance": x12_sketch_mart_maintenance,
+    "a41_sampled_kmv_crosscheck": a41_sampled_kmv_crosscheck,
     "w22_period_over_period": w22_period_over_period,
     "f_sql_udf": f_sql_udf,
     "f_param_sql": f_param_sql,
@@ -8399,6 +8778,8 @@ ORACLES = {
     "w25_kmv_rolling_distinct": W25_ORACLE,
     "o11_universe_sample": O11_ORACLE,
     "x11_incremental_mart": X11_ORACLE,
+    "x12_sketch_mart_maintenance": X12_ORACLE,
+    "a41_sampled_kmv_crosscheck": A41_ORACLE,
     "w22_period_over_period": W22_ORACLE,
     "f_sql_udf": F_SQL_UDF_ORACLE,
     "f_param_sql": F_PARAM_SQL_ORACLE,
