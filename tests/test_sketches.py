@@ -972,3 +972,20 @@ def test_a41_sampled_sketch_scaling(spark, sf_small):
         # noise envelope (1/sqrt(k-2) + binomial thinning; generous pin)
         assert abs(r["rel_err_vs_exact"]) < 0.5
         assert abs(r["rel_err_vs_full_est"]) < 0.5
+
+
+def test_w26_mart_rollup_equals_inline_rollup(spark, sf_small):
+    """Blobs read from the persisted x12 mart must recombine into
+    exactly the same rolling-window report as blobs built inline in the
+    same plan (w25): the write/read boundary is invisible to the
+    rollup — the provenance-independence the mergeable-mart design
+    promises."""
+    from us_dot_flights_lakehouse_spark.queries.relational import (
+        w25_kmv_rolling_distinct,
+        w26_mart_rolling_distinct,
+    )
+
+    inline = sorted(map(tuple, w25_kmv_rolling_distinct(spark, sf_small).collect()))
+    from_mart = sorted(map(tuple, w26_mart_rolling_distinct(spark, sf_small).collect()))
+    assert inline == from_mart
+    assert len(inline) > 0

@@ -184,6 +184,9 @@ WHITELIST: dict[str, set[str]] = {
     "x11_incremental_mart": {"ONE_PART"},  # 1-row cutoff max-aggregate,
     # broadcast to both branches (a3/x10 pattern)
     "w25_kmv_rolling_distinct": {"ONE_PART"},  # same ~80-row month index
+    "w26_mart_rolling_distinct": {"ONE_PART"},  # same ~80-row month index
+    #   (shared _kmv_rolling_report: global row_number over observed
+    #   months — month-cardinality rows, w22/w23/w24 family)
     # window (w22/w23/w24 family); the sketch/blob path itself is keyed
     "dd_kmv_source_overlap": {"SMJ"},  # the EXACT-companion shingle
     # self-join (both sides row-scale, df-bounded by source count) — the

@@ -49,6 +49,11 @@ _PRIORITY = (
     # subset, scaled estimate tracking the full-set estimate, both
     # estimator branches (under-k exact / over-k bottom-k) in one result:
     "a41_sampled_kmv_crosscheck",
+    # New: rolling windows recombined from the PERSISTED x12 mart (blobs
+    # written by one job, recombined in another); w25 changed alongside
+    # (rollup math factored into the shared _kmv_rolling_report helper):
+    "w26_mart_rolling_distinct",
+    "w25_kmv_rolling_distinct",
     # Changed this round — need fresh driver rows: o11 grew the
     # observable zero-pair-loss columns (ADVICE r11), src_xml_roundtrip's
     # rename-race retry is now liveness-bounded (ADVICE r11):
@@ -56,7 +61,6 @@ _PRIORITY = (
     "src_xml_roundtrip",
     # ---- rounds 1-11 accumulated ordering (first occurrence wins) ----
     "a40_kmv_distinct_sketch",
-    "w25_kmv_rolling_distinct",
     "dd_kmv_source_overlap",
     "x11_incremental_mart",
     "st_windowed_distinct_sketch",

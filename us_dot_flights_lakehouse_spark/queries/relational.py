@@ -7767,54 +7767,26 @@ FROM exact JOIN est USING (status)
 """
 
 
-def w25_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W25 (extension): ROLLING distinct customers from persisted month
-    KMV blobs — the cardinality counterpart of w23/w24 and the payoff
-    the bottom-k kernel's mergeability exists for: one ≤k-hash blob per
-    OBSERVED month (built once), then every trailing-3-observed-month
-    window's distinct-customer estimate comes from merging ≤3 KB-sized
-    blobs — never a rescan of raw order rows, and never a re-count:
-    Spark's own count(DISTINCT)/HLL state can't be persisted+recombined
-    across arbitrary windows like this.
-
-    Oracle contract: the merge identity bottom-k(A ∪ B) =
-    bottom-k(bottom-k(A) ∪ bottom-k(B)) means the window-merged blob
-    equals the bottom-k of the window's full distinct-hash set — which
-    is exactly what DuckDB computes from raw rows. The oracle therefore
-    reproduces n_hashes, the estimate, and rel_err bit-for-bit; any
-    kernel merge bug (lost hash, broken truncation) hash-fails. Window
-    widths at the calendar's start exercise the exact (< k) branch;
-    steady-state windows (~500 distinct) exercise the estimator branch.
-
-    Scale: the sketch path shuffles month-keyed KB blobs (≤3 per window
-    after the explode); the raw-row window expansion exists only for the
-    exact CHECK. The ~80-row month index uses a global row_number —
-    one-task window over month-cardinality rows (w22/w23/w24 family)."""
+def _kmv_rolling_report(monthly: DataFrame, vals: DataFrame) -> DataFrame:
+    """Trailing-3-observed-month KMV rollup, shared by w25 (blobs built
+    inline) and w26 (blobs read from the persisted x12 mart — identical
+    math, different blob provenance). ``monthly`` carries one
+    (month, payload) blob per observed month; ``vals`` carries the raw
+    (month, cust) pairs for the exact companion and the month index.
+    Output per window-month: window width, exact distinct, merged-blob
+    n_hashes/estimate, rel_err."""
     from us_dot_flights_lakehouse_spark.operators.sketches import (
         make_kmv_merger,
-        make_kmv_partial_builder,
     )
 
-    orders = read_table(spark, sf_dir, "orders")
-    vals = orders.select(
-        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
-        F.col("o_custkey").alias("cust"),
-        _kmv_hash(F.col("o_custkey")).alias("h"),
-    )
-    partials = vals.select("month", "h").mapInPandas(
-        make_kmv_partial_builder("month", "h", KMV_K),
-        schema="month string, payload string",
-    )
     kmv_schema = "month string, payload string, n_hashes long, kth long"
-    monthly = partials.groupBy("month").applyInPandas(
-        make_kmv_merger("month", KMV_K), schema=kmv_schema
-    )
     # observed-month index + blob fan-out to trailing windows (w24 shape)
     midx = vals.select("month").distinct().select(
         "month", F.row_number().over(W.orderBy("month")).alias("idx")
     )
     contrib = (
-        monthly.join(F.broadcast(midx), "month")
+        monthly.select("month", "payload")
+        .join(F.broadcast(midx), "month")
         .select(
             F.explode(
                 F.sequence(F.col("idx"), F.col("idx") + F.lit(2))
@@ -7873,6 +7845,51 @@ def w25_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w25_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W25 (extension): ROLLING distinct customers from persisted month
+    KMV blobs — the cardinality counterpart of w23/w24 and the payoff
+    the bottom-k kernel's mergeability exists for: one ≤k-hash blob per
+    OBSERVED month (built once), then every trailing-3-observed-month
+    window's distinct-customer estimate comes from merging ≤3 KB-sized
+    blobs — never a rescan of raw order rows, and never a re-count:
+    Spark's own count(DISTINCT)/HLL state can't be persisted+recombined
+    across arbitrary windows like this.
+
+    Oracle contract: the merge identity bottom-k(A ∪ B) =
+    bottom-k(bottom-k(A) ∪ bottom-k(B)) means the window-merged blob
+    equals the bottom-k of the window's full distinct-hash set — which
+    is exactly what DuckDB computes from raw rows. The oracle therefore
+    reproduces n_hashes, the estimate, and rel_err bit-for-bit; any
+    kernel merge bug (lost hash, broken truncation) hash-fails. Window
+    widths at the calendar's start exercise the exact (< k) branch;
+    steady-state windows (~500 distinct) exercise the estimator branch.
+
+    Scale: the sketch path shuffles month-keyed KB blobs (≤3 per window
+    after the explode); the raw-row window expansion exists only for the
+    exact CHECK. The ~80-row month index uses a global row_number —
+    one-task window over month-cardinality rows (w22/w23/w24 family)."""
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        make_kmv_merger,
+        make_kmv_partial_builder,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_custkey").alias("cust"),
+        _kmv_hash(F.col("o_custkey")).alias("h"),
+    )
+    partials = vals.select("month", "h").mapInPandas(
+        make_kmv_partial_builder("month", "h", KMV_K),
+        schema="month string, payload string",
+    )
+    monthly = partials.groupBy("month").applyInPandas(
+        make_kmv_merger("month", KMV_K),
+        schema="month string, payload string, n_hashes long, kth long",
+    )
+    return _kmv_rolling_report(monthly, vals)
+
+
 W25_ORACLE = f"""
 WITH vals AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS month, o_custkey AS cust,
@@ -7920,6 +7937,48 @@ SELECT month, n_window_months, exact_distinct, n_hashes, est_distinct,
          / CAST(exact_distinct AS DOUBLE) AS rel_err
 FROM exact JOIN est USING (month) JOIN nw USING (month)
 """
+
+
+def w26_mart_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W26 (extension): rolling distinct customers from the PERSISTED
+    x12 sketch mart — the composition that completes the mergeable-blob
+    story: x12 maintains the month-blob mart incrementally on disk
+    (base ⊎ delta through the S5 MERGE-upsert seam); this query only
+    READS those stored blobs and recombines them into trailing-3-month
+    windows via `_kmv_rolling_report` (w25's exact math). Where w25
+    proves blobs recombine WITHIN one plan, w26 proves blobs written by
+    one job recombine in ANOTHER — the dashboard-over-a-sketch-mart
+    pattern: the sketch path touches ~80 KB-sized mart rows, zero raw
+    order rows.
+
+    Oracle contract: the mart holds bottom-k over ALL rows per month
+    (x12's maintenance ≡ recompute guarantee), and the merge identity
+    bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)) makes each
+    window's merged blob equal the bottom-k of the window's full
+    distinct-hash set — exactly what DuckDB computes from raw rows, so
+    every estimate is reproduced bit-for-bit through the maintenance +
+    persistence + window-recombination chain end to end.
+
+    Scale: the only row-scale scan is the exact companion (the CHECK,
+    droppable at 100 TB); the sketch path is mart-sized — this is the
+    query shape that answers "distinct users, any trailing window" on
+    100 TB of history without ever rescanning it."""
+    path = _x12_mart(spark, sf_dir)
+    monthly = spark.read.parquet(path).select(
+        F.col("month").cast("string").alias("month"), "payload"
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_custkey").alias("cust"),
+    )
+    return _kmv_rolling_report(monthly, vals)
+
+
+#: w26 reads the x12-maintained mart, whose blobs are hash-proven ≡
+#: bottom-k over ALL rows — so the oracle recomputes the window rollup
+#: from raw rows exactly as w25's does
+W26_ORACLE = W25_ORACLE
 
 
 U_RATE = 8  # keep 1/U_RATE of the customer-key universe
@@ -8195,40 +8254,13 @@ GROUP BY 1, 2
 X12_DELTA_MOD = 4
 
 
-def x12_sketch_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X12 (extension): PERSISTED incremental SKETCH-mart maintenance —
-    x11's partial-⊎ maintenance algebra where the partial state is a
-    mergeable KMV blob (operators/sketches.py), carried across a real
-    write/read boundary through the S5 MERGE-upsert seam
-    (sources/writers.py::merge_upsert_partitioned). This turns the
-    w23/w25 "blobs persist and recombine" design claim into an
-    oracle-checked end-to-end fact (VERDICT r11 item 3).
-
-    Protocol (write-once fixture, source-fingerprint-keyed): (1) the
-    BASE load — rows whose md5-60('xd:'||o_orderkey) is NOT ≡0 (mod 4)
-    — builds one distinct-customer KMV blob per month, written as a
-    month-partitioned parquet mart; (2) the DELTA batch (the remaining
-    ~25%, late-arriving rows touching every month) builds its own
-    partial blobs, which are set-union-merged with the STORED blobs and
-    MERGE-upserted back at mart grain — O(delta + mart), the base rows
-    are never rescanned; (3) the query reads the maintained mart from
-    disk and joins exact companions.
-
-    Oracle contract: DuckDB recomputes each month's bottom-k from ALL
-    rows directly — hash equality therefore PROVES maintained ≡
-    recomputed THROUGH the persisted mart (any blob-merge, upsert,
-    publish, or read bug hash-fails), bit-for-bit on the estimate
-    itself (a40's KMV contract). Maintenance is idempotent by
-    construction (set-union ∪ truncate), so re-runs and crash-retries
-    converge to the same mart.
-
-    Scale: the mart is month-grain — KB blobs, dim-table-sized; the
-    delta pass ships ≤k longs per (task, month); the upsert rewrites
-    touched month partitions only (here all, by the delta's design).
-    The exact count-distinct companion is the CHECK and is droppable at
-    100 TB. Reference parity: the reference maintains its Delta marts
-    by MERGE (spark_jobs/gold_marts/*); this is that contract with
-    sketch-valued state and a cross-engine proof."""
+def _x12_mart(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the maintained KMV month-mart fixture for ``sf_dir`` exists
+    (write-once, source-fingerprint-keyed) and return its path. The
+    build protocol — base load → month-partitioned blob mart, delta
+    batch merged through the S5 MERGE-upsert seam — is documented on
+    ``x12_sketch_mart_maintenance``; ``w26_mart_rolling_distinct`` reads
+    the same mart, so the fixture is shared."""
     import os
     import shutil
     import tempfile
@@ -8274,46 +8306,87 @@ def x12_sketch_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = source_fingerprint(sf_dir, "orders")
     out = f"{tempfile.gettempdir()}/us_dot_x12mart_{sf_tag}_{fp}"
     ready = os.path.join(out, "_MART_READY")
-    if not os.path.isfile(ready):
-        tmp = f"{out}.tmp.{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        # (1) base load -> v0 mart
-        write_partitioned(
-            month_blobs(orders.where(~delta_pred)),
-            tmp,
-            partition_by=["month"],
+    if os.path.isfile(ready):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # (1) base load -> v0 mart
+    write_partitioned(
+        month_blobs(orders.where(~delta_pred)),
+        tmp,
+        partition_by=["month"],
+    )
+    # (2) incremental maintenance: stored blobs ∪ delta partials ->
+    # re-merge at mart grain -> MERGE upsert through the S5 seam
+    stored = spark.read.parquet(tmp).select("month", "payload")
+    delta_hashed = orders.where(delta_pred).select(
+        month, _kmv_hash(F.col("o_custkey")).alias("h")
+    )
+    delta_partials = delta_hashed.mapInPandas(
+        make_kmv_partial_builder("month", "h", KMV_K),
+        schema="month string, payload string",
+    )
+    maintained = (
+        stored.unionByName(delta_partials)
+        .groupBy("month")
+        .applyInPandas(
+            make_kmv_merger("month", KMV_K),
+            schema="month string, payload string, n_hashes long, kth long",
         )
-        # (2) incremental maintenance: stored blobs ∪ delta partials ->
-        # re-merge at mart grain -> MERGE upsert through the S5 seam
-        stored = spark.read.parquet(tmp).select("month", "payload")
-        delta_hashed = orders.where(delta_pred).select(
-            month, _kmv_hash(F.col("o_custkey")).alias("h")
-        )
-        delta_partials = delta_hashed.mapInPandas(
-            make_kmv_partial_builder("month", "h", KMV_K),
-            schema="month string, payload string",
-        )
-        maintained = (
-            stored.unionByName(delta_partials)
-            .groupBy("month")
-            .applyInPandas(
-                make_kmv_merger("month", KMV_K),
-                schema="month string, payload string, n_hashes long, kth long",
-            )
-        )
-        merge_upsert_partitioned(
-            maintained, tmp, keys=["month"], partition_by=["month"]
-        )
-        open(os.path.join(tmp, "_MART_READY"), "w").close()
-        try:
-            os.rename(tmp, out)
-        except OSError:
-            if os.path.isfile(ready):
-                # a concurrent run committed first; fingerprint-keyed
-                # marts are byte-equivalent — adopt theirs
-                shutil.rmtree(tmp, ignore_errors=True)
-            else:
-                raise
+    )
+    merge_upsert_partitioned(
+        maintained, tmp, keys=["month"], partition_by=["month"]
+    )
+    open(os.path.join(tmp, "_MART_READY"), "w").close()
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if os.path.isfile(ready):
+            # a concurrent run committed first; fingerprint-keyed
+            # marts are byte-equivalent — adopt theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+    return out
+
+
+def x12_sketch_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 (extension): PERSISTED incremental SKETCH-mart maintenance —
+    x11's partial-⊎ maintenance algebra where the partial state is a
+    mergeable KMV blob (operators/sketches.py), carried across a real
+    write/read boundary through the S5 MERGE-upsert seam
+    (sources/writers.py::merge_upsert_partitioned). This turns the
+    w23/w25 "blobs persist and recombine" design claim into an
+    oracle-checked end-to-end fact (VERDICT r11 item 3).
+
+    Protocol (write-once fixture, source-fingerprint-keyed): (1) the
+    BASE load — rows whose md5-60('xd:'||o_orderkey) is NOT ≡0 (mod 4)
+    — builds one distinct-customer KMV blob per month, written as a
+    month-partitioned parquet mart; (2) the DELTA batch (the remaining
+    ~25%, late-arriving rows touching every month) builds its own
+    partial blobs, which are set-union-merged with the STORED blobs and
+    MERGE-upserted back at mart grain — O(delta + mart), the base rows
+    are never rescanned; (3) the query reads the maintained mart from
+    disk and joins exact companions.
+
+    Oracle contract: DuckDB recomputes each month's bottom-k from ALL
+    rows directly — hash equality therefore PROVES maintained ≡
+    recomputed THROUGH the persisted mart (any blob-merge, upsert,
+    publish, or read bug hash-fails), bit-for-bit on the estimate
+    itself (a40's KMV contract). Maintenance is idempotent by
+    construction (set-union ∪ truncate), so re-runs and crash-retries
+    converge to the same mart.
+
+    Scale: the mart is month-grain — KB blobs, dim-table-sized; the
+    delta pass ships ≤k longs per (task, month); the upsert rewrites
+    touched month partitions only (here all, by the delta's design).
+    The exact count-distinct companion is the CHECK and is droppable at
+    100 TB. Reference parity: the reference maintains its Delta marts
+    by MERGE (spark_jobs/gold_marts/*); this is that contract with
+    sketch-valued state and a cross-engine proof."""
+    orders = read_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    out = _x12_mart(spark, sf_dir)
     mart = spark.read.parquet(out).select(
         F.col("month").cast("string").alias("month"), "n_hashes", "kth"
     )
@@ -8650,6 +8723,7 @@ QUERIES = {
     "x11_incremental_mart": x11_incremental_mart,
     "x12_sketch_mart_maintenance": x12_sketch_mart_maintenance,
     "a41_sampled_kmv_crosscheck": a41_sampled_kmv_crosscheck,
+    "w26_mart_rolling_distinct": w26_mart_rolling_distinct,
     "w22_period_over_period": w22_period_over_period,
     "f_sql_udf": f_sql_udf,
     "f_param_sql": f_param_sql,
@@ -8780,6 +8854,7 @@ ORACLES = {
     "x11_incremental_mart": X11_ORACLE,
     "x12_sketch_mart_maintenance": X12_ORACLE,
     "a41_sampled_kmv_crosscheck": A41_ORACLE,
+    "w26_mart_rolling_distinct": W26_ORACLE,
     "w22_period_over_period": W22_ORACLE,
     "f_sql_udf": F_SQL_UDF_ORACLE,
     "f_param_sql": F_PARAM_SQL_ORACLE,
