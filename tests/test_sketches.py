@@ -989,3 +989,78 @@ def test_w26_mart_rollup_equals_inline_rollup(spark, sf_small):
     from_mart = sorted(map(tuple, w26_mart_rolling_distinct(spark, sf_small).collect()))
     assert inline == from_mart
     assert len(inline) > 0
+
+
+def test_x12_rename_race_adopts_committed_winner(spark, sf_small, monkeypatch):
+    """If the final rename fails but a concurrent run already committed
+    a READY mart, adopt theirs (fingerprint-keyed marts are
+    byte-equivalent) and clean up our losing tmp build."""
+    import os
+    import shutil
+
+    from us_dot_flights_lakehouse_spark.queries import relational as rel
+
+    out = _x12_mart_path(sf_small)
+    # ensure a committed mart exists, then displace it to simulate "their"
+    # commit landing between our build and our rename
+    rel._x12_mart(spark, sf_small)
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if dst == out:
+            raise OSError(39, "simulated rename race")
+        return real_rename(src, dst)
+
+    # force a rebuild attempt whose final rename loses the race
+    keep = f"{out}.keep"
+    shutil.rmtree(keep, ignore_errors=True)
+    real_rename(out, keep)  # our run sees no READY mart -> builds
+
+    committed = {"done": False}
+    orig_build = rel._x12_build_mart
+
+    def build_then_commit(s, orders, path):
+        orig_build(s, orders, path)
+        # the concurrent winner commits just before our rename
+        real_rename(keep, out)
+        committed["done"] = True
+
+    monkeypatch.setattr(rel, "_x12_build_mart", build_then_commit)
+    monkeypatch.setattr(os, "rename", failing_rename)
+    got = rel._x12_mart(spark, sf_small)
+    assert committed["done"] and got == out
+    assert os.path.isfile(os.path.join(out, "_MART_READY"))
+    assert not os.path.exists(f"{out}.tmp.{os.getpid()}")
+
+
+def test_x12_rename_race_reraises_without_winner(spark, sf_small, monkeypatch):
+    """If the rename fails and NO committed mart exists, the error must
+    propagate — never silently return a path with no mart behind it."""
+    import os
+    import shutil
+
+    import pytest
+
+    from us_dot_flights_lakehouse_spark.queries import relational as rel
+
+    out = _x12_mart_path(sf_small)
+    keep = f"{out}.keep"
+    shutil.rmtree(keep, ignore_errors=True)
+    if os.path.isdir(out):
+        os.rename(out, keep)  # no READY mart visible
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if dst == out:
+            raise OSError(39, "simulated rename race")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    try:
+        with pytest.raises(OSError):
+            rel._x12_mart(spark, sf_small)
+    finally:
+        monkeypatch.undo()
+        shutil.rmtree(f"{out}.tmp.{os.getpid()}", ignore_errors=True)
+        if os.path.isdir(keep) and not os.path.isdir(out):
+            os.rename(keep, out)  # restore for later tests

@@ -58,6 +58,10 @@ def main():
         round10_families(spark, factor, sys.argv[3] if len(sys.argv) > 3 else None)
         spark.stop()
         return
+    if only == "round12":
+        round12_families(spark, factor, sys.argv[3] if len(sys.argv) > 3 else None)
+        spark.stop()
+        return
     if only == "round7":
         round7_families(spark, factor)
         spark.stop()
@@ -1077,6 +1081,80 @@ def round6d_families(spark, factor):
         rel.read_table, llm.read_table, llm.read_corpus, st.read_table = origs
 
 
+
+
+def round12_families(spark, factor, only_target=None):
+    """Round-12 probe: the new KMV compositions at Nx.
+
+        python tools/stress_scale.py 100 round12 [target]
+
+    - a41_sampled_kmv_crosscheck through the standard reader-seam
+      monkeypatch (orders scaled, o_custkey unscaled — rows grow Nx,
+      key cardinality fixed, so the two sketch passes and the sampled
+      scan must stay ~linear in the row scan; blobs are cap-bounded).
+    - x12_build: the mart BUILD (base blobs + delta partials + S5
+      MERGE upsert) on an explicit throwaway path per factor — the
+      production path is a write-once fixture keyed on the REAL source
+      fingerprint, so the monkeypatch route would silently reuse the
+      1x mart. This is the maintenance cost itself: expected ~linear
+      (two row-scale hashing scans; everything past the partials is
+      mart-sized).
+    - w26's sketch path reads the (factor-independent, ~80-row) mart
+      and is not row-scale by construction; its exact companion is
+      w25's already-probed shape — not re-probed."""
+    import shutil
+    import tempfile
+
+    import us_dot_flights_lakehouse_spark.queries.relational as rel
+
+    cache = {}
+
+    def scaled_orders(f):
+        if f not in cache:
+            cache[f] = scaled(spark, "orders", f, "o_orderkey").cache()
+            cache[f].count()
+        return cache[f]
+
+    run_a41 = only_target in (None, "a41_sampled_kmv_crosscheck")
+    run_build = only_target in (None, "x12_build")
+    if not (run_a41 or run_build):
+        sys.exit(f"unknown round12 target {only_target!r}")
+    orig_rel = rel.read_table
+    try:
+        if run_a41:
+            times = []
+            for f in (1, factor):
+                rel.read_table = lambda s_, d_, n_, f=f: (
+                    scaled_orders(f) if n_ == "orders" else orig_rel(s_, d_, n_)
+                )
+                times.append(
+                    timed(
+                        f"a41_sampled_kmv_crosscheck@{f}x",
+                        rel.a41_sampled_kmv_crosscheck(spark, SF_DIR),
+                    )
+                )
+            print(
+                f"a41_sampled_kmv_crosscheck: growth {times[1] / times[0]:.1f}x "
+                f"at {factor}x rows",
+                flush=True,
+            )
+    finally:
+        rel.read_table = orig_rel
+    if run_build:
+        times = []
+        for f in (1, factor):
+            path = f"{tempfile.gettempdir()}/us_dot_x12stress_{f}x"
+            shutil.rmtree(path, ignore_errors=True)
+            t0 = time.perf_counter()
+            rel._x12_build_mart(spark, scaled_orders(f), path)
+            t = time.perf_counter() - t0
+            print(f"x12_build@{f}x: {t:.2f}s", flush=True)
+            times.append(t)
+            shutil.rmtree(path, ignore_errors=True)
+        print(
+            f"x12_build: growth {times[1] / times[0]:.1f}x at {factor}x rows",
+            flush=True,
+        )
 
 
 def round10_families(spark, factor, only_target=None):

@@ -8254,18 +8254,12 @@ GROUP BY 1, 2
 X12_DELTA_MOD = 4
 
 
-def _x12_mart(spark: SparkSession, sf_dir: str) -> str:
-    """Ensure the maintained KMV month-mart fixture for ``sf_dir`` exists
-    (write-once, source-fingerprint-keyed) and return its path. The
-    build protocol — base load → month-partitioned blob mart, delta
-    batch merged through the S5 MERGE-upsert seam — is documented on
-    ``x12_sketch_mart_maintenance``; ``w26_mart_rolling_distinct`` reads
-    the same mart, so the fixture is shared."""
-    import os
-    import shutil
-    import tempfile
-
-    from us_dot_flights_lakehouse_spark.fixtures import source_fingerprint
+def _x12_build_mart(spark: SparkSession, orders: DataFrame, path: str) -> None:
+    """Pure x12 mart build at ``path`` (no fixture logic — the stress
+    harness probes this directly on scaled inputs): (1) base load →
+    month-partitioned blob mart; (2) the delta batch's partial blobs
+    set-union-merged with the STORED blobs, MERGE-upserted back at mart
+    grain through the S5 seam."""
     from us_dot_flights_lakehouse_spark.operators.sketches import (
         make_kmv_merger,
         make_kmv_partial_builder,
@@ -8275,7 +8269,6 @@ def _x12_mart(spark: SparkSession, sf_dir: str) -> str:
         write_partitioned,
     )
 
-    orders = read_table(spark, sf_dir, "orders")
     month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
     delta_pred = (
         F.conv(
@@ -8302,23 +8295,15 @@ def _x12_mart(spark: SparkSession, sf_dir: str) -> str:
             schema="month string, payload string, n_hashes long, kth long",
         )
 
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    fp = source_fingerprint(sf_dir, "orders")
-    out = f"{tempfile.gettempdir()}/us_dot_x12mart_{sf_tag}_{fp}"
-    ready = os.path.join(out, "_MART_READY")
-    if os.path.isfile(ready):
-        return out
-    tmp = f"{out}.tmp.{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
     # (1) base load -> v0 mart
     write_partitioned(
         month_blobs(orders.where(~delta_pred)),
-        tmp,
+        path,
         partition_by=["month"],
     )
     # (2) incremental maintenance: stored blobs ∪ delta partials ->
     # re-merge at mart grain -> MERGE upsert through the S5 seam
-    stored = spark.read.parquet(tmp).select("month", "payload")
+    stored = spark.read.parquet(path).select("month", "payload")
     delta_hashed = orders.where(delta_pred).select(
         month, _kmv_hash(F.col("o_custkey")).alias("h")
     )
@@ -8335,8 +8320,32 @@ def _x12_mart(spark: SparkSession, sf_dir: str) -> str:
         )
     )
     merge_upsert_partitioned(
-        maintained, tmp, keys=["month"], partition_by=["month"]
+        maintained, path, keys=["month"], partition_by=["month"]
     )
+
+
+def _x12_mart(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the maintained KMV month-mart fixture for ``sf_dir`` exists
+    (write-once, source-fingerprint-keyed) and return its path. The
+    build protocol — base load → month-partitioned blob mart, delta
+    batch merged through the S5 MERGE-upsert seam — is documented on
+    ``x12_sketch_mart_maintenance``; ``w26_mart_rolling_distinct`` reads
+    the same mart, so the fixture is shared."""
+    import os
+    import shutil
+    import tempfile
+
+    from us_dot_flights_lakehouse_spark.fixtures import source_fingerprint
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fp = source_fingerprint(sf_dir, "orders")
+    out = f"{tempfile.gettempdir()}/us_dot_x12mart_{sf_tag}_{fp}"
+    ready = os.path.join(out, "_MART_READY")
+    if os.path.isfile(ready):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    _x12_build_mart(spark, read_table(spark, sf_dir, "orders"), tmp)
     open(os.path.join(tmp, "_MART_READY"), "w").close()
     try:
         os.rename(tmp, out)
