@@ -33,6 +33,9 @@ from us_dot_flights_lakehouse_spark.session import get_spark
 #: in-bench readings above this multiple of the BASELINE.md anchor get an
 #: automatic isolated re-time appended to the run (VERDICT r11 item 2)
 RETIME_THRESHOLD = 1.5
+#: ... but only when the absolute excess over the anchor clears the noise
+#: floor: a 0.10s-anchor query reading 0.18s is ratio-1.8 and meaningless
+RETIME_MIN_DELTA_S = 0.25
 
 
 def force(df) -> None:
@@ -71,29 +74,43 @@ def load_anchors(run_sf: float | None = None) -> dict[str, float]:
 def retime_outliers(
     spark, qs, sf_dir: str, timings: dict, anchors: dict[str, float]
 ) -> dict[str, dict]:
-    """Isolated median-of-5 re-time (tools/retime.py protocol: warmup,
-    then clearCache+GC between reps) for every query whose in-bench
-    median read > RETIME_THRESHOLD x its anchor. In-bench readings
-    inflate late-catalog queries via Python-worker rotation (BASELINE.md
-    protocol note); putting the adjudication IN the artifact replaces the
-    per-round manual retime ritual (VERDICT r11 'What's wrong' #2)."""
+    """Isolated median-of-5 re-time for every query whose in-bench median
+    read > RETIME_THRESHOLD x its anchor AND > anchor + RETIME_MIN_DELTA_S.
+    In-bench readings inflate late-catalog queries via Python-worker
+    rotation (BASELINE.md protocol note); putting the adjudication IN the
+    artifact replaces the per-round manual retime ritual (VERDICT r11
+    'What's wrong' #2).
+
+    The rep protocol deliberately matches the ANCHOR measurement (clear
+    cache + GC once before the warmup, then reps back-to-back) rather
+    than tools/retime.py's clear-between-reps: anchors come from the
+    bench's back-to-back reps, so clearing between reps would penalize
+    exactly the queries that legitimately cache() internally and make the
+    comparison apples-to-oranges."""
     out: dict[str, dict] = {}
     reps = int(os.environ.get("RETIME_REPS", "5"))
     for name, s in timings.items():
         anchor = anchors.get(name)
-        if not isinstance(s, float) or anchor is None or s <= RETIME_THRESHOLD * anchor:
+        if (
+            not isinstance(s, float)
+            or anchor is None
+            or s <= RETIME_THRESHOLD * anchor
+            or s - anchor <= RETIME_MIN_DELTA_S
+        ):
             continue
         fn = qs[name]
         try:
+            spark.catalog.clearCache()
+            gc.collect()
             force(fn(spark, sf_dir))  # warmup
             runs = []
             for _ in range(reps):
-                spark.catalog.clearCache()
-                gc.collect()
                 t0 = time.perf_counter()
                 force(fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
             iso = round(statistics.median(runs), 4)
+            spark.catalog.clearCache()
+            gc.collect()
         except Exception as exc:
             out[name] = {"in_bench": s, "anchor": anchor,
                          "err": f"{type(exc).__name__}: {exc}"[:200]}

@@ -110,3 +110,17 @@ def test_load_anchors_skips_foreign_scale_factor():
     assert bench.load_anchors(0.001) == {}
     assert len(bench.load_anchors(0.1)) >= 300
     assert len(bench.load_anchors(None)) >= 300
+
+
+def test_retime_outliers_respects_noise_floor(spark):
+    """Ratio alone must not trigger adjudication: a 0.1s-anchor query at
+    0.18s is ratio 1.8 but sub-noise — only readings that also exceed
+    the absolute delta floor get re-timed."""
+    import bench
+    from pyspark.sql import functions as F
+
+    qs = {"tiny_q": lambda s, sf: s.range(10).select(F.col("id"))}
+    timings = {"tiny_q": 0.18}
+    anchors = {"tiny_q": 0.1}
+    out = bench.retime_outliers(spark, qs, "unused", timings, anchors)
+    assert out == {}
