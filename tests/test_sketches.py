@@ -1064,3 +1064,35 @@ def test_x12_rename_race_reraises_without_winner(spark, sf_small, monkeypatch):
         shutil.rmtree(f"{out}.tmp.{os.getpid()}", ignore_errors=True)
         if os.path.isdir(keep) and not os.path.isdir(out):
             os.rename(keep, out)  # restore for later tests
+
+
+def test_groupby_advisor_branches_and_sizing(spark, sf_small):
+    """One scan, six advisors: small key-sets must come back on the
+    exact branch (est == exact, bit-equal), large ones on the estimator
+    branch (sketch full), and the partition recommendation must follow
+    the ceil(est/GROUPS_PER_PART) rule for every row."""
+    import math
+
+    from us_dot_flights_lakehouse_spark.queries.relational import (
+        ADVISOR_GROUPS_PER_PART,
+        KMV_K,
+        q_groupby_cardinality_advisor,
+    )
+
+    rows = {r["keyset"]: r for r in q_groupby_cardinality_advisor(spark, sf_small).collect()}
+    assert set(rows) == {
+        "status", "priority", "status|priority",
+        "month", "month|status", "custkey",
+    }
+    for small in ("status", "priority", "status|priority"):
+        r = rows[small]
+        assert r["n_hashes"] < KMV_K
+        assert r["est_groups"] == float(r["exact_groups"])  # exact branch
+        assert r["rel_err"] == 0.0
+    for big in ("month", "month|status", "custkey"):
+        assert rows[big]["n_hashes"] == KMV_K  # estimator branch
+    for r in rows.values():
+        assert r["recommended_partitions"] == math.ceil(
+            r["est_groups"] / ADVISOR_GROUPS_PER_PART
+        )
+        assert r["recommended_partitions"] >= 1

@@ -54,6 +54,10 @@ _PRIORITY = (
     # (rollup math factored into the shared _kmv_rolling_report helper):
     "w26_mart_rolling_distinct",
     "w25_kmv_rolling_distinct",
+    # New: single-scan group-by cardinality / shuffle-partition advisor
+    # (six candidate key-sets sketched from one exploded stream, CBO
+    # ANALYZE's column-group-NDV job, estimates engine-reproducible):
+    "q_groupby_cardinality_advisor",
     # Changed this round — need fresh driver rows: o11 grew the
     # observable zero-pair-loss columns (ADVICE r11), src_xml_roundtrip's
     # rename-race retry is now liveness-bounded (ADVICE r11):

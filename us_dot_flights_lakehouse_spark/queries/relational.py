@@ -8619,6 +8619,154 @@ JOIN ssk USING (status)
 """
 
 
+#: advisor sizing rule: one shuffle partition per this many result groups
+ADVISOR_GROUPS_PER_PART = 64
+
+
+def q_groupby_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q (extension): GROUP-BY cardinality / shuffle-partition ADVISOR —
+    the planning table a 100 TB deployment reads BEFORE writing a heavy
+    aggregation: for each candidate grouping key-set, how many result
+    groups will the shuffle carry, and how many partitions should it
+    get? Distinct-group counts come from ONE scan: every row fans out
+    (JVM-side explode over an inline struct array, codegen) into one
+    (keyset, keystr) pair per candidate, and the KMV kernel sketches
+    each key-set's cardinality from the shared stream — six advisors
+    for the price of one pass, the way a real stats collector batches
+    column-group NDVs (CBO ANALYZE's job, here mergeable + engine-
+    reproducible). Small key-sets (status, priority, status|priority)
+    stay under k — exact branch; month, month|status and custkey
+    overflow — estimator branch; both oracle-pinned in one result.
+
+    recommended_partitions = ceil(est_groups / {ADVISOR_GROUPS_PER_PART})
+    in exact double→BIGINT math both engines reproduce bit-for-bit (the
+    a40 KMV contract: the estimate is a pure deterministic function of
+    the input set).
+
+    Scale: the scan fans out 6× inside codegen but ships only ≤k longs
+    per (task, keyset) into the shuffle; the exact count-distinct
+    companion is the CHECK and is droppable — at 100 TB the advisor IS
+    the cheap pass."""
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        make_kmv_merger,
+        make_kmv_partial_builder,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    status = F.col("o_orderstatus")
+    prio = F.col("o_orderpriority")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    cust = F.col("o_custkey").cast("string")
+    keysets = [
+        ("status", status),
+        ("priority", prio),
+        ("status|priority", F.concat_ws("|", status, prio)),
+        ("month", month),
+        ("month|status", F.concat_ws("|", month, status)),
+        ("custkey", cust),
+    ]
+    exploded = orders.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("keyset"), expr.alias("keystr")
+                    )
+                    for name, expr in keysets
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.keyset", "kv.keystr")
+    hashed = exploded.select(
+        "keyset",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("adv:"), F.col("keystr"))), 1, 15),
+            16,
+            10,
+        ).cast("long").alias("h"),
+    )
+    partials = hashed.mapInPandas(
+        make_kmv_partial_builder("keyset", "h", KMV_K),
+        schema="keyset string, payload string",
+    )
+    merged = partials.groupBy("keyset").applyInPandas(
+        make_kmv_merger("keyset", KMV_K),
+        schema="keyset string, payload string, n_hashes long, kth long",
+    )
+    exact = exploded.groupBy("keyset").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("keystr").cast("bigint").alias("exact_groups"),
+    )
+    est = F.when(
+        F.col("n_hashes") < KMV_K, F.col("n_hashes").cast("double")
+    ).otherwise(F.lit(KMV_NUM) / F.col("kth").cast("double"))
+    return (
+        exact.join(F.broadcast(merged), "keyset")
+        .withColumn("est_groups", est)
+        .select(
+            "keyset",
+            "n_rows",
+            "exact_groups",
+            "n_hashes",
+            "est_groups",
+            (
+                (F.col("est_groups") - F.col("exact_groups").cast("double"))
+                / F.col("exact_groups").cast("double")
+            ).alias("rel_err"),
+            F.ceil(
+                F.col("est_groups") / F.lit(float(ADVISOR_GROUPS_PER_PART))
+            ).cast("bigint").alias("recommended_partitions"),
+        )
+    )
+
+
+Q_GROUPBY_ADVISOR_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(o_custkey AS VARCHAR) AS cust
+  FROM orders
+), exploded AS (
+  SELECT 'status' AS keyset, status AS keystr FROM base
+  UNION ALL SELECT 'priority', priority FROM base
+  UNION ALL SELECT 'status|priority', status || '|' || priority FROM base
+  UNION ALL SELECT 'month', month FROM base
+  UNION ALL SELECT 'month|status', month || '|' || status FROM base
+  UNION ALL SELECT 'custkey', cust FROM base
+), h AS (
+  SELECT DISTINCT keyset,
+         ('0x' || substr(md5('adv:' || keystr), 1, 15))::BIGINT AS h
+  FROM exploded
+), ranked AS (
+  SELECT keyset, h,
+         row_number() OVER (PARTITION BY keyset ORDER BY h) AS r,
+         count(*) OVER (PARTITION BY keyset) AS nd
+  FROM h
+), sk AS (
+  SELECT keyset,
+         CAST(LEAST(nd, {KMV_K}) AS BIGINT) AS n_hashes,
+         max(CASE WHEN r = {KMV_K} THEN h END) AS kth
+  FROM ranked GROUP BY keyset, nd
+), est AS (
+  SELECT keyset, n_hashes,
+         CASE WHEN n_hashes < {KMV_K} THEN CAST(n_hashes AS DOUBLE)
+              ELSE CAST({KMV_NUM!r} AS DOUBLE) / CAST(kth AS DOUBLE)
+         END AS est_groups
+  FROM sk
+), exact AS (
+  SELECT keyset, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT keystr) AS BIGINT) AS exact_groups
+  FROM exploded GROUP BY 1
+)
+SELECT keyset, n_rows, exact_groups, n_hashes, est_groups,
+       (est_groups - CAST(exact_groups AS DOUBLE))
+         / CAST(exact_groups AS DOUBLE) AS rel_err,
+       CAST(CEIL(est_groups / CAST({ADVISOR_GROUPS_PER_PART} AS DOUBLE))
+            AS BIGINT) AS recommended_partitions
+FROM exact JOIN est USING (keyset)
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -8733,6 +8881,7 @@ QUERIES = {
     "x12_sketch_mart_maintenance": x12_sketch_mart_maintenance,
     "a41_sampled_kmv_crosscheck": a41_sampled_kmv_crosscheck,
     "w26_mart_rolling_distinct": w26_mart_rolling_distinct,
+    "q_groupby_cardinality_advisor": q_groupby_cardinality_advisor,
     "w22_period_over_period": w22_period_over_period,
     "f_sql_udf": f_sql_udf,
     "f_param_sql": f_param_sql,
@@ -8864,6 +9013,7 @@ ORACLES = {
     "x12_sketch_mart_maintenance": X12_ORACLE,
     "a41_sampled_kmv_crosscheck": A41_ORACLE,
     "w26_mart_rolling_distinct": W26_ORACLE,
+    "q_groupby_cardinality_advisor": Q_GROUPBY_ADVISOR_ORACLE,
     "w22_period_over_period": W22_ORACLE,
     "f_sql_udf": F_SQL_UDF_ORACLE,
     "f_param_sql": F_PARAM_SQL_ORACLE,
