@@ -43,13 +43,18 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def load_anchors(run_sf: float | None = None) -> dict[str, float]:
+def load_anchors(
+    run_sf: float | None = None, path: str | None = None
+) -> dict[str, float]:
     """Per-query anchors from BASELINE.md's generated ANCHOR_TABLE block
     (two query/anchor column pairs per row). Missing file/markers → {},
     as does a run at a DIFFERENT scale factor than the anchors' (the
     ratios would be meaningless); bench still runs, the retime pass is
     just skipped."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BASELINE.md"
+        )
     try:
         text = open(path).read()
         block = text.split("<!-- ANCHOR_TABLE_BEGIN")[1].split(
@@ -66,8 +71,17 @@ def load_anchors(run_sf: float | None = None) -> dict[str, float]:
         cells = [c.strip() for c in line.split("|")[1:-1]]
         # rows carry two (query, anchor) column pairs
         for name, val in zip(cells[::2], cells[1::2]):
-            if re.fullmatch(r"\w+", name) and re.fullmatch(r"[0-9.]+", val):
-                anchors[name] = float(val)
+            if not (re.fullmatch(r"\w+", name) and re.fullmatch(r"[0-9.]+", val)):
+                continue
+            try:
+                f = float(val)
+            except ValueError:  # '1.2.3' survives the regex; skip, don't die
+                continue
+            # the generated table formats with :.2f, so a sub-5ms median
+            # prints as 0.00 — a zero anchor would make every ratio
+            # infinite (and the adjudication division crash); skip it
+            if f > 0:
+                anchors[name] = f
     return anchors
 
 
@@ -185,8 +199,11 @@ def main() -> None:
         out["errors"] = errors
     # auto-adjudicate outliers: isolated re-time for anything >1.5x its
     # anchor, so the noise-vs-regression call ships in the artifact
-    # (skippable for quick partial runs via BENCH_NO_RETIME=1)
-    if not os.environ.get("BENCH_NO_RETIME"):
+    # (skippable for quick partial runs via BENCH_NO_RETIME=1). Fail
+    # CLOSED on an undeterminable scale factor — adjudicating an
+    # unknown-sf run against the sf0.1 anchors would re-time everything
+    # against meaningless ratios.
+    if not os.environ.get("BENCH_NO_RETIME") and sf is not None:
         retimed = retime_outliers(spark, qs, sf_dir, timings, load_anchors(sf))
         if retimed:
             out["retimed_outliers"] = retimed

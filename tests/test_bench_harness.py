@@ -124,3 +124,25 @@ def test_retime_outliers_respects_noise_floor(spark):
     anchors = {"tiny_q": 0.1}
     out = bench.retime_outliers(spark, qs, "unused", timings, anchors)
     assert out == {}
+
+
+def test_load_anchors_skips_zero_and_malformed_cells(tmp_path):
+    """The generated table's :.2f formatting can emit '0.00' for a
+    sub-5ms median, and a corrupted cell like '1.2.3' survives the
+    numeric regex: both must be skipped (a zero anchor would make every
+    ratio infinite and the adjudication division crash the run's
+    artifact; a ValueError would kill it outright)."""
+    import bench
+
+    fake = tmp_path / "BASELINE.md"
+    fake.write_text(
+        "<!-- ANCHOR_TABLE_BEGIN -->\n"
+        "2 queries, sum 1.0 s (sf=0.1).\n\n"
+        "| query | anchor s | query | anchor s |\n"
+        "|---|---|---|---|\n"
+        "| good_q | 1.23 | zero_q | 0.00 |\n"
+        "| bad_q | 1.2.3 | dot_q | . |\n"
+        "<!-- ANCHOR_TABLE_END -->\n"
+    )
+    anchors = bench.load_anchors(0.1, path=str(fake))
+    assert anchors == {"good_q": 1.23}

@@ -1096,3 +1096,24 @@ def test_groupby_advisor_branches_and_sizing(spark, sf_small):
             r["est_groups"] / ADVISOR_GROUPS_PER_PART
         )
         assert r["recommended_partitions"] >= 1
+
+
+def test_x12_markerless_squatter_evicted(spark, sf_small):
+    """A directory squatting at the mart path WITHOUT the _MART_READY
+    marker (e.g. /tmp aging deleted the marker but not the dir) must be
+    evicted and rebuilt — never trusted, and never a permanent
+    rename-failure loop (review r12)."""
+    import os
+    import shutil
+
+    from us_dot_flights_lakehouse_spark.queries import relational as rel
+
+    out = _x12_mart_path(sf_small)
+    rel._x12_mart(spark, sf_small)  # ensure committed
+    os.remove(os.path.join(out, "_MART_READY"))  # age the marker out
+    got = rel._x12_mart(spark, sf_small)
+    assert got == out
+    assert os.path.isfile(os.path.join(out, "_MART_READY"))
+    # the rebuilt mart is complete and readable
+    assert spark.read.parquet(out).count() > 0
+    shutil.rmtree(f"{out}.tmp.{os.getpid()}", ignore_errors=True)

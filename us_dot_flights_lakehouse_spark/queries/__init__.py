@@ -288,7 +288,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
         merged.update(m.QUERIES)
-    out = {n: merged[n] for n in _PRIORITY if n in merged}
+    # a typo'd _PRIORITY name would otherwise silently demote that query
+    # out of the driver's head-50 sample — fail loudly instead, same
+    # posture as the duplicate guard above (ADVICE r11 / review r12)
+    unknown = [n for n in _PRIORITY if n not in merged]
+    if unknown:
+        raise ValueError(f"_PRIORITY names not in any QUERIES module: {unknown}")
+    out = {n: merged[n] for n in _PRIORITY}
     out.update(merged)
     return out
 

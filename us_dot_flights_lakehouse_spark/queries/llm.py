@@ -10155,15 +10155,24 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     def progress_stamp() -> float:
                         # newest mtime across the OTHER builders' tmp
                         # dirs and the (possibly markerless) out dir;
-                        # our own tmp must not count as liveness
+                        # our own tmp must not count as liveness. Walk
+                        # the whole SUBTREE's directories, not just the
+                        # top level: Spark stages task files under
+                        # _temporary/.../attempt_*/, and POSIX only
+                        # bumps a dir's mtime on DIRECT-entry changes —
+                        # a top-level-only probe is blind for the whole
+                        # export stage (review r12). Directory mtimes
+                        # alone suffice (every staged file creation
+                        # bumps its parent dir) and keep the walk cheap.
                         stamps = [0.0]
                         for d in glob.glob(f"{out}.tmp.*") + [out]:
                             if d == tmp:
                                 continue
-                            try:
-                                stamps.append(os.path.getmtime(d))
-                            except OSError:
-                                pass
+                            for root, _dirs, _files in os.walk(d):
+                                try:
+                                    stamps.append(os.path.getmtime(root))
+                                except OSError:
+                                    pass
                         return max(stamps)
 
                     grace = 10.0  # seconds WITHOUT progress, not total

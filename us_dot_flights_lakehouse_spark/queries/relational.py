@@ -7658,16 +7658,56 @@ KMV_K = 64
 KMV_NUM = float((KMV_K - 1) << 60)
 
 
-def _kmv_hash(col):
-    """60-bit md5-prefix hash, JVM-side (codegen) — engine parity:
-    ``('0x' || substr(md5('kmv:' || x), 1, 15))::BIGINT`` in DuckDB and
-    ``int(md5(b'kmv:'+x).hexdigest()[:15], 16)`` in Python (parity
+def _md5_60(prefix: str, col):
+    """60-bit md5-prefix hash of ``prefix || col``, JVM-side (codegen) —
+    the ONE definition every hash-family query derives from (KMV 'kmv:',
+    universe sampling 'us:', x12's delta split 'xd:', the advisor's
+    'adv:'), so the Spark side can never drift from its oracle mirror
+    ``('0x' || substr(md5(prefix || x), 1, 15))::BIGINT`` in DuckDB or
+    ``int(md5(prefix+x).hexdigest()[:15], 16)`` in Python (parity
     asserted in tests/test_sketches.py)."""
     return F.conv(
-        F.substring(F.md5(F.concat(F.lit("kmv:"), col.cast("string"))), 1, 15),
+        F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 15),
         16,
         10,
     ).cast("long")
+
+
+def _kmv_hash(col):
+    """The KMV sketch family's hash: ``_md5_60('kmv:', col)``."""
+    return _md5_60("kmv:", col)
+
+
+def _kmv_est(n_hashes=None, kth=None):
+    """The KMV estimate expression: exact (as a double) while the sketch
+    holds < k hashes, else the classic (k-1)·2^60 / kth-smallest — one
+    definition for every query so the estimator can never diverge from
+    its SQL mirror."""
+    n_hashes = F.col("n_hashes") if n_hashes is None else n_hashes
+    kth = F.col("kth") if kth is None else kth
+    return F.when(n_hashes < KMV_K, n_hashes.cast("double")).otherwise(
+        F.lit(KMV_NUM) / kth.cast("double")
+    )
+
+
+def _kmv_sketch_by(hashed: DataFrame, key: str) -> DataFrame:
+    """(key, h) rows → one merged KMV blob row per key: mapInPandas
+    partials (≤k longs per task×key cross the shuffle) → applyInPandas
+    merge, emitting ``(key, payload, n_hashes, kth)`` — the shared
+    pipeline behind a40/w25/x12/a41 and the group-by advisor."""
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        make_kmv_merger,
+        make_kmv_partial_builder,
+    )
+
+    partials = hashed.mapInPandas(
+        make_kmv_partial_builder(key, "h", KMV_K),
+        schema=f"{key} string, payload string",
+    )
+    return partials.groupBy(key).applyInPandas(
+        make_kmv_merger(key, KMV_K),
+        schema=f"{key} string, payload string, n_hashes long, kth long",
+    )
 
 
 def a40_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7691,34 +7731,21 @@ def a40_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: partials ship ≤ k longs per (task, status) into the shuffle,
     never raw rows; the exact count-distinct companion is the CHECK and
     is droppable at 100 TB."""
-    from us_dot_flights_lakehouse_spark.operators.sketches import (
-        make_kmv_merger,
-        make_kmv_partial_builder,
-    )
-
     orders = read_table(spark, sf_dir, "orders")
-    hashed = orders.select(
-        F.col("o_orderstatus").alias("status"),
-        _kmv_hash(F.col("o_custkey")).alias("h"),
-    )
-    partials = hashed.mapInPandas(
-        make_kmv_partial_builder("status", "h", KMV_K),
-        schema="status string, payload string",
-    )
-    merged = partials.groupBy("status").applyInPandas(
-        make_kmv_merger("status", KMV_K),
-        schema="status string, payload string, n_hashes long, kth long",
+    merged = _kmv_sketch_by(
+        orders.select(
+            F.col("o_orderstatus").alias("status"),
+            _kmv_hash(F.col("o_custkey")).alias("h"),
+        ),
+        "status",
     )
     exact = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct"),
     )
-    est = F.when(
-        F.col("n_hashes") < KMV_K, F.col("n_hashes").cast("double")
-    ).otherwise(F.lit(KMV_NUM) / F.col("kth").cast("double"))
     return (
         exact.join(F.broadcast(merged), "status")
-        .withColumn("est_distinct", est)
+        .withColumn("est_distinct", _kmv_est())
         .select(
             "status",
             "n_rows",
@@ -7824,13 +7851,10 @@ def _kmv_rolling_report(monthly: DataFrame, vals: DataFrame) -> DataFrame:
     nw = wmap.groupBy(F.col("w_month").alias("month")).agg(
         F.count("*").cast("bigint").alias("n_window_months")
     )
-    est = F.when(
-        F.col("n_hashes") < KMV_K, F.col("n_hashes").cast("double")
-    ).otherwise(F.lit(KMV_NUM) / F.col("kth").cast("double"))
     return (
         exact.join(F.broadcast(rolled), "month")
         .join(F.broadcast(nw), "month")
-        .withColumn("est_distinct", est)
+        .withColumn("est_distinct", _kmv_est())
         .select(
             "month",
             "n_window_months",
@@ -7868,25 +7892,13 @@ def w25_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the explode); the raw-row window expansion exists only for the
     exact CHECK. The ~80-row month index uses a global row_number —
     one-task window over month-cardinality rows (w22/w23/w24 family)."""
-    from us_dot_flights_lakehouse_spark.operators.sketches import (
-        make_kmv_merger,
-        make_kmv_partial_builder,
-    )
-
     orders = read_table(spark, sf_dir, "orders")
     vals = orders.select(
         F.date_format("o_orderdate", "yyyy-MM").alias("month"),
         F.col("o_custkey").alias("cust"),
         _kmv_hash(F.col("o_custkey")).alias("h"),
     )
-    partials = vals.select("month", "h").mapInPandas(
-        make_kmv_partial_builder("month", "h", KMV_K),
-        schema="month string, payload string",
-    )
-    monthly = partials.groupBy("month").applyInPandas(
-        make_kmv_merger("month", KMV_K),
-        schema="month string, payload string, n_hashes long, kth long",
-    )
+    monthly = _kmv_sketch_by(vals.select("month", "h"), "month")
     return _kmv_rolling_report(monthly, vals)
 
 
@@ -8019,17 +8031,8 @@ def o11_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
 
-    def uh(col):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("us:"), col.cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-
-    scust = cust.where(uh(F.col("c_custkey")) < U_THRESH)
-    sord = orders.where(uh(F.col("o_custkey")) < U_THRESH)
+    scust = cust.where(_md5_60("us:", F.col("c_custkey")) < U_THRESH)
+    sord = orders.where(_md5_60("us:", F.col("o_custkey")) < U_THRESH)
     dec_rev = lambda c: F.sum(F.col(c).cast("decimal(18,2)"))  # noqa: E731
     samp_cust = scust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count("*").cast("bigint").alias("n_cust_s")
@@ -8270,34 +8273,16 @@ def _x12_build_mart(spark: SparkSession, orders: DataFrame, path: str) -> None:
     )
 
     month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
-    delta_pred = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("xd:"), F.col("o_orderkey").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % X12_DELTA_MOD
-        == 0
-    )
-
-    def month_blobs(df) -> DataFrame:
-        hashed = df.select(month, _kmv_hash(F.col("o_custkey")).alias("h"))
-        partials = hashed.mapInPandas(
-            make_kmv_partial_builder("month", "h", KMV_K),
-            schema="month string, payload string",
-        )
-        return partials.groupBy("month").applyInPandas(
-            make_kmv_merger("month", KMV_K),
-            schema="month string, payload string, n_hashes long, kth long",
-        )
+    delta_pred = _md5_60("xd:", F.col("o_orderkey")) % X12_DELTA_MOD == 0
 
     # (1) base load -> v0 mart
     write_partitioned(
-        month_blobs(orders.where(~delta_pred)),
+        _kmv_sketch_by(
+            orders.where(~delta_pred).select(
+                month, _kmv_hash(F.col("o_custkey")).alias("h")
+            ),
+            "month",
+        ),
         path,
         partition_by=["month"],
     )
@@ -8355,7 +8340,21 @@ def _x12_mart(spark: SparkSession, sf_dir: str) -> str:
             # marts are byte-equivalent — adopt theirs
             shutil.rmtree(tmp, ignore_errors=True)
         else:
-            raise
+            # torn/markerless directory squatting at `out` (e.g. /tmp
+            # aging deleted the marker but not the dir): trusting it
+            # would serve a broken mart, and leaving it would make the
+            # fixture permanently unbuildable — evict and retry once
+            # (the src_xml_roundtrip fixture's posture, review r12). If
+            # a concurrent builder recreates `out` between the evict
+            # and the retry, adopt its committed mart; anything else
+            # re-raises.
+            shutil.rmtree(out, ignore_errors=True)
+            try:
+                os.rename(tmp, out)
+            except OSError:
+                if not os.path.isfile(ready):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
@@ -8403,12 +8402,9 @@ def x12_sketch_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct"),
     )
-    est = F.when(
-        F.col("n_hashes") < KMV_K, F.col("n_hashes").cast("double")
-    ).otherwise(F.lit(KMV_NUM) / F.col("kth").cast("double"))
     return (
         exact.join(F.broadcast(mart), "month")
-        .withColumn("est_distinct", est)
+        .withColumn("est_distinct", _kmv_est())
         .select(
             "month",
             "n_rows",
@@ -8483,45 +8479,21 @@ def a41_sampled_kmv_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled pass reads 1/U_RATE of the data behind a scan-local hash
     predicate; exact count-distinct companions are the CHECK and are
     droppable at 100 TB."""
-    from us_dot_flights_lakehouse_spark.operators.sketches import (
-        make_kmv_merger,
-        make_kmv_partial_builder,
-    )
-
     orders = read_table(spark, sf_dir, "orders")
-    sample_pred = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("us:"), F.col("o_custkey").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        < U_THRESH
-    )
+    sample_pred = _md5_60("us:", F.col("o_custkey")) < U_THRESH
 
     def status_sketch(df, prefix: str) -> DataFrame:
-        hashed = df.select(
-            F.col("o_orderstatus").alias("status"),
-            _kmv_hash(F.col("o_custkey")).alias("h"),
+        merged = _kmv_sketch_by(
+            df.select(
+                F.col("o_orderstatus").alias("status"),
+                _kmv_hash(F.col("o_custkey")).alias("h"),
+            ),
+            "status",
         )
-        partials = hashed.mapInPandas(
-            make_kmv_partial_builder("status", "h", KMV_K),
-            schema="status string, payload string",
-        )
-        merged = partials.groupBy("status").applyInPandas(
-            make_kmv_merger("status", KMV_K),
-            schema="status string, payload string, n_hashes long, kth long",
-        )
-        est = F.when(
-            F.col("n_hashes") < KMV_K, F.col("n_hashes").cast("double")
-        ).otherwise(F.lit(KMV_NUM) / F.col("kth").cast("double"))
         return merged.select(
             "status",
             F.col("n_hashes").alias(f"{prefix}_n_hashes"),
-            est.alias(f"{prefix}_est"),
+            _kmv_est().alias(f"{prefix}_est"),
         )
 
     sampled = orders.where(sample_pred)
@@ -8647,11 +8619,6 @@ def q_groupby_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame
     per (task, keyset) into the shuffle; the exact count-distinct
     companion is the CHECK and is droppable — at 100 TB the advisor IS
     the cheap pass."""
-    from us_dot_flights_lakehouse_spark.operators.sketches import (
-        make_kmv_merger,
-        make_kmv_partial_builder,
-    )
-
     orders = read_table(spark, sf_dir, "orders")
     status = F.col("o_orderstatus")
     prio = F.col("o_orderpriority")
@@ -8677,32 +8644,19 @@ def q_groupby_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("kv")
     ).select("kv.keyset", "kv.keystr")
-    hashed = exploded.select(
+    merged = _kmv_sketch_by(
+        exploded.select(
+            "keyset", _md5_60("adv:", F.col("keystr")).alias("h")
+        ),
         "keyset",
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("adv:"), F.col("keystr"))), 1, 15),
-            16,
-            10,
-        ).cast("long").alias("h"),
-    )
-    partials = hashed.mapInPandas(
-        make_kmv_partial_builder("keyset", "h", KMV_K),
-        schema="keyset string, payload string",
-    )
-    merged = partials.groupBy("keyset").applyInPandas(
-        make_kmv_merger("keyset", KMV_K),
-        schema="keyset string, payload string, n_hashes long, kth long",
     )
     exact = exploded.groupBy("keyset").agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.countDistinct("keystr").cast("bigint").alias("exact_groups"),
     )
-    est = F.when(
-        F.col("n_hashes") < KMV_K, F.col("n_hashes").cast("double")
-    ).otherwise(F.lit(KMV_NUM) / F.col("kth").cast("double"))
     return (
         exact.join(F.broadcast(merged), "keyset")
-        .withColumn("est_groups", est)
+        .withColumn("est_groups", _kmv_est())
         .select(
             "keyset",
             "n_rows",
