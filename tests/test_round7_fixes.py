@@ -85,6 +85,31 @@ def test_degenerate_cols_flags_all_nan():
     assert degenerate_cols(["a"], []) == []
 
 
+def test_degenerate_cols_nullable_by_design_exemption():
+    """r12 cross-SF sweep: g3's peel_round (NULL = k-core survivor) is
+    legitimately all-NULL at sf0.001 where every sampled node has degree
+    >= K. The exemption must be narrow: declared column + genuine NULLs
+    only — NaN and undeclared columns still fail."""
+    from check_oracle import NULLABLE_BY_DESIGN, degenerate_cols
+
+    nan = float("nan")
+    allow = {"peel"}
+    # declared column, genuine NULLs -> exempt
+    assert degenerate_cols(["peel"], [(None,), (None,)], allow) == []
+    # declared column but NaN cells -> still degenerate (the r6 bug shape)
+    assert degenerate_cols(["peel"], [(nan,), (None,)], allow) == ["peel"]
+    # undeclared sibling column stays guarded
+    assert degenerate_cols(
+        ["peel", "x"], [(None, None), (None, None)], allow
+    ) == ["x"]
+    # registry sanity: declared queries/columns exist in the catalog
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for q in NULLABLE_BY_DESIGN:
+        assert q in qs, f"NULLABLE_BY_DESIGN references unknown query {q}"
+
+
 # ---------------------------------------------------------------------------
 # 4. Degeneracy audit of constant-bearing queries (the a31 lesson
 #    generalized): for every literal cutoff/threshold constant in the
