@@ -1098,6 +1098,56 @@ def test_groupby_advisor_branches_and_sizing(spark, sf_small):
         assert r["recommended_partitions"] >= 1
 
 
+def test_join_advisor_estimates_strategy_and_sizing(spark, sf_small):
+    """The join advisor's exact companions must equal an independently
+    computed real join cardinality, its estimates must track the exact
+    values within the KMV error envelope, and strategy / partition
+    recommendations must follow their rules for every edge."""
+    import math
+
+    from us_dot_flights_lakehouse_spark.queries.relational import (
+        JOIN_ADV_BROADCAST_ROWS,
+        JOIN_ADV_ROWS_PER_PART,
+        q_join_cardinality_advisor,
+        read_table,
+    )
+
+    rows = {
+        r["edge"]: r
+        for r in q_join_cardinality_advisor(spark, sf_small).collect()
+    }
+    assert set(rows) == {
+        "lineitem_part",
+        "lineitem_supplier",
+        "lineitem_orders",
+        "orders_customer",
+    }
+    # ground truth: actually run one of the joins
+    li = read_table(spark, sf_small, "lineitem")
+    part = read_table(spark, sf_small, "part")
+    true_rows = li.join(part, li.l_partkey == part.p_partkey).count()
+    assert rows["lineitem_part"]["exact_join_rows"] == true_rows
+    for r in rows.values():
+        # KMV k=64 relative std err ~ 1/sqrt(k) ~ 12.5%; 0.75 is a loose
+        # deterministic envelope (estimates are fixed for fixed data)
+        assert r["exact_join_rows"] > 0
+        assert abs(r["join_rel_err"]) < 0.75
+        assert (
+            abs(r["est_left_keys"] - r["exact_left_keys"])
+            <= 0.75 * r["exact_left_keys"]
+        )
+        assert r["exact_overlap"] <= min(
+            r["exact_left_keys"], r["exact_right_keys"]
+        )
+        expect = "broadcast" if (
+            r["n_right_rows"] <= JOIN_ADV_BROADCAST_ROWS
+        ) else "shuffle"
+        assert r["strategy"] == expect
+        assert r["recommended_partitions"] == max(
+            1, math.ceil(r["est_join_rows"] / JOIN_ADV_ROWS_PER_PART)
+        )
+
+
 def test_x12_markerless_squatter_evicted(spark, sf_small):
     """A directory squatting at the mart path WITHOUT the _MART_READY
     marker (e.g. /tmp aging deleted the marker but not the dir) must be

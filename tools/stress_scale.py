@@ -1117,7 +1117,8 @@ def round12_families(spark, factor, only_target=None):
 
     run_a41 = only_target in (None, "a41_sampled_kmv_crosscheck")
     run_build = only_target in (None, "x12_build")
-    if not (run_a41 or run_build):
+    run_jadv = only_target in (None, "q_join_cardinality_advisor")
+    if not (run_a41 or run_build or run_jadv):
         sys.exit(f"unknown round12 target {only_target!r}")
     orig_rel = rel.read_table
     try:
@@ -1140,6 +1141,47 @@ def round12_families(spark, factor, only_target=None):
             )
     finally:
         rel.read_table = orig_rel
+    if run_jadv:
+        # join advisor: facts (lineitem+orders) scaled, dims at 1x.
+        # lineitem copies shift l_orderkey and orders copies shift
+        # o_orderkey by the same per-copy offset, so the
+        # lineitem_orders key overlap is preserved while both key sets
+        # grow Nx; l_partkey/l_suppkey/o_custkey cardinality stays
+        # fixed (cap-bounded sketch streams). Expected ~linear: the
+        # sketch path is a row scan into <=k-long partials; the exact
+        # companions are key-grain groupBys.
+        li_cache = {}
+
+        def scaled_li(f):
+            if f not in li_cache:
+                li_cache[f] = scaled(spark, "lineitem", f, "l_orderkey").cache()
+                li_cache[f].count()
+            return li_cache[f]
+
+        orig = rel.read_table
+        try:
+            times = []
+            for f in (1, factor):
+                rel.read_table = lambda s_, d_, n_, f=f: (
+                    scaled_li(f)
+                    if n_ == "lineitem"
+                    else scaled_orders(f)
+                    if n_ == "orders"
+                    else orig(s_, d_, n_)
+                )
+                times.append(
+                    timed(
+                        f"q_join_cardinality_advisor@{f}x",
+                        rel.q_join_cardinality_advisor(spark, SF_DIR),
+                    )
+                )
+            print(
+                f"q_join_cardinality_advisor: growth "
+                f"{times[1] / times[0]:.1f}x at {factor}x rows",
+                flush=True,
+            )
+        finally:
+            rel.read_table = orig
     if run_build:
         times = []
         for f in (1, factor):

@@ -58,6 +58,11 @@ _PRIORITY = (
     # (six candidate key-sets sketched from one exploded stream, CBO
     # ANALYZE's column-group-NDV job, estimates engine-reproducible):
     "q_groupby_cardinality_advisor",
+    # New: join cardinality / strategy advisor (per-edge KMV key sketches
+    # + union-bottom-k overlap -> CBO-style join-size estimate and a
+    # broadcast/shuffle + partition-count recommendation, all
+    # engine-reproducible; exact companions from key multiplicities):
+    "q_join_cardinality_advisor",
     # Changed this round — need fresh driver rows: o11 grew the
     # observable zero-pair-loss columns (ADVICE r11), src_xml_roundtrip's
     # rename-race retry is now liveness-bounded (ADVICE r11):

@@ -8721,6 +8721,346 @@ FROM exact JOIN est USING (keyset)
 """
 
 
+#: join advisor: dim sides at or under this row count get 'broadcast'
+JOIN_ADV_BROADCAST_ROWS = 5_000
+#: join advisor: target output rows per shuffle partition
+JOIN_ADV_ROWS_PER_PART = 10_000
+
+
+def q_join_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q (extension): JOIN cardinality / strategy ADVISOR — the other
+    half of the q_groupby_cardinality_advisor planning table: before a
+    100 TB deployment runs a heavy join it wants, per candidate join
+    edge, (1) how many distinct keys each side carries, (2) how many of
+    them overlap, (3) the expected output cardinality, and (4) the
+    physical strategy — broadcast or shuffle — plus a shuffle-partition
+    count sized to the estimate. All estimates come from KMV sketches
+    (operators/sketches.py): one ≤k-hash blob per (edge, side) built
+    from a SINGLE scan of each table (codegen explode fan-out, the
+    advisor idiom), then the two side blobs per edge combine JVM-side
+    into the union's bottom-k (dd_kmv_source_overlap's set-op idiom), so
+    est_overlap = (|in both| / |union-k|) × est_union and the classic
+    uniform-multiplicity CBO estimate
+    est_join_rows = (n_l / est_keys_l) × (n_r / est_keys_r) × est_overlap.
+
+    Oracle contract (a40 pattern): every estimate is a pure
+    deterministic function of the key sets via the fixed md5-60 hash, so
+    DuckDB reproduces est_overlap / est_join_rows / the strategy and
+    partition recommendations bit-for-bit, next to exact companions
+    (countDistinct per side, exact key overlap, and the exact join
+    cardinality as sum(cnt_l × cnt_r) — computed WITHOUT running the
+    join).
+
+    Scale: the sketch path ships ≤k longs per (table-scan task, edge,
+    side) — the advisor reduces four 100 TB join plans to a KB-sized
+    problem; the exact companions are the CHECK and are droppable (the
+    key-count join is the one row-scale piece, and it exists only to
+    verify the estimator)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+
+    def fan(df: DataFrame, contribs) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(e).alias("edge"),
+                            F.lit(s).alias("side"),
+                            col.cast("string").alias("k"),
+                        )
+                        for e, s, col in contribs
+                    ]
+                )
+            ).alias("c")
+        ).select("c.edge", "c.side", "c.k")
+
+    stream = (
+        fan(
+            li,
+            [
+                ("lineitem_part", "L", F.col("l_partkey")),
+                ("lineitem_supplier", "L", F.col("l_suppkey")),
+                ("lineitem_orders", "L", F.col("l_orderkey")),
+            ],
+        )
+        .unionByName(
+            fan(
+                orders,
+                [
+                    ("orders_customer", "L", F.col("o_custkey")),
+                    ("lineitem_orders", "R", F.col("o_orderkey")),
+                ],
+            )
+        )
+        .unionByName(fan(cust, [("orders_customer", "R", F.col("c_custkey"))]))
+        .unionByName(fan(part, [("lineitem_part", "R", F.col("p_partkey"))]))
+        .unionByName(
+            fan(supp, [("lineitem_supplier", "R", F.col("s_suppkey"))])
+        )
+    )
+    counts = stream.groupBy("edge", "side").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("k").cast("bigint").alias("exact_keys"),
+    )
+    merged = (
+        _kmv_sketch_by(
+            stream.select(
+                F.concat_ws("/", "edge", "side").alias("grp"),
+                _md5_60("jn:", F.col("k")).alias("h"),
+            ),
+            "grp",
+        )
+        .withColumn("edge", F.split("grp", "/")[0])
+        .withColumn("side", F.split("grp", "/")[1])
+    )
+    side_stats = counts.join(
+        F.broadcast(merged.select("edge", "side", _kmv_est().alias("est_keys"))),
+        ["edge", "side"],
+    )
+    left = side_stats.where(F.col("side") == "L").select(
+        "edge",
+        F.col("n_rows").alias("n_left_rows"),
+        F.col("exact_keys").alias("exact_left_keys"),
+        F.col("est_keys").alias("est_left_keys"),
+    )
+    right = side_stats.where(F.col("side") == "R").select(
+        "edge",
+        F.col("n_rows").alias("n_right_rows"),
+        F.col("exact_keys").alias("exact_right_keys"),
+        F.col("est_keys").alias("est_right_keys"),
+    )
+    # the two side blobs per edge -> the union's bottom-k (dd_kmv idiom)
+    blob_h = merged.select(
+        "edge",
+        "side",
+        F.explode(F.from_json("payload", "array<bigint>")).alias("h"),
+    )
+    u = blob_h.groupBy("edge", "h").agg(
+        F.max(F.when(F.col("side") == "L", 1).otherwise(0)).alias("in_l"),
+        F.max(F.when(F.col("side") == "R", 1).otherwise(0)).alias("in_r"),
+    )
+    wp = W.partitionBy("edge").orderBy("h")
+    usk = (
+        u.withColumn("r", F.row_number().over(wp))
+        .where(F.col("r") <= KMV_K)
+        .groupBy("edge")
+        .agg(
+            F.count("*").cast("bigint").alias("n_union_k"),
+            F.max("h").alias("kth_u"),
+            F.sum(F.col("in_l") * F.col("in_r"))
+            .cast("bigint")
+            .alias("n_both_k"),
+        )
+    )
+    # exact companions: per-key multiplicities -> overlap + join rows
+    keycnt = stream.groupBy("edge", "side", "k").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    ex = (
+        keycnt.where(F.col("side") == "L")
+        .alias("l")
+        .join(
+            keycnt.where(F.col("side") == "R").alias("r"),
+            (F.col("l.edge") == F.col("r.edge"))
+            & (F.col("l.k") == F.col("r.k")),
+        )
+        .groupBy(F.col("l.edge").alias("edge"))
+        .agg(
+            F.count("*").cast("bigint").alias("exact_overlap"),
+            F.sum(F.col("l.c") * F.col("r.c"))
+            .cast("bigint")
+            .alias("exact_join_rows"),
+        )
+    )
+    est_union = F.when(
+        F.col("n_union_k") < KMV_K, F.col("n_union_k").cast("double")
+    ).otherwise(F.lit(KMV_NUM) / F.col("kth_u").cast("double"))
+    return (
+        left.join(right, "edge")
+        .join(F.broadcast(usk), "edge")
+        .join(F.broadcast(ex), "edge", "left")
+        .withColumn(
+            "exact_overlap",
+            F.coalesce("exact_overlap", F.lit(0).cast("bigint")),
+        )
+        .withColumn(
+            "exact_join_rows",
+            F.coalesce("exact_join_rows", F.lit(0).cast("bigint")),
+        )
+        .withColumn(
+            "est_overlap",
+            (
+                F.col("n_both_k").cast("double")
+                / F.col("n_union_k").cast("double")
+            )
+            * est_union,
+        )
+        .withColumn(
+            "est_join_rows",
+            (F.col("n_left_rows").cast("double") / F.col("est_left_keys"))
+            * (F.col("n_right_rows").cast("double") / F.col("est_right_keys"))
+            * F.col("est_overlap"),
+        )
+        .withColumn(
+            "join_rel_err",
+            F.when(
+                F.col("exact_join_rows") > 0,
+                (
+                    F.col("est_join_rows")
+                    - F.col("exact_join_rows").cast("double")
+                )
+                / F.col("exact_join_rows").cast("double"),
+            ),
+        )
+        .withColumn(
+            "strategy",
+            F.when(
+                F.col("n_right_rows") <= JOIN_ADV_BROADCAST_ROWS,
+                F.lit("broadcast"),
+            ).otherwise(F.lit("shuffle")),
+        )
+        .withColumn(
+            "recommended_partitions",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil(
+                    F.col("est_join_rows")
+                    / F.lit(float(JOIN_ADV_ROWS_PER_PART))
+                ).cast("bigint"),
+            ),
+        )
+        .select(
+            "edge",
+            "n_left_rows",
+            "n_right_rows",
+            "exact_left_keys",
+            "est_left_keys",
+            "exact_right_keys",
+            "est_right_keys",
+            "exact_overlap",
+            "est_overlap",
+            "exact_join_rows",
+            "est_join_rows",
+            "join_rel_err",
+            "strategy",
+            "recommended_partitions",
+        )
+    )
+
+
+Q_JOIN_ADVISOR_ORACLE = f"""
+WITH stream AS (
+  SELECT 'lineitem_part' AS edge, 'L' AS side,
+         CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+  UNION ALL SELECT 'lineitem_supplier', 'L', CAST(l_suppkey AS VARCHAR)
+    FROM lineitem
+  UNION ALL SELECT 'lineitem_orders', 'L', CAST(l_orderkey AS VARCHAR)
+    FROM lineitem
+  UNION ALL SELECT 'orders_customer', 'L', CAST(o_custkey AS VARCHAR)
+    FROM orders
+  UNION ALL SELECT 'lineitem_orders', 'R', CAST(o_orderkey AS VARCHAR)
+    FROM orders
+  UNION ALL SELECT 'orders_customer', 'R', CAST(c_custkey AS VARCHAR)
+    FROM customer
+  UNION ALL SELECT 'lineitem_part', 'R', CAST(p_partkey AS VARCHAR)
+    FROM part
+  UNION ALL SELECT 'lineitem_supplier', 'R', CAST(s_suppkey AS VARCHAR)
+    FROM supplier
+), counts AS (
+  SELECT edge, side, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT k) AS BIGINT) AS exact_keys
+  FROM stream GROUP BY 1, 2
+), hashed AS (
+  SELECT DISTINCT edge, side,
+         ('0x' || substr(md5('jn:' || k), 1, 15))::BIGINT AS h
+  FROM stream
+), rk AS (
+  SELECT edge, side, h,
+         row_number() OVER (PARTITION BY edge, side ORDER BY h) AS r,
+         count(*) OVER (PARTITION BY edge, side) AS nd
+  FROM hashed
+), sk AS (
+  SELECT edge, side, CAST(LEAST(nd, {KMV_K}) AS BIGINT) AS n_hashes,
+         max(CASE WHEN r = {KMV_K} THEN h END) AS kth
+  FROM rk GROUP BY edge, side, nd
+), est AS (
+  SELECT edge, side,
+         CASE WHEN n_hashes < {KMV_K} THEN CAST(n_hashes AS DOUBLE)
+              ELSE CAST({KMV_NUM!r} AS DOUBLE) / CAST(kth AS DOUBLE)
+         END AS est_keys
+  FROM sk
+), bk AS (
+  SELECT edge, side, h FROM rk WHERE r <= {KMV_K}
+), u AS (
+  SELECT edge, h,
+         max(CASE WHEN side = 'L' THEN 1 ELSE 0 END) AS in_l,
+         max(CASE WHEN side = 'R' THEN 1 ELSE 0 END) AS in_r
+  FROM bk GROUP BY 1, 2
+), ru AS (
+  SELECT *, row_number() OVER (PARTITION BY edge ORDER BY h) AS r FROM u
+), usk AS (
+  SELECT edge, CAST(count(*) AS BIGINT) AS n_union_k, max(h) AS kth_u,
+         CAST(sum(in_l * in_r) AS BIGINT) AS n_both_k
+  FROM ru WHERE r <= {KMV_K} GROUP BY 1
+), keycnt AS (
+  SELECT edge, side, k, CAST(count(*) AS BIGINT) AS c
+  FROM stream GROUP BY 1, 2, 3
+), ex AS (
+  SELECT l.edge,
+         CAST(count(*) AS BIGINT) AS exact_overlap,
+         CAST(sum(l.c * r.c) AS BIGINT) AS exact_join_rows
+  FROM keycnt l JOIN keycnt r
+    ON l.edge = r.edge AND l.k = r.k AND l.side = 'L' AND r.side = 'R'
+  GROUP BY 1
+), sides AS (
+  SELECT c1.edge,
+         c1.n_rows AS n_left_rows, c1.exact_keys AS exact_left_keys,
+         e1.est_keys AS est_left_keys,
+         c2.n_rows AS n_right_rows, c2.exact_keys AS exact_right_keys,
+         e2.est_keys AS est_right_keys
+  FROM counts c1, counts c2, est e1, est e2
+  WHERE c1.edge = c2.edge AND e1.edge = c1.edge AND e2.edge = c1.edge
+    AND c1.side = 'L' AND c2.side = 'R' AND e1.side = 'L' AND e2.side = 'R'
+), assembled AS (
+  SELECT s.*,
+         CAST(coalesce(x.exact_overlap, 0) AS BIGINT) AS exact_overlap,
+         CAST(coalesce(x.exact_join_rows, 0) AS BIGINT) AS exact_join_rows,
+         (CAST(u2.n_both_k AS DOUBLE) / CAST(u2.n_union_k AS DOUBLE))
+           * (CASE WHEN u2.n_union_k < {KMV_K}
+                   THEN CAST(u2.n_union_k AS DOUBLE)
+                   ELSE CAST({KMV_NUM!r} AS DOUBLE) / CAST(u2.kth_u AS DOUBLE)
+              END) AS est_overlap
+  FROM sides s
+  JOIN usk u2 ON u2.edge = s.edge
+  LEFT JOIN ex x ON x.edge = s.edge
+), final AS (
+  SELECT *,
+         (CAST(n_left_rows AS DOUBLE) / est_left_keys)
+           * (CAST(n_right_rows AS DOUBLE) / est_right_keys)
+           * est_overlap AS est_join_rows
+  FROM assembled
+)
+SELECT edge, n_left_rows, n_right_rows, exact_left_keys, est_left_keys,
+       exact_right_keys, est_right_keys, exact_overlap, est_overlap,
+       exact_join_rows, est_join_rows,
+       CASE WHEN exact_join_rows > 0
+            THEN (est_join_rows - CAST(exact_join_rows AS DOUBLE))
+                 / CAST(exact_join_rows AS DOUBLE)
+       END AS join_rel_err,
+       CASE WHEN n_right_rows <= {JOIN_ADV_BROADCAST_ROWS}
+            THEN 'broadcast' ELSE 'shuffle' END AS strategy,
+       GREATEST(CAST(1 AS BIGINT),
+                CAST(CEIL(est_join_rows
+                          / CAST({JOIN_ADV_ROWS_PER_PART} AS DOUBLE))
+                     AS BIGINT)) AS recommended_partitions
+FROM final
+"""
+
+
 QUERIES = {
     "daily_segment_performance": daily_segment_performance,
     "j1_enrich_lookup_join": j1_enrich_lookup_join,
@@ -8836,6 +9176,7 @@ QUERIES = {
     "a41_sampled_kmv_crosscheck": a41_sampled_kmv_crosscheck,
     "w26_mart_rolling_distinct": w26_mart_rolling_distinct,
     "q_groupby_cardinality_advisor": q_groupby_cardinality_advisor,
+    "q_join_cardinality_advisor": q_join_cardinality_advisor,
     "w22_period_over_period": w22_period_over_period,
     "f_sql_udf": f_sql_udf,
     "f_param_sql": f_param_sql,
@@ -8968,6 +9309,7 @@ ORACLES = {
     "a41_sampled_kmv_crosscheck": A41_ORACLE,
     "w26_mart_rolling_distinct": W26_ORACLE,
     "q_groupby_cardinality_advisor": Q_GROUPBY_ADVISOR_ORACLE,
+    "q_join_cardinality_advisor": Q_JOIN_ADVISOR_ORACLE,
     "w22_period_over_period": W22_ORACLE,
     "f_sql_udf": F_SQL_UDF_ORACLE,
     "f_param_sql": F_PARAM_SQL_ORACLE,
