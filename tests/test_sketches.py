@@ -570,6 +570,36 @@ def test_kmv_loads_rejects_undersized_k():
         kmv_loads(blob, 16)
 
 
+def test_kmv_prefilter_float_tie_safety():
+    """The r12 builder prefilter compares int64 hashes against the
+    per-key cutoff in float64 (pandas map). At the 2^60 hash scale a
+    float64 ulp is 256, so integers adjacent to the cutoff TIE in
+    float. Safety requires ties to be KEPT (the exact integer fold then
+    decides) — a strict float < would wrongly drop a hash one below the
+    cutoff and diverge from the bit-exact oracle."""
+    import pandas as pd
+
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        kmv_loads,
+        make_kmv_partial_builder,
+    )
+
+    build = make_kmv_partial_builder("key", "h", 2)
+    big = 1 << 60
+    assert float(big - 1) == float(big)  # the tie this test exists for
+    batches = [
+        pd.DataFrame({"key": ["a", "a"], "h": [100, big]}),  # full: kth=2^60
+        # one BELOW the cutoff but float-tied with it: must displace 2^60
+        pd.DataFrame({"key": ["a"], "h": [big - 1]}),
+        # one ABOVE the cutoff and float-tied: kept by the filter,
+        # truncated by the integer fold — harmless either way
+        pd.DataFrame({"key": ["a"], "h": [big + 1]}),
+    ]
+    [out] = list(build(iter(batches)))
+    sk = kmv_loads(out["payload"].iloc[0], 2)
+    assert sk["hashes"] == [100, big - 1]
+
+
 def test_kmv_spark_partial_build_and_merge(spark):
     from us_dot_flights_lakehouse_spark.operators.sketches import (
         kmv_loads,

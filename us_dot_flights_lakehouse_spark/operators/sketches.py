@@ -473,17 +473,33 @@ def make_kmv_partial_builder(key_col: str, hash_col: str, k: int):
 
     def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         sketches: dict = {}
+        # per-key admission cutoff: once a key's sketch is full, any hash
+        # ABOVE its current kth-smallest can never enter the bottom-k, so
+        # later batches drop those rows vectorially before the groupby.
+        # The comparison happens in float64 (pandas map gives NaN for
+        # unseen keys), which is SAFE: round-to-nearest is monotonic, so
+        # float(h) > float(cutoff) implies h > cutoff — borderline rows
+        # where the floats tie are kept and deduped by the exact integer
+        # fold below. Semantics are bit-identical; only work is saved.
+        cutoffs: dict = {}
         for pdf in batches:
             if pdf[key_col].isna().any() or pdf[hash_col].isna().any():
                 raise ValueError(
                     f"kmv partial builder requires non-null {key_col!r} "
                     f"and {hash_col!r}; filter nulls before sketching"
                 )
+            if cutoffs:
+                cut = pdf[key_col].map(cutoffs)
+                pdf = pdf[cut.isna() | (pdf[hash_col] <= cut)]
+                if pdf.empty:
+                    continue
             for key, grp in pdf.groupby(key_col, sort=False):
                 sk = sketches.setdefault(key, kmv_new(k))
                 kmv_add_hashes(
                     sk, np.unique(grp[hash_col].to_numpy())[:k].tolist()
                 )
+                if len(sk["hashes"]) == k:
+                    cutoffs[key] = sk["hashes"][-1]
         rows = [
             {key_col: key, "payload": kmv_dumps(sk)}
             for key, sk in sketches.items()

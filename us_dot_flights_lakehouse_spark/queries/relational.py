@@ -8802,9 +8802,16 @@ def q_join_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             fan(supp, [("lineitem_supplier", "R", F.col("s_suppkey"))])
         )
     )
-    counts = stream.groupBy("edge", "side").agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.countDistinct("k").cast("bigint").alias("exact_keys"),
+    # exact companions: per-key multiplicities, then side totals derive
+    # from the SAME key-grain aggregate (one shuffle, no countDistinct
+    # expand, no third fan-scan) — this whole path is the droppable
+    # CHECK; the sketch path below never touches it
+    keycnt = stream.groupBy("edge", "side", "k").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    counts = keycnt.groupBy("edge", "side").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("exact_keys"),
     )
     merged = (
         _kmv_sketch_by(
@@ -8855,10 +8862,6 @@ def q_join_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_both_k"),
         )
-    )
-    # exact companions: per-key multiplicities -> overlap + join rows
-    keycnt = stream.groupBy("edge", "side", "k").agg(
-        F.count("*").cast("bigint").alias("c")
     )
     ex = (
         keycnt.where(F.col("side") == "L")
