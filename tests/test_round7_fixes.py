@@ -110,6 +110,19 @@ def test_degenerate_cols_nullable_by_design_exemption():
         assert q in qs, f"NULLABLE_BY_DESIGN references unknown query {q}"
 
 
+def test_nullable_by_design_gated_to_small_sf():
+    """The exemption exists for small-SF degeneracy only (review r12):
+    at the driver's sf0.01 and above the columns are expected populated,
+    so a symmetric all-NULL regression must still fail the guard."""
+    from check_oracle import allowed_null_cols
+
+    assert allowed_null_cols("g3_kcore_decompose", "/root/testdata/sf0.001")
+    assert allowed_null_cols("g3_kcore_decompose", "/root/testdata/sf0.001/")
+    assert not allowed_null_cols("g3_kcore_decompose", "/root/testdata/sf0.01")
+    assert not allowed_null_cols("g3_kcore_decompose", "/root/testdata/sf0.1")
+    assert not allowed_null_cols("not_a_query", "/root/testdata/sf0.001")
+
+
 # ---------------------------------------------------------------------------
 # 4. Degeneracy audit of constant-bearing queries (the a31 lesson
 #    generalized): for every literal cutoff/threshold constant in the

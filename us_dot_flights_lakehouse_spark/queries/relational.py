@@ -8751,11 +8751,13 @@ def q_join_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality as sum(cnt_l × cnt_r) — computed WITHOUT running the
     join).
 
-    Scale: the sketch path ships ≤k longs per (table-scan task, edge,
-    side) — the advisor reduces four 100 TB join plans to a KB-sized
-    problem; the exact companions are the CHECK and are droppable (the
-    key-count join is the one row-scale piece, and it exists only to
-    verify the estimator)."""
+    Scale: the advisor's own inputs are the sketch path (≤k longs per
+    (table-scan task, edge, side)) plus a pure-codegen row count with
+    map-side combine down to 8 groups — together they reduce four
+    100 TB join plans to a KB-sized problem. The exact companions
+    (exact_keys / exact_overlap / exact_join_rows, everything built on
+    the key-grain `keycnt` shuffle) are the CHECK and are genuinely
+    droppable: no advertised output depends on them."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
@@ -8802,16 +8804,20 @@ def q_join_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             fan(supp, [("lineitem_supplier", "R", F.col("s_suppkey"))])
         )
     )
-    # exact companions: per-key multiplicities, then side totals derive
-    # from the SAME key-grain aggregate (one shuffle, no countDistinct
-    # expand, no third fan-scan) — this whole path is the droppable
-    # CHECK; the sketch path below never touches it
+    # row counts feed the ADVERTISED outputs (est_join_rows, strategy,
+    # partition sizing), so they must not ride the droppable CHECK path:
+    # a pure-codegen count with map-side combine down to 8 groups
+    counts = stream.groupBy("edge", "side").agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    # exact companions — everything from here through `ex` is the CHECK
+    # and is droppable at scale (key-grain shuffle); exact_keys derives
+    # from the same aggregate rather than a separate countDistinct scan
     keycnt = stream.groupBy("edge", "side", "k").agg(
         F.count("*").cast("bigint").alias("c")
     )
-    counts = keycnt.groupBy("edge", "side").agg(
-        F.sum("c").cast("bigint").alias("n_rows"),
-        F.count("*").cast("bigint").alias("exact_keys"),
+    exact_keys = keycnt.groupBy("edge", "side").agg(
+        F.count("*").cast("bigint").alias("exact_keys")
     )
     merged = (
         _kmv_sketch_by(
@@ -8824,7 +8830,7 @@ def q_join_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("edge", F.split("grp", "/")[0])
         .withColumn("side", F.split("grp", "/")[1])
     )
-    side_stats = counts.join(
+    side_stats = counts.join(exact_keys, ["edge", "side"]).join(
         F.broadcast(merged.select("edge", "side", _kmv_est().alias("est_keys"))),
         ["edge", "side"],
     )
