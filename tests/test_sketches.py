@@ -732,6 +732,59 @@ from hypothesis import strategies as hst
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(
+    vals=hst.lists(
+        hst.tuples(hst.sampled_from(["a", "b"]), hst.integers(0, 500)),
+        min_size=1,
+        max_size=400,
+    ),
+    cuts=hst.lists(hst.integers(min_value=0, max_value=399), max_size=5),
+    k=hst.sampled_from([4, 16, 64]),
+)
+def test_kmv_builder_batch_boundary_invariance(vals, cuts, k):
+    """The r12 admission-cutoff prefilter only activates ACROSS batches,
+    so builder output must be identical however the same rows are split
+    into Arrow batches (including the single-batch case where the
+    prefilter never fires). Multi-key batches exercise the per-key
+    cutoff map."""
+    import pandas as pd
+
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        kmv_loads,
+        make_kmv_partial_builder,
+    )
+
+    rows = [(key, _md5_60(f"kmv:{v}")) for key, v in vals]
+
+    def run(batches):
+        build = make_kmv_partial_builder("key", "h", k)
+        outs = [
+            df
+            for df in build(
+                iter(
+                    pd.DataFrame(b, columns=["key", "h"])
+                    for b in batches
+                    if b
+                )
+            )
+        ]
+        out = pd.concat(outs)
+        return {
+            r["key"]: kmv_loads(r["payload"], k)["hashes"]
+            for _, r in out.iterrows()
+        }
+
+    single = run([rows])
+    bounds = sorted({c for c in cuts if c < len(rows)} | {0, len(rows)})
+    split = run([rows[lo:hi] for lo, hi in zip(bounds, bounds[1:])])
+    assert split == single
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
     vals=hst.lists(hst.integers(min_value=0, max_value=2000), min_size=1, max_size=600),
     cuts=hst.lists(hst.integers(min_value=0, max_value=599), max_size=6),
     k=hst.sampled_from([8, 32, 64]),
