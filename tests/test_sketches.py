@@ -1231,6 +1231,43 @@ def test_join_advisor_estimates_strategy_and_sizing(spark, sf_small):
         )
 
 
+def test_join_advisor_zero_overlap_edge(spark, sf_small, monkeypatch):
+    """No generated SF exercises the disjoint-keys path (TPC-H-ish FKs
+    always match), so force one: shift every c_custkey out of the
+    o_custkey domain and check the orders_customer edge surfaces the
+    zero-overlap contract — exact_overlap/exact_join_rows coalesce to 0,
+    join_rel_err is NULL (no /0), est_overlap collapses to 0 when no
+    sketch hash is shared, and the partition floor holds at 1."""
+    from pyspark.sql import functions as F
+
+    from us_dot_flights_lakehouse_spark.queries import relational as rel
+
+    orig = rel.read_table
+
+    def shifted(spark_, sf_dir_, name_):
+        df = orig(spark_, sf_dir_, name_)
+        if name_ == "customer":
+            return df.withColumn(
+                "c_custkey", F.col("c_custkey") + F.lit(10_000_000)
+            )
+        return df
+
+    monkeypatch.setattr(rel, "read_table", shifted)
+    rows = {
+        r["edge"]: r
+        for r in rel.q_join_cardinality_advisor(spark, sf_small).collect()
+    }
+    r = rows["orders_customer"]
+    assert r["exact_overlap"] == 0
+    assert r["exact_join_rows"] == 0
+    assert r["join_rel_err"] is None
+    assert r["est_overlap"] == 0.0
+    assert r["est_join_rows"] == 0.0
+    assert r["recommended_partitions"] == 1
+    # an untouched edge keeps a live overlap
+    assert rows["lineitem_part"]["exact_overlap"] > 0
+
+
 def test_x12_markerless_squatter_evicted(spark, sf_small):
     """A directory squatting at the mart path WITHOUT the _MART_READY
     marker (e.g. /tmp aging deleted the marker but not the dir) must be
