@@ -45,10 +45,10 @@ def norm_hash(cols: list[str], rows: list[tuple]) -> str:
 #     oracle, so agreement is verified, not assumed.
 # g3: peel_round is NULL for k-core survivors; at sf0.001 the sampled
 # graph is 10 nodes all with degree >= K, so nobody peels (found by the
-# r12 cross-SF sweep). w20: touch_* are NULL for direct conversions.
+# r12 cross-SF sweep). Declare entries only when a sweep OBSERVES the
+# degeneracy — a dormant exemption is a masked future regression.
 NULLABLE_BY_DESIGN: dict[str, set[str]] = {
     "g3_kcore_decompose": {"peel_round"},
-    "w20_attribution": {"touch_event_id", "touch_type", "gap_minutes"},
 }
 
 #: the exemption exists for SMALL-SF degeneracy only; at the driver's
