@@ -140,6 +140,22 @@ def retime_outliers(
     return out
 
 
+def adjudicated_total(timings: dict, retimed: dict) -> float:
+    """Sum of medians with each retimed outlier's in-bench reading
+    replaced by its isolated median; entries whose re-time errored keep
+    the (worse) in-bench number."""
+    return round(
+        sum(
+            retimed[n]["isolated"]
+            if n in retimed and "isolated" in retimed[n]
+            else v
+            for n, v in timings.items()
+            if isinstance(v, float)
+        ),
+        4,
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -207,6 +223,11 @@ def main() -> None:
         retimed = retime_outliers(spark, qs, sf_dir, timings, load_anchors(sf))
         if retimed:
             out["retimed_outliers"] = retimed
+            # the contention-corrected headline: in-bench outlier readings
+            # replaced by their isolated medians, so one number separates
+            # "the box was busy" from "a query regressed" (re-time errors
+            # keep the in-bench reading — fail conservative)
+            out["value_adjudicated"] = adjudicated_total(timings, retimed)
     line = json.dumps(out)
     # file copy first so a truncated/noisy pipe can't lose the result
     # ($BENCH_OUT, default bench_out.json)
@@ -229,6 +250,11 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_err": len(errors),
                 "n_retimed": len(out.get("retimed_outliers", {})),
+                **(
+                    {"value_adjudicated": out["value_adjudicated"]}
+                    if "value_adjudicated" in out
+                    else {}
+                ),
                 "queries_path": bench_out,
             }
         )

@@ -73,6 +73,24 @@ def test_load_anchors_parses_baseline_table():
     assert "a40_kmv_distinct_sketch" in anchors
 
 
+def test_adjudicated_total_substitutes_isolated_times():
+    """The contention-corrected headline must swap each retimed
+    outlier's in-bench reading for its isolated median, keep the
+    in-bench number when the re-time errored (fail conservative), and
+    skip ERR entries like the raw total does."""
+    import bench
+
+    timings = {"a": 1.0, "b": 2.0, "c": "ERR", "d": 3.0}
+    retimed = {
+        "b": {"in_bench": 2.0, "isolated": 0.5, "anchor": 0.4,
+              "isolated_ratio": 1.25},
+        "d": {"in_bench": 3.0, "anchor": 0.4, "err": "Boom"},
+    }
+    assert bench.adjudicated_total(timings, retimed) == 4.5
+    # no outliers -> identical to the raw float sum
+    assert bench.adjudicated_total(timings, {}) == 6.0
+
+
 def test_retime_outliers_adjudicates_only_above_threshold(spark):
     """Queries reading >1.5x their anchor get an isolated median re-time
     recorded next to the in-bench number; at-or-below-threshold and
