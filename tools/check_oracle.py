@@ -103,9 +103,30 @@ def main() -> int:
     # same sf the Spark side runs at
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     import __spark_entry__ as e
-    from us_dot_flights_lakehouse_spark.session import get_spark
 
-    spark = get_spark("check_oracle")
+    if os.environ.get("ORACLE_BARE"):
+        # conf-invariance mode: the driver's correctness harness runs the
+        # catalog under ITS OWN session, not the engine factory's — so the
+        # values (not just runnability, check_bare_session's job) must be
+        # identical under bare defaults: different shuffle partitioning
+        # (8 vs 32), no AQE/ANSI/timezone overrides. Catches
+        # order-dependent double sums and non-total tie-breaks.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(
+                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
+            )
+            .appName("check_oracle_bare")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        from us_dot_flights_lakehouse_spark.session import get_spark
+
+        spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
