@@ -128,11 +128,16 @@ def main() -> int:
 
         spark = get_spark("check_oracle")
     con = duckdb.connect()
+    # row-order-invariance mode: point DuckDB at a DIFFERENT physical copy
+    # of the same multiset (e.g. Spark on a row-permuted clone, DuckDB on
+    # the original) — green means every query is a pure function of the
+    # input multiset, with no scan-order dependence anywhere
+    oracle_dir = os.environ.get("ORACLE_TABLES_DIR", sf_dir)
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{oracle_dir}/{t}.parquet'"
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
