@@ -403,6 +403,45 @@ def test_schema_evolution_adds_new_columns_across_batches(spark, tmp_path_factor
     assert spark.read.option("mergeSchema", "true").parquet(dest).count() == 4
 
 
+def test_read_table_stream_handles_both_table_shapes(
+    spark, sf_small, tmp_path_factory
+):
+    """r12 split-input sweep finding: the old leaf-filename glob read 0
+    rows when a table was a DIRECTORY of part files (the production
+    shape). read_table_stream must ingest the full multiset in both
+    shapes: the testdata single file and a multi-file directory."""
+    from us_dot_flights_lakehouse_spark.sources.readers import (
+        read_table,
+        read_table_stream,
+    )
+
+    n_expected = read_table(spark, sf_small, "events").count()
+
+    def drain(sf_dir, name):
+        stream = read_table_stream(spark, sf_dir, "events")
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name).count()
+
+    # single-file shape (the raw testdata)
+    assert drain(sf_small, "rts_single") == n_expected
+
+    # directory-of-part-files shape
+    root = str(tmp_path_factory.mktemp("split_tbl"))
+    read_table(spark, sf_small, "events").repartition(3).write.parquet(
+        f"{root}/events.parquet"
+    )
+    assert drain(root, "rts_split") == n_expected
+
+
 def test_type_counts_processor_logic_without_runner():
     """The transformWithStateInPandas PROCESSOR semantics — map-state
     accumulation across micro-batches, multi-key isolation, full-map

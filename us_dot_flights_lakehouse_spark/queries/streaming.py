@@ -151,16 +151,10 @@ def st_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     within a user, so max-by-n_events selects the final state without
     assuming a single micro-batch. State carry-over across micro-batches
     is asserted separately in tests/test_streaming.py."""
-    from us_dot_flights_lakehouse_spark.sources.readers import normalize_nano_ts
+    from us_dot_flights_lakehouse_spark.sources.readers import read_table_stream
     from us_dot_flights_lakehouse_spark.streaming.stateful import running_user_totals
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = normalize_nano_ts(
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir),
-        "events",
-    )
+    stream = read_table_stream(spark, sf_dir, "events")
     name = "st_running_totals_sink"
     for q in spark.streams.active:
         if q.name == name:
@@ -204,16 +198,10 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     across partitions), but the surviving KEY SET is exactly the distinct
     set — which is what makes a DuckDB oracle possible for a streaming
     stateful operator."""
-    from us_dot_flights_lakehouse_spark.sources.readers import normalize_nano_ts
+    from us_dot_flights_lakehouse_spark.sources.readers import read_table_stream
     from us_dot_flights_lakehouse_spark.streaming.stateful import stream_dedup
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = normalize_nano_ts(
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir),
-        "events",
-    )
+    stream = read_table_stream(spark, sf_dir, "events")
     deduped = stream_dedup(
         stream, ["user_id", "event_type"], ts_col="ts", watermark="1 hour"
     ).select("user_id", "event_type")

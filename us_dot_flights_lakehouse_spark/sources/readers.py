@@ -81,6 +81,37 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming sibling of ``read_table``: a file-stream over a driver
+    table in EITHER physical shape.
+
+    - Directory of part files (the production table shape): stream the
+      table path directly. A leaf-filename glob would match nothing
+      here — the r12 split-input invariance sweep caught exactly that
+      (st_running_totals/st_stream_dedup read 0 rows on multi-file
+      tables).
+    - Single parquet file (this repo's testdata shape): the file-stream
+      source requires a directory basePath, so stream the PARENT with a
+      ``pathGlobFilter`` pinned to the one file.
+
+    The shape probe is a local filesystem check; on an object store a
+    table is always the directory shape, i.e. the first branch."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
+    return normalize_nano_ts(raw, name)
+
+
 def read_corpus(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan for CPU-heavy per-row work (shingling, hashing, Arrow kernels):
     read_table + repartition to the session's core count.
