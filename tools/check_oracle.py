@@ -61,7 +61,22 @@ NULLABLE_BY_DESIGN_SFS = {"sf0.001"}
 def allowed_null_cols(name: str, sf_dir: str) -> set[str]:
     import os
 
-    if os.path.basename(os.path.normpath(sf_dir)) in NULLABLE_BY_DESIGN_SFS:
+    # The SF identity belongs to the DATA, not the directory name: the
+    # invariance sweeps run Spark on clones (/tmp/sfperm*, split/reversed
+    # copies) whose basename no longer says which SF they clone, which
+    # used to drop this exemption and fail the degeneracy guard spuriously
+    # (ADVICE r12). Resolve the tag from, in order: an explicit
+    # ORACLE_SF_TAG override, the DuckDB-side dir (ORACLE_TABLES_DIR
+    # points at the ORIGINAL when Spark runs on a clone), then sf_dir —
+    # matching any declared tag as a substring so `sf0.001_perm`-style
+    # clone names keep the gate ("sf0.001" is not a substring of "sf0.01"
+    # or vice versa, so tags cannot cross-match).
+    candidates = [
+        os.environ.get("ORACLE_SF_TAG", ""),
+        os.path.basename(os.path.normpath(os.environ.get("ORACLE_TABLES_DIR", ""))),
+        os.path.basename(os.path.normpath(sf_dir)),
+    ]
+    if any(tag in c for tag in NULLABLE_BY_DESIGN_SFS for c in candidates if c):
         return NULLABLE_BY_DESIGN.get(name, set())
     return set()
 

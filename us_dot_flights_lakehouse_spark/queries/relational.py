@@ -8347,8 +8347,25 @@ def _x12_mart(spark: SparkSession, sf_dir: str) -> str:
             # (the src_xml_roundtrip fixture's posture, review r12). If
             # a concurrent builder recreates `out` between the evict
             # and the retry, adopt its committed mart; anything else
-            # re-raises.
-            shutil.rmtree(out, ignore_errors=True)
+            # re-raises. Eviction is rename-aside, not delete-in-place
+            # (ADVICE r12): a concurrent builder may have committed a
+            # VALID mart between the isfile(ready) check above and here,
+            # and rmtree-ing it mid-read would surface transient
+            # missing-file errors to a third reader — the atomic rename
+            # keeps any such reader's already-opened files alive, and the
+            # fresh marker re-check immediately before it narrows the
+            # race to the rename syscall itself (where a now-valid `out`
+            # simply wins and we adopt it below).
+            if os.path.isfile(ready):
+                shutil.rmtree(tmp, ignore_errors=True)
+                return out
+            evicted = f"{out}.evicted.{os.getpid()}"
+            shutil.rmtree(evicted, ignore_errors=True)
+            try:
+                os.rename(out, evicted)
+            except OSError:
+                pass  # already gone, or just committed — retry decides
+            shutil.rmtree(evicted, ignore_errors=True)
             try:
                 os.rename(tmp, out)
             except OSError:
