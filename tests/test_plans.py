@@ -277,3 +277,70 @@ def test_dsir_token_join_aggregates_partially(spark):
     plan = _plan(tp_dsir_weights(spark, SF))
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_advised_join_broadcast_advice_drives_broadcast_plan(spark):
+    """advised_join with strategy='broadcast' must plan a
+    BroadcastHashJoin — the advisor's recommendation IS the plan
+    (VERDICT r12 item 3)."""
+    from us_dot_flights_lakehouse_spark.operators.joins import advised_join
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    advice = {"strategy": "broadcast", "recommended_partitions": 7}
+    df = advised_join(orders, cust, ["o_custkey"], ["c_custkey"], advice)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_advised_join_shuffle_advice_forces_shuffled_join(spark):
+    """strategy='shuffle' must force the shuffled sort-merge join even
+    when the right side is small enough that Catalyst's byte-size
+    estimate would auto-broadcast it — the advisor's row-based verdict,
+    not the size stat, owns the strategy choice."""
+    from us_dot_flights_lakehouse_spark.operators.joins import advised_join
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    advice = {"strategy": "shuffle", "recommended_partitions": 7}
+    df = advised_join(orders, cust, ["o_custkey"], ["c_custkey"], advice)
+    plan = _plan(df, "simple")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # values identical to a plain join regardless of strategy
+    plain = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    assert df.count() == plain.count()
+
+
+def test_advised_shuffle_partitions_drives_exchange_count(spark):
+    """The COUNT half of the advice: under advised_shuffle_partitions
+    the shuffled join's exchanges carry the advisor's partition count;
+    outside the block the session conf is restored. (Per-input
+    .repartition(N) does NOT survive under a shuffled join —
+    EnsureRequirements re-plans it at spark.sql.shuffle.partitions, so
+    the conf scope is the real seam; see advised_join docstring.)"""
+    from us_dot_flights_lakehouse_spark.operators.joins import (
+        advised_join,
+        advised_shuffle_partitions,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    advice = {"strategy": "shuffle", "recommended_partitions": 7}
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with advised_shuffle_partitions(spark, advice):
+        df = advised_join(orders, cust, ["o_custkey"], ["c_custkey"], advice)
+        plan = _plan(df, "simple")
+        assert plan.count(", 7)") == 2  # both join exchanges at advised N
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_advised_join_rejects_unknown_strategy(spark):
+    from us_dot_flights_lakehouse_spark.operators.joins import advised_join
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    with pytest.raises(ValueError, match="unknown advised strategy"):
+        advised_join(orders, cust, ["o_custkey"], ["c_custkey"],
+                     {"strategy": "sort", "recommended_partitions": 1})

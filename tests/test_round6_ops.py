@@ -8,6 +8,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import patch_defining_module
+
 
 def test_ranker_auc_tie_averaged_rank_sum(spark, monkeypatch):
     """AUC on a 6-doc corpus with score ties, checked against the
@@ -25,7 +27,7 @@ def test_ranker_auc_tie_averaged_rank_sum(spark, monkeypatch):
         (5, "a b c d", "en"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
-    monkeypatch.setattr(llm, "read_table", lambda s, d, n: docs)
+    patch_defining_module(monkeypatch, llm.tp_ranker_auc, "read_table", lambda s, d, n: docs)
     out = llm.tp_ranker_auc(spark, "ignored").collect()[0]
     # ranks: score1 -> 1; score2 pair -> (2+3)/2 = 2.5 each;
     #        score3 pair -> 4.5 each; score4 -> 6
@@ -46,7 +48,7 @@ def test_weighted_median_prefers_volume_over_rows(spark, monkeypatch):
     li = spark.createDataFrame(
         rows, "l_returnflag string, l_extendedprice double, l_quantity double"
     )
-    monkeypatch.setattr(rel, "read_table", lambda s, d, n: li)
+    patch_defining_module(monkeypatch, rel.a30_weighted_median, "read_table", lambda s, d, n: li)
     out = rel.a30_weighted_median(spark, "ignored").collect()[0]
     # total weight 53; cum at 10/20/30 = 1/2/3 (2*3 < 53); at 100 -> 53
     assert out["weighted_median_price"] == 100.0
@@ -70,7 +72,7 @@ def test_kcore_peels_path_and_keeps_clique(spark, monkeypatch):
         (3, e), (3, f),
     ]
     li = spark.createDataFrame(baskets, "l_orderkey long, l_partkey long")
-    monkeypatch.setattr(rel, "read_table", lambda s, d_, n: li)
+    patch_defining_module(monkeypatch, rel.g3_kcore_decompose, "read_table", lambda s, d_, n: li)
     out = {r["p_partkey"]: r for r in rel.g3_kcore_decompose(spark, "x").collect()}
     for node in (a, b, c):
         assert out[node]["peel_round"] is None
@@ -107,7 +109,7 @@ def test_attribution_last_touch_and_direct_null(spark, monkeypatch):
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
     )
-    monkeypatch.setattr(rel, "read_table", lambda s, d, n: events)
+    patch_defining_module(monkeypatch, rel.w20_attribution, "read_table", lambda s, d, n: events)
     out = {r["purchase_event_id"]: r for r in rel.w20_attribution(spark, "x").collect()}
     assert out[1]["touch_event_id"] is None and out[1]["gap_minutes"] is None
     assert out[5]["touch_event_id"] == 3
@@ -124,7 +126,7 @@ def test_heaps_law_monotone_and_beta_range(spark, monkeypatch):
         [(i, "same same same") for i in range(10)],
         "doc_id long, text string",
     )
-    monkeypatch.setattr(llm, "read_corpus", lambda s, d, n: docs)
+    patch_defining_module(monkeypatch, llm.ts_heaps_law, "read_corpus", lambda s, d, n: docs)
     rows = sorted(
         llm.ts_heaps_law(spark, "x").collect(), key=lambda r: r["decile"]
     )
@@ -149,7 +151,7 @@ def test_mutual_information_independent_is_zero(spark, monkeypatch):
     orders = spark.createDataFrame(
         rows, "o_orderstatus string, o_orderpriority string"
     )
-    monkeypatch.setattr(rel, "read_table", lambda s, d, n: orders)
+    patch_defining_module(monkeypatch, rel.a28_mutual_information, "read_table", lambda s, d, n: orders)
     for r in rel.a28_mutual_information(spark, "x").collect():
         assert r["pmi"] == pytest.approx(0.0, abs=1e-12)
         assert r["mi_term"] == pytest.approx(0.0, abs=1e-12)
@@ -190,7 +192,7 @@ def test_label_propagation_finds_planted_communities(spark, monkeypatch):
         (3, c1[-1]), (3, c2[0]),  # bridge basket
     ]
     li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
-    monkeypatch.setattr(rel, "read_table", lambda s, d, n: li)
+    patch_defining_module(monkeypatch, rel.g4_label_propagation, "read_table", lambda s, d, n: li)
     out = {r["p_partkey"]: r for r in rel.g4_label_propagation(spark, "x").collect()}
     for p in c1:
         assert out[p]["community"] == c1[0]

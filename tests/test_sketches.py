@@ -14,6 +14,8 @@ from bisect import bisect_left, bisect_right
 
 import pytest
 
+from conftest import patch_defining_module
+
 from us_dot_flights_lakehouse_spark.operators.sketches import (
     kll_dumps,
     kll_extend,
@@ -1108,7 +1110,7 @@ def test_x12_rename_race_adopts_committed_winner(spark, sf_small, monkeypatch):
         real_rename(keep, out)
         committed["done"] = True
 
-    monkeypatch.setattr(rel, "_x12_build_mart", build_then_commit)
+    patch_defining_module(monkeypatch, rel._x12_mart, "_x12_build_mart", build_then_commit)
     monkeypatch.setattr(os, "rename", failing_rename)
     got = rel._x12_mart(spark, sf_small)
     assert committed["done"] and got == out
@@ -1252,7 +1254,7 @@ def test_join_advisor_zero_overlap_edge(spark, sf_small, monkeypatch):
             )
         return df
 
-    monkeypatch.setattr(rel, "read_table", shifted)
+    patch_defining_module(monkeypatch, rel.q_join_cardinality_advisor, "read_table", shifted)
     rows = {
         r["edge"]: r
         for r in rel.q_join_cardinality_advisor(spark, sf_small).collect()

@@ -133,6 +133,85 @@ def salted_join(
     return out.drop("__salt_l", "__salt_r")
 
 
+def advised_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: Sequence[str],
+    right_on: Sequence[str],
+    advice,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join whose PHYSICAL strategy is driven by an advisor row
+    (q_join_cardinality_advisor's planning table) — the seam that turns
+    the advisor from a report into an optimizer hook, the way a 100 TB
+    deployment would wire its ANALYZE stats into plan choice (reference
+    analogue: the hand-tuned broadcast threshold at fact_flights.py:36-61,
+    here decided by measured cardinalities instead of a constant).
+
+    ``advice`` is any mapping with ``strategy`` ('broadcast'|'shuffle')
+    and ``recommended_partitions`` (int) — e.g. a collected advisor Row.
+    Semantics are those of a plain equi-join regardless of strategy (the
+    advice controls ONLY the physical plan); oracle-checked end-to-end by
+    j19_advised_join.
+
+    - 'broadcast': broadcast-hash join of ``right`` (explicit hint, so it
+      survives missing/over-threshold size stats).
+    - 'shuffle': a ``merge`` hint forces the shuffled sort-merge join —
+      broadcast is OFF the table even when Catalyst's byte-size estimate
+      would auto-broadcast a row-heavy side (the advisor's ROW-based
+      threshold is the authority here).
+
+    The partition-COUNT half of the advice is applied via
+    ``advised_shuffle_partitions`` (below), not here: Spark has no
+    per-join shuffle-partitioning knob. Hash-repartitioning the inputs to
+    N first does NOT work — when a shuffled join consumes a
+    REPARTITION_BY_NUM exchange, EnsureRequirements re-plans it at
+    ``spark.sql.shuffle.partitions``, silently discarding the explicit N
+    (verified empirically on Spark 4.1 with and without AQE/hints; the
+    logical plan keeps ``RepartitionByExpression [key], N`` but the
+    physical exchanges come out at the conf value). So the count is
+    driven the way Spark actually exposes it: the session conf / AQE
+    advisory size, scoped by the caller around the action.
+    """
+    strategy = advice["strategy"]
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown advised strategy: {strategy!r}")
+    cond = None
+    for lk, rk in zip(left_on, right_on):
+        c = left[lk] == right[rk]
+        cond = c if cond is None else (cond & c)
+    hinted = F.broadcast(right) if strategy == "broadcast" else right.hint("merge")
+    return left.join(hinted, cond, how)
+
+
+class advised_shuffle_partitions:
+    """Context manager applying the COUNT half of a join-advisor row:
+    sets ``spark.sql.shuffle.partitions`` to the advice's
+    ``recommended_partitions`` for the duration of the block (plan +
+    action belong inside), then restores the previous value.
+
+    This is the knob Spark actually honors for shuffled-join parallelism
+    (see advised_join's docstring for why per-input repartitioning is
+    re-planned away); at 100 TB the same advice row would instead feed
+    ``spark.sql.adaptive.advisoryPartitionSizeInBytes`` per job. Scoped
+    set/restore keeps the advice from leaking into unrelated queries on
+    the shared session.
+    """
+
+    def __init__(self, spark, advice):
+        self.spark = spark
+        self.n = int(advice["recommended_partitions"])
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
