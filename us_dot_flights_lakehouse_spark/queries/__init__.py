@@ -40,7 +40,13 @@ _MODULES = (llm, streaming, quality, flights, relational)
 #: driver row — the per-round rotation rationale lives in git history:
 #: `git log -L :_PRIORITY:us_dot_flights_lakehouse_spark/queries/__init__.py`).
 _PRIORITY = (
-    # ---- round-12 front-load (driver samples the FIRST 50 entries) ----
+    # ---- round-13 front-load (driver samples the FIRST 50 entries) ----
+    # New: the advisor-driven join seam — q_join_cardinality_advisor's
+    # strategy/partition recommendation actually DRIVES the physical
+    # plan (broadcast vs co-partitioned shuffle-hash), semantics proven
+    # unchanged against a plain-SQL-join oracle:
+    "j19_advised_join",
+    # ---- round-12 front-load ----
     # New: persisted incremental sketch-mart maintenance through the S5
     # MERGE-upsert seam (x11's ⊎ algebra with KMV-blob state, maintained
     # mart hash-proven ≡ recompute across the write/read boundary):

