@@ -35,256 +35,77 @@ _MODULES = (llm, streaming, quality, flights, relational)
 #: Names pulled to the FRONT of the registry, in this order. The driver's
 #: correctness harness samples a bounded prefix of the catalog (the head
 #: 50), so ordering is signal allocation: queries NEW or CHANGED this
-#: round come first; everything below the fold is the accumulated
-#: rotation order of rounds 1-11 (every entry has >=1 lifetime green
-#: driver row — the per-round rotation rationale lives in git history:
-#: `git log -L :_PRIORITY:us_dot_flights_lakehouse_spark/queries/__init__.py`).
+#: round come first, then — since round 13 — the entries whose most
+#: recent green DRIVER row is oldest (staleness rotation, recomputed
+#: per round by tools/rotation_plan.py; every catalog entry has >=1
+#: lifetime green driver row, and the full catalog is locally
+#: oracle-swept at three SFs each round regardless). Entries not listed
+#: keep their module registration order below the fold. Per-round
+#: rotation rationale lives in git history:
+#: `git log -L :_PRIORITY:us_dot_flights_lakehouse_spark/queries/__init__.py`.
 _PRIORITY = (
     # ---- round-13 front-load (driver samples the FIRST 50 entries) ----
     # New: the advisor-driven join seam — q_join_cardinality_advisor's
-    # strategy/partition recommendation actually DRIVES the physical
-    # plan (broadcast vs co-partitioned shuffle-hash), semantics proven
+    # strategy recommendation actually DRIVES the physical plan
+    # (broadcast hint vs forced shuffled SMJ; the partition count rides
+    # the advised_shuffle_partitions conf seam), semantics proven
     # unchanged against a plain-SQL-join oracle:
     "j19_advised_join",
-    # ---- round-12 front-load ----
-    # New: persisted incremental sketch-mart maintenance through the S5
-    # MERGE-upsert seam (x11's ⊎ algebra with KMV-blob state, maintained
-    # mart hash-proven ≡ recompute across the write/read boundary):
-    "x12_sketch_mart_maintenance",
-    # New: the o11 × a40 composition — KMV over the universe-sampled
-    # subset, scaled estimate tracking the full-set estimate, both
-    # estimator branches (under-k exact / over-k bottom-k) in one result:
-    "a41_sampled_kmv_crosscheck",
-    # New: rolling windows recombined from the PERSISTED x12 mart (blobs
-    # written by one job, recombined in another); w25 changed alongside
-    # (rollup math factored into the shared _kmv_rolling_report helper):
-    "w26_mart_rolling_distinct",
-    "w25_kmv_rolling_distinct",
-    # New: single-scan group-by cardinality / shuffle-partition advisor
-    # (six candidate key-sets sketched from one exploded stream, CBO
-    # ANALYZE's column-group-NDV job, estimates engine-reproducible):
-    "q_groupby_cardinality_advisor",
-    # New: join cardinality / strategy advisor (per-edge KMV key sketches
-    # + union-bottom-k overlap -> CBO-style join-size estimate and a
-    # broadcast/shuffle + partition-count recommendation, all
-    # engine-reproducible; exact companions from key multiplicities):
-    "q_join_cardinality_advisor",
-    # Changed this round — need fresh driver rows: o11 grew the
-    # observable zero-pair-loss columns (ADVICE r11), src_xml_roundtrip's
-    # rename-race retry is now liveness-bounded (ADVICE r11):
-    "o11_universe_sample",
-    "src_xml_roundtrip",
-    # ---- rounds 1-11 accumulated ordering (first occurrence wins) ----
-    "a40_kmv_distinct_sketch",
-    "dd_kmv_source_overlap",
-    "x11_incremental_mart",
-    "st_windowed_distinct_sketch",
-    "a39_mg_topk_sketch",
-    "w24_mg_rolling_topk",
-    "st_windowed_quantile_sketch",
-    "a38_kll_quantile_sketch",
-    "w23_sketch_rolling_quantile",
-    "q_pk_uniqueness_audit",
-    "f_variant_suite",
-    "f_sql_udf",
-    "f_param_sql",
-    "f_udtf_partitioned",
-    "a36_boxplot_profile",
-    "st_silence_gaps",
-    "a37_anova_oneway",
-    "dd_corpus_snapshot_diff",
-    "dd_shingle_df_profile",
-    "sim_distance_histogram",
-    "tp_loss_masking",
-    "sim_ndcg_eval",
-    "w17_holt_winters",
-    "a26_chi2_independence",
-    "src_csv_badrecords",
-    "sim_matryoshka_truncation",
-    "tp_annotation_agreement",
-    "sim_power_iteration",
-    "tp_preference_pairs",
-    "a27_bootstrap_ci",
-    "q_order_reconciliation",
-    "dd_pipeline_verdict",
-    "tp_packing_efficiency",
-    "sim_fisher_separability",
-    "w18_anomaly_ensemble",
-    "st_windowed_topk",
-    "sim_intrinsic_dimension",
-    "dd_source_dedup_report",
-    "mm_audio_normalize_audit",
-    "tp_bpe_merge_step",
-    "dd_threshold_sweep",
-    "a31_ks_drift",
-    "p7_try_functions",
-    "tp_neyman_allocation",
-    "x8_snapshot_diff",
-    "x9_bucketed_join",
-    "sim_kcenter_diversity",
-    "a32_wasserstein_drift",
-    "a33_welch_t_drift",
-    "j18_salted_skew_join",
-    "o10_systematic_sample",
-    "a34_cramers_v",
-    "g5_neighbor_overlap",
-    "dd_soft_dedup_weights",
-    "tp_context_truncation",
-    "tp_dedup_aware_mixture",
-    "st_event_rate_alerts",
-    "mm_hist_equalize",
-    "dd_incremental_span_probe",
-    "x10_partition_pruned_scan",
-    "a35_quantile_drift",
-    "ts_code_detect",
-    "w21_rolling_quantile",
-    "w22_period_over_period",
-    "ts_boilerplate_lines",
-    "st_new_user_rate",
-    "tp_final_sample_weights",
-    "sim_pq_recall_audit",
-    "q_violation_bitmask",
-    "w13_activity_bitmap",
-    "w14_holt_forecast",
-    "q_table_stats_approx",
-    "dd_incremental_minhash",
-    "dd_incremental_clusters",
-    "w19_autocorrelation",
-    "a28_mutual_information",
-    "g3_kcore_decompose",
-    "tp_ranker_auc",
-    "ts_heaps_law",
-    "sim_lsh_recall_audit",
-    "w20_attribution",
-    "q_freshness_audit",
-    "a29_nation_gini",
-    "sim_index_drift",
-    "dd_lsh_tuning_curve",
-    "mm_scene_cuts",
-    "ts_ttr_diversity",
-    "a30_weighted_median",
-    "ts_quality_classifier",
-    "st_windowed_cardinality",
-    "o9_dense_rank_ids",
-    "q_skew_report",
-    "g4_label_propagation",
-    "mm_frame_dedup",
-    "q_encoding_profile",
-    "dd_exact_substr",
-    "dd_span_dedup_apply",
-    "ts_entropy_gates",
-    "tp_chat_lint",
-    "a24_theil_sen",
-    "a25_hhi_concentration",
-    "w15_changepoint_cusum",
-    "w16_seasonal_decompose",
-    "o8_reservoir_sample",
-    "sim_cur_decomposition",
-    "g2_triangle_count",
-    "ts_source_containment",
-    "j17_interval_align",
-    "q_schema_drift",
-    "mm_exif_strip",
-    "tp_pack_bestfit",
-    "dd_minhash_calibration",
-    "ts_zipf_audit",
-    "tp_token_ids",
-    "sim_feature_hash",
-    "ts_lm_doc_score",
-    "tp_vocab_coverage",
-    "tp_temperature_mix",
-    "mm_phash_dedup",
-    "x7_zorder_layout",
-    "tp_span_corruption",
-    "tp_detokenize_roundtrip",
-    "mm_silence_trim",
-    "dd_url_canonical",
-    "w9_cohort_retention",
-    "w10_markov_transitions",
-    "tp_length_buckets",
-    "tp_train_val_split",
-    "ts_novel_ngrams",
-    "mm_patchify",
-    "mm_image_norm",
-    "ts_c4_filters",
-    "ts_char_gini",
-    "tp_tokenizer_fertility",
-    "dd_prefix_clusters",
-    "sim_knn_accuracy",
-    "a20_equidepth_histogram",
-    "a21_pearson_corr",
-    "w11_rank_suite",
-    "g1_bipartite_rank",
-    "tp_dsir_weights",
-    "sim_label_centroids",
-    "a22_copurchase_lift",
-    "p8_winsorize",
-    "src_binary_ingest",
-    "dd_cluster_keep_best",
-    "tp_mixture_epochs",
-    "st_late_arrival_audit",
-    "st_interarrival_stats",
-    "q_referential_integrity",
-    "w12_ewma_smoothing",
-    "o5_benford_audit",
-    "p9_standardize",
-    "a23_mad_robust_stats",
-    "ts_lang_confusion",
-    "sim_ivf_recall_audit",
-    "sim_kmeans_inertia",
-    "j16_point_in_time_join",
-    "o7_id_continuity",
-    "ts_readability",
-    "tp_sft_format",
-    "mm_audio_vad_segments",
-    "w8_rolling_anomaly",
-    "dd_containment",
-    "tp_rag_pipeline",
-    "q_table_stats",
-    "mm_video_motion",
-    "tp_bloom_incremental_dedup",
-    "w4_scd2_history",
-    "ts_repetition_filters",
-    "tp_bpe_pair_counts",
-    "src_jsonl_roundtrip",
-    "src_orc_roundtrip",
-    "mm_audio_spectral",
-    "sim_hard_negatives",
-    "tp_label_balance",
-    "mm_image_resize",
-    "ts_unicode_normalize",
-    "ts_html_extract",
-    "ts_url_parse",
-    "w5_gapfill_resample",
-    "w6_forward_fill",
-    "w7_event_funnel",
-    "ts_countmin_sketch",
-    "ts_source_similarity",
-    "st_sliding_windows",
-    "ts_ngram_lm",
-    "tp_dataset_card",
-    "u4_union_schema_evolution",
-    "mm_audio_resample",
-    "tp_curriculum_order",
-    "sim_mips_topk",
-    "mm_image_crop",
-    "mm_image_augment",
-    "sim_ivf_topk",
-    "sim_lsh_multiprobe",
-    "mm_jpeg_roundtrip",
-    "mm_mjpeg_frame_stats",
-    "mm_audio_stats",
-    "sim_pq_topk",
-    "mm_gif_roundtrip",
-    "sim_random_projection",
-    "mm_mp4_frame_stats",
-    "tp_incremental_dedup",
-    "dd_line_dedup",
-    "src_wds_roundtrip",
-    "a19_sketch_rollup",
-    "st_running_totals",
-    "st_stream_dedup",
-    "daily_segment_performance",
+    # ---- staleness rotation (VERDICT r12 item 1) ----
+    # The other 49 slots go to the entries with the STALEST lifetime
+    # driver attestation (most recent green CORRECTNESS_r*.json row:
+    # 44 from r1-r2, 5 from r3 — computed by tools/rotation_plan.py,
+    # plan recorded in COVERAGE.md). They are covered by every local
+    # 306/306 sweep; this refreshes the DRIVER-side hard evidence.
+    "a10_cube_returnflag_status",  # last driver row r1
+    "a13_pivot_status_by_segment",  # last driver row r1
+    "a14_unpivot_status_counts",  # last driver row r1
+    "a15_grouping_sets",  # last driver row r1
+    "a16_collection_aggs",  # last driver row r1
+    "a17_bitwise_bool_aggs",  # last driver row r1
+    "a3_global_summary",  # last driver row r1
+    "a4_distinct_dim",  # last driver row r1
+    "a5_topk_parts",  # last driver row r1
+    "a7_grouped_dim_supplier",  # last driver row r1
+    "a9_rollup_segment_status",  # last driver row r1
+    "dd_fuzzy_name_pairs",  # last driver row r1
+    "f_array_suite",  # last driver row r1
+    "f_array_suite2",  # last driver row r1
+    "f_datetime_suite",  # last driver row r1
+    "f_datetime_suite2",  # last driver row r1
+    "f_explode_suite",  # last driver row r1
+    "f_map_suite",  # last driver row r1
+    "f_string_suite",  # last driver row r1
+    "f_string_suite2",  # last driver row r1
+    "f_udtf_shingles",  # last driver row r1
+    "f_xml_suite",  # last driver row r1
+    "j10_regional_revenue",  # last driver row r1
+    "j12_lateral_topk_orders",  # last driver row r1
+    "j2_star_fact_build",  # last driver row r1
+    "j4_outer_merge_daily_flow",  # last driver row r1
+    "j6_semi_high_value_customers",  # last driver row r1
+    "j7_anti_customers_without_orders",  # last driver row r1
+    "j9_range_join_price_bands",  # last driver row r1
+    "o3_date_dim",  # last driver row r1
+    "o4_recursive_month_spine",  # last driver row r1
+    "p4_conditional_cleaning",  # last driver row r1
+    "p5_null_handling",  # last driver row r1
+    "p6_grouped_minmax_scale",  # last driver row r1
+    "s1_deterministic_sample",  # last driver row r1
+    "u1_union_distinct_nations",  # last driver row r1
+    "u2_intersect_except_nations",  # last driver row r1
+    "u3_multiset_ops",  # last driver row r1
+    "w1_topk_per_group",  # last driver row r1
+    "w2_window_suite",  # last driver row r1
+    "fl_daily_airline_mart",  # last driver row r2
+    "fl_fact_star",  # last driver row r2
+    "j1_enrich_lookup_join",  # last driver row r2
+    "q_quality_report",  # last driver row r2
+    "a11_exact_quantiles",  # last driver row r3
+    "a12_approx_sketches",  # last driver row r3
+    "a18_stat_moments",  # last driver row r3
+    "a8_describe_orders",  # last driver row r3
+    "dd_dup_clusters",  # last driver row r3
 )
 # Uniqueness guard so hand-counting the driver head-50 budget stays
 # honest. An explicit raise, not a bare assert: asserts vanish under
