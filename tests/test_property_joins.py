@@ -162,18 +162,21 @@ def test_char_gini_fold_matches_counter_spec(spark, texts):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    import us_dot_flights_lakehouse_spark.queries.llm as llm
+    import sys as _sys
 
     # rebuild the query's projection against this frame (same code path:
-    # feed via a monkeypatched read_corpus)
-    orig = llm.read_corpus
-    llm.read_corpus = lambda _s, _d, _t: df
+    # feed via a patched read_corpus in the DEFINING module — since the
+    # round-13 split, the aggregator's attribute is not the one the
+    # function's globals resolve)
+    mod = _sys.modules[ts_char_gini.__module__]
+    orig = mod.read_corpus
+    mod.read_corpus = lambda _s, _d, _t: df
     try:
         got = {
             r["doc_id"]: r for r in ts_char_gini(spark, "ignored").collect()
         }
     finally:
-        llm.read_corpus = orig
+        mod.read_corpus = orig
     for i, t in enumerate(texts):
         s = re.sub(r"\s+", "", t.lower())
         if not s:  # whitespace-only docs are excluded by contract
@@ -212,14 +215,17 @@ def test_ewma_kernel_matches_python_recurrence(spark, rows):
         (u, base + datetime.timedelta(hours=h), v) for u, h, v in rows
     ]
     df = spark.createDataFrame(data, "user_id long, ts timestamp, value double")
+    import sys as _sys
+
     import us_dot_flights_lakehouse_spark.queries.relational as rel
 
-    orig = rel.read_table
-    rel.read_table = lambda _s, _d, _t: df
+    mod = _sys.modules[rel.w12_ewma_smoothing.__module__]
+    orig = mod.read_table
+    mod.read_table = lambda _s, _d, _t: df
     try:
         out = rel.w12_ewma_smoothing(spark, "ignored").collect()
     finally:
-        rel.read_table = orig
+        mod.read_table = orig
     got = {(r["user_id"], r["hour"]): r["ewma"] for r in out}
     from collections import defaultdict
 
