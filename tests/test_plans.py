@@ -344,3 +344,32 @@ def test_advised_join_rejects_unknown_strategy(spark):
     with pytest.raises(ValueError, match="unknown advised strategy"):
         advised_join(orders, cust, ["o_custkey"], ["c_custkey"],
                      {"strategy": "sort", "recommended_partitions": 1})
+
+
+def test_skew_advised_join_salts_a_planted_mega_key(spark):
+    """skew_advised_join with a 'salt' verdict must spread a planted
+    mega-key across salts (the join exchanges on (key, salt), not key
+    alone) and return values identical to the plain join; a 'none'
+    verdict must join plainly."""
+    from pyspark.sql import functions as F
+
+    from us_dot_flights_lakehouse_spark.operators.joins import skew_advised_join
+
+    # mega-key: 5000 rows on key 7, 100 rows spread over keys 0..99
+    fact = spark.range(5000).select(F.lit(7).alias("k"), F.col("id").alias("v")).unionAll(
+        spark.range(100).select(F.col("id").alias("k"), (F.col("id") + 10_000).alias("v"))
+    )
+    dim = spark.range(100).select(F.col("id").alias("dk"), F.concat(F.lit("n"), F.col("id")).alias("name"))
+    advice = {"mitigation": "salt", "salts": 8}
+    salted = skew_advised_join(fact, dim, "k", "dk", advice)
+    plain = fact.join(dim, fact["k"] == dim["dk"])
+    assert "__salt" in _plan(salted, "simple") or "pmod" in _plan(salted, "simple")
+    assert sorted(tuple(r) for r in salted.collect()) == sorted(
+        tuple(r) for r in plain.collect()
+    )
+    none = skew_advised_join(fact, dim, "k", "dk", {"mitigation": "none", "salts": 1})
+    assert sorted(tuple(r) for r in none.collect()) == sorted(
+        tuple(r) for r in plain.collect()
+    )
+    with pytest.raises(ValueError, match="unknown skew mitigation"):
+        skew_advised_join(fact, dim, "k", "dk", {"mitigation": "aqe", "salts": 1})

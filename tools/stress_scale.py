@@ -25,6 +25,44 @@ from us_dot_flights_lakehouse_spark.sources.readers import read_table
 SF_DIR = "/root/testdata/sf0.1"
 
 
+def _query_modules():
+    import sys as _s
+
+    return [
+        m
+        for n, m in list(_s.modules.items())
+        if n.startswith("us_dot_flights_lakehouse_spark.queries") and m is not None
+    ]
+
+
+def _seam(attr: str, fn) -> None:
+    """Set read_table/read_corpus across ALL loaded query modules.
+
+    Since the round-13 family split, a query function's globals live in
+    its family module (agg_q, sketch_q, dedup_q, ...), so patching only
+    the aggregator (queries.relational / queries.llm) is a silent no-op:
+    the probe would read the REAL tables on both the 1x and Nx side and
+    report a meaningless 1.0x growth. This seam patches every loaded
+    queries.* module that binds the attribute."""
+    for m in _query_modules():
+        if hasattr(m, attr):
+            setattr(m, attr, fn)
+
+
+def _seam_restore() -> None:
+    """Re-bind the true readers everywhere (the originals every family
+    module imported at definition time)."""
+    from us_dot_flights_lakehouse_spark.sources.readers import (
+        read_corpus,
+        read_table,
+    )
+
+    _seam("read_table", read_table)
+    _seam("read_corpus", read_corpus)
+
+
+
+
 def scaled(spark, table: str, factor: int, id_col: str, shift: int = 10_000_000):
     base = read_table(spark, SF_DIR, table)
     copies = []
@@ -60,6 +98,10 @@ def main():
         return
     if only == "round12":
         round12_families(spark, factor, sys.argv[3] if len(sys.argv) > 3 else None)
+        spark.stop()
+        return
+    if only == "round13":
+        round13_families(spark, factor, sys.argv[3] if len(sys.argv) > 3 else None)
         spark.stop()
         return
     if only == "round7":
@@ -757,9 +799,9 @@ def round5b_families(spark, factor):
         for name, fn in targets:
             times = []
             for f in (1, factor):
-                rel.read_table = scaled_table(f)
-                llm.read_table = scaled_table(f)
-                llm.read_corpus = scaled_table(f)
+                _seam("read_table", scaled_table(f))
+                _seam("read_table", scaled_table(f))
+                _seam("read_corpus", scaled_table(f))
                 t = timed(f"{name}@{f}x", fn(spark, SF_DIR))
                 times.append(t)
             print(
@@ -767,9 +809,7 @@ def round5b_families(spark, factor):
                 flush=True,
             )
     finally:
-        rel.read_table = orig_rel
-        llm.read_table = orig_llm
-        llm.read_corpus = orig_corpus
+        _seam_restore()
         readers.read_table = orig_readers
 
 
@@ -837,9 +877,9 @@ def round6_families(spark, factor):
         for name, fn in targets:
             times = []
             for f in (1, factor):
-                rel.read_table = scaled_table(f)
-                llm.read_table = scaled_table(f)
-                llm.read_corpus = scaled_table(f)
+                _seam("read_table", scaled_table(f))
+                _seam("read_table", scaled_table(f))
+                _seam("read_corpus", scaled_table(f))
                 t = timed(f"{name}@{f}x", fn(spark, SF_DIR))
                 times.append(t)
             print(
@@ -847,9 +887,7 @@ def round6_families(spark, factor):
                 flush=True,
             )
     finally:
-        rel.read_table = orig_rel
-        llm.read_table = orig_llm
-        llm.read_corpus = orig_corpus
+        _seam_restore()
 
 
 def round6b_families(spark, factor):
@@ -925,11 +963,11 @@ def round6b_families(spark, factor):
         for name, fn in targets:
             times = []
             for f in (1, factor):
-                rel.read_table = scaled_table(f)
-                llm.read_table = scaled_table(f)
-                llm.read_corpus = scaled_table(f)
-                qual.read_table = scaled_table(f)
-                st.read_table = scaled_table(f)
+                _seam("read_table", scaled_table(f))
+                _seam("read_table", scaled_table(f))
+                _seam("read_corpus", scaled_table(f))
+                _seam("read_table", scaled_table(f))
+                _seam("read_table", scaled_table(f))
                 t = timed(f"{name}@{f}x", fn(spark, SF_DIR))
                 times.append(t)
             print(
@@ -999,10 +1037,10 @@ def round6c_families(spark, factor):
         for name, fn in targets:
             times = []
             for f in (1, factor):
-                rel.read_table = scaled_table(f)
-                llm.read_table = scaled_table(f)
-                llm.read_corpus = scaled_table(f)
-                qual.read_table = scaled_table(f)
+                _seam("read_table", scaled_table(f))
+                _seam("read_table", scaled_table(f))
+                _seam("read_corpus", scaled_table(f))
+                _seam("read_table", scaled_table(f))
                 t = timed(f"{name}@{f}x", fn(spark, SF_DIR))
                 times.append(t)
             print(
@@ -1010,7 +1048,7 @@ def round6c_families(spark, factor):
                 flush=True,
             )
     finally:
-        rel.read_table, llm.read_table, llm.read_corpus, qual.read_table = origs
+        _seam_restore()
 
 
 def round6d_families(spark, factor):
@@ -1067,10 +1105,10 @@ def round6d_families(spark, factor):
         for name, fn in targets:
             times = []
             for f in (1, factor):
-                rel.read_table = scaled_table(f)
-                llm.read_table = scaled_table(f)
-                llm.read_corpus = scaled_table(f)
-                st.read_table = scaled_table(f)
+                _seam("read_table", scaled_table(f))
+                _seam("read_table", scaled_table(f))
+                _seam("read_corpus", scaled_table(f))
+                _seam("read_table", scaled_table(f))
                 t = timed(f"{name}@{f}x", fn(spark, SF_DIR))
                 times.append(t)
             print(
@@ -1078,7 +1116,7 @@ def round6d_families(spark, factor):
                 flush=True,
             )
     finally:
-        rel.read_table, llm.read_table, llm.read_corpus, st.read_table = origs
+        _seam_restore()
 
 
 
@@ -1125,9 +1163,9 @@ def round12_families(spark, factor, only_target=None):
         if run_a41:
             times = []
             for f in (1, factor):
-                rel.read_table = lambda s_, d_, n_, f=f: (
+                _seam("read_table", lambda s_, d_, n_, f=f: (
                     scaled_orders(f) if n_ == "orders" else orig_rel(s_, d_, n_)
-                )
+                ))
                 times.append(
                     timed(
                         f"a41_sampled_kmv_crosscheck@{f}x",
@@ -1140,7 +1178,7 @@ def round12_families(spark, factor, only_target=None):
                 flush=True,
             )
     finally:
-        rel.read_table = orig_rel
+        _seam_restore()
     if run_jadv:
         # join advisor: facts (lineitem+orders) scaled, dims at 1x.
         # lineitem copies shift l_orderkey and orders copies shift
@@ -1162,13 +1200,13 @@ def round12_families(spark, factor, only_target=None):
         try:
             times = []
             for f in (1, factor):
-                rel.read_table = lambda s_, d_, n_, f=f: (
+                _seam("read_table", lambda s_, d_, n_, f=f: (
                     scaled_li(f)
                     if n_ == "lineitem"
                     else scaled_orders(f)
                     if n_ == "orders"
                     else orig(s_, d_, n_)
-                )
+                ))
                 times.append(
                     timed(
                         f"q_join_cardinality_advisor@{f}x",
@@ -1181,7 +1219,7 @@ def round12_families(spark, factor, only_target=None):
                 flush=True,
             )
         finally:
-            rel.read_table = orig
+            _seam_restore()
     if run_build:
         times = []
         for f in (1, factor):
@@ -1275,10 +1313,10 @@ def round10_families(spark, factor, only_target=None):
         for name, fn in targets:
             times = []
             for f in (1, factor):
-                rel.read_table = scaled_table(f)
-                llm.read_table = scaled_table(f)
-                llm.read_corpus = scaled_table(f)
-                st.read_table = scaled_table(f)
+                _seam("read_table", scaled_table(f))
+                _seam("read_table", scaled_table(f))
+                _seam("read_corpus", scaled_table(f))
+                _seam("read_table", scaled_table(f))
                 t = timed(f"{name}@{f}x", fn(spark, SF_DIR))
                 times.append(t)
             print(
@@ -1292,10 +1330,7 @@ def round10_families(spark, factor, only_target=None):
                     df.unpersist()
                     del cache[key]
     finally:
-        rel.read_table = orig_rel
-        llm.read_table = orig_llm
-        llm.read_corpus = orig_corpus
-        st.read_table = orig_st
+        _seam_restore()
 
 
 def round7_families(spark, factor):
@@ -1358,10 +1393,10 @@ def round7_families(spark, factor):
         for name, fn in targets:
             times = []
             for f in (1, factor):
-                rel.read_table = scaled_table(f)
-                llm.read_table = scaled_table(f)
-                llm.read_corpus = scaled_table(f)
-                st.read_table = scaled_table(f)
+                _seam("read_table", scaled_table(f))
+                _seam("read_table", scaled_table(f))
+                _seam("read_corpus", scaled_table(f))
+                _seam("read_table", scaled_table(f))
                 t = timed(f"{name}@{f}x", fn(spark, SF_DIR))
                 times.append(t)
             print(
@@ -1369,10 +1404,7 @@ def round7_families(spark, factor):
                 flush=True,
             )
     finally:
-        rel.read_table = orig_rel
-        llm.read_table = orig_llm
-        llm.read_corpus = orig_corpus
-        st.read_table = orig_st
+        _seam_restore()
 
 def round7b_families(spark, factor):
     """Round-7 waves 4-6 at Nx through the REAL catalog code (same
@@ -1431,11 +1463,11 @@ def round7b_families(spark, factor):
         for name, fn in targets:
             times = []
             for f in (1, factor):
-                rel.read_table = scaled_table(f)
-                llm.read_table = scaled_table(f)
-                llm.read_corpus = scaled_table(f)
-                st.read_table = scaled_table(f)
-                qual.read_table = scaled_table(f)
+                _seam("read_table", scaled_table(f))
+                _seam("read_table", scaled_table(f))
+                _seam("read_corpus", scaled_table(f))
+                _seam("read_table", scaled_table(f))
+                _seam("read_table", scaled_table(f))
                 t = timed(f"{name}@{f}x", fn(spark, SF_DIR))
                 times.append(t)
             print(
@@ -1443,11 +1475,86 @@ def round7b_families(spark, factor):
                 flush=True,
             )
     finally:
-        rel.read_table = orig_rel
-        llm.read_table = orig_llm
-        llm.read_corpus = orig_corpus
-        st.read_table = orig_st
-        qual.read_table = orig_qual
+        _seam_restore()
+
+
+
+
+def round13_families(spark, factor, only_target=None):
+    """Round-13 probes at Nx through the REAL catalog code.
+
+        python tools/stress_scale.py 100 round13 [target]
+
+    - q_groupby_cardinality_advisor: orders scaled Nx (o_orderkey
+      shifted per copy, so the high-card key-sets grow Nx while the
+      low-card dims stay fixed — exactly the mixed-NDV shape a real
+      ANALYZE faces). This is the one r12 query the verdict flagged as
+      pattern-covered but not directly probed: the 6x codegen struct
+      fan-out ahead of the KMV partials is what the a40 analogy did not
+      measure. Expected ~linear: the fan-out is a per-row map, the
+      partials are <=k longs per (task, key-set).
+    - j19_advised_join: orders scaled Nx, customer at 1x. Cost = the
+      advisor table (4 edges, sketch path linear) + the advised join
+      itself (broadcast at 1x right side). Expected ~linear.
+    """
+    import us_dot_flights_lakehouse_spark.queries.relational as rel
+
+    cache = {}
+
+    def scaled_orders(f):
+        if f not in cache:
+            cache[f] = scaled(spark, "orders", f, "o_orderkey").cache()
+            cache[f].count()
+        return cache[f]
+
+    li_cache = {}
+
+    def scaled_li(f):
+        if f not in li_cache:
+            li_cache[f] = scaled(spark, "lineitem", f, "l_orderkey").cache()
+            li_cache[f].count()
+        return li_cache[f]
+
+    targets = {
+        "q_groupby_cardinality_advisor": ("orders",),
+        "j19_advised_join": ("orders", "lineitem"),
+    }
+    run = [t for t in targets if only_target in (None, t)]
+    if not run:
+        sys.exit(f"unknown round13 target {only_target!r}")
+    orig = rel.read_table
+    try:
+        for name in run:
+            scaled_names = targets[name]
+            fn = getattr(rel, name)
+            # untimed warmup at 1x: JVM/codegen/parquet-footer costs
+            # otherwise inflate the 1x reading and UNDERSTATE growth
+            _seam_restore()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            times = []
+            for f in (1, factor):
+                _seam("read_table", lambda s_, d_, n_, f=f, sn=scaled_names: (
+                    scaled_orders(f)
+                    if n_ == "orders" and "orders" in sn
+                    else scaled_li(f)
+                    if n_ == "lineitem" and "lineitem" in sn
+                    else orig(s_, d_, n_)
+                ))
+                # time CONSTRUCTION + execution: j19 collects its advisor
+                # table while BUILDING the DataFrame (the plan-time scalar
+                # the seam exists for), so timing only the returned plan
+                # would silently exclude the advisor's scan
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                print(f"{name}@{f}x: {dt:.2f}s", flush=True)
+                times.append(dt)
+            print(
+                f"{name}: growth {times[1] / times[0]:.1f}x at {factor}x rows",
+                flush=True,
+            )
+    finally:
+        _seam_restore()
 
 
 if __name__ == "__main__":

@@ -212,6 +212,34 @@ class advised_shuffle_partitions:
         return False
 
 
+def skew_advised_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    other_key: str,
+    advice,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join whose skew mitigation is driven by an advisor row
+    (q_join_skew_advisor's planning table — the skew axis of the
+    advised_join seam): ``advice['mitigation']`` is 'salt' (a mega-key
+    detected: spread it across ``advice['salts']`` shuffle partitions
+    via salted_join — AQE's mapper-block skew split cannot subdivide
+    one key's build rows) or 'none' (uniform keys: plain join, AQE's
+    runtime handling is sufficient). Semantics are those of a plain
+    equi-join either way; oracle-checked end-to-end by
+    j20_skew_advised_join and pinned on a planted mega-key in
+    tests/test_plans.py."""
+    mitigation = advice["mitigation"]
+    if mitigation == "salt":
+        return salted_join(
+            skewed, other, key, other_key, n_salts=int(advice["salts"]), how=how
+        )
+    if mitigation != "none":
+        raise ValueError(f"unknown skew mitigation: {mitigation!r}")
+    return skewed.join(other, skewed[key] == other[other_key], how)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

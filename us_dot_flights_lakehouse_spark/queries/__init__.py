@@ -51,8 +51,13 @@ _PRIORITY = (
     # the advised_shuffle_partitions conf seam), semantics proven
     # unchanged against a plain-SQL-join oracle:
     "j19_advised_join",
+    # New: join-key skew advisor (Misra-Gries heavy hitters per edge ->
+    # per-key salt/none verdict + salt count; the detection half of the
+    # r13 skew-stress gate) and the seam that applies it:
+    "q_join_skew_advisor",
+    "j20_skew_advised_join",
     # ---- staleness rotation (VERDICT r12 item 1) ----
-    # The other 49 slots go to the entries with the STALEST lifetime
+    # The remaining head-50 slots go to the entries with the STALEST lifetime
     # driver attestation (most recent green CORRECTNESS_r*.json row:
     # 44 from r1-r2, 5 from r3 — computed by tools/rotation_plan.py,
     # plan recorded in COVERAGE.md). They are covered by every local

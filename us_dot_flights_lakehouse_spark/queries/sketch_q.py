@@ -2176,3 +2176,206 @@ JOIN customer ON o_custkey = c_custkey
 CROSS JOIN edge
 GROUP BY c_mktsegment, edge.strategy, edge.recommended_partitions
 """
+
+
+#: fact-side key multiplicity above which a single hash partition would
+#: exceed a healthy task (the j18/salting regime); mirrors the
+#: JOIN_ADV_ROWS_PER_PART sizing philosophy but thresholds PER KEY —
+#: AQE's skew split cannot subdivide ONE key's rows, only salting can
+SKEW_SALT_THRESHOLD = 5_000
+#: advisor rows per edge: enough to show both verdicts (hot head + tail)
+SKEW_ADV_TOPK = 10
+
+
+def q_join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q (extension): JOIN-KEY SKEW ADVISOR — the third planning table
+    (after the group-by and join cardinality advisors, r12) and the
+    detection half of the round-13 skew-stress gate: BEFORE a 100 TB
+    join runs, find the fact-side keys hot enough that one hash
+    partition would straggle, and recommend the mitigation. AQE's skew
+    split subdivides a partition by MAPPER blocks, so it can spread many
+    unlucky keys but never ONE mega-key's rows for the build side —
+    that regime needs salting (operators/joins.py::salted_join), and
+    knowing which regime you are in requires exactly this table.
+
+    Scale path: per-task Misra-Gries partials (mapInPandas, cap-bounded
+    counter blobs) merged per edge — heavy hitters from one scan with
+    ≤MG_CAP counters shuffled per task, never raw rows. The exact
+    groupBy(key) multiplicities are the CHECK companion (droppable at
+    100 TB; at scale the verdict thresholds on est+d, the MG upper
+    bound). mg_ok pins the sketch bound per emitted key (a39 contract).
+
+    Key skew is engineered (TPC-H keys are uniform — the adversarial
+    no-skew case): ~half the rows (l_quantity <= 25) fold onto key 0 —
+    the one-mega-key zipf head the r13 skew-stress clone models —
+    mirrored verbatim in the oracle, so at sf0.01 the driver compare
+    exercises BOTH verdicts: rank 1 'salt' (with its salt count), tail
+    ranks 'none'.
+
+    Reference parity: no skew detection exists in the reference; its
+    skew posture is the fixed broadcast threshold
+    (fact_flights.py:36-61). This extends the advisor tier the way a39
+    extends profiling."""
+    from us_dot_flights_lakehouse_spark.operators.sketches import (
+        make_mg_merger,
+        make_mg_partial_builder,
+    )
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    key = (
+        F.when(F.col("l_quantity") <= 25, F.lit(0))
+        .otherwise(F.col("l_suppkey"))
+        .cast("bigint")
+    )
+    vals = lineitem.select(
+        F.lit("lineitem_supplier").alias("edge"), key.alias("key")
+    )
+    partials = vals.mapInPandas(
+        make_mg_partial_builder("edge", "key", MG_CAP),
+        schema="edge string, counters string, d long, n_rows long",
+    )
+    merged = partials.groupBy("edge").applyInPandas(
+        make_mg_merger("edge", MG_CAP),
+        schema="edge string, counters string, d long, n_rows long",
+    )
+    est_side = merged.select(
+        "edge",
+        F.from_json("counters", "map<string,bigint>").alias("cmap"),
+        "d",
+        "n_rows",
+    )
+    exact = vals.groupBy("edge", "key").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wtop = W.partitionBy("edge").orderBy(F.col("cnt").desc(), F.col("key"))
+    top = exact.select(
+        "edge", "key", "cnt", F.row_number().over(wtop).alias("rank")
+    ).where(F.col("rank") <= SKEW_ADV_TOPK)
+    est = F.coalesce(
+        F.try_element_at("cmap", F.col("key").cast("string")), F.lit(0)
+    )
+    return (
+        top.join(F.broadcast(est_side), "edge")
+        .select(
+            "edge",
+            "rank",
+            "key",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n_rows").cast("double")).alias(
+                "share"
+            ),
+            ((est <= F.col("cnt")) & (est >= F.col("cnt") - F.col("d"))).alias(
+                "mg_ok"
+            ),
+            F.when(F.col("cnt") > SKEW_SALT_THRESHOLD, F.lit("salt"))
+            .otherwise(F.lit("none"))
+            .alias("mitigation"),
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil(
+                    F.col("cnt").cast("double") / F.lit(float(SKEW_SALT_THRESHOLD))
+                ).cast("bigint"),
+            ).alias("salts"),
+        )
+    )
+
+
+Q_JOIN_SKEW_ADVISOR_ORACLE = f"""
+WITH vals AS (
+  SELECT 'lineitem_supplier' AS edge,
+         CAST(CASE WHEN l_quantity <= 25 THEN 0
+              ELSE l_suppkey END AS BIGINT) AS key
+  FROM lineitem
+), exact AS (
+  SELECT edge, key, CAST(count(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY 1, 2
+), totals AS (
+  SELECT edge, CAST(sum(cnt) AS BIGINT) AS n_rows FROM exact GROUP BY 1
+), ranked AS (
+  SELECT edge, key, cnt,
+         row_number() OVER (PARTITION BY edge ORDER BY cnt DESC, key) AS rank
+  FROM exact
+)
+SELECT r.edge, CAST(rank AS INTEGER) AS rank, key, cnt,
+       CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share,
+       TRUE AS mg_ok,
+       CASE WHEN cnt > {SKEW_SALT_THRESHOLD} THEN 'salt' ELSE 'none' END
+         AS mitigation,
+       GREATEST(CAST(1 AS BIGINT),
+                CAST(CEIL(CAST(cnt AS DOUBLE)
+                          / CAST({SKEW_SALT_THRESHOLD} AS DOUBLE)) AS BIGINT))
+         AS salts
+FROM ranked r JOIN totals t ON r.edge = t.edge
+WHERE rank <= {SKEW_ADV_TOPK}
+"""
+
+
+def j20_skew_advised_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J20 (extension): SKEW-ADVISED join — q_join_skew_advisor's
+    verdict DRIVES the physical mitigation (j19's pattern for the skew
+    axis): the fact side's top key multiplicity (1 row — a bounded
+    driver action) decides between a plain equi-join (uniform keys: AQE
+    alone is enough) and operators/joins.py::salted_join at the advised
+    salt count (a mega-key: salting is the only mitigation that
+    subdivides ONE key's rows). The per-nation revenue aggregate is
+    oracle-checked against a plain SQL join, proving the mitigation
+    changes only the physical layout, never the semantics; the
+    mitigation/salts columns pin WHICH plan ran.
+
+    On the uniform driver tables the verdict is 'none' (plain branch);
+    the round-13 skew-stress clone (tools/skew_stress.py — hot
+    l_suppkey holding ~30% of rows) trips the 'salt' branch in the
+    standing sweep, and the unit test plants a mega-key to pin the
+    salted branch's value-equality directly. The decision thresholds on
+    the exact top-1 multiplicity (the advisor's CHECK column) so both
+    engines reproduce it bit-for-bit; at 100 TB the same decision reads
+    the MG estimate + d upper bound instead of the exact pass."""
+    from us_dot_flights_lakehouse_spark.operators.joins import skew_advised_join
+
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    top1 = (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .agg(F.max("cnt").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    advice = {
+        "mitigation": "salt" if top1 > SKEW_SALT_THRESHOLD else "none",
+        "salts": max(1, -(-top1 // SKEW_SALT_THRESHOLD)),
+    }
+    joined = skew_advised_join(li, supp, "l_suppkey", "s_suppkey", advice)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            dec_sum("l_extendedprice", "revenue"),
+        )
+        .withColumn("mitigation", F.lit(advice["mitigation"]))
+        .withColumn("salts", F.lit(int(advice["salts"])).cast("bigint"))
+    )
+
+
+J20_ORACLE = f"""
+WITH top1 AS (
+  SELECT max(cnt) AS mx FROM (
+    SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_suppkey
+  )
+), adv AS (
+  SELECT CASE WHEN mx > {SKEW_SALT_THRESHOLD} THEN 'salt' ELSE 'none' END
+           AS mitigation,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(CEIL(CAST(mx AS DOUBLE)
+                            / CAST({SKEW_SALT_THRESHOLD} AS DOUBLE))
+                       AS BIGINT)) AS salts
+  FROM top1
+)
+SELECT s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+       adv.mitigation, adv.salts
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+CROSS JOIN adv
+GROUP BY s_nationkey, adv.mitigation, adv.salts
+"""
