@@ -373,3 +373,25 @@ def test_skew_advised_join_salts_a_planted_mega_key(spark):
     )
     with pytest.raises(ValueError, match="unknown skew mitigation"):
         skew_advised_join(fact, dim, "k", "dk", {"mitigation": "aqe", "salts": 1})
+
+
+def test_advised_mart_layout_exchange_sits_above_final_agg(spark):
+    """a42's advised exchange must be the TOP operator (the X2 pre-write
+    repartition at the advisor's count), sitting ABOVE a partial+final
+    aggregate — an exchange below the aggregate would ship raw rows
+    unaggregated."""
+    from us_dot_flights_lakehouse_spark.queries.relational import (
+        a42_advised_mart_layout,
+    )
+
+    df = a42_advised_mart_layout(spark, SF)
+    n = df.select("advised_partitions").first()["advised_partitions"]
+    plan = _plan(df, "simple")
+    assert f", {n}), REPARTITION_BY_NUM" in plan
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2
+    # the advised exchange is the last exchange (topmost line mentioning it
+    # precedes the aggregate lines in the tree dump)
+    lines = plan.splitlines()
+    top_exch = next(i for i, l in enumerate(lines) if "REPARTITION_BY_NUM" in l)
+    final_agg = next(i for i, l in enumerate(lines) if "HashAggregate" in l)
+    assert top_exch < final_agg

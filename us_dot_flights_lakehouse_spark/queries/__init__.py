@@ -56,6 +56,9 @@ _PRIORITY = (
     # r13 skew-stress gate) and the seam that applies it:
     "q_join_skew_advisor",
     "j20_skew_advised_join",
+    # New: the group-by advisor's recommendation sizing the mart's
+    # pre-write repartition (the X2 anti-small-files seam, stats-driven):
+    "a42_advised_mart_layout",
     # ---- staleness rotation (VERDICT r12 item 1) ----
     # The remaining head-50 slots go to the entries with the STALEST lifetime
     # driver attestation (most recent green CORRECTNESS_r*.json row:

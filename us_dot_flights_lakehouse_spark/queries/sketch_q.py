@@ -2379,3 +2379,61 @@ JOIN supplier ON l_suppkey = s_suppkey
 CROSS JOIN adv
 GROUP BY s_nationkey, adv.mitigation, adv.salts
 """
+
+
+def a42_advised_mart_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A42 (extension): ADVISED mart layout — the group-by advisor's
+    recommendation driving a physical plan (j19's pattern for the
+    aggregation/write axis): the q_groupby_cardinality_advisor row for
+    the month|status key-set (6 rows — a bounded driver action) sizes
+    the keyed pre-write repartition of the monthly status mart, so the
+    mart's file count tracks its MEASURED group cardinality instead of
+    a hand-tuned constant — the anti-small-files seam (X2) a 100 TB
+    mart writer actually needs, with ANALYZE-style stats deciding the
+    number. The aggregation itself keeps its partial→final shape (the
+    advised exchange sits ABOVE the final aggregate, where the X2
+    pre-write repartition lives — never below it, which would ship raw
+    rows unaggregated).
+
+    Oracle contract: the aggregate values are plain SQL; the stamped
+    est_groups / advised_partitions columns recompute in DuckDB through
+    the advisor's own oracle (bit-equal KMV estimate — the a40
+    contract), so a drift in the advice itself hash-fails this query
+    too. Plan contract (tests/test_plans.py): the top exchange is
+    REPARTITION_BY_NUM at the advised count over a partial+final
+    aggregate."""
+    adv = {
+        r["keyset"]: r.asDict()
+        for r in q_groupby_cardinality_advisor(spark, sf_dir).collect()
+    }["month|status"]
+    n = int(adv["recommended_partitions"])
+    orders = read_table(spark, sf_dir, "orders")
+    agg = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        dec_sum("o_totalprice", "revenue"),
+    )
+    return (
+        agg.repartition(n, F.col("month"), F.col("status"))
+        .withColumn("est_groups", F.lit(float(adv["est_groups"])))
+        .withColumn("advised_partitions", F.lit(n).cast("bigint"))
+    )
+
+
+A42_ORACLE = f"""
+WITH adv AS ({Q_GROUPBY_ADVISOR_ORACLE}),
+pick AS (
+  SELECT est_groups, recommended_partitions
+  FROM adv WHERE keyset = 'month|status'
+)
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+       pick.est_groups,
+       pick.recommended_partitions AS advised_partitions
+FROM orders CROSS JOIN pick
+GROUP BY 1, 2, pick.est_groups, pick.recommended_partitions
+"""
