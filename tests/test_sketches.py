@@ -1289,3 +1289,50 @@ def test_x12_markerless_squatter_evicted(spark, sf_small):
     # the rebuilt mart is complete and readable
     assert spark.read.parquet(out).count() > 0
     shutil.rmtree(f"{out}.tmp.{os.getpid()}", ignore_errors=True)
+
+
+def test_kmv_stream_excludes_null_keys_like_count_distinct(spark):
+    """NULL keys must be excluded from the KMV stream (countDistinct
+    semantics — both engines ignore NULLs), not crash the kernel: a 20%
+    null bucket in a production join key otherwise kills every sketch
+    call site (found by the r13 null-bucket stress sweep). The kernel's
+    own no-null contract stays loud — the exclusion lives at the
+    _kmv_sketch_by chokepoint."""
+    from pyspark.sql import functions as F
+
+    from us_dot_flights_lakehouse_spark.queries import relational as rel
+
+    rows = [("A", 1), ("A", 2), ("A", None), ("A", None), ("B", None)]
+    df = spark.createDataFrame(rows, "g string, k int")
+    hashed = df.select("g", rel._kmv_hash(F.col("k")).alias("h"))
+    got = {r["g"]: r for r in rel._kmv_sketch_by(hashed, "g").collect()}
+    # group A: 2 distinct non-null keys; under-k branch => exact
+    assert got["A"]["n_hashes"] == 2
+    # group B: only null keys -> no partials at all -> no row (matches
+    # countDistinct=0 semantics: the group simply has nothing to sketch)
+    assert "B" not in got
+
+
+def test_mg_skew_advisor_stream_prunes_null_keys(spark, monkeypatch):
+    """q_join_skew_advisor must prune NULL fact keys the way the inner
+    join itself does (IsNotNull pushdown): a planted null bucket bigger
+    than every real key must neither crash the MG kernel nor appear as
+    a 'hot key' row."""
+    from pyspark.sql import functions as F
+
+    from conftest import patch_defining_module
+    from us_dot_flights_lakehouse_spark.queries import relational as rel
+
+    rows = [(None, 10.0)] * 50 + [(1, 30.0)] * 10 + [(2, 30.0)] * 5
+    li = spark.createDataFrame(rows, "l_suppkey bigint, l_quantity double")
+    patch_defining_module(
+        monkeypatch, rel.q_join_skew_advisor, "read_table",
+        lambda s, d, n: li,
+    )
+    out = rel.q_join_skew_advisor(spark, "ignored").collect()
+    keys = [r["key"] for r in out]
+    assert None not in keys
+    # qty<=25 folds onto key 0 (the 50 null-suppkey rows at qty 10);
+    # the remaining rows keep suppkeys 1 and 2
+    assert {0, 1, 2} == set(keys)
+    assert all(r["mg_ok"] for r in out)

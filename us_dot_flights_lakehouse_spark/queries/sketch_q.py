@@ -450,9 +450,13 @@ def a39_mg_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("l_suppkey"))
         .cast("bigint")
     )
+    # NULL items (a NULL l_suppkey in the fold) are excluded from the
+    # whole vals stream — sketch AND exact companion stay symmetric, and
+    # both engines' GROUP BY would otherwise disagree with the kernel's
+    # loud no-null contract (r13 null-bucket sweep)
     vals = lineitem.select(
         F.col("l_returnflag").alias("flag"), item.alias("item")
-    )
+    ).where(F.col("item").isNotNull())
     partials = vals.mapInPandas(
         make_mg_partial_builder("flag", "item", MG_CAP),
         schema="flag string, counters string, d long, n_rows long",
@@ -499,10 +503,12 @@ def a39_mg_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A39_ORACLE = f"""
 WITH vals AS (
-  SELECT l_returnflag AS flag,
-         CAST(CASE WHEN l_quantity <= 45 THEN l_suppkey % 7
-              ELSE l_suppkey END AS BIGINT) AS item
-  FROM lineitem
+  SELECT flag, item FROM (
+    SELECT l_returnflag AS flag,
+           CAST(CASE WHEN l_quantity <= 45 THEN l_suppkey % 7
+                ELSE l_suppkey END AS BIGINT) AS item
+    FROM lineitem
+  ) WHERE item IS NOT NULL
 ), exact AS (
   SELECT flag, item, CAST(count(*) AS BIGINT) AS cnt
   FROM vals GROUP BY 1, 2
@@ -555,7 +561,7 @@ def w24_mg_rolling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = orders.select(
         F.date_format("o_orderdate", "yyyy-MM").alias("month"),
         item.alias("item"),
-    )
+    ).where(F.col("item").isNotNull())  # null-bucket exclusion, a39 pattern
     mg_schema = "month string, counters string, d long, n_rows long"
     partials = vals.mapInPandas(
         make_mg_partial_builder("month", "item", MG_CAP), schema=mg_schema
@@ -639,10 +645,12 @@ def w24_mg_rolling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 W24_ORACLE = f"""
 WITH vals AS (
-  SELECT strftime(o_orderdate, '%Y-%m') AS month,
-         CAST(CASE WHEN day(o_orderdate) <= 27 THEN o_custkey % 5
-              ELSE o_custkey END AS BIGINT) AS item
-  FROM orders
+  SELECT month, item FROM (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(CASE WHEN day(o_orderdate) <= 27 THEN o_custkey % 5
+                ELSE o_custkey END AS BIGINT) AS item
+    FROM orders
+  ) WHERE item IS NOT NULL
 ), midx AS (
   SELECT month, row_number() OVER (ORDER BY month) AS idx
   FROM (SELECT DISTINCT month FROM vals)
@@ -718,7 +726,14 @@ def _kmv_sketch_by(hashed: DataFrame, key: str) -> DataFrame:
         make_kmv_partial_builder,
     )
 
-    partials = hashed.mapInPandas(
+    # NULL hashes (a NULL key under _md5_60) are excluded HERE, not in
+    # the kernel: countDistinct ignores NULLs in both engines, so the
+    # sketch stream must too — a fat null bucket in a production feed
+    # otherwise crashes the partial builder, whose no-null contract
+    # stays deliberately loud (found by the r13 null-bucket stress
+    # sweep: 20% NULL join keys crashed every KMV call site). Every
+    # oracle mirrors the exclusion in its h-CTE.
+    partials = hashed.where(F.col("h").isNotNull()).mapInPandas(
         make_kmv_partial_builder(key, "h", KMV_K),
         schema=f"{key} string, payload string",
     )
@@ -782,7 +797,7 @@ A40_ORACLE = f"""
 WITH h AS (
   SELECT DISTINCT o_orderstatus AS status,
          ('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
-  FROM orders
+  FROM orders WHERE o_custkey IS NOT NULL
 ), ranked AS (
   SELECT status, h,
          row_number() OVER (PARTITION BY status ORDER BY h) AS r,
@@ -933,7 +948,7 @@ WITH vals AS (
   FROM midx w JOIN midx m ON m.idx BETWEEN w.idx - 2 AND w.idx
 ), hexp AS (
   SELECT DISTINCT wmap.w_month AS month, v.h
-  FROM (SELECT DISTINCT month, h FROM vals) v
+  FROM (SELECT DISTINCT month, h FROM vals WHERE h IS NOT NULL) v
   JOIN wmap ON v.month = wmap.member
 ), ranked AS (
   SELECT month, h,
@@ -953,7 +968,7 @@ WITH vals AS (
   FROM sk
 ), cexp AS (
   SELECT DISTINCT wmap.w_month AS month, v.cust
-  FROM (SELECT DISTINCT month, cust FROM vals) v
+  FROM (SELECT DISTINCT month, cust FROM vals WHERE cust IS NOT NULL) v
   JOIN wmap ON v.month = wmap.member
 ), exact AS (
   SELECT month, CAST(count(*) AS BIGINT) AS exact_distinct
@@ -1312,7 +1327,9 @@ def _x12_build_mart(spark: SparkSession, orders: DataFrame, path: str) -> None:
     delta_hashed = orders.where(delta_pred).select(
         month, _kmv_hash(F.col("o_custkey")).alias("h")
     )
-    delta_partials = delta_hashed.mapInPandas(
+    # null-h exclusion as in _kmv_sketch_by (this is the one direct
+    # partial-builder call outside that chokepoint — r13 null sweep)
+    delta_partials = delta_hashed.where(F.col("h").isNotNull()).mapInPandas(
         make_kmv_partial_builder("month", "h", KMV_K),
         schema="month string, payload string",
     )
@@ -1460,7 +1477,7 @@ X12_ORACLE = f"""
 WITH h AS (
   SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month,
          ('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
-  FROM orders
+  FROM orders WHERE o_custkey IS NOT NULL
 ), ranked AS (
   SELECT month, h,
          row_number() OVER (PARTITION BY month ORDER BY h) AS r,
@@ -1576,7 +1593,7 @@ WITH samp AS (
 ), fh AS (
   SELECT DISTINCT o_orderstatus AS status,
          ('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
-  FROM orders
+  FROM orders WHERE o_custkey IS NOT NULL
 ), sh AS (
   SELECT DISTINCT o_orderstatus AS status,
          ('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
@@ -1727,7 +1744,7 @@ WITH base AS (
 ), h AS (
   SELECT DISTINCT keyset,
          ('0x' || substr(md5('adv:' || keystr), 1, 15))::BIGINT AS h
-  FROM exploded
+  FROM exploded WHERE keystr IS NOT NULL
 ), ranked AS (
   SELECT keyset, h,
          row_number() OVER (PARTITION BY keyset ORDER BY h) AS r,
@@ -1842,6 +1859,11 @@ def q_join_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             fan(supp, [("lineitem_supplier", "R", F.col("s_suppkey"))])
         )
+        # NULL keys never survive an inner equi-join (Catalyst pushes
+        # IsNotNull on both sides), so the advisor streams exclude them:
+        # n_rows/est/exact then describe the rows the advised join will
+        # actually shuffle (r13 null-bucket sweep)
+        .where(F.col("k").isNotNull())
     )
     # row counts feed the ADVERTISED outputs (est_join_rows, strategy,
     # partition sizing), so they must not ride the droppable CHECK path:
@@ -2001,7 +2023,7 @@ def q_join_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_JOIN_ADVISOR_ORACLE = f"""
-WITH stream AS (
+WITH stream0 AS (
   SELECT 'lineitem_part' AS edge, 'L' AS side,
          CAST(l_partkey AS VARCHAR) AS k FROM lineitem
   UNION ALL SELECT 'lineitem_supplier', 'L', CAST(l_suppkey AS VARCHAR)
@@ -2018,6 +2040,8 @@ WITH stream AS (
     FROM part
   UNION ALL SELECT 'lineitem_supplier', 'R', CAST(s_suppkey AS VARCHAR)
     FROM supplier
+), stream AS (
+  SELECT * FROM stream0 WHERE k IS NOT NULL
 ), counts AS (
   SELECT edge, side, CAST(count(*) AS BIGINT) AS n_rows,
          CAST(count(DISTINCT k) AS BIGINT) AS exact_keys
@@ -2227,9 +2251,12 @@ def q_join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("l_suppkey"))
         .cast("bigint")
     )
+    # NULL keys are pruned like the join itself prunes them (inner
+    # equi-join IsNotNull pushdown): the null bucket is j13's null-safe
+    # territory, not join-skew (r13 null-bucket sweep)
     vals = lineitem.select(
         F.lit("lineitem_supplier").alias("edge"), key.alias("key")
-    )
+    ).where(F.col("key").isNotNull())
     partials = vals.mapInPandas(
         make_mg_partial_builder("edge", "key", MG_CAP),
         schema="edge string, counters string, d long, n_rows long",
@@ -2282,10 +2309,12 @@ def q_join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_JOIN_SKEW_ADVISOR_ORACLE = f"""
 WITH vals AS (
-  SELECT 'lineitem_supplier' AS edge,
-         CAST(CASE WHEN l_quantity <= 25 THEN 0
-              ELSE l_suppkey END AS BIGINT) AS key
-  FROM lineitem
+  SELECT edge, key FROM (
+    SELECT 'lineitem_supplier' AS edge,
+           CAST(CASE WHEN l_quantity <= 25 THEN 0
+                ELSE l_suppkey END AS BIGINT) AS key
+    FROM lineitem
+  ) WHERE key IS NOT NULL
 ), exact AS (
   SELECT edge, key, CAST(count(*) AS BIGINT) AS cnt
   FROM vals GROUP BY 1, 2
@@ -2335,7 +2364,8 @@ def j20_skew_advised_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     supp = read_table(spark, sf_dir, "supplier")
     top1 = (
-        li.groupBy("l_suppkey")
+        li.where(F.col("l_suppkey").isNotNull())
+        .groupBy("l_suppkey")
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .agg(F.max("cnt").alias("mx"))
         .collect()[0]["mx"]
@@ -2359,7 +2389,8 @@ def j20_skew_advised_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 J20_ORACLE = f"""
 WITH top1 AS (
   SELECT max(cnt) AS mx FROM (
-    SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_suppkey
+    SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem
+    WHERE l_suppkey IS NOT NULL GROUP BY l_suppkey
   )
 ), adv AS (
   SELECT CASE WHEN mx > {SKEW_SALT_THRESHOLD} THEN 'salt' ELSE 'none' END
