@@ -1336,3 +1336,21 @@ def test_mg_skew_advisor_stream_prunes_null_keys(spark, monkeypatch):
     # the remaining rows keep suppkeys 1 and 2
     assert {0, 1, 2} == set(keys)
     assert all(r["mg_ok"] for r in out)
+
+
+def test_join_advisor_single_edge_equals_full_run(spark, sf_small):
+    """only_edge restricts the advisor to one edge's scans; the produced
+    row must be bit-identical to that edge's row in the full 4-edge run
+    (every output column is a per-edge computation — the j19 seam relies
+    on this to skip three tables' scans)."""
+    from us_dot_flights_lakehouse_spark.queries import relational as rel
+
+    full = {
+        r["edge"]: r
+        for r in rel.q_join_cardinality_advisor(spark, sf_small).collect()
+    }
+    one = rel.q_join_cardinality_advisor(
+        spark, sf_small, only_edge="orders_customer"
+    ).collect()
+    assert len(one) == 1
+    assert tuple(one[0]) == tuple(full["orders_customer"])

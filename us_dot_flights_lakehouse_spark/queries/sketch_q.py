@@ -1783,7 +1783,9 @@ JOIN_ADV_BROADCAST_ROWS = 5_000
 JOIN_ADV_ROWS_PER_PART = 10_000
 
 
-def q_join_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_join_cardinality_advisor(
+    spark: SparkSession, sf_dir: str, only_edge: str | None = None
+) -> DataFrame:
     """Q (extension): JOIN cardinality / strategy ADVISOR — the other
     half of the q_groupby_cardinality_advisor planning table: before a
     100 TB deployment runs a heavy join it wants, per candidate join
@@ -1836,35 +1838,37 @@ def q_join_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         ).select("c.edge", "c.side", "c.k")
 
-    stream = (
-        fan(
-            li,
-            [
-                ("lineitem_part", "L", F.col("l_partkey")),
-                ("lineitem_supplier", "L", F.col("l_suppkey")),
-                ("lineitem_orders", "L", F.col("l_orderkey")),
-            ],
-        )
-        .unionByName(
-            fan(
-                orders,
-                [
-                    ("orders_customer", "L", F.col("o_custkey")),
-                    ("lineitem_orders", "R", F.col("o_orderkey")),
-                ],
-            )
-        )
-        .unionByName(fan(cust, [("orders_customer", "R", F.col("c_custkey"))]))
-        .unionByName(fan(part, [("lineitem_part", "R", F.col("p_partkey"))]))
-        .unionByName(
-            fan(supp, [("lineitem_supplier", "R", F.col("s_suppkey"))])
-        )
-        # NULL keys never survive an inner equi-join (Catalyst pushes
-        # IsNotNull on both sides), so the advisor streams exclude them:
-        # n_rows/est/exact then describe the rows the advised join will
-        # actually shuffle (r13 null-bucket sweep)
-        .where(F.col("k").isNotNull())
-    )
+    # every output row is a pure per-edge computation, so restricting the
+    # stream to one edge (``only_edge`` — j19's seam needs only its own
+    # edge's advice) yields bit-identical rows for that edge while
+    # skipping the scans of uninvolved tables entirely
+    table_contribs = [
+        (li, [
+            ("lineitem_part", "L", F.col("l_partkey")),
+            ("lineitem_supplier", "L", F.col("l_suppkey")),
+            ("lineitem_orders", "L", F.col("l_orderkey")),
+        ]),
+        (orders, [
+            ("orders_customer", "L", F.col("o_custkey")),
+            ("lineitem_orders", "R", F.col("o_orderkey")),
+        ]),
+        (cust, [("orders_customer", "R", F.col("c_custkey"))]),
+        (part, [("lineitem_part", "R", F.col("p_partkey"))]),
+        (supp, [("lineitem_supplier", "R", F.col("s_suppkey"))]),
+    ]
+    stream = None
+    for df, contribs in table_contribs:
+        if only_edge is not None:
+            contribs = [c for c in contribs if c[0] == only_edge]
+        if not contribs:
+            continue
+        piece = fan(df, contribs)
+        stream = piece if stream is None else stream.unionByName(piece)
+    # NULL keys never survive an inner equi-join (Catalyst pushes
+    # IsNotNull on both sides), so the advisor streams exclude them:
+    # n_rows/est/exact then describe the rows the advised join will
+    # actually shuffle (r13 null-bucket sweep)
+    stream = stream.where(F.col("k").isNotNull())
     # row counts feed the ADVERTISED outputs (est_join_rows, strategy,
     # partition sizing), so they must not ride the droppable CHECK path:
     # a pure-codegen count with map-side combine down to 8 groups
@@ -2162,7 +2166,9 @@ def j19_advised_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality instead of a constant."""
     adv = {
         r["edge"]: r.asDict()
-        for r in q_join_cardinality_advisor(spark, sf_dir).collect()
+        for r in q_join_cardinality_advisor(
+            spark, sf_dir, only_edge="orders_customer"
+        ).collect()
     }["orders_customer"]
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
