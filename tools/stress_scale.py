@@ -1517,7 +1517,9 @@ def round13_families(spark, factor, only_target=None):
 
     targets = {
         "q_groupby_cardinality_advisor": ("orders",),
-        "j19_advised_join": ("orders", "lineitem"),
+        # j19 requests only its orders_customer edge since the
+        # single-edge advisor refactor — lineitem is no longer scanned
+        "j19_advised_join": ("orders",),
     }
     run = [t for t in targets if only_target in (None, t)]
     if not run:
