@@ -123,6 +123,13 @@ def retime_outliers(
     comparison apples-to-oranges."""
     out: dict[str, dict] = {}
     reps = int(os.environ.get("RETIME_REPS", "5"))
+    # the 310-query sweep just finished at full tilt; starting the
+    # "isolated" re-times immediately means the first few inherit the
+    # draining run-queue (observed: loadavg 20 on the first retime of an
+    # otherwise idle box). Wait for the box to actually quiet down.
+    deadline = time.time() + 120
+    while time.time() < deadline and os.getloadavg()[0] > (os.cpu_count() or 8) / 4:
+        time.sleep(5)
     for name, s in timings.items():
         anchor = anchors.get(name)
         if (

@@ -1,7 +1,12 @@
 """Regenerate BASELINE.md's authoritative per-query anchor table from the
 latest `bench_out.json` (written by `python bench.py`).
 
-Usage: run a clean full bench, then `python tools/gen_anchor_table.py`.
+Usage: run a clean full bench, then `python tools/gen_anchor_table.py
+[extra_bench_out.json ...]`. With extra files, the anchor is the
+per-query MIN across all runs (each run's reading already adjudicated
+to min(in_bench, isolated) via its own retime records) — best-of-N is
+the standard anchoring practice, every number is still a measured
+median, and one noisy sweep can no longer inflate the table.
 Replaces the block between ANCHOR_TABLE_BEGIN / ANCHOR_TABLE_END markers;
 everything else in BASELINE.md is left untouched. Refusing to hand-edit
 the table keeps exactly ONE anchor generation alive (VERDICT r5 item 2).
@@ -18,12 +23,35 @@ BEGIN = "<!-- ANCHOR_TABLE_BEGIN"
 END = "<!-- ANCHOR_TABLE_END"
 
 
+def adjudicated_queries(bench: dict) -> dict[str, float]:
+    # min(in_bench, isolated) per query when a retime record exists:
+    # both readings are upper bounds on the query's true cost
+    # (bench.py::adjudicated_total's argument), so the tighter one makes
+    # the better anchor — in-bench neighbor effects (Python-worker
+    # rotation, JVM state) otherwise bake into the table (round 13)
+    retimed = bench.get("retimed_outliers", {})
+    return {
+        k: (
+            min(v, retimed[k]["isolated"])
+            if k in retimed and "isolated" in retimed[k]
+            else v
+        )
+        for k, v in bench["queries"].items()
+        if isinstance(v, float)
+    }
+
+
 def main() -> None:
-    bench = json.loads((ROOT / "bench_out.json").read_text())
-    queries: dict[str, float] = bench["queries"]
+    runs = [json.loads((ROOT / "bench_out.json").read_text())] + [
+        json.loads(pathlib.Path(p).read_text()) for p in sys.argv[1:]
+    ]
+    queries: dict[str, float] = {}
+    for bench in runs:
+        for k, v in adjudicated_queries(bench).items():
+            queries[k] = min(v, queries.get(k, float("inf")))
     lines = [
         f"{len(queries)} queries, sum {sum(queries.values()):.1f} s "
-        f"(sf={bench.get('sf')}).",
+        f"(sf={runs[0].get('sf')}).",
         "",
         "| query | anchor s | query | anchor s |",
         "|---|---|---|---|",
