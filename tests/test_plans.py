@@ -395,3 +395,24 @@ def test_advised_mart_layout_exchange_sits_above_final_agg(spark):
     top_exch = next(i for i, l in enumerate(lines) if "REPARTITION_BY_NUM" in l)
     final_agg = next(i for i, l in enumerate(lines) if "HashAggregate" in l)
     assert top_exch < final_agg
+
+
+def test_salted_join_rejects_right_preserving_join_types(spark):
+    """salted_join replicates the right side once per salt, so join
+    types that keep unmatched right rows would surface them n_salts
+    times — the operator must refuse instead of silently duplicating."""
+    from us_dot_flights_lakehouse_spark.operators.joins import salted_join
+
+    fact = spark.range(10).selectExpr("id as k", "id as v")
+    dim = spark.range(20).selectExpr("id as dk", "id as name")
+    with pytest.raises(ValueError, match="unmatched right-side rows"):
+        salted_join(fact, dim, "k", "dk", how="full")
+    with pytest.raises(ValueError, match="unmatched right-side rows"):
+        salted_join(fact, dim, "k", "dk", how="right")
+    # left join: unmatched LEFT rows are not replicated — allowed, and
+    # identical to the plain left join
+    got = salted_join(fact, dim, "k", "dk", n_salts=4, how="left")
+    plain = fact.join(dim, fact["k"] == dim["dk"], "left")
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in plain.collect()
+    )

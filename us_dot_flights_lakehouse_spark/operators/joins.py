@@ -119,7 +119,18 @@ def salted_join(
     below it, broadcast; for moderate skew, AQE skew-join (on in our
     session) already splits oversized partitions and needs no salting.
     Results are identical to a plain equi-join; the salt only re-shards.
+    Join types that preserve unmatched OTHER rows (right/full outer) are
+    rejected: ``other`` is replicated once per salt, so its unmatched
+    rows would surface n_salts times — use the un-salted join (or salt
+    the other side) for those (self-review r13).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "semi", "left_anti", "leftanti", "anti",
+                   "cross"):
+        raise ValueError(
+            f"salted_join cannot preserve unmatched right-side rows under "
+            f"how={how!r}: the replicated side would duplicate them per salt"
+        )
     salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
     s = skewed.withColumn("__salt_l", salt)
     o = other.withColumn(
