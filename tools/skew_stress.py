@@ -9,7 +9,7 @@ bot user), then:
 
   clone   — build the clone at /tmp/sfskew001 (deterministic hash gate, so
             both engines see the identical multiset).
-  sweep   — print the command for the full 306-query value sweep: Spark
+  sweep   — print the command for the full-catalog value sweep: Spark
             AND DuckDB both read the clone, so every hash mismatch is an
             engine-behavior-under-skew bug, not a data difference.
   balance — execute the skew-sensitive join paths on the clone and assert
@@ -37,7 +37,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 #: fraction of fact rows redirected onto the hot key (md5 last hex digit
-#: in {0,1,2} -> 3/16 + the key's own natural share ≈ 20-30%)
+#: in {0..4} -> 5/16 + the key's own natural share ≈ 30-32%)
 HOT_GATE = "substr(md5(CAST({col} AS VARCHAR) || ':skew'), 32, 1) IN ('0','1','2','3','4')"
 
 
