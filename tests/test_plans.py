@@ -416,3 +416,32 @@ def test_salted_join_rejects_right_preserving_join_types(spark):
     assert sorted(tuple(r) for r in got.collect()) == sorted(
         tuple(r) for r in plain.collect()
     )
+
+
+def test_range_layout_is_one_advised_exchange_plus_local_sort(spark):
+    """x13's layout must be exactly: REPARTITION_BY_NUM at the advised
+    bucket count, then a LOCAL sort (sortWithinPartitions — a global
+    sort would add a range-exchange and resort the whole mart)."""
+    from us_dot_flights_lakehouse_spark.operators.physical import range_layout
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    laid = range_layout(li, "l_extendedprice", [30000.0, 60000.0, 90000.0])
+    plan = _plan(laid, "simple")
+    assert plan.count(", 4), REPARTITION_BY_NUM") == 1
+    assert "Sort [l_extendedprice" in plan
+    assert "false, 0" in plan  # Sort global=false: local per-partition sort
+    assert plan.count("Exchange") == 1  # no extra exchange for the sort
+
+
+def test_range_layout_buckets_are_monotone_and_complete(spark):
+    """Every row lands in exactly one bucket, buckets tile the value
+    range in order, and boundary values go LEFT (v <= cut -> bucket b)."""
+    from pyspark.sql import functions as F
+
+    from us_dot_flights_lakehouse_spark.operators.physical import range_layout
+
+    df = spark.createDataFrame([(float(v),) for v in range(1, 11)], "v double")
+    laid = range_layout(df, "v", [3.0, 7.0])
+    got = {r["v"]: r["__bucket"] for r in laid.collect()}
+    assert got == {1.0: 1, 2.0: 1, 3.0: 1, 4.0: 2, 5.0: 2, 6.0: 2,
+                   7.0: 2, 8.0: 3, 9.0: 3, 10.0: 3}

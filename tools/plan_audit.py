@@ -47,6 +47,9 @@ WHITELIST: dict[str, set[str]] = {
     "tp_label_balance": {"ONE_PART"},    # 1-row min-class-count aggregate,
     #   broadcast back into the per-label filter (never a data funnel)
     "tp_dataset_card": {"ONE_PART"},     # 1-row corpus summary aggregate
+    "q_range_partition_advisor": {"ONE_PART"},  # the 1-row percentile-cuts
+    #   aggregate (a3's 2-phase global-agg shape), broadcast back over the
+    #   scan as the bucket-assignment relation — never a data funnel (r13)
     "q_table_stats": {"ONE_PART"},       # five 1-row per-column profiles
     #   unioned (each a global aggregate, like a3/a8)
     "ts_ngram_lm": {"ONE_PART"},         # 40-row ranked projection

@@ -109,3 +109,31 @@ def ordered_dense_ids(
             yield out
 
     return sorted_df.mapInPandas(number, schema=out_schema)
+
+
+def range_layout(df: DataFrame, col: str, cuts: list[float]) -> DataFrame:
+    """Range-clustered physical layout: assign every row to the bucket its
+    ``col`` value falls in under the ADVISED cut points (ascending), then
+    hash-repartition to one partition per bucket and sort locally — the
+    sorted-mart write layout (X7's Z-order sibling for one dimension):
+    downstream range predicates prune whole files via parquet min/max,
+    and bucket extents are DISJOINT by construction (monotone bucket
+    assignment — asserted by x13's oracle-pinned check).
+
+    The cut points come from the caller (q_range_partition_advisor: exact
+    percentile cuts, the a38-KLL path at 100 TB), not from
+    ``repartitionByRange`` — Spark's own range partitioner SAMPLES the
+    input, so its boundaries are nondeterministic run to run; advised
+    cuts make the layout reproducible and let the advisor's balance
+    table describe exactly what was written. The explicit numPartitions
+    pins the exchange against AQE coalescing. Adds ``__bucket`` (1-based)
+    for the caller's bookkeeping."""
+    from pyspark.sql import functions as F
+
+    bucket = F.lit(1)
+    for c in cuts:
+        bucket = bucket + (F.col(col) > F.lit(float(c))).cast("int")
+    out = df.withColumn("__bucket", bucket)
+    return out.repartition(len(cuts) + 1, F.col("__bucket")).sortWithinPartitions(
+        col
+    )

@@ -59,6 +59,11 @@ _PRIORITY = (
     # New: the group-by advisor's recommendation sizing the mart's
     # pre-write repartition (the X2 anti-small-files seam, stats-driven):
     "a42_advised_mart_layout",
+    # New: range-layout advisor (exact-percentile cut points; the KLL
+    # path's CHECK at scale) and the seam writing the range-clustered,
+    # locally-sorted mart layout with oracle-pinned disjoint extents:
+    "q_range_partition_advisor",
+    "x13_advised_range_layout",
     # ---- staleness rotation (VERDICT r12 item 1) ----
     # The remaining head-50 slots go to the entries with the STALEST lifetime
     # driver attestation (most recent green CORRECTNESS_r*.json row:

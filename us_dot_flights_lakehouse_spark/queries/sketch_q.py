@@ -2474,3 +2474,174 @@ SELECT strftime(o_orderdate, '%Y-%m') AS month,
 FROM orders CROSS JOIN pick
 GROUP BY 1, 2, pick.est_groups, pick.recommended_partitions
 """
+
+
+#: number of range buckets the layout advisor plans (one output file per
+#: bucket in the x13 layout; at 100 TB this is files-per-partition)
+RANGE_BUCKETS = 8
+
+
+def q_range_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q (extension): RANGE-partition / sort-layout ADVISOR — the fourth
+    planning table (groupby count, join strategy, key skew, and now
+    RANGE LAYOUT): before writing a sorted mart, compute the cut points
+    that split the sort key into RANGE_BUCKETS equal-row buckets and the
+    balance each bucket would get. Cut points are exact interpolated
+    percentiles (a11's contract — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` produce bit-identical doubles), computed in ONE
+    aggregate pass and broadcast back over the scan as a 1-row relation;
+    per-bucket counts come from the same monotone bucket assignment the
+    x13 layout applies, so the table describes EXACTLY what the layout
+    will write.
+
+    Scale: one pass for the cuts + one pass for the histogram, both
+    full-codegen aggregates; at 100 TB the cut points come instead from
+    a38's mergeable KLL blobs (rank error bounds proven there) — the
+    exact-percentile pass here doubles as that path's CHECK. Spark's own
+    repartitionByRange is NOT the seam: it samples, so its boundaries
+    are nondeterministic run to run (range_layout's docstring).
+
+    Reference parity: no layout planning exists in the reference (its
+    marts are written with default layout); extends the physical tier
+    (X7 Z-order, x10 partition pruning) with stats-driven planning."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    vals = lineitem.select(F.col("l_extendedprice").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    fracs = [i / RANGE_BUCKETS for i in range(1, RANGE_BUCKETS)]
+    cuts = vals.agg(
+        F.percentile("v", F.lit(fracs)).alias("cuts"),
+        F.count("*").cast("bigint").alias("n_total"),
+    )
+    bucket = F.lit(1)
+    for i in range(RANGE_BUCKETS - 1):
+        bucket = bucket + (F.col("v") > F.col("cuts")[i]).cast("int")
+    hist = (
+        vals.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), "n_total", "cuts")
+        .groupBy("bucket", "n_total", "cuts")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+    lo = F.when(F.col("bucket") > 1, F.col("cuts")[F.col("bucket") - 2])
+    hi = F.when(
+        F.col("bucket") < RANGE_BUCKETS, F.col("cuts")[F.col("bucket") - 1]
+    )
+    return hist.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        lo.alias("lo_price"),
+        hi.alias("hi_price"),
+        "n_rows",
+        (F.col("n_rows").cast("double") / F.col("n_total").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+_RANGE_CUT_SQL = ", ".join(
+    f"quantile_cont(l_extendedprice, {i}.0/{RANGE_BUCKETS}) AS c{i}"
+    for i in range(1, RANGE_BUCKETS)
+)
+_RANGE_BUCKET_SQL = "1 " + " ".join(
+    f"+ CASE WHEN v > c{i} THEN 1 ELSE 0 END" for i in range(1, RANGE_BUCKETS)
+)
+_RANGE_LO_SQL = "CASE " + " ".join(
+    f"WHEN bucket = {b} THEN c{b - 1}" for b in range(2, RANGE_BUCKETS + 1)
+) + " END"
+_RANGE_HI_SQL = "CASE " + " ".join(
+    f"WHEN bucket = {b} THEN c{b}" for b in range(1, RANGE_BUCKETS)
+) + " END"
+
+Q_RANGE_ADVISOR_ORACLE = f"""
+WITH cuts AS (
+  SELECT {_RANGE_CUT_SQL}, CAST(count(*) AS BIGINT) AS n_total
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), b AS (
+  SELECT ({_RANGE_BUCKET_SQL}) AS bucket, n_total
+  FROM (SELECT l_extendedprice AS v FROM lineitem
+        WHERE l_extendedprice IS NOT NULL) CROSS JOIN cuts
+), hist AS (
+  SELECT bucket, n_total, CAST(count(*) AS BIGINT) AS n_rows
+  FROM b GROUP BY 1, 2
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       ({_RANGE_LO_SQL}) AS lo_price,
+       ({_RANGE_HI_SQL}) AS hi_price,
+       n_rows,
+       CAST(n_rows AS DOUBLE) / CAST(hist.n_total AS DOUBLE) AS share
+FROM hist CROSS JOIN cuts
+"""
+
+
+def x13_advised_range_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 (extension): ADVISED range layout — q_range_partition_advisor's
+    cut points DRIVE the physical layout through
+    operators/physical.py::range_layout (the j19/a42 seam pattern for
+    the sort-layout axis): collect the advisor's cuts (7 doubles — a
+    bounded driver action), lay lineitem out range-clustered + locally
+    sorted, and report per-bucket extents. ``disjoint_ok`` pins the
+    layout's load-bearing invariant — bucket extents never overlap
+    (monotone assignment: every value in bucket b is <= cut_b, every
+    value in b+1 is > cut_b) — which is exactly what makes parquet
+    min/max file pruning effective on the sort key; the oracle asserts
+    it as literal TRUE, so any assignment bug hash-fails.
+
+    Plan contract (tests/test_plans.py): the layout is one
+    REPARTITION_BY_NUM exchange at the advised bucket count plus a
+    LOCAL sort (no global Exchange for the sort — sortWithinPartitions).
+
+    Scale: this is the mart-writer's layout pass — one advised shuffle
+    + local sort, then per-bucket stats are bucket-grain. The advisor's
+    exact percentile pass is the only row-scale extra and is the KLL
+    path's CHECK at 100 TB (see the advisor's docstring)."""
+    from us_dot_flights_lakehouse_spark.operators.physical import range_layout
+
+    adv = q_range_partition_advisor(spark, sf_dir).collect()
+    cuts = [
+        r["hi_price"]
+        for r in sorted(adv, key=lambda r: r["bucket"])
+        if r["hi_price"] is not None
+    ]
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    laid = range_layout(
+        lineitem.where(F.col("l_extendedprice").isNotNull()),
+        "l_extendedprice",
+        cuts,
+    )
+    stats = laid.groupBy(F.col("__bucket").cast("int").alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    nxt = stats.select(
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("min_price").alias("next_min"),
+    )
+    return (
+        stats.join(F.broadcast(nxt), "bucket", "left")
+        .select(
+            "bucket",
+            "n_rows",
+            "min_price",
+            "max_price",
+            F.coalesce(
+                F.col("max_price") <= F.col("next_min"), F.lit(True)
+            ).alias("disjoint_ok"),
+        )
+    )
+
+
+X13_ORACLE = f"""
+WITH cuts AS (
+  SELECT {_RANGE_CUT_SQL} FROM lineitem WHERE l_extendedprice IS NOT NULL
+), b AS (
+  SELECT v, ({_RANGE_BUCKET_SQL}) AS bucket
+  FROM (SELECT l_extendedprice AS v FROM lineitem
+        WHERE l_extendedprice IS NOT NULL) CROSS JOIN cuts
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(v) AS min_price,
+       max(v) AS max_price,
+       TRUE AS disjoint_ok
+FROM b GROUP BY 1
+"""
