@@ -1520,6 +1520,9 @@ def round13_families(spark, factor, only_target=None):
         # j19 requests only its orders_customer edge since the
         # single-edge advisor refactor — lineitem is no longer scanned
         "j19_advised_join": ("orders",),
+        # two scan passes (percentile cuts + bucket histogram), both
+        # full-codegen aggregates — expected ~linear
+        "q_range_partition_advisor": ("lineitem",),
     }
     run = [t for t in targets if only_target in (None, t)]
     if not run:
