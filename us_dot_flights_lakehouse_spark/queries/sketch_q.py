@@ -1810,27 +1810,42 @@ def q_join_cardinality_advisor(
     join).
 
     Scale: the advisor's own inputs are the sketch path (≤k longs per
-    (table-scan task, edge, side)) plus a pure-codegen row count with
-    map-side combine down to 8 groups — together they reduce four
-    100 TB join plans to a KB-sized problem. The exact companions
-    (exact_keys / exact_overlap / exact_join_rows, everything built on
-    the key-grain `keycnt` shuffle) are the CHECK and are genuinely
-    droppable: no advertised output depends on them."""
+    (task, edge, side)) plus a pure-codegen conditional row count —
+    together they reduce four 100 TB join plans to a KB-sized problem.
+    The fan-out stream is hash-repartitioned once on (edge, k) and every
+    branch shares that single exchange (r13: the prior plan recomputed
+    the 5-table scan+explode 8x through pushed side filters and a
+    keycnt L×R self-join). The exact companions (exact_*_keys /
+    exact_overlap / exact_join_rows — now ONE (edge, k)-grain aggregate,
+    exchange-free on the shared partitioning) are the CHECK and are
+    genuinely droppable: no advertised output depends on them."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     part = read_table(spark, sf_dir, "part")
     supp = read_table(spark, sf_dir, "supplier")
 
+    P = spark.sparkContext.defaultParallelism
+
     def fan(df: DataFrame, contribs) -> DataFrame:
-        return df.select(
+        # project to just the key columns, then hash-repartition on the
+        # first of them BEFORE the explode fan-out: a one-row-group
+        # parquet table arrives as a single scan task, so without this
+        # the 3x explode + casts (and everything up to the first
+        # exchange) run on one core (guide §2.5 input skew; the
+        # read_corpus idiom). Hash partitioning (not round-robin) so no
+        # sortBeforeRepartition pass; the shuffle carries only the raw
+        # key columns, cheaper than the exploded stream it replaces.
+        names = sorted({c[2] for c in contribs})
+        src = df.select(*names).repartition(P, F.col(names[0]))
+        return src.select(
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(e).alias("edge"),
                             F.lit(s).alias("side"),
-                            col.cast("string").alias("k"),
+                            F.col(col).cast("string").alias("k"),
                         )
                         for e, s, col in contribs
                     ]
@@ -1844,17 +1859,17 @@ def q_join_cardinality_advisor(
     # skipping the scans of uninvolved tables entirely
     table_contribs = [
         (li, [
-            ("lineitem_part", "L", F.col("l_partkey")),
-            ("lineitem_supplier", "L", F.col("l_suppkey")),
-            ("lineitem_orders", "L", F.col("l_orderkey")),
+            ("lineitem_part", "L", "l_partkey"),
+            ("lineitem_supplier", "L", "l_suppkey"),
+            ("lineitem_orders", "L", "l_orderkey"),
         ]),
         (orders, [
-            ("orders_customer", "L", F.col("o_custkey")),
-            ("lineitem_orders", "R", F.col("o_orderkey")),
+            ("orders_customer", "L", "o_custkey"),
+            ("lineitem_orders", "R", "o_orderkey"),
         ]),
-        (cust, [("orders_customer", "R", F.col("c_custkey"))]),
-        (part, [("lineitem_part", "R", F.col("p_partkey"))]),
-        (supp, [("lineitem_supplier", "R", F.col("s_suppkey"))]),
+        (cust, [("orders_customer", "R", "c_custkey")]),
+        (part, [("lineitem_part", "R", "p_partkey")]),
+        (supp, [("lineitem_supplier", "R", "s_suppkey")]),
     ]
     stream = None
     for df, contribs in table_contribs:
@@ -1869,24 +1884,63 @@ def q_join_cardinality_advisor(
     # n_rows/est/exact then describe the rows the advised join will
     # actually shuffle (r13 null-bucket sweep)
     stream = stream.where(F.col("k").isNotNull())
-    # row counts feed the ADVERTISED outputs (est_join_rows, strategy,
-    # partition sizing), so they must not ride the droppable CHECK path:
-    # a pure-codegen count with map-side combine down to 8 groups
-    counts = stream.groupBy("edge", "side").agg(
-        F.count("*").cast("bigint").alias("n_rows")
-    )
-    # exact companions — everything from here through `ex` is the CHECK
-    # and is droppable at scale (key-grain shuffle); exact_keys derives
-    # from the same aggregate rather than a separate countDistinct scan
-    keycnt = stream.groupBy("edge", "side", "k").agg(
+    # (edge, side, k)-grain pre-aggregation SPINE (r13, guide §2.3/§2.4):
+    # map-side partial count + ONE exchange at key grain. Its exchange is
+    # the shared materialization point — every consumer branch
+    # (per_edge_counts, kk/ex, the KMV sketch) hangs off it, so
+    # ReuseExchange computes the 5-table scan+explode once instead of
+    # once per branch (the before-plan re-ran it 8x: the L/R side
+    # filters pushed below every join split each subtree in two, and the
+    # keycnt L×R self-join added two more copies). Downstream reads
+    # distinct keys + multiplicities instead of raw rows: the sketch
+    # path hashes and ships ~3x fewer rows across the Python boundary
+    # (KMV over a set ≡ over its multiset — "aggregate before you
+    # shuffle" applied to the JVM→Python crossing too). At 100 TB, if
+    # the exact companions are dropped, this spine drops with them and
+    # the kernel goes back to eating the raw stream with its
+    # ≤k-per-(task, key) partials and no key-grain shuffle at all.
+    spine = stream.groupBy("edge", "side", "k").agg(
         F.count("*").cast("bigint").alias("c")
     )
-    exact_keys = keycnt.groupBy("edge", "side").agg(
-        F.count("*").cast("bigint").alias("exact_keys")
+    # row counts feed the ADVERTISED outputs (est_join_rows, strategy,
+    # partition sizing): a pure-codegen conditional sum to edge grain
+    per_edge_counts = spine.groupBy("edge").agg(
+        F.sum(F.when(F.col("side") == "L", F.col("c")))
+        .cast("bigint")
+        .alias("n_left_rows"),
+        F.sum(F.when(F.col("side") == "R", F.col("c")))
+        .cast("bigint")
+        .alias("n_right_rows"),
+    )
+    # exact companions — the CHECK, droppable at scale. ONE (edge, k)-
+    # grain rollup of the spine with the two sides pivoted into columns
+    # replaces the former (edge, side, k) groupBy + L×R self-join:
+    # exact_keys,
+    # exact_overlap and exact_join_rows = Σ cl·cr all fall out of the
+    # same rows (cl·cr is 0 whenever a key misses either side).
+    kk = spine.groupBy("edge", "k").agg(
+        F.sum(F.when(F.col("side") == "L", F.col("c")))
+        .cast("bigint")
+        .alias("cl"),
+        F.sum(F.when(F.col("side") == "R", F.col("c")))
+        .cast("bigint")
+        .alias("cr"),
+    )
+    ex = kk.groupBy("edge").agg(
+        F.sum(F.when(F.col("cl") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("exact_left_keys"),
+        F.sum(F.when(F.col("cr") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("exact_right_keys"),
+        F.sum(F.when((F.col("cl") > 0) & (F.col("cr") > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("exact_overlap"),
+        F.sum(F.col("cl") * F.col("cr")).cast("bigint").alias("exact_join_rows"),
     )
     merged = (
         _kmv_sketch_by(
-            stream.select(
+            spine.select(
                 F.concat_ws("/", "edge", "side").alias("grp"),
                 _md5_60("jn:", F.col("k")).alias("h"),
             ),
@@ -1895,21 +1949,16 @@ def q_join_cardinality_advisor(
         .withColumn("edge", F.split("grp", "/")[0])
         .withColumn("side", F.split("grp", "/")[1])
     )
-    side_stats = counts.join(exact_keys, ["edge", "side"]).join(
-        F.broadcast(merged.select("edge", "side", _kmv_est().alias("est_keys"))),
-        ["edge", "side"],
-    )
-    left = side_stats.where(F.col("side") == "L").select(
-        "edge",
-        F.col("n_rows").alias("n_left_rows"),
-        F.col("exact_keys").alias("exact_left_keys"),
-        F.col("est_keys").alias("est_left_keys"),
-    )
-    right = side_stats.where(F.col("side") == "R").select(
-        "edge",
-        F.col("n_rows").alias("n_right_rows"),
-        F.col("exact_keys").alias("exact_right_keys"),
-        F.col("est_keys").alias("est_right_keys"),
+    # pivot the per-(edge, side) estimates to edge grain instead of
+    # filtering side_stats into two joined copies — the former pushed a
+    # side=L / side=R filter below every subtree and doubled the work
+    per_edge_est = merged.groupBy("edge").agg(
+        F.max(
+            F.when(F.col("side") == "L", _kmv_est())
+        ).alias("est_left_keys"),
+        F.max(
+            F.when(F.col("side") == "R", _kmv_est())
+        ).alias("est_right_keys"),
     )
     # the two side blobs per edge -> the union's bottom-k (dd_kmv idiom)
     blob_h = merged.select(
@@ -1934,27 +1983,11 @@ def q_join_cardinality_advisor(
             .alias("n_both_k"),
         )
     )
-    ex = (
-        keycnt.where(F.col("side") == "L")
-        .alias("l")
-        .join(
-            keycnt.where(F.col("side") == "R").alias("r"),
-            (F.col("l.edge") == F.col("r.edge"))
-            & (F.col("l.k") == F.col("r.k")),
-        )
-        .groupBy(F.col("l.edge").alias("edge"))
-        .agg(
-            F.count("*").cast("bigint").alias("exact_overlap"),
-            F.sum(F.col("l.c") * F.col("r.c"))
-            .cast("bigint")
-            .alias("exact_join_rows"),
-        )
-    )
     est_union = F.when(
         F.col("n_union_k") < KMV_K, F.col("n_union_k").cast("double")
     ).otherwise(F.lit(KMV_NUM) / F.col("kth_u").cast("double"))
     return (
-        left.join(right, "edge")
+        per_edge_counts.join(F.broadcast(per_edge_est), "edge")
         .join(F.broadcast(usk), "edge")
         .join(F.broadcast(ex), "edge", "left")
         .withColumn(
