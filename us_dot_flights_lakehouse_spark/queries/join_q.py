@@ -683,7 +683,17 @@ def g1_bipartite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
         )
-        .distinct()
+        # ONE explicit cust-keyed exchange, then dedupe in place: a bare
+        # .distinct() would pay a (cust, supp) exchange AND leave its
+        # partial dedup on the single scan task of the one-row-group
+        # file; HashPartitioning(cust) satisfies the (cust, supp)
+        # dedup's clustering requirement (subset rule), and cust_out's
+        # groupBy(cust) plus e1's join key ride the same partitioning
+        # with no further exchange (r13, guide §2.4)
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("cust")
+        )
+        .dropDuplicates(["cust", "supp"])
     )
     cust_out = edges.groupBy("cust").agg(F.count("*").alias("c_deg"))
     supp_out = edges.groupBy("supp").agg(F.count("*").alias("s_deg"))
@@ -1373,18 +1383,25 @@ def g5_neighbor_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     by cap²/2 per customer."""
     orders = read_table(spark, sf_dir, "orders")
     lineitem = read_table(spark, sf_dir, "lineitem")
-    edges = (
-        lineitem.join(
-            orders.select("o_orderkey", "o_custkey"),
-            lineitem["l_orderkey"] == orders["o_orderkey"],
-        )
-        .select(
-            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
-        )
-        .distinct()
+    edges = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem["l_orderkey"] == orders["o_orderkey"],
+    ).select(
+        F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
     )
+    # no .distinct() before the groupBy: collect_set dedupes per
+    # customer anyway, so the separate (cust, supp)-keyed exchange the
+    # distinct paid was pure overhead (r13, guide §2.4 — a `distinct`
+    # on data the next aggregate dedupes is an accidental shuffle). The
+    # explicit cust repartition replaces it with the ONE exchange the
+    # aggregation needs and moves the set-building off the single scan
+    # task of the one-row-group file onto all cores (a bare groupBy
+    # would run its object-hash partial on that one task).
     adj = (
-        edges.groupBy("cust")
+        edges.repartition(
+            spark.sparkContext.defaultParallelism, F.col("cust")
+        )
+        .groupBy("cust")
         .agg(F.array_sort(F.collect_set("supp")).alias("supps"))
         .filter(F.size("supps") <= G5_MAX_DEG)
     )

@@ -1686,27 +1686,48 @@ def q_groupby_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame
         ("month|status", F.concat_ws("|", month, status)),
         ("custkey", cust),
     ]
-    exploded = orders.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(name).alias("keyset"), expr.alias("keystr")
-                    )
-                    for name, expr in keysets
-                ]
-            )
-        ).alias("kv")
-    ).select("kv.keyset", "kv.keystr")
+    # r13 (guide §2.3/§2.5, the join-advisor pattern): project + hash-
+    # repartition BEFORE the 6x explode so the fan-out leaves the single
+    # scan task of the one-row-group file, then pre-aggregate once to a
+    # (keyset, keystr) spine whose exchange both branches share —
+    # ReuseExchange computes the scan+explode once, and the KMV kernel
+    # hashes/ships distinct groups instead of raw rows across the Python
+    # boundary (KMV over a set ≡ over its multiset).
+    exploded = (
+        orders.select("o_orderstatus", "o_orderpriority", "o_orderdate",
+                      "o_custkey")
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("o_custkey")
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("keyset"), expr.alias("keystr")
+                        )
+                        for name, expr in keysets
+                    ]
+                )
+            ).alias("kv")
+        )
+        .select("kv.keyset", "kv.keystr")
+    )
+    spine = exploded.groupBy("keyset", "keystr").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
     merged = _kmv_sketch_by(
-        exploded.select(
+        spine.select(
             "keyset", _md5_60("adv:", F.col("keystr")).alias("h")
         ),
         "keyset",
     )
-    exact = exploded.groupBy("keyset").agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.countDistinct("keystr").cast("bigint").alias("exact_groups"),
+    # n_rows counts every fan-out row (NULL keystr included, as before);
+    # exact_groups counts distinct non-NULL keystr — both pure rollups
+    # of the spine, bit-equal to the former count/countDistinct pair
+    exact = spine.groupBy("keyset").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count("keystr").cast("bigint").alias("exact_groups"),
     )
     return (
         exact.join(F.broadcast(merged), "keyset")
