@@ -158,6 +158,32 @@ def test_dup_clusters_long_chain_converges(spark):
     assert {r["cluster_id"] for r in got} == {0}
 
 
+def test_dup_clusters_driver_gate_matches_distributed(spark):
+    """r13: the cap-gated driver-side union of the pair graph (numpy
+    pointer jumping) must produce EXACTLY the distributed min-label
+    loop's labeling. Deterministic multi-component graph: a diameter-9
+    path, a dense blob, an out-of-`nodes` edge endpoint (labels must
+    still cover it, as the loop's edge_nodes does), and singletons."""
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)]           # path 0..9
+        + [(10, 11), (11, 50), (10, 50)],        # blob incl. id 50 ∉ nodes
+        "doc_id_a long, doc_id_b long",
+    )
+    drv = {
+        r["node"]: r["cluster_id"]
+        for r in curation.dup_clusters(nodes, pairs).collect()
+    }
+    dist = {
+        r["node"]: r["cluster_id"]
+        for r in curation.dup_clusters(
+            nodes, pairs, driver_cc_max=0
+        ).collect()
+    }
+    assert drv == dist
+    assert drv[9] == 0 and drv[50] == 10 and drv[11] == 10
+
+
 def test_dup_clusters_two_star_equivalent_on_chain(spark):
     """large-star/small-star must produce the same labeling as min-label
     on the adversarial case it exists for: a long path graph (diameter =

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 from us_dot_flights_lakehouse_spark.functions.text import (
@@ -328,6 +329,64 @@ def shard_assign(
     )
 
 
+#: edge-count cap for driver-side component resolution in dup_clusters:
+#: below it the symmetric pair list collects as two columns via Arrow
+#: (≤~32 MB at the cap) and components resolve in vectorized numpy on the
+#: driver; above it the distributed min-label loop runs. The cap bounds
+#: driver memory the way the centroid/advisor collects are bounded —
+#: a 100 TB corpus whose VERIFIED near-dup graph exceeds 2M edges keeps
+#: the iterative path.
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def _dup_clusters_driver(
+    nodes: DataFrame, edges: DataFrame, id_col: str
+) -> DataFrame:
+    """Bounded driver-side connected components over the (already
+    cap-checked) symmetric edge list: numpy min-label pointer jumping —
+    each pass takes the min label across every edge in one vectorized
+    `minimum.at`, then halves label-chain depth with `lab = lab[lab]`;
+    converges in O(log n) passes. Node ids are compacted through
+    `np.unique` (sorted), so index order == id order and the fixpoint
+    label is exactly the component's MIN id — the distributed loop's
+    contract. Labels cover every node in the edge set (as the loop's
+    edge_nodes does); `nodes` not in any pair come back as singletons."""
+    import numpy as np
+
+    id_field = edges.schema["a"]
+    pdf = edges.toPandas()
+    a_ids, b_ids = pdf["a"].to_numpy(), pdf["b"].to_numpy()
+    u = np.unique(np.concatenate([a_ids, b_ids]))
+    ia = np.searchsorted(u, a_ids)
+    ib = np.searchsorted(u, b_ids)
+    lab = np.arange(len(u))
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, ia, lab[ib])
+        np.minimum.at(lab, ib, lab[ia])
+        lab = np.minimum(lab, lab[lab])
+        if np.array_equal(lab, old):
+            break
+    spark = nodes.sparkSession
+    schema = StructType(
+        [
+            StructField("node", id_field.dataType, False),
+            StructField("cluster_id", id_field.dataType, False),
+        ]
+    )
+    import pandas as pd
+
+    labels = spark.createDataFrame(
+        pd.DataFrame({"node": u, "cluster_id": u[lab]}), schema
+    )
+    singletons = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(labels.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("cluster_id"))
+    )
+    return labels.unionByName(singletons)
+
+
 def dup_clusters(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -336,6 +395,7 @@ def dup_clusters(
     b_col: str = "doc_id_b",
     max_iter: int = 20,
     variant: str = "min_label",
+    driver_cc_max: int | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: connected components by
     min-label propagation (each node repeatedly takes the minimum label
@@ -371,6 +431,24 @@ def dup_clusters(
     # count also materializes the edge cache exactly once. Large graphs
     # keep full parallelism (≈200K edges per partition).
     n_edges = edges.count()
+    # r13 (guide §1.2 "the distributed algorithm"): below the cap, resolve
+    # components ON THE DRIVER in one bounded action instead of iterating
+    # 2 Spark jobs per propagation round (join+checkpoint, convergence
+    # probe) — for the few-hundred-pair graphs dedup actually produces,
+    # the loop was pure scheduling overhead (~2 s per call at sf0.1; four
+    # query paths call this). The collect is CAP-BOUNDED (n_edges is
+    # already computed for the coalesce sizing): ≤DRIVER_CC_MAX_EDGES
+    # two-column rows via Arrow, vectorized numpy pointer-jumping on the
+    # driver, labels return as a broadcast-able local relation. Above the
+    # cap — the 100 TB pair-graph regime — the distributed min-label loop
+    # below runs unchanged. Same result by construction: both compute the
+    # min node id per connected component (property-tested for equality).
+    if driver_cc_max is None:
+        driver_cc_max = DRIVER_CC_MAX_EDGES
+    if n_edges <= driver_cc_max:
+        labels = _dup_clusters_driver(nodes, edges, id_col)
+        edges.unpersist()
+        return labels
     sc = nodes.sparkSession.sparkContext
     parts = max(1, min(sc.defaultParallelism, n_edges // 200_000 + 1))
     edges = edges.coalesce(parts)
