@@ -1354,3 +1354,31 @@ def test_join_advisor_single_edge_equals_full_run(spark, sf_small):
     ).collect()
     assert len(one) == 1
     assert tuple(one[0]) == tuple(full["orders_customer"])
+
+
+def test_exact_cut_points_bit_equal_to_percentile(spark, sf_small):
+    """r13: the sort+rank-selection cut-point relation must reproduce
+    Spark's percentile() aggregate BIT-FOR-BIT (which the DuckDB oracle
+    already pins to quantile_cont) — both the interpolated doubles and
+    n_total — on real data and on a crafted multiset with heavy ties."""
+    from pyspark.sql import functions as F
+
+    from us_dot_flights_lakehouse_spark.queries import relational as rel
+    from us_dot_flights_lakehouse_spark.sources.readers import read_table
+
+    fracs = [i / 8 for i in range(1, 8)]
+    for vals in (
+        read_table(spark, sf_small, "lineitem")
+        .select(F.col("l_extendedprice").alias("v"))
+        .where(F.col("v").isNotNull()),
+        spark.createDataFrame(
+            [(float(x),) for x in [1, 1, 1, 2, 2, 3, 7, 7, 7, 7, 11]], "v double"
+        ),
+    ):
+        ref = vals.agg(
+            F.percentile("v", F.lit(fracs)).alias("cuts"),
+            F.count("*").cast("bigint").alias("n_total"),
+        ).collect()[0]
+        got = rel._exact_cut_points(spark, vals, fracs).collect()[0]
+        assert got["n_total"] == ref["n_total"]
+        assert list(got["cuts"]) == list(ref["cuts"])

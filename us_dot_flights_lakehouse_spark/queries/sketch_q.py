@@ -2535,23 +2535,107 @@ GROUP BY 1, 2, pick.est_groups, pick.recommended_partitions
 RANGE_BUCKETS = 8
 
 
+def _exact_cut_points(
+    spark: SparkSession, vals: DataFrame, fracs: list[float]
+) -> DataFrame:
+    """Exact interpolated percentiles by DISTRIBUTED SORT + rank
+    selection, returned as the same 1-row (cuts array<double>, n_total)
+    relation the old ``agg(percentile(...))`` produced — bit-identical
+    values (pinned by test and by the unchanged DuckDB oracle).
+
+    Why (r13, guide §1.1 first-principles): ``percentile`` is a
+    TypedImperativeAggregate that buffers EVERY value into a per-task
+    hash map and then merges all maps on one final task — at sf0.1
+    that single-threaded merge of ~583k near-unique doubles was 2.4 s,
+    and at 100 TB the whole-column buffer is simply infeasible. The
+    selection formulation does one range exchange + parallel local
+    sorts, then touches only the ≤2·|fracs| rows that straddle the
+    target ranks:
+
+    - ``orderBy(v)`` range-partitions + locally sorts (parallel);
+      ``monotonically_increasing_id`` encodes (partition, local row).
+    - per-partition counts (≤ one row per task — a bounded driver
+      action, the centroid pattern) give exact global rank offsets.
+    - the ≤2·|fracs| straddling rows are fetched by id (bounded), and
+      Spark's own interpolation ``lo*(hi-pos) + hi*(pos-lo)`` runs on
+      IEEE doubles in Python — the same op order both engines use, so
+      the bits match (verified against percentile() and quantile_cont).
+
+    Sampling in the range partitioner makes the PARTITIONING
+    nondeterministic, but rank selection over the sorted multiset is a
+    pure function of the input — the r12 row-order/input-split sweeps'
+    property."""
+    import math
+
+    s = (
+        vals.orderBy("v")
+        .select("v", F.monotonically_increasing_id().alias("mid"))
+        .localCheckpoint()
+    )
+    # mid = partition_id << 33 | local_row — per-partition counts give
+    # exact global offsets; one row per task, a bounded collect
+    cnts = dict(
+        s.groupBy(F.shiftright("mid", 33).alias("pid")).count().collect()
+    )
+    n_total = sum(cnts.values())
+    if n_total == 0:
+        return spark.createDataFrame(
+            [([None] * len(fracs), 0)], "cuts array<double>, n_total bigint"
+        )
+    offs, off = {}, 0
+    for pid in sorted(cnts):
+        offs[pid] = off
+        off += cnts[pid]
+
+    def _mid_for(rank: int) -> int:
+        for pid in sorted(cnts):
+            if rank < offs[pid] + cnts[pid]:
+                return (pid << 33) + (rank - offs[pid])
+        raise IndexError(rank)
+
+    need: set[int] = set()
+    for p in fracs:
+        pos = p * (n_total - 1)
+        need.add(math.floor(pos))
+        need.add(math.ceil(pos))
+    mids = {r: _mid_for(r) for r in need}
+    got = {
+        row["mid"]: row["v"]
+        for row in s.where(F.col("mid").isin(list(mids.values()))).collect()
+    }
+    by_rank = {r: got[m] for r, m in mids.items()}
+    cut_vals = []
+    for p in fracs:
+        pos = p * (n_total - 1)
+        lo, hi = math.floor(pos), math.ceil(pos)
+        v_lo, v_hi = by_rank[lo], by_rank[hi]
+        cut_vals.append(
+            v_lo if lo == hi else v_lo * (hi - pos) + v_hi * (pos - lo)
+        )
+    return spark.createDataFrame(
+        [(cut_vals, n_total)], "cuts array<double>, n_total bigint"
+    )
+
+
 def q_range_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q (extension): RANGE-partition / sort-layout ADVISOR — the fourth
     planning table (groupby count, join strategy, key skew, and now
     RANGE LAYOUT): before writing a sorted mart, compute the cut points
     that split the sort key into RANGE_BUCKETS equal-row buckets and the
     balance each bucket would get. Cut points are exact interpolated
-    percentiles (a11's contract — Spark ``percentile`` and DuckDB
-    ``quantile_cont`` produce bit-identical doubles), computed in ONE
-    aggregate pass and broadcast back over the scan as a 1-row relation;
-    per-bucket counts come from the same monotone bucket assignment the
-    x13 layout applies, so the table describes EXACTLY what the layout
-    will write.
+    percentiles (a11's contract — bit-identical to Spark ``percentile``
+    and DuckDB ``quantile_cont``), computed by distributed sort + rank
+    selection (``_exact_cut_points`` — r13: the percentile aggregate
+    buffered the whole column into one final task's merge) and broadcast
+    back over the scan as a 1-row relation; per-bucket counts come from
+    the same monotone bucket assignment the x13 layout applies, so the
+    table describes EXACTLY what the layout will write.
 
-    Scale: one pass for the cuts + one pass for the histogram, both
-    full-codegen aggregates; at 100 TB the cut points come instead from
-    a38's mergeable KLL blobs (rank error bounds proven there) — the
-    exact-percentile pass here doubles as that path's CHECK. Spark's own
+    Scale: one sort pass + rank-bounded selection for the cuts + one
+    full-codegen aggregate pass for the histogram; at 100 TB the cut
+    points come instead from a38's mergeable KLL blobs (rank error
+    bounds proven there) — the exact-selection pass here doubles as
+    that path's CHECK. Spark's own
     repartitionByRange is NOT the seam: it samples, so its boundaries
     are nondeterministic run to run (range_layout's docstring).
 
@@ -2563,10 +2647,7 @@ def q_range_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNotNull()
     )
     fracs = [i / RANGE_BUCKETS for i in range(1, RANGE_BUCKETS)]
-    cuts = vals.agg(
-        F.percentile("v", F.lit(fracs)).alias("cuts"),
-        F.count("*").cast("bigint").alias("n_total"),
-    )
+    cuts = _exact_cut_points(spark, vals, fracs)
     bucket = F.lit(1)
     for i in range(RANGE_BUCKETS - 1):
         bucket = bucket + (F.col("v") > F.col("cuts")[i]).cast("int")
