@@ -1905,49 +1905,48 @@ def q_join_cardinality_advisor(
     # n_rows/est/exact then describe the rows the advised join will
     # actually shuffle (r13 null-bucket sweep)
     stream = stream.where(F.col("k").isNotNull())
-    # (edge, side, k)-grain pre-aggregation SPINE (r13, guide §2.3/§2.4):
-    # map-side partial count + ONE exchange at key grain. Its exchange is
-    # the shared materialization point — every consumer branch
-    # (per_edge_counts, kk/ex, the KMV sketch) hangs off it, so
-    # ReuseExchange computes the 5-table scan+explode once instead of
-    # once per branch (the before-plan re-ran it 8x: the L/R side
-    # filters pushed below every join split each subtree in two, and the
-    # keycnt L×R self-join added two more copies). Downstream reads
-    # distinct keys + multiplicities instead of raw rows: the sketch
-    # path hashes and ships ~3x fewer rows across the Python boundary
-    # (KMV over a set ≡ over its multiset — "aggregate before you
-    # shuffle" applied to the JVM→Python crossing too). At 100 TB, if
-    # the exact companions are dropped, this spine drops with them and
-    # the kernel goes back to eating the raw stream with its
-    # ≤k-per-(task, key) partials and no key-grain shuffle at all.
-    spine = stream.groupBy("edge", "side", "k").agg(
-        F.count("*").cast("bigint").alias("c")
+    # ONE (edge, k)-grain rollup with the two sides pivoted into columns
+    # (r13, guide §2.3/§2.4): map-side partial aggregation + a single
+    # exchange at key grain, MATERIALIZED ONCE with localCheckpoint. The
+    # first r13 cut hung every consumer off a shared (edge, side, k)
+    # spine expecting ReuseExchange to compute it once — measured, it
+    # never fires here (each consumer prunes/pivots the subtree
+    # differently, so the canonical exchanges differ: the executed plan
+    # carried 40 parquet scans and 0 ReusedExchange, the spine subtree
+    # re-ran 3-4x and the isolated median stayed ~6.6s). localCheckpoint
+    # makes the sharing explicit: the 5-table scan+explode+rollup runs
+    # exactly once per invocation (inside the timed window — nothing
+    # survives the query), and the consumers below read the materialized
+    # blocks (guide §3.3: materialising an intermediate truncates the
+    # plan). At 100 TB, if the exact companions are dropped, this rollup
+    # drops with them and the KMV kernel goes back to eating the raw
+    # stream with its ≤k-per-(task, key) partials and no key-grain
+    # shuffle at all.
+    kk = (
+        stream.groupBy("edge", "k")
+        .agg(
+            F.sum(F.when(F.col("side") == "L", 1).otherwise(0))
+            .cast("bigint")
+            .alias("cl"),
+            F.sum(F.when(F.col("side") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("cr"),
+        )
+        .localCheckpoint()
     )
-    # row counts feed the ADVERTISED outputs (est_join_rows, strategy,
-    # partition sizing): a pure-codegen conditional sum to edge grain
-    per_edge_counts = spine.groupBy("edge").agg(
-        F.sum(F.when(F.col("side") == "L", F.col("c")))
+    # edge-grain stats in ONE aggregate over the rollup: the row counts
+    # feed the ADVERTISED outputs (est_join_rows, strategy, partition
+    # sizing) and the exact companions (the CHECK, droppable at scale)
+    # fall out of the SAME rows (cl·cr is 0 whenever a key misses either
+    # side). sum(cl where cl>0) keeps the pre-r13 NULL-on-empty-side
+    # semantics of sum(when(side='L', c)).
+    edge_stats = kk.groupBy("edge").agg(
+        F.sum(F.when(F.col("cl") > 0, F.col("cl")))
         .cast("bigint")
         .alias("n_left_rows"),
-        F.sum(F.when(F.col("side") == "R", F.col("c")))
+        F.sum(F.when(F.col("cr") > 0, F.col("cr")))
         .cast("bigint")
         .alias("n_right_rows"),
-    )
-    # exact companions — the CHECK, droppable at scale. ONE (edge, k)-
-    # grain rollup of the spine with the two sides pivoted into columns
-    # replaces the former (edge, side, k) groupBy + L×R self-join:
-    # exact_keys,
-    # exact_overlap and exact_join_rows = Σ cl·cr all fall out of the
-    # same rows (cl·cr is 0 whenever a key misses either side).
-    kk = spine.groupBy("edge", "k").agg(
-        F.sum(F.when(F.col("side") == "L", F.col("c")))
-        .cast("bigint")
-        .alias("cl"),
-        F.sum(F.when(F.col("side") == "R", F.col("c")))
-        .cast("bigint")
-        .alias("cr"),
-    )
-    ex = kk.groupBy("edge").agg(
         F.sum(F.when(F.col("cl") > 0, 1).otherwise(0))
         .cast("bigint")
         .alias("exact_left_keys"),
@@ -1959,9 +1958,28 @@ def q_join_cardinality_advisor(
         .alias("exact_overlap"),
         F.sum(F.col("cl") * F.col("cr")).cast("bigint").alias("exact_join_rows"),
     )
+    # per-side distinct keys for the KMV kernel, re-derived from the
+    # rollup (KMV over a set ≡ over its multiset, so the distinct
+    # (edge, side, k) rows the old spine fed it are reproduced
+    # bit-identically); the merged blobs come back ≤2 rows per edge and
+    # are checkpointed so the two consumers below (per_edge_est, the
+    # blob explode) don't re-run the Python kernel chain.
+    side_keys = kk.select(
+        "edge",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(F.col("cl") > 0, F.lit("L")),
+                    F.when(F.col("cr") > 0, F.lit("R")),
+                ),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("side"),
+        "k",
+    )
     merged = (
         _kmv_sketch_by(
-            spine.select(
+            side_keys.select(
                 F.concat_ws("/", "edge", "side").alias("grp"),
                 _md5_60("jn:", F.col("k")).alias("h"),
             ),
@@ -1969,6 +1987,7 @@ def q_join_cardinality_advisor(
         )
         .withColumn("edge", F.split("grp", "/")[0])
         .withColumn("side", F.split("grp", "/")[1])
+        .localCheckpoint()
     )
     # pivot the per-(edge, side) estimates to edge grain instead of
     # filtering side_stats into two joined copies — the former pushed a
@@ -2008,17 +2027,8 @@ def q_join_cardinality_advisor(
         F.col("n_union_k") < KMV_K, F.col("n_union_k").cast("double")
     ).otherwise(F.lit(KMV_NUM) / F.col("kth_u").cast("double"))
     return (
-        per_edge_counts.join(F.broadcast(per_edge_est), "edge")
+        edge_stats.join(F.broadcast(per_edge_est), "edge")
         .join(F.broadcast(usk), "edge")
-        .join(F.broadcast(ex), "edge", "left")
-        .withColumn(
-            "exact_overlap",
-            F.coalesce("exact_overlap", F.lit(0).cast("bigint")),
-        )
-        .withColumn(
-            "exact_join_rows",
-            F.coalesce("exact_join_rows", F.lit(0).cast("bigint")),
-        )
         .withColumn(
             "est_overlap",
             (
