@@ -1688,7 +1688,16 @@ def dd_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "source", F.explode(shingles(tokenize("text"), 3)).alias("sh")
     )
-    hashed = sh.select(
+    # distinct (source, shingle) — the ONE expensive subtree (tokenize +
+    # shingle explode + dedup exchange), MATERIALIZED ONCE (r13, guide
+    # §2.4/§3.3): previously the sketch path re-ran the tokenize/explode
+    # scan and the exact companions ran it twice more through a shingle
+    # self-join (exchange reuse does not fire across the differently-
+    # pruned branches — the join-advisor lesson). KMV over a set ≡ over
+    # its multiset, so hashing the distinct rows feeds the kernel a
+    # bit-identical sketch.
+    ss = sh.distinct().localCheckpoint()
+    hashed = ss.select(
         "source",
         F.conv(
             F.substring(
@@ -1704,10 +1713,12 @@ def dd_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_kmv_partial_builder("source", "h", K),
         schema="source string, payload string",
     )
+    # ~|sources| rows; checkpointed so the blob explode and the two pair
+    # projections below don't re-run the Python kernel chain
     merged = partials.groupBy("source").applyInPandas(
         make_kmv_merger("source", K),
         schema="source string, payload string, n_hashes long, kth long",
-    )
+    ).localCheckpoint()
     blobs = merged.select(
         "source", F.explode(F.from_json("payload", "array<bigint>")).alias("h")
     )
@@ -1743,19 +1754,27 @@ def dd_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_both_k"),
         )
     )
-    # exact companions: distinct shingle sets per source
-    ss = sh.distinct()
+    # exact companions over the SAME materialized distinct set. The
+    # former shingle self-join (x.sh = y.sh AND x.source < y.source)
+    # shuffled ss twice and sort-merge-joined; group-to-source-set +
+    # in-row pair expansion counts the identical per-pair intersections
+    # with ONE exchange — per shingle, every unordered source pair it
+    # appears in contributes 1, exactly the self-join's multiset
+    # (source-set size is df-bounded by |sources|, so the expansion is
+    # ≤ |sources|² per shingle and usually 1).
     sizes = ss.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
     inter = (
-        ss.alias("x")
-        .join(
-            ss.alias("y"),
-            (F.col("x.sh") == F.col("y.sh"))
-            & (F.col("x.source") < F.col("y.source")),
+        ss.groupBy("sh")
+        .agg(F.collect_set("source").alias("srcs"))
+        .where(F.size("srcs") > 1)
+        .select(F.explode("srcs").alias("src_a"), "srcs")
+        .select(
+            "src_a",
+            F.explode(
+                F.filter("srcs", lambda s: s > F.col("src_a"))
+            ).alias("src_b"),
         )
-        .groupBy(
-            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
-        )
+        .groupBy("src_a", "src_b")
         .agg(F.count("*").cast("bigint").alias("n_inter"))
     )
     base = (
