@@ -37,18 +37,29 @@ def lit_double_matrix(rows) -> Column:
 
 
 def to_double_array(col: str | Column) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.transform(c, lambda x: x.cast("double"))
+    # column-name fast path: one parsed expression instead of the ~8
+    # Py4J round-trips of the lambda transform (r13 — driver-side plan
+    # construction measurably dominates the sim family; guide §7.3).
+    # Parsed and composed forms analyze to the identical tree.
+    if isinstance(col, str):
+        return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
+    return F.transform(col, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product of two double arrays."""
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Sequential-fold dot product of two double arrays (column-name
+    args take the one-parsed-expression fast path)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+            " (acc, v) -> acc + v)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: str | Column) -> Column:
     return F.sqrt(dot(a, a))
 
 

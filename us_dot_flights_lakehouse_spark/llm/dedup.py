@@ -370,7 +370,7 @@ def embedding_neardup_pairs_expr(
     v = emb.select(
         F.col(id_col).alias("id"),
         to_double_array(vec_col).alias("v"),
-    ).withColumn("nrm", norm(F.col("v")))
+    ).withColumn("nrm", norm("v"))
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
         F.col("a.id").alias("vec_id_a"),

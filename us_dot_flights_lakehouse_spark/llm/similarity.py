@@ -34,10 +34,20 @@ LSH_PLANES = 8
 def _prep(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return emb.select(
         F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
+    ).withColumn("nrm", norm("v"))
 
 
 def _dot(a, b) -> Column:
+    # plain-column-name fast path: ONE parsed SQL expression instead of
+    # ~15 Py4J round-trips for the two higher-order functions (r13 —
+    # query CONSTRUCTION, i.e. driver-side Python plan building, was
+    # >50% of the sim family's wall time; guide §7.3 planning cost).
+    # Parsed and composed trees analyze identically.
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+            " (acc, v) -> acc + v)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -100,7 +110,7 @@ def hard_negatives(
             F.col(id_col).alias("id"),
             to_double_array(vec_col).alias("v"),
             F.col(label_col).alias("lbl"),
-        ).withColumn("nrm", norm(F.col("v")))
+        ).withColumn("nrm", norm("v"))
 
     corpus = prep(emb)
     qs = prep(queries).select(
@@ -145,14 +155,43 @@ def _plane(j: int, dim: int) -> list[float]:
     return out
 
 
+def _proj_sql(col: str, j: int, dim: int) -> str:
+    """SQL text of the plane-j projection of column ``col`` — one parsed
+    expression; repr(float) round-trips, so the parsed doubles are
+    bit-identical to the Column-API literals."""
+    arr = "array(" + ",".join(repr(float(v)) + "D" for v in _plane(j, dim)) + ")"
+    return (
+        f"aggregate(zip_with({col}, {arr}, (x, y) -> x * y), 0.0D,"
+        " (acc, v) -> acc + v)"
+    )
+
+
+def _bucket_sql(col: str, dim: int, n_planes: int, first_plane: int) -> str:
+    terms = ["0"]
+    for j in range(first_plane, first_plane + n_planes):
+        terms.append(
+            f"(CASE WHEN {_proj_sql(col, j, dim)} > 0"
+            f" THEN {2 ** (j - first_plane)} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def lsh_bucket(
-    vec: Column, dim: int, n_planes: int = LSH_PLANES, first_plane: int = 0
+    vec: Column | str, dim: int, n_planes: int = LSH_PLANES, first_plane: int = 0
 ) -> Column:
     """Sign-bit bucket id of a double-array column under the deterministic
     hyperplane family (expression-only: literal plane arrays + zip_with).
     ``first_plane`` selects a disjoint slice of the family so callers can
     build multiple independent hash tables (multi-table LSH: table t uses
-    planes [t*n_planes, (t+1)*n_planes))."""
+    planes [t*n_planes, (t+1)*n_planes)).
+
+    Pass the column NAME to build the whole bucket as ONE parsed SQL
+    expression — the Column-API path issues hundreds of Py4J round-trips
+    for the n_planes higher-order folds and measurably dominates query
+    construction (r13; guide §7.3 planning cost). Both paths analyze to
+    the identical expression tree."""
+    if isinstance(vec, str):
+        return F.expr(_bucket_sql(vec, dim, n_planes, first_plane))
     bucket = F.lit(0)
     for j in range(first_plane, first_plane + n_planes):
         plane = lit_doubles(_plane(j, dim))
@@ -353,25 +392,28 @@ def ivf_cosine_topk(
     # cell assignment: argmin over literal centroids, expression-only —
     # one narrow scan, whole-stage JVM evaluation, no Python in the path,
     # and sequential-fold math the SQL oracle reproduces bit-for-bit.
-    def _sqdist(vec: Column, cent: list[float]) -> Column:
-        carr = lit_doubles(cent)
-        return F.aggregate(
-            F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
+    # Built as ONE parsed SQL expression (r13): the Column-API loop paid
+    # ~nlist×10 Py4J round-trips of pure driver time per invocation
+    # (guide §7.3 planning cost); repr(float) round-trips, so the parsed
+    # doubles are bit-identical to the former lit_doubles literals.
+    def _sqdist_sql(col: str, cent: list[float]) -> str:
+        arr = (
+            "array(" + ",".join(repr(float(v)) + "D" for v in cent) + ")"
+        )
+        return (
+            f"aggregate(zip_with({col}, {arr}, (x, y) ->"
+            " (x - y) * (x - y)), 0.0D, (acc, d) -> acc + d)"
         )
 
-    cell_expr = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sqdist(F.col("v"), c).alias("d"),
-                    F.lit(j).cast("int").alias("c"),
-                )
-                for j, c in enumerate(cents_list)
-            ]
+    cell_expr = F.expr(
+        "array_min(array("
+        + ", ".join(
+            f"named_struct('d', {_sqdist_sql('v', c)}, 'c',"
+            f" CAST({j} AS INT))"
+            for j, c in enumerate(cents_list)
         )
-    )["c"]
+        + ")).c"
+    )
     cells = corpus.withColumn("cell_id", cell_expr)
 
     spark = emb.sparkSession
@@ -538,7 +580,7 @@ def pq_cosine_topk(
     if dsub * m != dim:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     corpus = _prep(emb, id_col, vec_col).withColumn(
-        "v", F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+        "v", F.expr("transform(v, x -> x / nrm)")
     )
 
     # raw sample collected BEFORE Spark-side normalization: the codebook
@@ -551,13 +593,25 @@ def pq_cosine_topk(
         )
     train = _training_matrix(train_df.toPandas(), "id", train_cap)
     books = train_pq_codebooks(train, dim, m, ksub, seed)
-    book_lits = [lit_double_matrix(b) for b in books]
+    # ONE parsed SQL expression per subspace (r13, the lsh_bucket
+    # rationale): the Column-API encode/ADC loops paid ~m×20 Py4J
+    # round-trips of pure driver time per invocation; repr(float)
+    # round-trips, so the parsed codebook doubles are bit-identical to
+    # the former lit_double_matrix literals.
+    book_sql = [
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(v)) + "D" for v in row) + ")"
+            for row in b
+        )
+        + ")"
+        for b in books
+    ]
 
-    def _sub_sqdist(vec_slice: Column, cent: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(vec_slice, cent, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
+    def _sub_sqdist_sql(slice_sql: str, cent_sql: str) -> str:
+        return (
+            f"aggregate(zip_with({slice_sql}, {cent_sql}, (x, y) ->"
+            " (x - y) * (x - y)), 0.0D, (acc, d) -> acc + d)"
         )
 
     # encode: per-subspace argmin over the literal codebook — expression-
@@ -567,24 +621,35 @@ def pq_cosine_topk(
     # ties, matching the oracle's ORDER BY dist ASC, code ASC
     code_cols = []
     for j in range(m):
-        sl = F.slice(F.col("v"), j * dsub + 1, dsub)
-        dists = F.transform(book_lits[j], lambda c: _sub_sqdist(sl, c))
-        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        code_cols.append(code.alias(f"code{j}"))
+        dists = (
+            f"transform({book_sql[j]}, c -> "
+            + _sub_sqdist_sql(f"slice(v, {j * dsub + 1}, {dsub})", "c")
+            + ")"
+        )
+        code_cols.append(
+            F.expr(
+                f"CAST(array_position({dists}, array_min({dists})) - 1"
+                " AS INT)"
+            ).alias(f"code{j}")
+        )
     codes = corpus.select("id", *code_cols)
 
     qs = (
         _prep(queries, id_col, vec_col)
-        .withColumn("v", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
+        .withColumn("v", F.expr("transform(v, x -> x / nrm)"))
         .select(F.col("id").alias("qid"), F.col("v").alias("qv"))
     )
     # ADC by reconstruction: left-associated sum of per-subspace folds so
     # the SQL oracle's textual d0 + d1 + ... matches bit-for-bit
-    adc = None
-    for j in range(m):
-        recon = F.element_at(book_lits[j], F.col(f"code{j}") + 1)
-        d = _sub_sqdist(F.slice(F.col("qv"), j * dsub + 1, dsub), recon)
-        adc = d if adc is None else adc + d
+    adc = F.expr(
+        " + ".join(
+            _sub_sqdist_sql(
+                f"slice(qv, {j * dsub + 1}, {dsub})",
+                f"element_at({book_sql[j]}, code{j} + 1)",
+            )
+            for j in range(m)
+        )
+    )
     scored = (
         F.broadcast(qs)
         .crossJoin(codes)
@@ -616,11 +681,11 @@ def lsh_cosine_topk(
     then exact cosine rank within candidates. Returns
     (query_id, rank, neighbor_id, bucket)."""
     corpus = _prep(emb, id_col, vec_col).withColumn(
-        "bucket", lsh_bucket(F.col("v"), dim, n_planes)
+        "bucket", lsh_bucket("v", dim, n_planes)
     )
     qs = (
         _prep(queries, id_col, vec_col)
-        .withColumn("bucket", lsh_bucket(F.col("v"), dim, n_planes))
+        .withColumn("bucket", lsh_bucket("v", dim, n_planes))
         .select(
             F.col("id").alias("qid"),
             F.col("v").alias("qv"),
@@ -667,9 +732,28 @@ def lsh_probe_buckets(
     Expression-only (literal planes, sequential folds, array_sort over
     (margin, bit) structs) so the SQL oracle replicates the probe set
     bit-for-bit. Returns an array<int> of distinct bucket ids, base
-    first."""
+    first.
+
+    Pass the column NAME for the one-parsed-expression fast path (the
+    lsh_bucket rationale)."""
     if not 1 <= n_probes <= n_planes + 1:
         raise ValueError(f"n_probes must be in [1, {n_planes + 1}]")
+    if isinstance(vec, str):
+        base = _bucket_sql(vec, dim, n_planes, first_plane)
+        if n_probes == 1:
+            return F.expr(f"array({base})")
+        structs = ", ".join(
+            f"named_struct('m', abs({_proj_sql(vec, j, dim)}),"
+            f" 'w', {2 ** i})"
+            for i, j in enumerate(
+                range(first_plane, first_plane + n_planes)
+            )
+        )
+        ranked = f"array_sort(array({structs}))"
+        probes = ", ".join(
+            f"({base} ^ {ranked}[{i}].w)" for i in range(n_probes - 1)
+        )
+        return F.expr(f"array({base}, {probes})")
     projs = []
     for j in range(first_plane, first_plane + n_planes):
         plane = lit_doubles(_plane(j, dim))
@@ -718,13 +802,13 @@ def lsh_cosine_topk_multiprobe(
     still sublinear, with recall tunable at query time and no rebuild.
     Returns (query_id, rank, neighbor_id, bucket)."""
     corpus = _prep(emb, id_col, vec_col).withColumn(
-        "bucket", lsh_bucket(F.col("v"), dim, n_planes)
+        "bucket", lsh_bucket("v", dim, n_planes)
     )
     qs = (
         _prep(queries, id_col, vec_col)
         .withColumn(
             "probes",
-            lsh_probe_buckets(F.col("v"), dim, n_planes, n_probes),
+            lsh_probe_buckets("v", dim, n_planes, n_probes),
         )
         .select(
             F.col("id").alias("qid"),

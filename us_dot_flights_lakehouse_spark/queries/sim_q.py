@@ -481,8 +481,12 @@ def sim_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuning in production.
 
     Scale: three broadcast-probe retrievals over one corpus scan; the
-    audit joins touch k rows per query."""
-    emb = read_corpus(spark, sf_dir, "embeddings")
+    audit joins touch k rows per query. The scan is localCheckpointed
+    (r13): each retrieval consumes the corpus twice (corpus side +
+    broadcast query side), so the plain plan re-ran the scan+repartition
+    6x — materializing it once per invocation keeps every retrieval on
+    the same blocks."""
+    emb = read_corpus(spark, sf_dir, "embeddings").localCheckpoint()
     qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     exact = similarity.cosine_topk(emb, qs, k=TOPK_K).select(
         "query_id", "neighbor_id"
@@ -816,8 +820,10 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     one exact bigint division.
 
     Scale: both retrievals are broadcast-probes × one scan; the audit
-    join touches k rows per query."""
-    emb = read_corpus(spark, sf_dir, "embeddings")
+    join touches k rows per query. The scan is localCheckpointed (r13,
+    the sim_lsh_recall_audit rationale): brute + IVF paths otherwise
+    re-run the scan+repartition once per corpus/query-side consumer."""
+    emb = read_corpus(spark, sf_dir, "embeddings").localCheckpoint()
     qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     exact = similarity.cosine_topk(emb, qs, k=TOPK_K).select(
         "query_id", "neighbor_id"
@@ -1216,8 +1222,9 @@ def sim_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_ivf_recall_audit; together they close the ANN-quality
     measurement family).
 
-    Scale: both retrievals are broadcast-probes × one scan."""
-    emb = read_corpus(spark, sf_dir, "embeddings")
+    Scale: both retrievals are broadcast-probes × one scan — which is
+    localCheckpointed (r13, the sim_lsh_recall_audit rationale)."""
+    emb = read_corpus(spark, sf_dir, "embeddings").localCheckpoint()
     qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     exact = similarity.cosine_topk(emb, qs, k=TOPK_K).select(
         "query_id", "neighbor_id"

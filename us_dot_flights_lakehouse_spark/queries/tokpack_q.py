@@ -582,7 +582,7 @@ def tp_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     indexed = emb.withColumn(
-        "bucket", similarity.lsh_bucket(F.col("v"), dim=FH_DIM, n_planes=RAG_PLANES)
+        "bucket", similarity.lsh_bucket("v", dim=FH_DIM, n_planes=RAG_PLANES)
     ).filter(F.col("nrm") > 0)
     probes = indexed.filter(F.col("doc_id") < RAG_QUERY_DOCS).select(
         F.col("cid").alias("qcid"),
