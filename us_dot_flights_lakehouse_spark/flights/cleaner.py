@@ -28,16 +28,26 @@ def handle_missing_values(df: DataFrame) -> DataFrame:
     """Cancelled flights get their actual-time fields nulled (they never
     flew — zeros would poison averages); delay fields null→0 for flights
     that DID operate (reference flight_data_cleaner.py:10-42)."""
+    # two withColumns batches instead of 11 chained withColumn calls:
+    # every DataFrame op re-analyzes the whole 30+-column plan eagerly,
+    # so the chain paid ~0.8s of driver time per invocation (r13, guide
+    # §7.3 planning cost). Within each batch every expression references
+    # only its own pre-batch column + CANCELLED, so batch == chain.
     cancelled = F.col("CANCELLED") == 1
-    out = df
-    for c in ("DEP_TIME", "ARR_TIME", "DEP_DELAY", "DEP_DELAY_NEW", "ARR_DELAY",
-              "ARR_DELAY_NEW", "AIR_TIME"):
-        out = out.withColumn(c, F.when(cancelled, F.lit(None)).otherwise(F.col(c)))
-    for c in ("DEP_DELAY", "DEP_DELAY_NEW", "ARR_DELAY", "ARR_DELAY_NEW"):
-        out = out.withColumn(
-            c, F.when(~cancelled & F.col(c).isNull(), 0.0).otherwise(F.col(c))
-        )
-    return out
+    out = df.withColumns(
+        {
+            c: F.when(cancelled, F.lit(None)).otherwise(F.col(c))
+            for c in ("DEP_TIME", "ARR_TIME", "DEP_DELAY", "DEP_DELAY_NEW",
+                      "ARR_DELAY", "ARR_DELAY_NEW", "AIR_TIME")
+        }
+    )
+    return out.withColumns(
+        {
+            c: F.when(~cancelled & F.col(c).isNull(), 0.0).otherwise(F.col(c))
+            for c in ("DEP_DELAY", "DEP_DELAY_NEW", "ARR_DELAY",
+                      "ARR_DELAY_NEW")
+        }
+    )
 
 
 def _hhmm_to_colon(col: Column) -> Column:
@@ -52,15 +62,19 @@ def _hhmm_to_colon(col: Column) -> Column:
 def standardize_data_types(df: DataFrame) -> DataFrame:
     """HHMM→'HH:MM' strings, metric distance, boolean flags
     (reference flight_data_cleaner.py:59-98)."""
-    out = df
-    for c in TIME_FIELDS:
-        out = out.withColumn(
-            c, F.when(F.col(c).isNotNull(), _hhmm_to_colon(F.col(c)))
-        )
-    return (
-        out.withColumn("DISTANCE_KM", F.col("DISTANCE") * MILES_TO_KM)
-        .withColumn("CANCELLED_BOOL", F.col("CANCELLED") == 1)
-        .withColumn("DIVERTED_BOOL", F.col("DIVERTED") == 1)
+    # one withColumns batch (the handle_missing_values rationale): each
+    # time field maps from itself; the three derived columns read only
+    # untouched inputs
+    return df.withColumns(
+        {
+            **{
+                c: F.when(F.col(c).isNotNull(), _hhmm_to_colon(F.col(c)))
+                for c in TIME_FIELDS
+            },
+            "DISTANCE_KM": F.col("DISTANCE") * MILES_TO_KM,
+            "CANCELLED_BOOL": F.col("CANCELLED") == 1,
+            "DIVERTED_BOOL": F.col("DIVERTED") == 1,
+        }
     )
 
 
@@ -80,23 +94,26 @@ def validate_business_rules(df: DataFrame) -> DataFrame:
         & F.length("OP_UNIQUE_CARRIER").between(2, 3),
         "VALID_DATE": F.col("FLIGHT_DATE").isNotNull(),
     }
-    out = df
+    # one withColumns batch: the score sums the flag EXPRESSIONS (not the
+    # flag columns), so simultaneous assignment equals the former chain
+    bits = {name: F.when(cond, 1).otherwise(0) for name, cond in flags.items()}
     score = None
-    for name, cond in flags.items():
-        bit = F.when(cond, 1).otherwise(0)
-        out = out.withColumn(name, bit)
+    for bit in bits.values():
         score = bit if score is None else (score + bit)
-    return out.withColumn(
-        "DATA_QUALITY_SCORE", score.cast("double") / F.lit(float(len(flags)))
+    return df.withColumns(
+        {
+            **bits,
+            "DATA_QUALITY_SCORE": score.cast("double")
+            / F.lit(float(len(flags))),
+        }
     )
 
 
 def standardize_text_fields(df: DataFrame) -> DataFrame:
     """Trim+upper all code fields (reference flight_data_cleaner.py:127-150)."""
-    out = df
-    for c in CODE_FIELDS:
-        out = out.withColumn(c, F.upper(F.trim(F.col(c))))
-    return out
+    return df.withColumns(
+        {c: F.upper(F.trim(F.col(c))) for c in CODE_FIELDS}
+    )
 
 
 def clean_flights(df: DataFrame) -> DataFrame:

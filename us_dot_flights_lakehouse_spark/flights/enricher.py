@@ -19,9 +19,14 @@ def _delay_category(delay: Column) -> Column:
 
 
 def categorize_delays(df: DataFrame) -> DataFrame:
-    return df.withColumn(
-        "DEP_DELAY_CATEGORY", _delay_category(F.col("DEP_DELAY"))
-    ).withColumn("ARR_DELAY_CATEGORY", _delay_category(F.col("ARR_DELAY")))
+    # one withColumns batch: independent targets from untouched inputs
+    # (chained withColumn re-analyzes the wide plan per call — r13)
+    return df.withColumns(
+        {
+            "DEP_DELAY_CATEGORY": _delay_category(F.col("DEP_DELAY")),
+            "ARR_DELAY_CATEGORY": _delay_category(F.col("ARR_DELAY")),
+        }
+    )
 
 
 def calculate_performance_metrics(df: DataFrame) -> DataFrame:
@@ -39,15 +44,14 @@ def calculate_performance_metrics(df: DataFrame) -> DataFrame:
 def add_operational_metrics(df: DataFrame) -> DataFrame:
     """Route code/name + weekend flag
     (reference flight_data_enricher.py:54-68)."""
-    return (
-        df.withColumn("ROUTE_CODE", F.concat_ws("-", "ORIGIN", "DEST"))
-        .withColumn(
-            "IS_WEEKEND", F.dayofweek("FLIGHT_DATE").isin(1, 7)
-        )
-        .withColumn(
-            "IS_ON_TIME",
-            F.when(F.col("ARR_DELAY").isNotNull(), F.col("ARR_DELAY") <= 15),
-        )
+    return df.withColumns(
+        {
+            "ROUTE_CODE": F.concat_ws("-", "ORIGIN", "DEST"),
+            "IS_WEEKEND": F.dayofweek("FLIGHT_DATE").isin(1, 7),
+            "IS_ON_TIME": F.when(
+                F.col("ARR_DELAY").isNotNull(), F.col("ARR_DELAY") <= 15
+            ),
+        }
     )
 
 

@@ -131,11 +131,19 @@ def build_fact_flights(
 ) -> DataFrame:
     """Fact build: 4 arithmetic time FKs + 5 broadcast left joins + 22-col
     projection (reference fact_flights.py:10-92)."""
-    with_keys = (
-        silver.withColumn("DEP_TIME_KEY", _hhmm_string_to_time_key(F.col("ACTUAL_DEP_TIME")))
-        .withColumn("ARR_TIME_KEY", _hhmm_string_to_time_key(F.col("ACTUAL_ARR_TIME")))
-        .withColumn("CRS_DEP_TIME_KEY", _hhmm_string_to_time_key(F.col("SCHEDULED_DEP_TIME")))
-        .withColumn("CRS_ARR_TIME_KEY", _hhmm_string_to_time_key(F.col("SCHEDULED_ARR_TIME")))
+    # one withColumns batch (each key maps from an untouched input; a
+    # chained withColumn re-analyzes the whole wide plan per call — r13)
+    with_keys = silver.withColumns(
+        {
+            "DEP_TIME_KEY": _hhmm_string_to_time_key(F.col("ACTUAL_DEP_TIME")),
+            "ARR_TIME_KEY": _hhmm_string_to_time_key(F.col("ACTUAL_ARR_TIME")),
+            "CRS_DEP_TIME_KEY": _hhmm_string_to_time_key(
+                F.col("SCHEDULED_DEP_TIME")
+            ),
+            "CRS_ARR_TIME_KEY": _hhmm_string_to_time_key(
+                F.col("SCHEDULED_ARR_TIME")
+            ),
+        }
     )
     dd = dim_date.select("DATE_KEY", "FULL_DATE")
     da = dim_airline.select("AIRLINE_CODE").withColumnRenamed("AIRLINE_CODE", "DIM_AIRLINE_CODE")

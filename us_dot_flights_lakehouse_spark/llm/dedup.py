@@ -181,19 +181,22 @@ def minhash_signatures(
     hashed = _shingle_index(docs, text_col, id_col, n).select(
         "id", hash28("sh").alias("h")
     )
+    # parsed-SQL builds (r13): the Column-API loop paid ~7 Py4J round
+    # trips per permutation of pure driver time per invocation (guide
+    # §7.3 planning cost); int literals ≤2^31-1 parse as IntegerType
+    # exactly like F.lit, so the analyzed tree is identical.
     mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
+        F.expr(f"min(({a} * h + {b}) % {MINHASH_PRIME})").alias(f"mh{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
     return hashed.groupBy("id").agg(*mins)
 
 
 def _band_key(sig_prefix: str, band: int, rows_per_band: int) -> Column:
-    cols = [
-        F.col(f"{sig_prefix}{band * rows_per_band + r}")
-        for r in range(rows_per_band)
-    ]
-    return F.concat_ws("|", *cols)
+    cols = ", ".join(
+        f"{sig_prefix}{band * rows_per_band + r}" for r in range(rows_per_band)
+    )
+    return F.expr(f"concat_ws('|', {cols})")
 
 
 def _cap_buckets(bands: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:

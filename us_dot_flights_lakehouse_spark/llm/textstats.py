@@ -199,16 +199,20 @@ def repetition_stats(
     avoids the explode + groupBy(doc, gram) shuffle of the aggregate
     formulation — at 100 TB that shuffle would move ~n_words * 5 rows per
     doc while this moves nothing."""
-    toks = tokenize(text_col)
+    # parsed-SQL builds (r13): the Column-API struct folds paid ~100 Py4J
+    # round-trips per n-gram order of pure driver time per invocation
+    # (guide §7.3 planning cost); parsed and composed trees analyze
+    # identically.
     base = docs.select(
         F.col(id_col),
-        toks.alias("toks"),
-        F.size(toks).cast("int").alias("n_words"),
-        F.aggregate(
-            F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
-        )
-        .cast("int")
-        .alias("token_chars"),
+        F.expr(f"split(trim(lower({text_col})), '\\\\s+')").alias("toks"),
+        F.expr(
+            f"CAST(size(split(trim(lower({text_col})), '\\\\s+')) AS INT)"
+        ).alias("n_words"),
+        F.expr(
+            f"CAST(aggregate(transform(split(trim(lower({text_col})),"
+            " '\\\\s+'), x -> length(x)), 0, (acc, x) -> acc + x) AS INT)"
+        ).alias("token_chars"),
     )
     tc = F.col("token_chars").cast("double")
 
@@ -216,49 +220,27 @@ def repetition_stats(
         """(top_cover, dup_chars) for the n-gram list via one pass over the
         sorted grams: equal grams are adjacent, so occurrence counts are
         run lengths; cover(run) = run_len * (chars of the gram minus the
-        n-1 joining spaces)."""
-        grams = F.array_sort(word_ngrams(F.col("toks"), n))
-        init = F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("top"),
-            F.lit(0).alias("dup"),
+        n-1 joining spaces). Emitted as ONE parsed SQL expression."""
+        grams = (
+            f"array_sort(CASE WHEN size(toks) >= {n} THEN"
+            f" transform(sequence(0, size(toks) - {n}),"
+            f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+            " ELSE CAST(array() AS ARRAY<STRING>) END)"
         )
-
-        def closed_cover(acc):
-            return acc["run"] * (F.length(acc["prev"]) - F.lit(n - 1))
-
-        def merge(acc, x):
-            return F.when(
-                x == acc["prev"],
-                F.struct(
-                    acc["prev"].alias("prev"),
-                    (acc["run"] + 1).alias("run"),
-                    acc["top"].alias("top"),
-                    acc["dup"].alias("dup"),
-                ),
-            ).otherwise(
-                F.struct(
-                    x.alias("prev"),
-                    F.lit(1).alias("run"),
-                    F.greatest(acc["top"], closed_cover(acc)).alias("top"),
-                    (
-                        acc["dup"]
-                        + F.when(acc["run"] >= 2, closed_cover(acc)).otherwise(0)
-                    ).alias("dup"),
-                )
-            )
-
-        def finish(acc):
-            return F.struct(
-                F.greatest(acc["top"], closed_cover(acc)).alias("top"),
-                (
-                    acc["dup"]
-                    + F.when(acc["run"] >= 2, closed_cover(acc)).otherwise(0)
-                ).alias("dup"),
-            )
-
-        return F.aggregate(grams, init, merge, finish)
+        cover = f"acc.run * (length(acc.prev) - {n - 1})"
+        dup_add = f"(CASE WHEN acc.run >= 2 THEN {cover} ELSE 0 END)"
+        return F.expr(
+            f"aggregate({grams},"
+            " named_struct('prev', '', 'run', 0, 'top', 0, 'dup', 0),"
+            " (acc, x) -> CASE WHEN x = acc.prev THEN"
+            " named_struct('prev', acc.prev, 'run', acc.run + 1,"
+            " 'top', acc.top, 'dup', acc.dup)"
+            " ELSE named_struct('prev', x, 'run', 1,"
+            f" 'top', greatest(acc.top, {cover}),"
+            f" 'dup', acc.dup + {dup_add}) END,"
+            f" acc -> named_struct('top', greatest(acc.top, {cover}),"
+            f" 'dup', acc.dup + {dup_add}))"
+        )
 
     cols = []
     keep = F.lit(True)
