@@ -65,6 +65,32 @@ def normalize_nano_ts(df: DataFrame, table: str) -> DataFrame:
     return df
 
 
+#: (path, mtime_ns, size) → StructType. Footer/schema inference costs
+#: ~0.1s of driver time PER spark.read.parquet call (measured: 0.113s →
+#: 0.022s with an explicit schema) and the catalog issues hundreds of
+#: them per bench pass (r13, guide §7.3 planning cost). The memo holds
+#: pure schema metadata — never rows, never plans — and the stat stamp
+#: invalidates it the moment a table file/directory is rewritten, so
+#: every invocation still computes from the parquet inputs.
+_SCHEMA_MEMO: dict = {}
+
+
+def _table_schema(spark: SparkSession, path: str) -> T.StructType:
+    import os
+
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None
+    key = (path, stamp)
+    sch = _SCHEMA_MEMO.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[key] = sch
+    return sch
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S4: columnar table scan (reference loads Delta; locally parquet).
 
@@ -74,7 +100,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     runtime-settable, so set it here rather than relying on the engine's
     own session factory having built the session."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return normalize_nano_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
+    path = f"{sf_dir}/{name}.parquet"
+    return normalize_nano_ts(
+        spark.read.schema(_table_schema(spark, path)).parquet(path), name
+    )
 
 
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
@@ -100,7 +129,7 @@ def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _table_schema(spark, path)
     if os.path.isdir(path):
         raw = spark.readStream.schema(schema).parquet(path)
     else:
