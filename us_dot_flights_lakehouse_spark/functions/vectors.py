@@ -14,8 +14,20 @@ billion-vector corpora switch to the LSH-bucketed path in
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+@lru_cache(maxsize=512)
+def _parse_expr_cached(sql: str) -> Column:
+    """Parse-once cache for literal expressions: Column objects wrap an
+    immutable JVM expression tied to the process-wide gateway (not a
+    session), so reusing one across queries/sessions is safe and skips
+    the repeated parse of multi-KB literal tables (r13, guide §7.3).
+    Holds expressions only — never data, plans, or results."""
+    return F.expr(sql)
 
 
 def lit_doubles(vals) -> Column:
@@ -25,7 +37,9 @@ def lit_doubles(vals) -> Column:
     while a single array literal parses in milliseconds. ``repr(float)``
     is the shortest round-tripping decimal, so the parsed double is
     bit-identical to the python value."""
-    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
+    return _parse_expr_cached(
+        "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")"
+    )
 
 
 def lit_double_matrix(rows) -> Column:
@@ -33,7 +47,7 @@ def lit_double_matrix(rows) -> Column:
     inner = [
         "array(" + ",".join(repr(float(v)) + "D" for v in row) + ")" for row in rows
     ]
-    return F.expr("array(" + ",".join(inner) + ")")
+    return _parse_expr_cached("array(" + ",".join(inner) + ")")
 
 
 def to_double_array(col: str | Column) -> Column:
