@@ -941,7 +941,9 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("e")
-    ).select("e.a", "e.b").distinct()
+    ).select("e.a", "e.b").distinct().localCheckpoint()
+    # ^ materialized once (r13): deg (twice via the union), with_deg and
+    # the final join otherwise re-run the basket expansion per branch
     deg = (
         pairs.select(F.col("a").alias("v"))
         .unionAll(pairs.select(F.col("b").alias("v")))
@@ -964,7 +966,7 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(fwd, F.col("d_b")).otherwise(F.col("d_a")).alias("d_dst"),
-    )
+    ).localCheckpoint()  # three consumers: both wedge sides + closer
     e1, e2 = directed.alias("e1"), directed.alias("e2")
     wedges = e1.join(
         e2,
@@ -984,7 +986,8 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     closer = directed.select(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
-    tri = wedges.join(closer, ["v", "w"], "left_semi")
+    tri = wedges.join(closer, ["v", "w"], "left_semi").localCheckpoint()
+    # ^ the three-corner union otherwise re-runs the wedge join 3x
     corners = (
         tri.select(F.col("u").alias("node"))
         .unionAll(tri.select(F.col("v").alias("node")))
