@@ -1124,7 +1124,9 @@ def dd_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each stage keeps its own bounded-join guarantees (hash
     groupBy / banded LSH / gram-window); the final assembly is three
-    doc-keyed left joins."""
+    doc-keyed left joins. The corpus scan is localCheckpointed (r13):
+    the four stages (fingerprints, LSH, spans, token totals) each
+    re-ran the scan+repartition — isolated A/B 4.07 s → 2.79 s."""
     from us_dot_flights_lakehouse_spark.functions.text import (
         normalized_fingerprint,
     )
@@ -1134,7 +1136,7 @@ def dd_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
     )
 
-    docs = read_corpus(spark, sf_dir, "documents")
+    docs = read_corpus(spark, sf_dir, "documents").localCheckpoint()
     fpd = docs.select(
         "doc_id", normalized_fingerprint("text").alias("fingerprint")
     )
