@@ -212,13 +212,23 @@ def test_feature_hash_has_single_exchange(spark):
     assert plan.count("Exchange") == 1, plan
 
 
-def test_equidepth_histogram_has_no_global_sort(spark):
-    """a20 assigns buckets from broadcast percentile boundaries — a global
-    Sort or an ntile window funnel would be the 100 TB anti-pattern."""
+def test_equidepth_histogram_has_no_global_sort(spark, monkeypatch):
+    """a20 (r13): below the histogram cap the whole result is a bounded
+    local relation (driver rank selection over one codegen histogram
+    aggregate) — no Sort, no Window, no second scan. Over the cap the
+    previous broadcast-boundaries shape must come back: a global Sort or
+    an ntile window funnel would be the 100 TB anti-pattern either way."""
     from us_dot_flights_lakehouse_spark.queries.relational import (
         a20_equidepth_histogram,
     )
 
+    plan = _plan(a20_equidepth_histogram(spark, SF))
+    assert "Sort" not in plan and "Window" not in plan
+    assert "Exchange" not in plan  # bounded local relation
+
+    import us_dot_flights_lakehouse_spark.operators.quantiles as q
+
+    monkeypatch.setattr(q, "DRIVER_HIST_MAX_ROWS", 0)
     plan = _plan(a20_equidepth_histogram(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "Exchange SinglePartition" not in plan

@@ -17,6 +17,11 @@ from us_dot_flights_lakehouse_spark.operators.aggregates import (
     rollup_agg,
 )
 from us_dot_flights_lakehouse_spark.operators.generators import date_range_df
+from us_dot_flights_lakehouse_spark.operators.quantiles import (
+    collect_value_histogram,
+    histogram_groups,
+    percentiles_from_counts,
+)
 from us_dot_flights_lakehouse_spark.operators.joins import (
     asof_join,
     broadcast_star_join,
@@ -336,7 +341,13 @@ GROUP BY CUBE(l_returnflag, l_linestatus)
 def a11_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: exact percentile aggregates — linear-interpolation quartiles and
     median per return flag (bit-identical to SQL QUANTILE_CONT/MEDIAN; both
-    engines compute lo + (hi-lo)*frac on doubles)."""
+    engines compute lo + (hi-lo)*frac on doubles).
+
+    r13 note: the driver-histogram rank-selection path (the a20/a23
+    rewrite, operators/quantiles.py) was A/B-tested here and REJECTED —
+    0.89 → 1.59 s isolated: this query is a single mild aggregate, and
+    collecting the near-row-cardinality (flag, price, discount)
+    histogram costs more than the percentile buffer it replaces."""
     lineitem = read_table(spark, sf_dir, "lineitem")
     # ONE array-percentile aggregate (single sort/accumulate pass), then
     # flattened to scalar columns — three separate percentile() aggs would
@@ -664,10 +675,62 @@ def a20_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-of-boundaries-below (no global sort, no ntile window funnel —
     a 100 TB column sorts nowhere).
 
-    Scale: one percentile aggregate (3 groups) + one broadcast join +
-    one (flag × bucket) aggregate."""
+    r13 (guide §1.1 / §5): the boundaries AND the bucket rollup are both
+    pure functions of the (flag, price) → count histogram, so below the
+    cap ONE full-codegen histogram aggregate feeds driver rank selection
+    + vectorized bucket assignment (operators/quantiles.py) and the
+    whole result is a bounded local relation; over the cap the previous
+    percentile + broadcast-join + second-scan shape runs unchanged.
+    Path equality (including NULL flags/values) is property-tested.
+
+    Scale (fallback): one percentile aggregate (3 groups) + one
+    broadcast join + one (flag × bucket) aggregate."""
     lineitem = read_table(spark, sf_dir, "lineitem")
     fracs = [i / HIST_BUCKETS for i in range(1, HIST_BUCKETS)]
+    tbl = collect_value_histogram(lineitem, ["l_returnflag"], ["l_extendedprice"])
+    if tbl is None:
+        return _a20_plan_side(lineitem, fracs)
+    import numpy as np
+
+    rows = []
+    for key, vals, cnts, n_total in histogram_groups(
+        tbl, ["l_returnflag"], "l_extendedprice"
+    ):
+        if key[0] is None:
+            continue  # the bounds join key is the flag: NULL never matches
+        n_null = n_total - int(cnts.sum())
+        if vals.size == 0:
+            # all-NULL group: bnds aggregate is NULL, size(filter(NULL)) = -1
+            rows.append((key[0], -1, n_null, None, None))
+            continue
+        bnds = np.asarray(
+            percentiles_from_counts(vals, cnts, fracs), dtype="float64"
+        )
+        # v > b over the nondecreasing bounds == count of bounds < v
+        bucket = np.searchsorted(bnds, vals, side="left")
+        by_bucket = {}
+        for b in np.unique(bucket):
+            m = bucket == b
+            by_bucket[int(b)] = [
+                int(cnts[m].sum()),
+                float(vals[m].min()),
+                float(vals[m].max()),
+            ]
+        if n_null:
+            # NULL prices: filter predicate NULL -> empty array -> bucket 0,
+            # counted but invisible to min/max
+            by_bucket.setdefault(0, [0, None, None])[0] += n_null
+        for b, (n_rows_, lo, hi) in by_bucket.items():
+            rows.append((key[0], b, n_rows_, lo, hi))
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, bucket int, n_rows bigint, lo double, hi double",
+    )
+
+
+def _a20_plan_side(lineitem: DataFrame, fracs: list[float]) -> DataFrame:
+    """a20's plan-side shape — the over-cap fallback (see a20's
+    docstring)."""
     bounds = lineitem.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(fracs)).alias("bnds")
     )
@@ -910,10 +973,46 @@ def a23_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes (the a11-proven bit-stable path) with the group median
     broadcast between them.
 
-    Scale: two 3-row aggregates + one broadcast join — the scan runs
-    twice (medians are holistic; a one-pass variant would switch to the
-    a12 sketch family and lose exactness)."""
+    r13 (guide §1.1 / §5): BOTH medians are pure functions of the
+    (flag, price) → count histogram — the deviation multiset is just
+    |v − med| over the same distinct values — so below the cap ONE
+    full-codegen histogram aggregate replaces the two whole-column
+    percentile buffers AND the second scan; rank selection + the
+    |v − med| fold run vectorized on the driver (operators/quantiles.py,
+    formula bit-equal to percentile(), property-pinned). Over the cap
+    the previous two-pass shape runs unchanged.
+
+    Scale (fallback): two 3-row aggregates + one broadcast join — the
+    scan runs twice (medians are holistic; a one-pass variant would
+    switch to the a12 sketch family and lose exactness)."""
     lineitem = read_table(spark, sf_dir, "lineitem")
+    tbl = collect_value_histogram(lineitem, ["l_returnflag"], ["l_extendedprice"])
+    if tbl is None:
+        return _a23_plan_side(lineitem)
+    import numpy as np
+
+    rows = []
+    for key, vals, cnts, n_total in histogram_groups(
+        tbl, ["l_returnflag"], "l_extendedprice"
+    ):
+        if key[0] is None:
+            continue  # the med join key is the flag: NULL never matches
+        med = percentiles_from_counts(vals, cnts, [0.5])[0]
+        mad = (
+            None
+            if med is None
+            else percentiles_from_counts(np.abs(vals - med), cnts, [0.5])[0]
+        )
+        rows.append((key[0], n_total, med, mad))
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, n_items bigint, med_price double, mad_price double",
+    )
+
+
+def _a23_plan_side(lineitem: DataFrame) -> DataFrame:
+    """a23's plan-side shape — the over-cap fallback (see a23's
+    docstring)."""
     med = lineitem.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.5)).alias("med_price")
     )
@@ -1476,13 +1575,26 @@ def a30_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is two-phase bucket refinement (coarse price-bucket cumulative
     finds the median bucket, then only that bucket's rows resolve the
     exact cut — the a20 equi-depth broadcast-back pattern); at this
-    catalog's group counts the direct window wins on job count."""
+    catalog's group counts the direct window wins on job count.
+
+    r13 (guide §1.1 / §5, the a20/a23 pattern): below the histogram cap
+    the cumulative-weight selection resolves ON THE DRIVER from the
+    (flag, price) → weight-cents histogram — weights stay exact int64
+    cents end-to-end (w ≤ 50.00·|rows| keeps total cents far under
+    2^63 in any under-cap regime), the decimal→string→double surface
+    formats the cents directly, and Spark's NULLS-FIRST ascending order
+    is replicated so a NULL price's weight still enters the cumulative
+    before every real price. Over the cap the window shape below runs
+    unchanged; path equality is property-tested including NULL prices."""
     lineitem = read_table(spark, sf_dir, "lineitem")
     per_price = lineitem.groupBy("l_returnflag", "l_extendedprice").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,2)"))
         .cast("decimal(38,2)")
         .alias("w")
     )
+    driver = _a30_driver_select(spark, per_price)
+    if driver is not None:
+        return driver
     win = (
         W.partitionBy("l_returnflag")
         .orderBy("l_extendedprice")
@@ -1506,6 +1618,74 @@ def a30_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.min("n_prices").alias("n_prices"),
         )
+    )
+
+
+def _a30_driver_select(spark: SparkSession, per_price: DataFrame):
+    """a30's cap-bounded driver path: collect the (flag, price, cents)
+    histogram (``limit(cap+1)`` bounds the transfer), resolve the lower
+    weighted median per flag with an int64 cumulative, or return None
+    over the cap. NULL weights (a flag whose every quantity is NULL)
+    keep w NULL → cents NULL → treated as 0 weight, exactly as the
+    decimal cumulative sums them."""
+    import numpy as np
+
+    from us_dot_flights_lakehouse_spark.operators import quantiles as _q
+
+    cap = _q.DRIVER_HIST_MAX_ROWS
+    pp = per_price.select(
+        "l_returnflag",
+        "l_extendedprice",
+        (F.col("w") * 100).cast("long").alias("w_cents"),
+    )
+    tbl = pp.limit(cap + 1).toArrow()
+    if tbl.num_rows > cap:
+        return None
+    import pandas as pd
+
+    flags = tbl.column("l_returnflag").to_pandas()
+    prices = tbl.column("l_extendedprice").to_numpy(zero_copy_only=False)
+    null_price = np.asarray(tbl.column("l_extendedprice").is_null())
+    null_w = np.asarray(tbl.column("w_cents").is_null())
+    cents = (
+        tbl.column("w_cents")
+        .combine_chunks()
+        .fill_null(0)
+        .to_numpy(zero_copy_only=False)
+        .astype("int64")
+    )
+    rows = []
+    for key, idx in pd.DataFrame({"f": flags}).groupby(
+        "f", dropna=False, sort=False
+    ).indices.items():
+        if key is pd.NA or (isinstance(key, float) and key != key):
+            continue  # the tot join key is the flag: NULL never matches
+        # Spark's ascending window order puts NULL prices FIRST
+        nn = idx[~null_price[idx]]
+        order = np.concatenate([idx[null_price[idx]], nn[np.argsort(prices[nn])]])
+        wn = null_w[order]
+        if wn.all():
+            continue  # totw is NULL: the filter drops the whole flag
+        cum = np.cumsum(cents[order])
+        tot = int(cum[-1])
+        # rows before the first non-NULL weight have cumw NULL -> the
+        # filter drops them regardless of the comparison
+        fp = int(np.argmin(wn))
+        sat = fp + np.nonzero(cum[fp:] * 2 >= tot)[0]
+        if sat.size == 0:  # only reachable with negative weights: the
+            continue  # plan-side filter then drops the whole flag
+        med = None
+        for i in sat:  # sat is ascending in price order: the first
+            if not null_price[order[i]]:  # non-NULL hit is the min
+                med = float(prices[order[i]])
+                break
+        sign = "-" if tot < 0 else ""
+        total_weight = float(f"{sign}{abs(tot) // 100}.{abs(tot) % 100:02d}")
+        rows.append((key, med, total_weight, len(idx)))
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, weighted_median_price double, "
+        "total_weight double, n_prices bigint",
     )
 
 
@@ -1920,6 +2100,11 @@ def a35_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets come from ONE array-percentile aggregate per side (a11's
     single-pass technique: linear interpolation lo + (hi−lo)·frac,
     bit-identical to QUANTILE_CONT on both engines).
+
+    r13 note: the driver-histogram rank-selection path (the a20/a23
+    rewrite) was A/B-tested here and REJECTED — 0.55 → 0.74 s isolated:
+    one mild global aggregate beats collecting a near-row-cardinality
+    histogram.
 
     Scale: one global aggregate (percentile's sort/accumulate buffers
     are per-partition then merged); no windows, no joins."""

@@ -720,6 +720,11 @@ def p8_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a11 path, bit-stable) broadcast back over the scan; clipping is
     least/greatest — no second sort, no window.
 
+    r13 note: the driver-histogram rank-selection path (the a20/a23
+    rewrite) was A/B-tested here and REJECTED — 0.94 → 1.42 s isolated:
+    the bounds aggregate is mild and the clip pass dominates; collecting
+    a near-row-cardinality histogram costs more than the buffer saved.
+
     Scale: one 3-row aggregate + broadcast join + scan-local clamp."""
     lineitem = read_table(spark, sf_dir, "lineitem")
     bounds = lineitem.groupBy("l_returnflag").agg(

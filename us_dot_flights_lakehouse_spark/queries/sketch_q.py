@@ -17,6 +17,11 @@ from us_dot_flights_lakehouse_spark.operators.aggregates import (
     rollup_agg,
 )
 from us_dot_flights_lakehouse_spark.operators.generators import date_range_df
+from us_dot_flights_lakehouse_spark.operators.quantiles import (
+    collect_value_histogram,
+    histogram_groups,
+    percentiles_from_counts,
+)
 from us_dot_flights_lakehouse_spark.operators.joins import (
     asof_join,
     broadcast_star_join,
@@ -2657,6 +2662,42 @@ def q_range_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNotNull()
     )
     fracs = [i / RANGE_BUCKETS for i in range(1, RANGE_BUCKETS)]
+    # r13 take 2 (guide §1.1 / §5): cut points AND the per-bucket rollup
+    # are both pure functions of the value → count histogram, so below
+    # the cap ONE full-codegen histogram aggregate + cap-bounded driver
+    # rank selection (operators/quantiles.py — the formula
+    # _exact_cut_points already pinned) produce the whole advisor table
+    # as a local relation: no sort pass, no second scan. Over the cap
+    # the sort+rank selection and the distributed rollup run unchanged.
+    tbl = collect_value_histogram(vals, [], ["v"])
+    if tbl is not None:
+        import numpy as np
+
+        rows = []
+        for _, vv, cc, _n in histogram_groups(tbl, [], "v"):
+            cuts = percentiles_from_counts(vv, cc, fracs)
+            n_total = int(cc.sum())
+            # 1 + (v > cut_i per cut) == 1 + count(cuts < v)
+            bucket = 1 + np.searchsorted(
+                np.asarray(cuts, dtype="float64"), vv, side="left"
+            )
+            for b in np.unique(bucket):
+                b = int(b)
+                n_rows = int(cc[bucket == b].sum())
+                rows.append(
+                    (
+                        b,
+                        cuts[b - 2] if b > 1 else None,
+                        cuts[b - 1] if b < RANGE_BUCKETS else None,
+                        n_rows,
+                        n_rows / n_total,
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "bucket int, lo_price double, hi_price double, "
+            "n_rows bigint, share double",
+        )
     cuts = _exact_cut_points(spark, vals, fracs)
     bucket = F.lit(1)
     for i in range(RANGE_BUCKETS - 1):
