@@ -45,6 +45,12 @@ ENGINE_CONFS: dict[str, str] = {
     # sources.readers converts to microsecond timestamps, matching the
     # truncation external engines (DuckDB) apply on the same files
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # PySpark's per-op call-site capture (error-message enrichment only —
+    # SPARK-47274) costs ~4 extra Py4J round-trips + a Python stack walk
+    # on EVERY DataFrame method: profiled at ~20% of the catalog's warm
+    # plan-construction time (r13). Purely diagnostic metadata; no effect
+    # on plans or results.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     "spark.ui.enabled": "false",
 }
 
