@@ -200,3 +200,36 @@ def test_label_propagation_finds_planted_communities(spark, monkeypatch):
         assert out[p]["community"] == c2[0]
     assert out[c1[0]]["community_size"] == 4
     assert out[c2[0]]["community_size"] == 4
+
+
+def test_g4_driver_lpa_equals_distributed(spark, monkeypatch):
+    """r13: the cap-bounded driver LPA kernel must produce EXACTLY the
+    distributed loop's labels — same vote multiset (neighbors + self),
+    same (count desc, label asc) argmax — on random graphs including
+    tie-heavy ones. Cap=-1 forces the distributed path for comparison."""
+    import random
+
+    from us_dot_flights_lakehouse_spark.queries import join_q
+
+    mod = join_q.TRIANGLE_NODE_MOD
+    rng = random.Random(7)
+    for trial in range(3):
+        n_orders = rng.randint(3, 10)
+        rows = []
+        for o in range(1, n_orders + 1):
+            for p in rng.sample(range(1, 15), rng.randint(2, 6)):
+                rows.append((o, p * mod))
+        li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+        patch_defining_module(
+            monkeypatch, join_q.g4_label_propagation, "read_table",
+            lambda s, d, n: li,
+        )
+        got_driver = sorted(
+            map(tuple, join_q.g4_label_propagation(spark, "x").collect())
+        )
+        monkeypatch.setattr(join_q, "DRIVER_LPA_MAX_EDGES", -1)
+        got_dist = sorted(
+            map(tuple, join_q.g4_label_propagation(spark, "x").collect())
+        )
+        monkeypatch.setattr(join_q, "DRIVER_LPA_MAX_EDGES", 2_000_000)
+        assert got_driver == got_dist, f"trial {trial}"

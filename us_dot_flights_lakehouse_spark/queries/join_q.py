@@ -909,15 +909,12 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is exactly the plan a dedicated graph engine runs."""
     lineitem = read_table(spark, sf_dir, "lineitem")
     baskets = (
-        lineitem.groupBy("l_orderkey")
-        .agg(
-            F.array_sort(
-                F.filter(
-                    F.collect_set("l_partkey"),
-                    lambda p: F.pmod(p, F.lit(TRIANGLE_NODE_MOD)) == 0,
-                )
-            ).alias("items")
-        )
+        # r13: node gate filters ROWS before the aggregate (commutes with
+        # collect_set) so 1/MOD of lineitem shuffles — see _copurchase_edges
+        lineitem.select("l_orderkey", "l_partkey")
+        .filter(F.pmod(F.col("l_partkey"), F.lit(TRIANGLE_NODE_MOD)) == 0)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
         # filter BEFORE pair expansion: size<2 would make sequence(1, 0)
         # generate a DESCENDING range, and oversized baskets are the
         # quadratic guard
@@ -1058,17 +1055,19 @@ def _copurchase_edges(lineitem: DataFrame) -> DataFrame:
     expanded INSIDE capped baskets, distinct undirected (a < b) edges.
     localCheckpointed ONCE — every iteration round re-references the
     edge list, and lazy lineage would re-run the basket explosion per
-    round (measured 29 s → 5 s on g3); same hygiene as dup_clusters."""
+    round (measured 29 s → 5 s on g3); same hygiene as dup_clusters.
+
+    r13 (guide §2.2 shuffle fewer bytes): the node gate filters ROWS
+    before the basket aggregate instead of elements inside the collected
+    array — an element-wise predicate commutes with collect_set, so the
+    baskets are identical while only 1/{TRIANGLE_NODE_MOD} of lineitem
+    shuffles into the groupBy (and the collect_set partials fold 20×
+    fewer values)."""
     baskets = (
-        lineitem.groupBy("l_orderkey")
-        .agg(
-            F.array_sort(
-                F.filter(
-                    F.collect_set("l_partkey"),
-                    lambda p: F.pmod(p, F.lit(TRIANGLE_NODE_MOD)) == 0,
-                )
-            ).alias("items")
-        )
+        lineitem.select("l_orderkey", "l_partkey")
+        .filter(F.pmod(F.col("l_partkey"), F.lit(TRIANGLE_NODE_MOD)) == 0)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
         .filter(
             (F.size("items") >= 2) & (F.size("items") <= TRIANGLE_MAX_BASKET)
         )
@@ -1210,6 +1209,64 @@ LEFT JOIN fdeg f ON d.v = f.v
 LPA_ROUNDS = 3
 
 
+#: Edge cap for resolving the LPA rounds on the driver (g4): below it the
+#: bounded collect + numpy kernel replaces 2 scheduler-bound Spark jobs
+#: per round; above it the distributed bulk-synchronous loop runs
+#: unchanged. Same posture as curation.DRIVER_CC_MAX_EDGES.
+DRIVER_LPA_MAX_EDGES = 2_000_000
+
+
+def _g4_driver_lpa(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """g4's cap-bounded driver path: collect the (a, b) edge list (the
+    caller checked the cap), run LPA_ROUNDS synchronous rounds with the
+    exact plan-side vote/argmax semantics — votes are every neighbor's
+    label plus the node's own, winner by (count desc, label asc) — and
+    return (p_partkey, community, community_size) as a local relation."""
+    import numpy as np
+
+    tbl = edges.toArrow()
+    a = tbl.column("a").to_numpy(zero_copy_only=False).astype("int64")
+    b = tbl.column("b").to_numpy(zero_copy_only=False).astype("int64")
+    nodes = np.unique(np.concatenate([a, b]))
+    n = nodes.size
+    if n == 0:
+        return spark.createDataFrame(
+            [], "p_partkey bigint, community bigint, community_size bigint"
+        )
+    src = np.concatenate([np.searchsorted(nodes, a), np.searchsorted(nodes, b)])
+    dst = np.concatenate([np.searchsorted(nodes, b), np.searchsorted(nodes, a)])
+    labels = nodes.copy()  # initial label = own id
+    self_v = np.arange(n)
+    for _ in range(LPA_ROUNDS):
+        v = np.concatenate([src, self_v])
+        lbl = np.concatenate([labels[dst], labels])
+        # count votes per (v, lbl): rank-compress labels so the combined
+        # key stays within int64 for any id range
+        lbl_values = np.unique(lbl)
+        k = lbl_values.size
+        lbl_rank = np.searchsorted(lbl_values, lbl)
+        uniq, cnt = np.unique(v * k + lbl_rank, return_counts=True)
+        uv = uniq // k  # uniq is sorted => (v asc, lbl asc) within each v
+        # winner per v by (count desc, label asc): a STABLE sort on
+        # -count keeps the smallest label first among equal counts —
+        # exactly the plan side's max(struct(c, -lbl))
+        order = np.argsort(-cnt, kind="stable")
+        vs, first_idx = np.unique(uv[order], return_index=True)
+        # every v has a self-vote, so vs == arange(n) exactly
+        winners = order[first_idx]
+        labels = lbl_values[uniq[winners] % k]
+    _, comm_inv, comm_cnt = np.unique(
+        labels, return_inverse=True, return_counts=True
+    )
+    sizes = comm_cnt[comm_inv]
+    rows = [
+        (int(nodes[i]), int(labels[i]), int(sizes[i])) for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "p_partkey bigint, community bigint, community_size bigint"
+    )
+
+
 def g4_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: community detection by synchronous label propagation (LPA,
     Raghavan et al. 2007) on the part co-purchase graph — {LPA_ROUNDS}
@@ -1224,8 +1281,19 @@ def g4_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per round one neighbor-label join + one (node, label) count
     + one per-node argmax — all edge-scale equi-shuffles on the shared
-    checkpointed edge list; label state is one row per node."""
+    checkpointed edge list; label state is one row per node.
+
+    r13 (guide §5 bounded driver actions — the dup_clusters posture):
+    below DRIVER_LPA_MAX_EDGES the rounds run vectorized on the driver
+    over the already-checkpointed edge list (the distributed loop paid
+    2 scheduler-bound Spark jobs per round for a few-thousand-edge
+    sampled graph); the argmax replicates max(struct(c, -lbl)) exactly
+    — (count desc, label asc) — so labels are identical by construction
+    (property-tested against the distributed loop). Above the cap the
+    bulk-synchronous loop below runs unchanged."""
     edges = _copurchase_edges(read_table(spark, sf_dir, "lineitem"))
+    if edges.count() <= DRIVER_LPA_MAX_EDGES:
+        return _g4_driver_lpa(spark, edges)
     nbr = edges.select(
         F.col("a").alias("v"), F.col("b").alias("u")
     ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("u")))
