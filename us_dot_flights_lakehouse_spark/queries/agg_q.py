@@ -891,8 +891,17 @@ def a22_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     upstream. Item totals join broadcast; the corpus total rides a 1-row
     broadcast aggregate."""
     lineitem = read_table(spark, sf_dir, "lineitem")
-    baskets = lineitem.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    # r13 (guide §2.5 + §2.4): key-hash repartition moves the collect_set
+    # partials off the single scan task, and the basket table is
+    # localCheckpointed once for its THREE consumers (pair explode, item
+    # counts, order total) instead of re-aggregating per consumer.
+    # Interleaved A/B 1.41 -> 1.23 s at sf0.1, consistent across reps.
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("l_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .localCheckpoint()
     )
     pairs = baskets.select(
         F.explode(
@@ -1149,9 +1158,19 @@ def a27_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiplier's high bits down so the final mod-4 isn't a low-bit
     # artifact; an md5-derived weight measured 3.5 s of pure hashing on
     # the 32-way fan-out (48M rows at sf0.1) for no statistical gain
+    # r13 (guide §2.5 — the advisor fix): hash-repartition the two needed
+    # columns BEFORE the 32-way explode so the fan-out + weight hashing
+    # run at full parallelism instead of on the single scan task.
+    # Interleaved A/B 1.23 -> 0.47 s at sf0.1; weights are a pure
+    # function of (o_orderkey, b), so partitioning cannot change them.
     reps = orders.select(
         "o_orderkey",
         (F.col("o_totalprice").cast(MONEY) * 100).cast("long").alias("cents"),
+    ).repartition(
+        spark.sparkContext.defaultParallelism, F.col("o_orderkey")
+    ).select(
+        "o_orderkey",
+        "cents",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
     ).select(
         "b",

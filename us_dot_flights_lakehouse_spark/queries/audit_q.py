@@ -117,6 +117,13 @@ def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1.0) - F.col("l_discount"))
         * (F.lit(1.0) + F.col("l_tax"))
     )
+    # r13 (guide §2.5): key-hash repartition of only the five needed
+    # columns moves the collect_list partials + ordered folds off the
+    # single scan task. A/B 1.42 -> 0.80 s at sf0.1; per-order folds are
+    # array_sort-ed so partitioning cannot change them.
+    lineitem = lineitem.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    ).repartition(spark.sparkContext.defaultParallelism, F.col("l_orderkey"))
     per_order = lineitem.groupBy("l_orderkey").agg(
         F.aggregate(
             F.array_sort(
