@@ -727,7 +727,12 @@ def p8_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one 3-row aggregate + broadcast join + scan-local clamp."""
     lineitem = read_table(spark, sf_dir, "lineitem")
-    bounds = lineitem.groupBy("l_returnflag").agg(
+    # r13 (guide §2.5): the percentile buffers built on the single scan
+    # task; repartition just the two needed columns for the bounds
+    # branch (the clip scan branch stays scan-local). A/B 1.30 -> 1.05 s.
+    bounds = lineitem.select("l_returnflag", "l_extendedprice").repartition(
+        spark.sparkContext.defaultParallelism, F.col("l_extendedprice")
+    ).groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit([WINSOR_LO, WINSOR_HI])).alias("bd")
     ).select(
         "l_returnflag",
@@ -858,7 +863,12 @@ def p9_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one 3-row moments aggregate broadcast back over the scan."""
     lineitem = read_table(spark, sf_dir, "lineitem")
     x_dec = F.col("l_extendedprice").cast("decimal(18,2)")
-    moments = lineitem.groupBy("l_returnflag").agg(
+    # r13 (guide §2.5): the moments branch's decimal partials ran on the
+    # single scan task; repartition just the two needed columns (the
+    # z-score scan branch stays scan-local). A/B 1.28 -> 1.06 s.
+    moments = lineitem.select("l_returnflag", "l_extendedprice").repartition(
+        spark.sparkContext.defaultParallelism, F.col("l_extendedprice")
+    ).groupBy("l_returnflag").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(x_dec.cast("decimal(38,4)")).cast("decimal(38,4)").alias("s"),
         F.sum(x_dec * x_dec).cast("decimal(38,4)").alias("ss"),
