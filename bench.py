@@ -5,10 +5,15 @@ JSON line was head-clipped by the driver's bounded tail capture two rounds
 running, leaving ``parsed: null``):
   - one terse line per query AS IT FINISHES: {"q": name, "s": sec}
   - a full result line: {"metric", "value", "unit", "queries", "sf"}
+  - per-query timings AGAIN in small {"qchunk", "of", "t"} lines after the
+    full line, so the bounded tail capture holds real per-query readings
+    even when the full line exceeds it (VERDICT r13 item 2)
   - LAST, a compact summary line the tail capture can never clip:
     {"metric", "value", "unit", "sf", "n_queries", "queries_path"}
-The complete result dict is always written to $BENCH_OUT
-(default bench_out.json) regardless of stdout fate.
+The complete result dict is always written to $BENCH_OUT (default
+bench_out_c{cpus}_sf{sf}.json, stamped so runs at different core counts
+never overwrite each other's per-query detail) plus a bench_out.json
+latest-run copy, regardless of stdout fate.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect), timed as the median of BENCH_REPS runs (default 3) after a
@@ -276,15 +281,43 @@ def main() -> None:
             # keep the in-bench reading — fail conservative)
             out["value_adjudicated"] = adjudicated_total(timings, retimed)
     line = json.dumps(out)
-    # file copy first so a truncated/noisy pipe can't lose the result
-    # ($BENCH_OUT, default bench_out.json)
-    bench_out = os.environ.get(
-        "BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
-    )
-    with open(bench_out, "w") as fh:
-        fh.write(line + "\n")
+    # file copy first so a truncated/noisy pipe can't lose the result.
+    # $BENCH_OUT when set; the DEFAULT is stamped with (cpus, sf) so a
+    # subsequent run at another core count / scale factor can never
+    # overwrite this run's per-query detail (VERDICT r13 'What's wrong' #1:
+    # the 8-core sweep clobbered the 32-core bench_out.json, leaving
+    # PERF_r13 with an empty per_query and a null geomean). A plain
+    # bench_out.json copy is kept for tools that read the latest run.
+    here = os.path.dirname(os.path.abspath(__file__))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 0))
+    stamped = os.path.join(here, f"bench_out_c{cpus}_sf{sf}.json")
+    bench_out = os.environ.get("BENCH_OUT", stamped)
+    for path in {bench_out, os.path.join(here, "bench_out.json")}:
+        try:
+            with open(path, "w") as fh:
+                fh.write(line + "\n")
+        except OSError:
+            pass  # an unwritable legacy copy must not kill the artifact
     print(line)
+    # per-query timings again, AFTER the full line, in small chunks: the
+    # driver's bounded tail capture keeps the LAST few KB of stdout, and
+    # the full line above alone can exceed it — so the tail otherwise
+    # holds zero per-query readings (VERDICT r13 item 2). ~25 entries per
+    # chunk keeps each line well under typical capture sizes; the newest
+    # chunks (and always the summary line below) survive clipping.
+    names = list(timings)
+    chunk_n = 25
+    chunks = [names[i : i + chunk_n] for i in range(0, len(names), chunk_n)]
+    for i, chunk in enumerate(chunks):
+        print(
+            json.dumps(
+                {
+                    "qchunk": i + 1,
+                    "of": len(chunks),
+                    "t": {n: timings[n] for n in chunk},
+                }
+            )
+        )
     # the LAST stdout line is compact (~150 chars) so the driver's bounded
     # tail capture always holds one complete, parseable result line
     print(

@@ -610,3 +610,34 @@ def test_delta_format_interop_smoke(spark, tmp_path):
     v0 = spark.read.format("delta").option("versionAsOf", 0).load(path)
     assert v0.count() == 1
     assert [r["v"] for r in v0.collect()] == ["a"]
+
+
+def test_schema_memo_reinfers_on_inplace_part_rewrite(spark, tmp_path):
+    """The schema memo's stat stamp must notice an IN-PLACE part-file
+    rewrite inside a directory table: a directory's own mtime only moves
+    on entry create/delete/rename, so the stamp folds in the children's
+    max (mtime_ns, size) (r13 verdict hardening). Rewrite one part file
+    under the same name with a different schema and the next read_table
+    must re-infer, not serve the stale memoized schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from us_dot_flights_lakehouse_spark.sources import readers
+
+    tbl_dir = tmp_path / "t.parquet"
+    tbl_dir.mkdir()
+    part = tbl_dir / "part-00000.parquet"
+    pq.write_table(pa.table({"a": [1, 2, 3]}), part)
+
+    first = readers._table_schema(spark, str(tbl_dir))
+    assert [f.name for f in first.fields] == ["a"]
+
+    # overwrite the SAME filename (no create/delete visible to the dir
+    # mtime on most filesystems) with a different schema; nudge mtime
+    # forward in case the fs clock granularity would alias the stamp
+    pq.write_table(pa.table({"b": [1.5, 2.5]}), part)
+    st = part.stat()
+    os.utime(part, ns=(st.st_mtime_ns + 1_000_000, st.st_mtime_ns + 1_000_000))
+
+    second = readers._table_schema(spark, str(tbl_dir))
+    assert [f.name for f in second.fields] == ["b"]

@@ -39,6 +39,7 @@ from us_dot_flights_lakehouse_spark.sources.readers import (
     lookup_scan,
     read_corpus,
     read_table,
+    spread_scan,
 )
 
 
@@ -614,9 +615,13 @@ def a18_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 (guide §2.5 — the a21 fix): the decimal moment partials ran on
     # the single scan task; key-hash repartition of the three needed
     # columns spreads the BigDecimal math. Decimal sums are exact and
-    # order-insensitive. A/B 0.98 -> 0.53 s at sf0.1.
-    li = li.select("l_returnflag", "l_quantity", "l_extendedprice").repartition(
-        spark.sparkContext.defaultParallelism, F.col("l_extendedprice")
+    # order-insensitive. A/B 0.98 -> 0.53 s at sf0.1. r14 (ADVICE): the
+    # repartition is gated on scan parallelism — a multi-split table at
+    # scale keeps map-side partials and skips the full-data exchange.
+    li = spread_scan(
+        li.select("l_returnflag", "l_quantity", "l_extendedprice"),
+        F.col("l_extendedprice"),
+        table_path=f"{sf_dir}/lineitem.parquet",
     )
     x = F.col("l_quantity").cast(MONEY)
     y = F.col("l_extendedprice").cast(MONEY)
@@ -805,10 +810,13 @@ def a21_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key-hashed exchange of only the four needed columns moves the
     # decimal math onto every core; decimal sums are order-insensitive
     # so the result is bit-identical. Measured 2.18 -> 0.90 s at sf0.1.
-    lineitem = lineitem.select(
-        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
-    ).repartition(
-        spark.sparkContext.defaultParallelism, F.col("l_extendedprice")
+    # r14 (ADVICE): gated on scan parallelism — no exchange at scale.
+    lineitem = spread_scan(
+        lineitem.select(
+            "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+        ),
+        F.col("l_extendedprice"),
+        table_path=f"{sf_dir}/lineitem.parquet",
     )
     # inputs carry <=2 decimal places, so DECIMAL(18,2) is lossless and
     # products land in DECIMAL(37,4) without precision-loss rescaling
@@ -1170,11 +1178,14 @@ def a27_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run at full parallelism instead of on the single scan task.
     # Interleaved A/B 1.23 -> 0.47 s at sf0.1; weights are a pure
     # function of (o_orderkey, b), so partitioning cannot change them.
-    reps = orders.select(
-        "o_orderkey",
-        (F.col("o_totalprice").cast(MONEY) * 100).cast("long").alias("cents"),
-    ).repartition(
-        spark.sparkContext.defaultParallelism, F.col("o_orderkey")
+    # r14 (ADVICE): gated on scan parallelism — no exchange at scale.
+    reps = spread_scan(
+        orders.select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast(MONEY) * 100).cast("long").alias("cents"),
+        ),
+        F.col("o_orderkey"),
+        table_path=f"{sf_dir}/orders.parquet",
     ).select(
         "o_orderkey",
         "cents",

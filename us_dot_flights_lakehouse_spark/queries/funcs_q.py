@@ -34,6 +34,7 @@ from us_dot_flights_lakehouse_spark.sources.readers import (
     lookup_scan,
     read_corpus,
     read_table,
+    spread_scan,
 )
 
 
@@ -730,8 +731,11 @@ def p8_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 (guide §2.5): the percentile buffers built on the single scan
     # task; repartition just the two needed columns for the bounds
     # branch (the clip scan branch stays scan-local). A/B 1.30 -> 1.05 s.
-    bounds = lineitem.select("l_returnflag", "l_extendedprice").repartition(
-        spark.sparkContext.defaultParallelism, F.col("l_extendedprice")
+    # r14 (ADVICE): gated on scan parallelism — no exchange at scale.
+    bounds = spread_scan(
+        lineitem.select("l_returnflag", "l_extendedprice"),
+        F.col("l_extendedprice"),
+        table_path=f"{sf_dir}/lineitem.parquet",
     ).groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit([WINSOR_LO, WINSOR_HI])).alias("bd")
     ).select(
@@ -866,8 +870,11 @@ def p9_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 (guide §2.5): the moments branch's decimal partials ran on the
     # single scan task; repartition just the two needed columns (the
     # z-score scan branch stays scan-local). A/B 1.28 -> 1.06 s.
-    moments = lineitem.select("l_returnflag", "l_extendedprice").repartition(
-        spark.sparkContext.defaultParallelism, F.col("l_extendedprice")
+    # r14 (ADVICE): gated on scan parallelism — no exchange at scale.
+    moments = spread_scan(
+        lineitem.select("l_returnflag", "l_extendedprice"),
+        F.col("l_extendedprice"),
+        table_path=f"{sf_dir}/lineitem.parquet",
     ).groupBy("l_returnflag").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(x_dec.cast("decimal(38,4)")).cast("decimal(38,4)").alias("s"),

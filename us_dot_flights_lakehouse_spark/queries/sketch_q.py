@@ -39,6 +39,7 @@ from us_dot_flights_lakehouse_spark.sources.readers import (
     lookup_scan,
     read_corpus,
     read_table,
+    spread_scan,
 )
 
 
@@ -1698,11 +1699,13 @@ def q_groupby_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame
     # ReuseExchange computes the scan+explode once, and the KMV kernel
     # hashes/ships distinct groups instead of raw rows across the Python
     # boundary (KMV over a set ≡ over its multiset).
+    # r14 (ADVICE): gated on scan parallelism — no exchange at scale.
     exploded = (
-        orders.select("o_orderstatus", "o_orderpriority", "o_orderdate",
-                      "o_custkey")
-        .repartition(
-            spark.sparkContext.defaultParallelism, F.col("o_custkey")
+        spread_scan(
+            orders.select("o_orderstatus", "o_orderpriority", "o_orderdate",
+                          "o_custkey"),
+            F.col("o_custkey"),
+            table_path=f"{sf_dir}/orders.parquet",
         )
         .select(
             F.explode(
@@ -1851,7 +1854,6 @@ def q_join_cardinality_advisor(
     part = read_table(spark, sf_dir, "part")
     supp = read_table(spark, sf_dir, "supplier")
 
-    P = spark.sparkContext.defaultParallelism
 
     def fan(df: DataFrame, contribs) -> DataFrame:
         # project to just the key columns, then hash-repartition on the
@@ -1863,7 +1865,8 @@ def q_join_cardinality_advisor(
         # sortBeforeRepartition pass; the shuffle carries only the raw
         # key columns, cheaper than the exploded stream it replaces.
         names = sorted({c[2] for c in contribs})
-        src = df.select(*names).repartition(P, F.col(names[0]))
+        # r14 (ADVICE): gated on scan parallelism — no exchange at scale
+        src = spread_scan(df.select(*names), F.col(names[0]))
         return src.select(
             F.explode(
                 F.array(
