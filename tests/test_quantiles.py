@@ -114,9 +114,12 @@ def test_a20_a23_driver_path_equals_plan_side(spark, monkeypatch):
         driver = fn(spark, "unused")
         import us_dot_flights_lakehouse_spark.operators.quantiles as q
 
+        # restore the SAVED module value, not a re-typed constant, so the
+        # loop's later iterations track production if the cap ever moves
+        saved_cap = q.DRIVER_HIST_MAX_ROWS
         monkeypatch.setattr(q, "DRIVER_HIST_MAX_ROWS", 0)
         plan_side = fn(spark, "unused")
-        monkeypatch.setattr(q, "DRIVER_HIST_MAX_ROWS", 4_000_000)
+        monkeypatch.setattr(q, "DRIVER_HIST_MAX_ROWS", saved_cap)
         assert _rows_set(driver) == _rows_set(plan_side), fn.__name__
 
 

@@ -227,9 +227,10 @@ def test_g4_driver_lpa_equals_distributed(spark, monkeypatch):
         got_driver = sorted(
             map(tuple, join_q.g4_label_propagation(spark, "x").collect())
         )
+        saved_cap = join_q.DRIVER_LPA_MAX_EDGES
         monkeypatch.setattr(join_q, "DRIVER_LPA_MAX_EDGES", -1)
         got_dist = sorted(
             map(tuple, join_q.g4_label_propagation(spark, "x").collect())
         )
-        monkeypatch.setattr(join_q, "DRIVER_LPA_MAX_EDGES", 2_000_000)
+        monkeypatch.setattr(join_q, "DRIVER_LPA_MAX_EDGES", saved_cap)
         assert got_driver == got_dist, f"trial {trial}"

@@ -1,6 +1,7 @@
-"""Dump .explain('formatted') for named queries to plans/r13/<q>_<suffix>.txt.
+"""Dump .explain('formatted') for named queries to plans/<round>/<q>_<suffix>.txt.
 
 Usage: python tools/dump_plans.py <suffix> <sf_dir> query [query ...]
+Env: PLANS_ROUND (default r14) picks the output subdirectory.
 """
 import os, sys
 
@@ -18,7 +19,7 @@ def main() -> int:
     qs = registry.queries()
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r13",
+        "plans", os.environ.get("PLANS_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:

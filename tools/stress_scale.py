@@ -104,6 +104,10 @@ def main():
         round13_families(spark, factor, sys.argv[3] if len(sys.argv) > 3 else None)
         spark.stop()
         return
+    if only == "round14":
+        round14_families(spark, factor, sys.argv[3] if len(sys.argv) > 3 else None)
+        spark.stop()
+        return
     if only == "round7":
         round7_families(spark, factor)
         spark.stop()
@@ -1119,6 +1123,110 @@ def round6d_families(spark, factor):
         _seam_restore()
 
 
+
+
+def round14_families(spark, factor, only_target=None):
+    """Round-14 probes at Nx through the REAL catalog code (VERDICT r13
+    item 6: the late-r13 rewrites and the driver-histogram over-cap path
+    had pattern coverage but no direct probe rows).
+
+        python tools/stress_scale.py 100 round14 [target]
+
+    - a18_stat_moments / p9_standardize / p8_winsorize /
+      a27_bootstrap_ci: lineitem/orders scaled Nx. These gained the
+      gated ``spread_scan`` repartition in r14 — at Nx the scaled input
+      arrives in >= parallelism partitions, so the probe exercises the
+      SKIP branch (the 100 TB shape: map-side partials, no exchange).
+      The scan-parts memo is cleared per factor so the 1x side keeps
+      its real (narrow) reading.
+    - a22_copurchase_lift / q_order_reconciliation: lineitem Nx through
+      the same seam (basket collects + ordered folds at scale).
+    - hist_fallback_{a20,a23,a30,advisor}: the driver-histogram callers
+      FORCED over the cap (cap=0) at Nx — the 100 TB fallback shape
+      (percentile()/window plans) run end-to-end at scale, answering the
+      verdict's "force cap=0 to exercise the 100 TB shape" item.
+    """
+    from us_dot_flights_lakehouse_spark.operators import quantiles as _q
+    from us_dot_flights_lakehouse_spark.queries import agg_q, audit_q, funcs_q
+    from us_dot_flights_lakehouse_spark.queries import sketch_q
+    from us_dot_flights_lakehouse_spark.sources import readers as _readers
+
+    cache = {}
+
+    def scaled_tbl(table, key, f):
+        if (table, f) not in cache:
+            cache[(table, f)] = scaled(spark, table, f, key).cache()
+            cache[(table, f)].count()
+        return cache[(table, f)]
+
+    targets = {
+        "a18_stat_moments": (agg_q.a18_stat_moments, "lineitem", "l_orderkey", None),
+        "p9_standardize": (funcs_q.p9_standardize, "lineitem", "l_orderkey", None),
+        "p8_winsorize": (funcs_q.p8_winsorize, "lineitem", "l_orderkey", None),
+        "a27_bootstrap_ci": (agg_q.a27_bootstrap_ci, "orders", "o_orderkey", None),
+        "a22_copurchase_lift": (
+            agg_q.a22_copurchase_lift, "lineitem", "l_orderkey", None),
+        "q_order_reconciliation": (
+            audit_q.q_order_reconciliation, "lineitem", "l_orderkey", None),
+        "hist_fallback_a20": (
+            agg_q.a20_equidepth_histogram, "lineitem", "l_orderkey", 0),
+        "hist_fallback_a23": (
+            agg_q.a23_mad_robust_stats, "lineitem", "l_orderkey", 0),
+        "hist_fallback_a30": (
+            agg_q.a30_weighted_median, "lineitem", "l_orderkey", 0),
+        "hist_fallback_advisor": (
+            sketch_q.q_range_partition_advisor, "lineitem", "l_orderkey", 0),
+    }
+    run = [t for t in targets if only_target in (None, t)]
+    if not run:
+        sys.exit(f"unknown round14 target {only_target!r}")
+    saved_cap = _q.DRIVER_HIST_MAX_ROWS
+    saved_gate = _q.DRIVER_HIST_MAX_INPUT_BYTES
+    try:
+        for name in run:
+            fn, table, key, cap = targets[name]
+            if cap is not None:
+                _q.DRIVER_HIST_MAX_ROWS = cap
+                _q.DRIVER_HIST_MAX_INPUT_BYTES = 0
+            else:
+                _q.DRIVER_HIST_MAX_ROWS = saved_cap
+                _q.DRIVER_HIST_MAX_INPUT_BYTES = saved_gate
+            # untimed warmup at 1x (JVM/codegen/footer), then 1x vs Nx
+            _seam_restore()
+            _readers._SCAN_PARTS_MEMO.clear()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            times = []
+            for f in (1, factor):
+                if f == 1:
+                    _seam_restore()
+                else:
+                    _seam(
+                        "read_table",
+                        lambda s_, d_, n_, f=f: (
+                            scaled_tbl(table, key, f)
+                            if n_ == table
+                            else read_table(s_, d_, n_)
+                        ),
+                    )
+                # the scan-parts memo is keyed on the REAL table path;
+                # the seamed df has a different (cached, wide) layout, so
+                # clear between factors or the 1x reading inherits the
+                # Nx probe's partition count (and vice versa)
+                _readers._SCAN_PARTS_MEMO.clear()
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                print(f"{name}@{f}x: {dt:.2f}s", flush=True)
+                times.append(dt)
+            print(
+                f"{name}: growth {times[1] / times[0]:.1f}x at {factor}x rows",
+                flush=True,
+            )
+    finally:
+        _q.DRIVER_HIST_MAX_ROWS = saved_cap
+        _q.DRIVER_HIST_MAX_INPUT_BYTES = saved_gate
+        _readers._SCAN_PARTS_MEMO.clear()
+        _seam_restore()
 
 
 def round12_families(spark, factor, only_target=None):

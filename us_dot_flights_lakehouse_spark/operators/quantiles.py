@@ -59,6 +59,35 @@ from pyspark.sql import functions as F
 #: distributed shape. Same posture as curation.DRIVER_CC_MAX_EDGES.
 DRIVER_HIST_MAX_ROWS = 4_000_000
 
+#: Estimated-input pre-gate for the histogram path (ADVICE r13): over
+#: the row cap, ``limit(cap+1)`` bounds only the DRIVER TRANSFER — the
+#: full distinct-value aggregate (scan + shuffle) still executes before
+#: overflow is detected, and the caller then re-runs its plan-side
+#: shape: one wasted full pass in exactly the 100 TB regime the fallback
+#: exists for. Inputs whose Catalyst size estimate exceeds this skip the
+#: histogram without running anything (the estimate is free — it reads
+#: file-index sizes the planner already holds). 8 GiB is ~50× any local
+#: SF input (the gate never fires on the bench) and ~4 orders of
+#: magnitude under the 100 TB regime (the gate always fires there); the
+#: mid-band at worst pays the old behavior's one extra pass.
+DRIVER_HIST_MAX_INPUT_BYTES = 8 << 30
+
+
+def _estimated_plan_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan ``sizeInBytes`` estimate (driver-side
+    metadata only; no job). None when the probe fails — callers treat
+    that as 'unknown, proceed' to preserve the pre-gate-less behavior."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    # Long.MaxValue is Catalyst's "unknown" sentinel (defaultSizeInBytes),
+    # reported e.g. for driver-created LocalRelations — unknown is not
+    # evidence of scale, so treat it as no estimate
+    return None if est >= (1 << 63) - 1 else est
+
 
 def collect_value_histogram(
     df: DataFrame,
@@ -77,6 +106,9 @@ def collect_value_histogram(
 
     if cap is None:
         cap = DRIVER_HIST_MAX_ROWS
+    est = _estimated_plan_bytes(df)
+    if est is not None and est > DRIVER_HIST_MAX_INPUT_BYTES:
+        return None  # 100 TB regime: skip without running a wasted pass
     hist = df.groupBy(*[F.col(c) for c in group_cols + value_cols]).agg(
         F.count("*").alias("__cnt")
     )
@@ -132,7 +164,15 @@ def histogram_groups(tbl, group_cols: list[str], value_col: str):
     arrays carry only the non-null entries rank selection may use.
     Group keys preserve the column values as Python objects (NULL group
     keys stay None, as groupBy keeps them). With ``group_cols == []``
-    (a global aggregate) a single ``()``-keyed group covers the table."""
+    (a global aggregate) a single ``()``-keyed group covers the table.
+
+    Group-key restrictions (ADVICE r13): grouping rides pandas
+    ``groupby(..., dropna=False).indices`` — pandas < 1.1 silently
+    dropped the NA group even with dropna=False (repo floor: pandas
+    ≥ 1.1), and the key normalization below maps BOTH a NULL key and a
+    genuine float-NaN key to None, conflating them. Every current
+    caller groups on strings (or nothing), where the two cannot
+    collide; do not feed float group keys that may carry real NaN."""
     import numpy as np
     import pandas as pd
 

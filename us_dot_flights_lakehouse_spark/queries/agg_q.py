@@ -1628,8 +1628,9 @@ def a30_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     r13 (guide §1.1 / §5, the a20/a23 pattern): below the histogram cap
     the cumulative-weight selection resolves ON THE DRIVER from the
     (flag, price) → weight-cents histogram — weights stay exact int64
-    cents end-to-end (w ≤ 50.00·|rows| keeps total cents far under
-    2^63 in any under-cap regime), the decimal→string→double surface
+    cents end-to-end (an explicit abs-sum guard falls back to the
+    window path before the cumulative could wrap int64 — the cap bounds
+    distinct prices, not row count), the decimal→string→double surface
     formats the cents directly, and Spark's NULLS-FIRST ascending order
     is replicated so a NULL price's weight still enters the cumulative
     before every real price. Over the cap the window shape below runs
@@ -1714,6 +1715,14 @@ def _a30_driver_select(spark: SparkSession, per_price: DataFrame):
         wn = null_w[order]
         if wn.all():
             continue  # totw is NULL: the filter drops the whole flag
+        # overflow guard (ADVICE r13): the cap bounds DISTINCT (flag,
+        # price) rows, not underlying row count, so the int64 cumulative
+        # (and its ×2 below) is not bounded by construction. A float64
+        # abs-sum screen at 2^61 leaves 4× headroom over its own ~1e-16
+        # relative error; anything larger falls back to the exact-decimal
+        # window path instead of wrapping silently.
+        if float(np.abs(cents[order]).astype("float64").sum()) > float(1 << 61):
+            return None
         cum = np.cumsum(cents[order])
         tot = int(cum[-1])
         # rows before the first non-NULL weight have cumw NULL -> the

@@ -674,29 +674,33 @@ def g1_bipartite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     state."""
     orders = read_table(spark, sf_dir, "orders")
     lineitem = read_table(spark, sf_dir, "lineitem")
-    edges = (
-        lineitem.select("l_orderkey", "l_suppkey")
-        .join(
-            orders.select("o_orderkey", "o_custkey"),
-            lineitem["l_orderkey"] == orders["o_orderkey"],
-        )
-        .select(
-            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
-        )
-        # ONE explicit cust-keyed exchange, then dedupe in place: a bare
+
+    def edges_keyed(key: str) -> DataFrame:
+        # ONE explicit keyed exchange, then dedupe in place: a bare
         # .distinct() would pay a (cust, supp) exchange AND leave its
         # partial dedup on the single scan task of the one-row-group
-        # file; HashPartitioning(cust) satisfies the (cust, supp)
-        # dedup's clustering requirement (subset rule), and cust_out's
-        # groupBy(cust) plus e1's join key ride the same partitioning
-        # with no further exchange (r13, guide §2.4)
-        .repartition(
-            spark.sparkContext.defaultParallelism, F.col("cust")
+        # file; HashPartitioning(key) satisfies the (cust, supp) dedup's
+        # clustering requirement (subset rule), so the SAME exchange
+        # also serves every downstream operation keyed the same way
+        # (r13/r14, guide §2.4). The e1 branch keys by cust (cust_out's
+        # groupBy + e1's join ride it); the e2 branch keys by supp (the
+        # s_rank join rides it — before r14 that branch paid a cust
+        # dedup exchange AND a supp re-exchange).
+        return (
+            lineitem.select("l_orderkey", "l_suppkey")
+            .join(
+                orders.select("o_orderkey", "o_custkey"),
+                lineitem["l_orderkey"] == orders["o_orderkey"],
+            )
+            .select(
+                F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+            )
+            .repartition(spark.sparkContext.defaultParallelism, F.col(key))
+            .dropDuplicates(["cust", "supp"])
         )
-        .dropDuplicates(["cust", "supp"])
-    )
-    cust_out = edges.groupBy("cust").agg(F.count("*").alias("c_deg"))
-    supp_out = edges.groupBy("supp").agg(F.count("*").alias("s_deg"))
+
+    edges_c = edges_keyed("cust")
+    cust_out = edges_c.groupBy("cust").agg(F.count("*").alias("c_deg"))
     damp = F.lit(float(RANK_DAMP))
 
     def fold_sorted(col_name: str):
@@ -706,35 +710,51 @@ def g1_bipartite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    def salted_rank(contribs: DataFrame, node: str, out_name: str) -> DataFrame:
+    def salted_rank(
+        contribs: DataFrame, node: str, out_name: str, deg_name: str | None = None
+    ) -> DataFrame:
         """contribs(node, k, v) -> (node, out_name): fold v per
         (node, pmod(k, NSALT)) in ascending-v order, then fold the salt
-        partials per node in ascending-partial order."""
-        partial = (
-            contribs.withColumn("_salt", F.pmod(F.col("k"), F.lit(RANK_NSALT)))
-            .groupBy(node, "_salt")
-            .agg(fold_sorted("v").alias("_p"))
+        partials per node in ascending-partial order. With ``deg_name``
+        the SAME aggregates also emit the node's contribution count —
+        one row per edge in every caller, so it equals the node's degree
+        and replaces a separate degree aggregate over a third full edge
+        recompute (r14: the g1 plan carried four scan+join+dedup copies
+        of the edge subtree; this folds the supp_out copy away)."""
+        salted = contribs.withColumn(
+            "_salt", F.pmod(F.col("k"), F.lit(RANK_NSALT))
         )
-        return partial.groupBy(node).agg(
-            (F.lit(0.15) + damp * fold_sorted("_p")).alias(out_name)
-        )
+        partial_aggs = [fold_sorted("v").alias("_p")]
+        if deg_name is not None:
+            partial_aggs.append(F.count("*").alias("_c"))
+        partial = salted.groupBy(node, "_salt").agg(*partial_aggs)
+        final_aggs = [(F.lit(0.15) + damp * fold_sorted("_p")).alias(out_name)]
+        if deg_name is not None:
+            final_aggs.append(F.sum("_c").alias(deg_name))
+        return partial.groupBy(node).agg(*final_aggs)
 
-    # round 1: uniform cust_rank = 1.0 -> suppliers
-    e1 = edges.join(cust_out, "cust").select(
+    # round 1: uniform cust_rank = 1.0 -> suppliers. s_deg rides the same
+    # two aggregates (e1 has exactly one row per distinct edge — the
+    # inner join against cust_out cannot drop or duplicate rows, since
+    # cust_out is an aggregate OF edges).
+    #
+    # Join strategy (guide §3.1, r14): the node joins build on the degree/
+    # rank tables — NARROW aggregates (two numeric columns, |nodes| rows,
+    # |nodes|/N per partition at any scale) against the wider edge
+    # stream. SHUFFLE_HASH drops the four SMJ sorts; both sides already
+    # share the build side's HashPartitioning, so no exchange moves.
+    # Interleaved A/B at sf0.1: 2.59 → 1.58 s median (5×5 reps).
+    e1 = edges_c.join(cust_out.hint("SHUFFLE_HASH"), "cust").select(
         "supp",
         F.col("cust").alias("k"),
         (F.lit(1.0) / F.col("c_deg").cast("double")).alias("v"),
     )
-    s_rank = salted_rank(e1, "supp", "s_rank")
+    s_rank = salted_rank(e1, "supp", "s_rank", deg_name="s_deg")
     # round 2: suppliers -> customers
-    e2 = (
-        edges.join(s_rank, "supp")
-        .join(supp_out, "supp")
-        .select(
-            "cust",
-            F.col("supp").alias("k"),
-            (F.col("s_rank") / F.col("s_deg").cast("double")).alias("v"),
-        )
+    e2 = edges_keyed("supp").join(s_rank.hint("SHUFFLE_HASH"), "supp").select(
+        "cust",
+        F.col("supp").alias("k"),
+        (F.col("s_rank") / F.col("s_deg").cast("double")).alias("v"),
     )
     c_rank = salted_rank(e2, "cust", "cust_rank")
     return c_rank.select(F.col("cust").alias("custkey"), "cust_rank")

@@ -1121,6 +1121,83 @@ def _kcenter_select(path: str, k: int):
     return selected, vecs
 
 
+#: row cap for the driver-side k-center greedy: 64-dim float64 vectors
+#: cost ~520 B/row, so the cap bounds the Arrow transfer to ~130 MB.
+#: ``limit(cap+1)`` underneath is a CollectLimit — at 100 TB it reads a
+#: partition prefix, detects overflow and leaves the k-scan path to do
+#: the real work (no wasted full pass; same posture as
+#: operators/quantiles.py + curation.DRIVER_CC_MAX_EDGES).
+KCENTER_DRIVER_MAX_ROWS = 250_000
+
+
+def _kcenter_driver(tbl, k: int):
+    """Driver-side replica of the distributed greedy farthest-point
+    traversal, numpy-vectorized with the EXACT float op order of the
+    plan-side expressions (property-tested bit-equal in
+    tests/test_round14_opts.py):
+
+    - sqdist folds (x−y)² sequentially over dimensions — ``acc = acc +
+      sq[:, j]`` reproduces ``aggregate(zip_with(...), 0.0, acc+d)``'s
+      left fold including the 0.0 init;
+    - the running min-distance is ``np.minimum`` — ``F.least``'s pairwise
+      nesting, applied incrementally exactly like the query's loop;
+    - the argmax breaks ties toward the smallest vec_id, replicating
+      ``orderBy(desc(d), asc(vec_id)).limit(1)``.
+
+    Returns the selected [(round, vec_id, min_dist)] list, or None when
+    the corpus shape breaks the replica's preconditions (NULL/ragged
+    vectors, NaN values, duplicate ids) — callers then keep the k-scan
+    plan shape."""
+    import numpy as np
+
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    if len(np.unique(ids)) != len(ids):
+        return None
+    varr = tbl.column("v")
+    if varr.null_count:
+        return None
+    varr = varr.combine_chunks()
+    offsets = np.asarray(varr.offsets)
+    widths = np.diff(offsets)
+    if len(widths) == 0 or (widths != widths[0]).any() or widths[0] == 0:
+        return None
+    flat = varr.values
+    if flat.null_count:
+        return None
+    V = np.asarray(flat.to_numpy(zero_copy_only=False)).reshape(
+        len(ids), int(widths[0])
+    )
+    if np.isnan(V).any():
+        return None
+
+    def sqdist_seq(c):
+        diff = V - c
+        sq = diff * diff
+        acc = np.zeros(len(V), dtype="float64")
+        for j in range(V.shape[1]):
+            acc = acc + sq[:, j]
+        return acc
+
+    i0 = int(np.argmin(ids))
+    selected = [(0, int(ids[i0]), 0.0)]
+    centers = [V[i0]]
+    taken = np.zeros(len(ids), dtype=bool)
+    taken[i0] = True
+    mind = np.full(len(ids), np.inf)
+    for r in range(1, k):
+        if taken.all():  # fewer rows than k: keep the plan-side shape
+            return None
+        mind = np.minimum(mind, sqdist_seq(centers[-1]))
+        d = np.where(taken, -np.inf, mind)
+        mx = d.max()
+        cand = np.flatnonzero(d == mx)
+        pick = cand[np.argmin(ids[cand])]
+        selected.append((r, int(ids[pick]), float(mind[pick])))
+        centers.append(V[pick])
+        taken[pick] = True
+    return selected
+
+
 def sim_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SIM: k-center greedy diversity sampling — pick {KCENTER_K} maximally
     spread vectors (farthest-point traversal: seed = min id, then
@@ -1139,6 +1216,34 @@ def sim_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     farthest-batch passes grow an O(k·log) candidate pool, driver-local
     Gonzalez refine; unit-verified against this greedy on planted
     clusters)."""
+    # r14 (guide §5 bounded driver actions — the g4/quantiles posture):
+    # below the row cap the whole greedy runs driver-side off ONE
+    # CollectLimit-bounded Arrow transfer instead of KCENTER_K scans +
+    # per-round collects (8 Spark jobs of pure scheduling at any local
+    # SF). The probe reads the PLAIN scan (no read_corpus repartition —
+    # a limit above an exchange would run the full shuffle map stage
+    # before collecting). Bit-equality of the float update order is
+    # property-tested; any precondition miss (overflow, NULL/NaN/ragged
+    # vectors) falls back to the k-scan path below.
+    tbl = (
+        read_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .limit(KCENTER_DRIVER_MAX_ROWS + 1)
+        .toArrow()
+    )
+    selected = (
+        _kcenter_driver(tbl, KCENTER_K)
+        if tbl.num_rows <= KCENTER_DRIVER_MAX_ROWS
+        else None
+    )
+    if selected is not None:
+        return spark.createDataFrame(
+            selected, "round int, vec_id long, min_dist double"
+        )
+
     emb = read_corpus(spark, sf_dir, "embeddings")
     # the k rounds each rescan the corpus — cache it for the duration of
     # the selection (k reads of one materialization), release after

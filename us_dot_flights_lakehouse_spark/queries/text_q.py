@@ -1439,7 +1439,16 @@ def ts_entropy_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from us_dot_flights_lakehouse_spark.functions.vectors import lit_doubles
 
     docs = read_corpus(spark, sf_dir, "documents")
-    tab = lit_doubles(_log2_vals())
+    # r14 (guide §7.3 planning cost — VERDICT r13 item 5): the 2048-double
+    # log2 table is referenced ~7× (twice per run-length fold + the three
+    # H terms); inlining the parsed literal at each site made Catalyst
+    # analyze a ~2048-node CreateArray per copy (~1 s of the query's cost
+    # was plan analysis). Projecting it ONCE as a column puts a single
+    # copy in the analyzed plan; after constant folding the optimizer
+    # re-inlines the (now cheap, shared) ArrayData literal, so the
+    # physical plan and results are unchanged.
+    docs = docs.withColumn("_lg", lit_doubles(_log2_vals()))
+    tab = F.col("_lg")
 
     def sum_c_log2c(sorted_arr):
         """Run-length fold over a sorted array: Σ run·log2(run), terms
@@ -1480,6 +1489,7 @@ def ts_entropy_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     base = docs.select(
         "doc_id",
+        "_lg",
         F.length(cs).cast("long").alias("n_chars_nospace"),
         sum_c_log2c(F.array_sort(F.split(cs, ""))).alias("cterm"),
         F.size(words).cast("long").alias("n_words"),
