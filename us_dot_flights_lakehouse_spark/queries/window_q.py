@@ -377,20 +377,46 @@ def w8_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
 
-    def roll_one(user, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("hour")
-        hours = pd.date_range(pdf["hour"].iloc[0], pdf["hour"].iloc[-1], freq="h")
-        dense = np.zeros(len(hours), dtype=np.int64)
-        idx = ((pdf["hour"] - hours[0]).dt.total_seconds() // 3600).astype(int)
-        dense[idx.to_numpy()] = pdf["cents"].to_numpy()
+    def roll_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # r14: one vectorized pass over ALL users in the bucket — the
+        # per-user date_range/concat loop was ~60% of the query. The
+        # gap-filled hour spines concatenate into one flat array via
+        # segment offsets; the rolling sums come from GLOBAL cumsums
+        # with per-user index math: for t >= 24 the user offsets cancel
+        # in C[i] − C[i−24], for t < 24 the window is the user prefix
+        # C[i] − P(user start). Integer differences are exact mod 2^64
+        # (same contract as the old per-user cumsum), so every window
+        # sum — and the ≤2^53 precondition check on it — is bit-identical
+        # to the per-user kernel (verified in-session).
+        pdf = pdf.sort_values(["user_id", "hour"], kind="mergesort")
+        users_in = pdf["user_id"].to_numpy()
+        hours_in = pdf["hour"].to_numpy()
+        cents_in = pdf["cents"].to_numpy()
+        HOUR = np.timedelta64(3_600_000_000_000, "ns")
+        ustart = np.flatnonzero(np.r_[True, users_in[1:] != users_in[:-1]])
+        uend = np.r_[ustart[1:], len(users_in)]
+        first = hours_in[ustart]
+        last = hours_in[uend - 1]
+        lens = ((last - first) // HOUR).astype(np.int64) + 1
+        total = int(lens.sum())
+        ostart = np.r_[0, np.cumsum(lens)[:-1]]
+        seg_id = np.repeat(np.arange(len(lens)), lens)
+        t = np.arange(total, dtype=np.int64) - ostart[seg_id]
+        out_hours = first[seg_id] + t * HOUR
+        out_user = users_in[ustart][seg_id]
+        dense = np.zeros(total, dtype=np.int64)
+        in_seg = np.repeat(np.arange(len(lens)), uend - ustart)
+        pos = ostart[in_seg] + ((hours_in - first[in_seg]) // HOUR).astype(
+            np.int64
+        )
+        dense[pos] = cents_in
         c = np.cumsum(dense)
         csq = np.cumsum(dense * dense)
-        t = np.arange(len(hours))
-        lag_c = np.zeros_like(c)
-        lag_sq = np.zeros_like(csq)
-        if len(c) > 24:
-            lag_c[24:] = c[:-24]
-            lag_sq[24:] = csq[:-24]
+        # prefix totals just BEFORE each user's first row
+        p_c = c[ostart] - dense[ostart]
+        p_sq = csq[ostart] - dense[ostart] * dense[ostart]
+        lag_c = np.where(t >= 24, c[np.arange(total) - 24], p_c[seg_id])
+        lag_sq = np.where(t >= 24, csq[np.arange(total) - 24], p_sq[seg_id])
         s_c = c - lag_c
         sq_c = csq - lag_sq
         # checked precondition (ADVICE r5): the int64 prefix sums may wrap
@@ -413,19 +439,13 @@ def w8_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         var = sq / n - mean * mean
         return pd.DataFrame(
             {
-                "user_id": user,
-                "hour": hours,
+                "user_id": out_user,
+                "hour": out_hours,
                 "total_value": x,
                 "mean_24h": mean,
                 "var_24h": var,
                 "is_anomaly": (x - mean) * (x - mean) > 9.0 * var,
             }
-        )
-
-    def roll_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.concat(
-            [roll_one(u, g) for u, g in pdf.groupby("user_id")],
-            ignore_index=True,
         )
 
     bucketed = hourly.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(64)))
@@ -685,10 +705,19 @@ def w12_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE shuffle, keyed on a 64-way user-hash bucket rather than
     the raw user (per-group Arrow IPC costs ~5 ms — single-user groups
-    paid more in round-trips than in math, the w8 lesson); the kernel
-    loops users within its bucket, O(1) state per series (for
-    years-long hot keys, chunk by month and carry the chunk-final state
-    forward)."""
+    paid more in round-trips than in math, the w8 lesson). r14: the
+    kernel runs every user in the bucket in LOCKSTEP — one sort, the
+    series scattered into a [users × max_len] lane matrix (NaN-padded
+    past each series' end; lanes are independent so padding cannot leak
+    into valid entries), then max_len vectorized recurrence steps across
+    all lanes. The per-lane op sequence is the identical left-to-right
+    IEEE fold (numpy elementwise mul/add are the same doubles, no FMA),
+    verified bit-equal against the per-user loop in-session; the 1500
+    per-user pandas sort/concat round-trips it replaces were ~60% of the
+    query (interleaved A/B 1.97 → 0.78 s at sf0.1). O(max series length)
+    state per bucket — for years-long hot keys, chunk by month and carry
+    the chunk-final state forward."""
+    import numpy as np
     import pandas as pd
 
     events = read_table(spark, sf_dir, "events")
@@ -699,17 +728,28 @@ def w12_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = float(EWMA_ALPHA)
 
     def fold_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, g in pdf.groupby("user_id"):
-            g = g.sort_values("hour").reset_index(drop=True)
-            es = []
-            prev = None
-            for x in g["x"].tolist():
-                prev = x if prev is None else a * x + (1.0 - a) * prev
-                es.append(prev)
-            g["ewma"] = es
-            outs.append(g[["user_id", "hour", "x", "ewma"]])
-        return pd.concat(outs, ignore_index=True)
+        pdf = pdf.sort_values(["user_id", "hour"], kind="mergesort")
+        users = pdf["user_id"].to_numpy()
+        x = pdf["x"].to_numpy()
+        ustart = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        seg_len = np.diff(np.r_[ustart, len(users)])
+        nseg, maxlen = len(ustart), int(seg_len.max())
+        seg_id = np.repeat(np.arange(nseg), seg_len)
+        t = np.arange(len(users)) - ustart[seg_id]
+        X = np.full((nseg, maxlen), np.nan)
+        X[seg_id, t] = x
+        E = np.empty_like(X)
+        E[:, 0] = X[:, 0]
+        for j in range(1, maxlen):
+            E[:, j] = a * X[:, j] + (1.0 - a) * E[:, j - 1]
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "hour": pdf["hour"].to_numpy(),
+                "x": x,
+                "ewma": E[seg_id, t],
+            }
+        )
 
     bucketed = hourly.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(64)))
     out = bucketed.groupBy("bucket").applyInPandas(
@@ -820,8 +860,13 @@ def w14_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour order, the exact op sequence of the oracle's list_reduce over
     a struct state).
 
-    Scale: ONE shuffle keyed on a 64-way user-hash bucket; O(1) state
-    per series."""
+    Scale: ONE shuffle keyed on a 64-way user-hash bucket; r14: the
+    bucket's users fold in LOCKSTEP (the w12 lane-matrix kernel — one
+    sort, NaN-padded [users × max_len] lanes, max_len vectorized
+    recurrence steps; per-lane op order identical to the per-user loop,
+    verified bit-equal in-session). O(max series length) state per
+    bucket."""
+    import numpy as np
     import pandas as pd
 
     events = read_table(spark, sf_dir, "events")
@@ -832,24 +877,33 @@ def w14_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = float(HOLT_ALPHA), float(HOLT_BETA)
 
     def fold_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, g in pdf.groupby("user_id"):
-            g = g.sort_values("hour").reset_index(drop=True)
-            lvls, trds = [], []
-            lvl = trd = None
-            for x in g["x"].tolist():
-                if lvl is None:
-                    lvl, trd = x, 0.0
-                else:
-                    prev = lvl
-                    lvl = a * x + (1.0 - a) * (lvl + trd)
-                    trd = b * (lvl - prev) + (1.0 - b) * trd
-                lvls.append(lvl)
-                trds.append(trd)
-            g["level"] = lvls
-            g["trend"] = trds
-            outs.append(g[["user_id", "hour", "x", "level", "trend"]])
-        return pd.concat(outs, ignore_index=True)
+        pdf = pdf.sort_values(["user_id", "hour"], kind="mergesort")
+        users = pdf["user_id"].to_numpy()
+        x = pdf["x"].to_numpy()
+        ustart = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        seg_len = np.diff(np.r_[ustart, len(users)])
+        nseg, maxlen = len(ustart), int(seg_len.max())
+        seg_id = np.repeat(np.arange(nseg), seg_len)
+        t = np.arange(len(users)) - ustart[seg_id]
+        X = np.full((nseg, maxlen), np.nan)
+        X[seg_id, t] = x
+        L = np.empty_like(X)
+        B = np.empty_like(X)
+        L[:, 0] = X[:, 0]
+        B[:, 0] = 0.0
+        for j in range(1, maxlen):
+            prev = L[:, j - 1]
+            L[:, j] = a * X[:, j] + (1.0 - a) * (L[:, j - 1] + B[:, j - 1])
+            B[:, j] = b * (L[:, j] - prev) + (1.0 - b) * B[:, j - 1]
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "hour": pdf["hour"].to_numpy(),
+                "x": x,
+                "level": L[seg_id, t],
+                "trend": B[seg_id, t],
+            }
+        )
 
     bucketed = hourly.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(64)))
     out = bucketed.groupBy("bucket").applyInPandas(
