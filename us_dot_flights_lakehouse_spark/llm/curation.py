@@ -356,6 +356,15 @@ def _dup_clusters_driver(
     id_field = edges.schema["a"]
     pdf = edges.toPandas()
     a_ids, b_ids = pdf["a"].to_numpy(), pdf["b"].to_numpy()
+    return _driver_cc_from_arrays(nodes, a_ids, b_ids, id_field.dataType, id_col)
+
+
+def _driver_cc_from_arrays(nodes, a_ids, b_ids, id_datatype, id_col: str):
+    """Numpy core of ``_dup_clusters_driver``, reusable with edge id
+    arrays that were collected by any bounded means (toPandas or the
+    fused ``limit(cap+1).toArrow()`` path in ``dup_clusters``)."""
+    import numpy as np
+
     u = np.unique(np.concatenate([a_ids, b_ids]))
     ia = np.searchsorted(u, a_ids)
     ib = np.searchsorted(u, b_ids)
@@ -370,8 +379,8 @@ def _dup_clusters_driver(
     spark = nodes.sparkSession
     schema = StructType(
         [
-            StructField("node", id_field.dataType, False),
-            StructField("cluster_id", id_field.dataType, False),
+            StructField("node", id_datatype, False),
+            StructField("cluster_id", id_datatype, False),
         ]
     )
     import pandas as pd
@@ -418,37 +427,51 @@ def dup_clusters(
         return _dup_clusters_two_star(nodes, pairs, id_col, a_col, b_col, max_iter)
     if variant != "min_label":
         raise ValueError(f"unknown variant: {variant!r}")
-    edges = (
-        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-        .union(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
-        .cache()
+    edges_lazy = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).union(
+        pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
     )
-    # size the ITERATION's parallelism to the pair graph, not the session
-    # default: the rounds below shuffle only edges+labels, and a dup graph
-    # is usually orders of magnitude smaller than the corpus — spreading a
-    # few thousand edges over the corpus-sized partition count makes every
-    # round pay full task-scheduling overhead for empty partitions. The
-    # count also materializes the edge cache exactly once. Large graphs
-    # keep full parallelism (≈200K edges per partition).
-    n_edges = edges.count()
     # r13 (guide §1.2 "the distributed algorithm"): below the cap, resolve
     # components ON THE DRIVER in one bounded action instead of iterating
     # 2 Spark jobs per propagation round (join+checkpoint, convergence
     # probe) — for the few-hundred-pair graphs dedup actually produces,
     # the loop was pure scheduling overhead (~2 s per call at sf0.1; four
-    # query paths call this). The collect is CAP-BOUNDED (n_edges is
-    # already computed for the coalesce sizing): ≤DRIVER_CC_MAX_EDGES
-    # two-column rows via Arrow, vectorized numpy pointer-jumping on the
-    # driver, labels return as a broadcast-able local relation. Above the
-    # cap — the 100 TB pair-graph regime — the distributed min-label loop
-    # below runs unchanged. Same result by construction: both compute the
+    # query paths call this). r14: cap check and collection FUSE into one
+    # ``limit(cap+1)`` Arrow action (the quantiles pattern) — one Spark
+    # job instead of a count job plus a collect job, and no cache
+    # round-trip at all on the driver path. ≤DRIVER_CC_MAX_EDGES
+    # two-column rows cross via Arrow; vectorized numpy pointer-jumping
+    # resolves labels as a broadcast-able local relation. Above the cap —
+    # the 100 TB pair-graph regime — the distributed min-label loop below
+    # runs unchanged (the limit probe reads only a partition prefix
+    # before overflowing). Same result by construction: both compute the
     # min node id per connected component (property-tested for equality).
     if driver_cc_max is None:
         driver_cc_max = DRIVER_CC_MAX_EDGES
-    if n_edges <= driver_cc_max:
-        labels = _dup_clusters_driver(nodes, edges, id_col)
-        edges.unpersist()
-        return labels
+    # the probe reads from the CACHE so an over-cap overflow wastes
+    # nothing: the partitions the limit touched are already materialized
+    # for the count/iteration below (the quantiles-ADVICE lesson — a
+    # bounded probe must not cost the 100 TB path an extra pass)
+    edges = edges_lazy.cache()
+    if driver_cc_max >= 0:
+        tbl = edges.limit(driver_cc_max + 1).toArrow()
+        if tbl.num_rows <= driver_cc_max:
+            labels = _driver_cc_from_arrays(
+                nodes,
+                tbl.column("a").to_numpy(zero_copy_only=False),
+                tbl.column("b").to_numpy(zero_copy_only=False),
+                edges.schema["a"].dataType,
+                id_col,
+            )
+            edges.unpersist()
+            return labels
+    # distributed path: size the ITERATION's parallelism to the pair
+    # graph, not the session default — the rounds below shuffle only
+    # edges+labels, and spreading a few thousand edges over the
+    # corpus-sized partition count makes every round pay full
+    # task-scheduling overhead for empty partitions. The count also
+    # materializes the edge cache exactly once. Large graphs keep full
+    # parallelism (≈200K edges per partition).
+    n_edges = edges.count()
     sc = nodes.sparkSession.sparkContext
     parts = max(1, min(sc.defaultParallelism, n_edges // 200_000 + 1))
     edges = edges.coalesce(parts)
