@@ -866,19 +866,23 @@ def dd_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     member = labels.withColumnRenamed("node", "doc_id").join(
         docs.select("doc_id", "n_chars"), "doc_id"
     )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
+    # r14 (guide §2.4 — the mm_phash lesson): the old row_number window +
+    # rk=1 filter + self-join consumed the ranked stream twice, re-running
+    # the labels⋈docs subtree per consumer. first(doc_id) over the SAME
+    # (n_chars desc, doc_id asc) order with a full frame is the identical
+    # keeper in one window pass, no join.
+    w_full = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    ranked = member.withColumn("rk", F.row_number().over(w))
-    keepers = ranked.filter(F.col("rk") == 1).select(
-        "cluster_id", F.col("doc_id").alias("keeper_id")
-    )
-    return ranked.join(keepers, "cluster_id").select(
+    keeper = F.first("doc_id").over(w_full)
+    return member.select(
         "doc_id",
         "cluster_id",
         "n_chars",
-        "keeper_id",
-        (F.col("doc_id") == F.col("keeper_id")).alias("keep"),
+        keeper.alias("keeper_id"),
+        (F.col("doc_id") == keeper).alias("keep"),
     )
 
 

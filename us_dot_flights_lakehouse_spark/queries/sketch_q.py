@@ -1855,7 +1855,7 @@ def q_join_cardinality_advisor(
     supp = read_table(spark, sf_dir, "supplier")
 
 
-    def fan(df: DataFrame, contribs) -> DataFrame:
+    def fan(df: DataFrame, contribs, spread: bool = True) -> DataFrame:
         # project to just the key columns, then hash-repartition on the
         # first of them BEFORE the explode fan-out: a one-row-group
         # parquet table arrives as a single scan task, so without this
@@ -1864,9 +1864,15 @@ def q_join_cardinality_advisor(
         # read_corpus idiom). Hash partitioning (not round-robin) so no
         # sortBeforeRepartition pass; the shuffle carries only the raw
         # key columns, cheaper than the exploded stream it replaces.
+        # r14: only the two FACT tables spread — the r13 'not yet
+        # optimized' item, A/B'd: the dim-table exchanges cost more than
+        # the one-task explode they parallelize (2.5-2.8 → 2.4 s), and
+        # spread_scan additionally gates on scan parallelism (ADVICE) so
+        # nothing shuffles at 100 TB scale.
         names = sorted({c[2] for c in contribs})
-        # r14 (ADVICE): gated on scan parallelism — no exchange at scale
-        src = spread_scan(df.select(*names), F.col(names[0]))
+        src = df.select(*names)
+        if spread:
+            src = spread_scan(src, F.col(names[0]))
         return src.select(
             F.explode(
                 F.array(
@@ -1887,26 +1893,26 @@ def q_join_cardinality_advisor(
     # edge's advice) yields bit-identical rows for that edge while
     # skipping the scans of uninvolved tables entirely
     table_contribs = [
-        (li, [
+        (li, True, [
             ("lineitem_part", "L", "l_partkey"),
             ("lineitem_supplier", "L", "l_suppkey"),
             ("lineitem_orders", "L", "l_orderkey"),
         ]),
-        (orders, [
+        (orders, True, [
             ("orders_customer", "L", "o_custkey"),
             ("lineitem_orders", "R", "o_orderkey"),
         ]),
-        (cust, [("orders_customer", "R", "c_custkey")]),
-        (part, [("lineitem_part", "R", "p_partkey")]),
-        (supp, [("lineitem_supplier", "R", "s_suppkey")]),
+        (cust, False, [("orders_customer", "R", "c_custkey")]),
+        (part, False, [("lineitem_part", "R", "p_partkey")]),
+        (supp, False, [("lineitem_supplier", "R", "s_suppkey")]),
     ]
     stream = None
-    for df, contribs in table_contribs:
+    for df, spread, contribs in table_contribs:
         if only_edge is not None:
             contribs = [c for c in contribs if c[0] == only_edge]
         if not contribs:
             continue
-        piece = fan(df, contribs)
+        piece = fan(df, contribs, spread=spread)
         stream = piece if stream is None else stream.unionByName(piece)
     # NULL keys never survive an inner equi-join (Catalyst pushes
     # IsNotNull on both sides), so the advisor streams exclude them:
