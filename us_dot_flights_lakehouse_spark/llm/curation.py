@@ -427,9 +427,7 @@ def dup_clusters(
         return _dup_clusters_two_star(nodes, pairs, id_col, a_col, b_col, max_iter)
     if variant != "min_label":
         raise ValueError(f"unknown variant: {variant!r}")
-    edges_lazy = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).union(
-        pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
-    )
+    one_way = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     # r13 (guide §1.2 "the distributed algorithm"): below the cap, resolve
     # components ON THE DRIVER in one bounded action instead of iterating
     # 2 Spark jobs per propagation round (join+checkpoint, convergence
@@ -447,31 +445,41 @@ def dup_clusters(
     # min node id per connected component (property-tested for equality).
     if driver_cc_max is None:
         driver_cc_max = DRIVER_CC_MAX_EDGES
-    # the probe reads from the CACHE so an over-cap overflow wastes
-    # nothing: the partitions the limit touched are already materialized
-    # for the count/iteration below (the quantiles-ADVICE lesson — a
-    # bounded probe must not cost the 100 TB path an extra pass)
-    edges = edges_lazy.cache()
+    # the probe collects the ONE-WAY pair list (the numpy CC updates both
+    # endpoint directions per edge, so it never needs the symmetric
+    # union — which would evaluate the expensive upstream pair subtree
+    # twice in the probe job) and it reads from a CACHE so an over-cap
+    # overflow wastes nothing: the partitions the limit touched are
+    # already materialized for the distributed path's symmetric union
+    # below (the quantiles-ADVICE lesson — a bounded probe must not cost
+    # the 100 TB path an extra pass)
+    pair_cap = driver_cc_max // 2  # cap counts symmetric edges
+    one_way = one_way.cache()
     if driver_cc_max >= 0:
-        tbl = edges.limit(driver_cc_max + 1).toArrow()
-        if tbl.num_rows <= driver_cc_max:
+        tbl = one_way.limit(pair_cap + 1).toArrow()
+        if tbl.num_rows <= pair_cap:
             labels = _driver_cc_from_arrays(
                 nodes,
                 tbl.column("a").to_numpy(zero_copy_only=False),
                 tbl.column("b").to_numpy(zero_copy_only=False),
-                edges.schema["a"].dataType,
+                one_way.schema["a"].dataType,
                 id_col,
             )
-            edges.unpersist()
+            one_way.unpersist()
             return labels
-    # distributed path: size the ITERATION's parallelism to the pair
-    # graph, not the session default — the rounds below shuffle only
-    # edges+labels, and spreading a few thousand edges over the
-    # corpus-sized partition count makes every round pay full
-    # task-scheduling overhead for empty partitions. The count also
-    # materializes the edge cache exactly once. Large graphs keep full
-    # parallelism (≈200K edges per partition).
+    # distributed path: both symmetric branches read the one-way CACHE,
+    # so the upstream pair pipeline still runs exactly once. Size the
+    # ITERATION's parallelism to the pair graph, not the session
+    # default — the rounds below shuffle only edges+labels, and
+    # spreading a few thousand edges over the corpus-sized partition
+    # count makes every round pay full task-scheduling overhead for
+    # empty partitions. Large graphs keep full parallelism (≈200K edges
+    # per partition).
+    edges = one_way.union(
+        one_way.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
     n_edges = edges.count()
+    one_way.unpersist()
     sc = nodes.sparkSession.sparkContext
     parts = max(1, min(sc.defaultParallelism, n_edges // 200_000 + 1))
     edges = edges.coalesce(parts)
